@@ -1,0 +1,73 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.core.{Correlation, Crosstab, Neighbors}
+import graft.store.{Serving, SimilarityStore}
+
+/**
+ * One-class facade mirroring the reference's public API
+ * (`/root/reference/propius/__init__.py:27-46`, and the documented
+ * `SimilarityModel` surface in `docs/api/sim-model.md:3-10`:
+ * build / as_dataframe / save / store_in_db), over the functional core.
+ *
+ * Train (EP-1):  SimilarityModel.fit(occurrences)
+ * Store (EP-2):  model.storeIn(path, dictionary)
+ * Serve (EP-3):  SimilarityModel.Store(path).retrieve(itemId, limit)
+ */
+object SimilarityModel {
+
+  /** `build_similarity_matrix` (`similarity.py:92-117`): occurrences →
+    * crosstab → correlation model. Lazy — nothing runs until an action. */
+  def fit(occurrences: DataFrame): SimilarityModel =
+    new SimilarityModel(Crosstab.build(occurrences))
+
+  def fromCrosstab(crosstab: DataFrame): SimilarityModel =
+    new SimilarityModel(crosstab)
+
+  /** Serving handle over a persisted store (EP-3). */
+  final case class Store(spark: SparkSession, path: String) {
+    private lazy val sim = SimilarityStore.readSimilarItems(spark, path)
+    private lazy val dict = SimilarityStore.readCorrelatedItems(spark, path)
+    def retrieve(itemId: Long, limit: Option[Int] = None): DataFrame =
+      Serving.retrieveSimilarItems(sim, dict, itemId, limit)
+    def itemInfo(ids: Seq[Long]): DataFrame = Serving.getItemInfo(dict, ids)
+    def search(term: String, limit: Int = 10): DataFrame =
+      Serving.searchItemsByName(dict, term, limit)
+    def stats: DataFrame = Serving.databaseStats(sim, dict)
+  }
+}
+
+final class SimilarityModel private (val crosstab: DataFrame) {
+  import org.apache.spark.sql.functions._
+
+  /** Scalable correlation pairs (co-occurring, symmetric, self excluded). */
+  def pairs: DataFrame = Correlation.sparsePairs(crosstab)
+
+  /** Reference-parity full vectors for selected items (SURVEY §7.4.10). */
+  def fullPairs(itemPredicate: Column): DataFrame =
+    Correlation.fullPairs(crosstab, itemPredicate)
+
+  /** `get_similar_items` (`similarity.py:133-167`): raw-corr mean+k·σ
+    * threshold for one item, best first. */
+  def similarItems(itemId: Long, k: Double = 2.0): DataFrame =
+    Neighbors.rawStdDevThreshold(fullPairs(col("item") === itemId), k)
+      .orderBy(col("corr").desc, col("item_b"))
+
+  /** kNN per item over the sparse pairs — the scale path. */
+  def topK(k: Int): DataFrame = Neighbors.topK(pairs, k)
+
+  /** `store_similarities_in_database` (EP-2, `data.py:19-41`): min-max
+    * scale + mean+k·σ threshold per item, one bulk write of both tables.
+    * `itemPredicate` bounds the full-matrix pass (lit(true) on small
+    * catalogs; at scale pass the partition of items being refreshed). */
+  def storeIn(path: String, dictionary: DataFrame,
+              itemPredicate: Column = lit(true), k: Double = 2.0): Unit = {
+    SimilarityStore.writeCorrelatedItems(dictionary, path)
+    val thresholded = Neighbors.scaledStdDevThreshold(fullPairs(itemPredicate), k)
+    SimilarityStore.writeSimilarItems(thresholded, path)
+  }
+
+  /** `save_correlation_matrix` parity (OP-04) — long-form pairs, CSV. */
+  def save(path: String): Unit =
+    graft.sources.Sources.saveCsv(pairs, path)
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Correlation, Crosstab, Neighbors}
+import graft.store.Serving
+
+/**
+ * Reference-parity queries (SURVEY §2 operator inventory), each with a
+ * DuckDB oracle over the same parquet tables. The occurrence log is the
+ * "orders-basket" derivation (FIXTURES.md §B): item = l_partkey,
+ * context = l_orderkey.
+ *
+ * Determinism contract (SURVEY §5.3): co-moments are exact integers in
+ * binary64, so unrounded correlations are bit-identical across engines;
+ * doubles are rounded to 1e-6 only at output, every query ends with a
+ * total ORDER BY, zero-variance → NULL.
+ */
+object ParityQueries extends QueryPack {
+
+  /** Sample predicate bounding full-matrix (I×I) parity queries: every
+    * 50th item. Scales with item count (SURVEY §7.4.10). */
+  private val SampleMod = 50
+  /** Fixed probe item for single-item query-path parity (exists at all SFs). */
+  private val ProbeItem = 7
+
+  // ---- shared DuckDB CTE prefix -------------------------------------------
+
+  /** occ → crosstab → n, per-item stats, co-occurring pair co-moments
+    * (upper triangle) and their symmetric closure. Mirrors
+    * Crosstab.build + Correlation.{nContexts,itemStats,sparseCoMoments}. */
+  private val BaseCtes =
+    """WITH occ AS (SELECT l_partkey AS item, l_orderkey AS ctx FROM lineitem),
+      |ct AS (SELECT item, ctx, CAST(COUNT(*) AS DOUBLE) AS cnt FROM occ GROUP BY 1, 2),
+      |nn AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n FROM ct),
+      |st AS (SELECT item, SUM(cnt) AS sx, SUM(cnt*cnt) AS sxx FROM ct GROUP BY 1),
+      |co AS (SELECT a.item AS item_a, b.item AS item_b, SUM(a.cnt*b.cnt) AS sxy
+      |       FROM ct a JOIN ct b ON a.ctx = b.ctx AND a.item < b.item GROUP BY 1, 2),
+      |cosym AS (SELECT item_a, item_b, sxy FROM co
+      |          UNION ALL SELECT item_b AS item_a, item_a AS item_b, sxy FROM co)""".stripMargin
+
+  /** Sparse correlations (co-occurring pairs only), unrounded. */
+  private val SparseCte =
+    """sp AS (SELECT c.item_a, c.item_b,
+      |  (nn.n*c.sxy - sa.sx*sb.sx)
+      |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+      |  FROM cosym c JOIN st sa ON c.item_a = sa.item
+      |  JOIN st sb ON c.item_b = sb.item CROSS JOIN nn)""".stripMargin
+
+  /** Full per-item correlation vectors for items matching `pred`
+    * (never-co-occurring partners included with sxy = 0), self excluded. */
+  private def fullCte(pred: String) =
+    s"""fp AS (SELECT sa.item AS item_a, sb.item AS item_b,
+       |  (nn.n*COALESCE(c.sxy, 0) - sa.sx*sb.sx)
+       |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+       |  FROM st sa CROSS JOIN st sb CROSS JOIN nn
+       |  LEFT JOIN cosym c ON c.item_a = sa.item AND c.item_b = sb.item
+       |  WHERE ($pred) AND sa.item <> sb.item)""".stripMargin
+
+  /** EP-2 store pipeline over fp: per-item min-max scale then mean+2σ
+    * threshold on the scaled scores (Neighbors.scaledStdDevThreshold). */
+  private val StoreCtes =
+    """sc AS (SELECT item_a, item_b,
+      |  CASE WHEN MAX(corr) OVER w = MIN(corr) OVER w THEN 0.0
+      |       ELSE (corr - MIN(corr) OVER w) / (MAX(corr) OVER w - MIN(corr) OVER w) END AS s
+      |  FROM fp WINDOW w AS (PARTITION BY item_a)),
+      |th AS (SELECT item_a, item_b, s,
+      |  AVG(s) OVER w + 2.0 * STDDEV_SAMP(s) OVER w AS t
+      |  FROM sc WINDOW w AS (PARTITION BY item_a)),
+      |sim AS (SELECT item_a AS item_a_id, item_b AS item_b_id, s AS scaled_score
+      |        FROM th WHERE s >= t)""".stripMargin
+
+  // ---- Spark-side shared pieces -------------------------------------------
+
+  private def ct(s: SparkSession, dir: String) =
+    Crosstab.build(Tables.occOrders(s, dir))
+
+  private def fullSample(s: SparkSession, dir: String) =
+    Correlation.fullPairs(ct(s, dir), col("item") % SampleMod === 0)
+
+  private def storePairs(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column) =
+    Neighbors.scaledStdDevThreshold(Correlation.fullPairs(ct(s, dir), pred), 2.0)
+
+  // ---- queries -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OP-01/09: scan + projection, pushed to the parquet reader.
+    "q01_scan_project" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // OP-07: dictionary projection (part → (id, key)).
+    "q02_dictionary" -> ((s, dir) =>
+      Tables.dictionary(s, dir).orderBy(col("id"))),
+
+    // OP-18: crosstab build (duplicate-summing count cells).
+    "q03_crosstab" -> ((s, dir) =>
+      ct(s, dir).orderBy(col("item"), col("ctx"))),
+
+    // OP-27: vstack of two crosstabs (disjoint item spaces) + per-item agg.
+    "q04_crosstab_union" -> ((s, dir) => {
+      val a = ct(s, dir)
+      val b = Crosstab.build(
+        Tables.occCustomers(s, dir)
+          .select((col("item_id") + 100000L).as("item_id"), col("reference_id")))
+      Crosstab.vstack(a, b)
+        .groupBy("item")
+        .agg(count(lit(1)).as("n_ctx"), sum("cnt").cast("long").as("total"))
+        .orderBy(col("item"))
+    }),
+
+    // OP-19 (scale path): Pearson over co-occurring pairs, symmetric.
+    "q05_corr_sparse" -> ((s, dir) =>
+      Correlation.sparsePairs(ct(s, dir))
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // OP-19 (parity path): full correlation vectors for sampled items.
+    "q06_corr_full_sample" -> ((s, dir) =>
+      fullSample(s, dir)
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // get_similar_items: raw mean+2σ threshold for one item (OP-09/10/11/20/28).
+    "q07_similar_items_raw" -> ((s, dir) =>
+      Neighbors.rawStdDevThreshold(
+          Correlation.fullPairs(ct(s, dir), col("item") === ProbeItem), 2.0)
+        .select(col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("corr").desc_nulls_last, col("item_b"))),
+
+    // EP-2 store pipeline: min-max scale + scaled mean+2σ (OP-21/11/24/28).
+    "q08_store_pipeline" -> ((s, dir) =>
+      storePairs(s, dir, col("item") % SampleMod === 0)
+        .select(col("item_a_id"), col("item_b_id"),
+          round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
+
+    // kNN per item over sparse pairs (OP-24/26 — WindowGroupLimit top-k).
+    "q09_topk" -> ((s, dir) =>
+      Neighbors.topK(Correlation.sparsePairs(ct(s, dir)), 5)
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("corr").desc_nulls_last, col("item_b"))),
+
+    // EP-3 serving: point lookup + broadcast dict join + top-10 (OP-14/16/24/26).
+    "q10_serve_retrieve" -> ((s, dir) =>
+      Serving.retrieveSimilarItems(
+          storePairs(s, dir, col("item") === ProbeItem),
+          Tables.dictionary(s, dir), ProbeItem, None)
+        .select(col("item_b_id"), col("key"), round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("scaled_score").desc_nulls_last, col("item_b_id"))
+        .limit(10)),
+
+    // OP-13/25/29: case-insensitive contains search, ordered, limited.
+    "q11_search_items" -> ((s, dir) =>
+      Serving.searchItemsByName(
+        Tables.dictionary(s, dir).withColumn("human_label", lit(null).cast("string")),
+        "idg", 10)),
+
+    // OP-15: IN-list point lookups.
+    "q12_item_info" -> ((s, dir) =>
+      Serving.getItemInfo(
+        Tables.dictionary(s, dir).withColumn("human_label", lit(null).cast("string")),
+        Seq(1L, 5L, 9L, 12L))),
+
+    // OP-22/23/31: store stats (counts + avg neighbors, round 2, 0-default).
+    "q13_db_stats" -> ((s, dir) =>
+      Serving.databaseStats(
+        storePairs(s, dir, col("item") % SampleMod === 0),
+        Tables.dictionary(s, dir))),
+
+    // OP-20: per-item scalar moments over the full correlation vector.
+    "q14_moments" -> ((s, dir) =>
+      fullSample(s, dir)
+        .groupBy(col("item_a"))
+        .agg(round(avg(col("corr")), 6).as("mean_corr"),
+          round(stddev_samp(col("corr")), 6).as("std_corr"))
+        .orderBy(col("item_a"))),
+
+    // OP-12: existence check via anti join (items without dictionary rows).
+    "q15_missing_items" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select(col("l_partkey")).distinct()
+      val p = Tables.read(s, dir, "part").select(col("p_partkey"))
+      li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+    })
+  )
+
+  // ---- oracle SQL -----------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q02_dictionary" ->
+      "SELECT p_partkey AS id, p_name AS key FROM part ORDER BY 1",
+
+    "q03_crosstab" ->
+      """SELECT l_partkey AS item, l_orderkey AS ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_crosstab_union" ->
+      """WITH ct1 AS (SELECT l_partkey AS item, l_orderkey AS ctx, COUNT(*) AS cnt
+        |             FROM lineitem GROUP BY 1, 2),
+        |ct2 AS (SELECT l.l_partkey + 100000 AS item, o.o_custkey AS ctx, COUNT(*) AS cnt
+        |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2),
+        |ctu AS (SELECT * FROM ct1 UNION ALL SELECT * FROM ct2)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ctx, CAST(SUM(cnt) AS BIGINT) AS total
+        |FROM ctu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_corr_sparse" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    "q06_corr_full_sample" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item % $SampleMod = 0")}
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM fp ORDER BY 1, 2""".stripMargin,
+
+    "q07_similar_items_raw" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item = $ProbeItem")},
+         |thr AS (SELECT AVG(corr) + 2.0 * STDDEV_SAMP(corr) AS t FROM fp)
+         |SELECT fp.item_b, ROUND(fp.corr, 6) AS corr FROM fp, thr
+         |WHERE fp.corr >= thr.t ORDER BY 2 DESC NULLS LAST, 1""".stripMargin,
+
+    "q08_store_pipeline" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item % $SampleMod = 0")},
+         |$StoreCtes
+         |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
+         |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q09_topk" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM (
+         |  SELECT item_a, item_b, corr,
+         |         ROW_NUMBER() OVER (PARTITION BY item_a
+         |                            ORDER BY corr DESC NULLS LAST, item_b) AS rnk
+         |  FROM sp) WHERE rnk <= 5
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q10_serve_retrieve" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item = $ProbeItem")},
+         |$StoreCtes
+         |SELECT s.item_b_id, p.p_name AS key, ROUND(s.scaled_score, 6) AS scaled_score
+         |FROM sim s JOIN part p ON s.item_b_id = p.p_partkey
+         |ORDER BY 3 DESC NULLS LAST, 1 LIMIT 10""".stripMargin,
+
+    "q11_search_items" ->
+      """SELECT p_partkey AS id, p_name AS key FROM part
+        |WHERE lower(p_name) LIKE '%idg%' ORDER BY 2, 1 LIMIT 10""".stripMargin,
+
+    "q12_item_info" ->
+      """SELECT p_partkey AS id, p_name AS key, CAST(NULL AS VARCHAR) AS human_label
+        |FROM part WHERE p_partkey IN (1, 5, 9, 12) ORDER BY 1""".stripMargin,
+
+    "q13_db_stats" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item % $SampleMod = 0")},
+         |$StoreCtes
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS correlated_items,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM sim) AS similar_items,
+         |       (SELECT COALESCE(ROUND(AVG(c), 2), 0.0) FROM
+         |          (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sim GROUP BY item_a_id)
+         |       ) AS avg_similar_items""".stripMargin,
+
+    "q14_moments" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item % $SampleMod = 0")}
+         |SELECT item_a, ROUND(AVG(corr), 6) AS mean_corr,
+         |       ROUND(STDDEV_SAMP(corr), 6) AS std_corr
+         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_missing_items" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_missing FROM (
+        |  SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin
+  )
+}
