@@ -8,7 +8,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    ParityQueries
+    ParityQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for large-scale training-data pipelines: tokenization,
+ * quality scoring, language identification, document fingerprinting.
+ *
+ * Everything here is a PURE Column expression built from
+ * `org.apache.spark.sql.functions` — no UDFs, so the whole pipeline stays
+ * inside whole-stage codegen and is embarrassingly parallel over document
+ * partitions (no shuffle at all for per-document scoring; 100 TB of text
+ * is a map-only job). Each primitive is deliberately restricted to
+ * operations with identical semantics in ANSI SQL engines (verified
+ * against DuckDB in the oracle gate).
+ */
+object TextFunctions {
+
+  /** 60-bit deterministic string hash: first 15 hex digits of md5.
+    * Stable across engines (md5 is md5 everywhere) and fits a BIGINT with
+    * headroom for modular arithmetic without overflow. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Prime modulus for the MinHash permutation family: 2^31−1 (Mersenne).
+    * Reducing hash60 into [0, M) FIRST keeps every intermediate product
+    * under 2^37 — no int64 overflow in ANSI engines. */
+  val HashPermMod = 2147483647L
+
+  /** Keyed variant for MinHash permutation families:
+    * h_i(x) = (a_i·(hash60(x) mod M) + b_i) mod M with a_i = 2i+1 (odd),
+    * b_i = 1000003·(i+1). Reproducible in plain SQL. */
+  def hashPerm(c: Column, perm: Int): Column =
+    hashPermOf(hash60(c) % HashPermMod, lit(perm))
+
+  /** Permutation hash over an ALREADY-REDUCED base hash g ∈ [0, M); the
+    * permutation index may itself be a column (for signature arrays built
+    * with `transform(sequence(...))`). */
+  def hashPermOf(g: Column, perm: Column): Column =
+    pmod(g * (perm * 2L + 1L) + (perm + 1L) * 1000003L, lit(HashPermMod))
+
+  /** Whitespace tokens of trimmed text; empty/blank text → empty array. */
+  def tokensWs(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokensWs(c))
+
+  /** BPE-ish subword count: lowercase runs, capitalized runs, single
+    * digits, and isolated symbols each count as one token — a cheap,
+    * deterministic proxy for byte-pair-encoded sequence length. */
+  val BpeTokenPattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(c, lit(BpeTokenPattern)).cast("long")
+
+  /** Count of punctuation/symbol characters. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast("long")
+
+  /** Punctuation chars per character of text (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
+
+  /** Number of tokens that appear in `words` (exact token match — no
+    * substring false-positives). */
+  def wordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokensWs(c), t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** English-ish stopword list used by the default quality score. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Fraction of tokens that are stopwords (0 for empty text). */
+  def stopwordRatio(c: Column, words: Seq[String] = Stopwords): Column = {
+    val n = tokenCountWs(c)
+    when(n === 0, 0.0).otherwise(wordHits(c, words).cast("double") / n.cast("double"))
+  }
+
+  /**
+   * Heuristic document quality in [0,1]: rewards reasonable length and a
+   * natural-language stopword rate, penalizes symbol noise. The exact
+   * formula (including evaluation order) is part of the contract — the
+   * oracle recomputes it verbatim:
+   *
+   *   q = max(0, 0.5·min(1, tokens/50) + 0.5·min(1, 4·stopRatio)
+   *              − 0.25·min(1, 10·punctRatio))
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCountWs(c).cast("double") / 50.0)
+    val stopScore = least(lit(1.0), stopwordRatio(c) * 4.0)
+    val punctPen = least(lit(1.0), punctRatio(c) * 10.0)
+    greatest(lit(0.0), lenScore * 0.5 + stopScore * 0.5 - punctPen * 0.25)
+  }
+
+  /** Marker function-words per language for the n-gram/word language-ID
+    * heuristic. Extend freely; langId is generic over the profile map. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "to", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"))
+
+  /**
+   * Language ID: argmax of per-language marker-token hits; ties break to
+   * the alphabetically-first language; zero hits everywhere → "und".
+   * Implemented as a sort over (−score, lang) structs so it stays a single
+   * codegen'd expression for any profile map.
+   */
+  def langId(c: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct((-wordHits(c, markers)).cast("long").as("neg"), lit(lang).as("lang"))
+    }
+    val best = element_at(sort_array(array(scored: _*)), 1)
+    when(best.getField("neg") === 0L, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Rolling polynomial fingerprint over the characters of the text:
+    * acc ← (31·acc + codepoint) mod 1e9+7. Order-sensitive (anagram-safe),
+    * exact in 64-bit arithmetic, reproducible in any engine with a fold. */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; fewer than n tokens →
+    * empty array. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokensWs(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Winnowing-style compact fingerprint: min hash60 over the n-gram
+    * shingles (null when the doc has fewer than n tokens). */
+  def minShingleHash(c: Column, n: Int): Column =
+    array_min(transform(wordShingles(c, n), s => hash60(s)))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/**
+ * Text-analysis queries over the `documents` table (EXT operators,
+ * SURVEY §2.11): token counting, quality scoring, language ID, document
+ * fingerprinting. All per-document scoring is map-only — zero shuffles —
+ * so at 100 TB these scale linearly with input splits.
+ *
+ * Oracle notes: every primitive was chosen for engine-identical semantics
+ * (md5-hex hashes, token-exact word hits via list_filter, fold-based
+ * rolling hash); the DuckDB SQL recomputes each formula verbatim.
+ */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXT-T1: token counts (whitespace + BPE-ish), punctuation, ratios, quality.
+    "q16_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        tokenCountBpe(col("text")).as("n_bpe"),
+        punctCount(col("text")).as("n_punct"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T2: language ID vs the labeled lang, row-level.
+    "q17_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T3: rolling-hash fingerprint + winnowing-style min 3-gram hash.
+    "q18_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        minShingleHash(col("text"), 3).as("min_shingle"))
+        .orderBy(col("doc_id")))
+  )
+
+  // DuckDB mirrors -----------------------------------------------------------
+
+  private val ToksCte =
+    """toks AS (SELECT doc_id, lang, text,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+      |  FROM documents)""".stripMargin
+
+  private def hits(words: Seq[String]) =
+    s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_text_stats" ->
+      s"""WITH $ToksCte,
+         |st AS (SELECT doc_id,
+         |  len(tk)::BIGINT AS n_tokens,
+         |  len(regexp_extract_all(text, '$BpeTokenPattern'))::BIGINT AS n_bpe,
+         |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |       ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END AS sr,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |            / length(text)::DOUBLE END AS pr
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_bpe, n_punct,
+         |  ROUND(sr, 6) AS stop_ratio, ROUND(pr, 6) AS punct_ratio,
+         |  ROUND(GREATEST(0.0, LEAST(1.0, n_tokens::DOUBLE / 50.0) * 0.5
+         |                    + LEAST(1.0, sr * 4.0) * 0.5
+         |                    - LEAST(1.0, pr * 10.0) * 0.25), 6) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q17_lang_id" ->
+      s"""WITH $ToksCte,
+         |sc AS (SELECT doc_id, lang,
+         |  ${hits(LangProfiles("de"))} AS s_de, ${hits(LangProfiles("en"))} AS s_en,
+         |  ${hits(LangProfiles("es"))} AS s_es, ${hits(LangProfiles("fr"))} AS s_fr
+         |  FROM toks)
+         |SELECT doc_id, lang,
+         |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q18_fingerprint" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |                     c -> unicode(c)::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+         |  list_min(list_transform(
+         |    CASE WHEN len(tk) < 3 THEN []
+         |         ELSE list_transform(range(1, len(tk) - 1),
+         |                i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS min_shingle
+         |FROM toks ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokenCountWs handles blanks, runs of whitespace, and empties") {
+    one[Int](tokenCountWs(col("t")), "a b  c") shouldBe 3
+    one[Int](tokenCountWs(col("t")), "  lead trail  ") shouldBe 2
+    one[Int](tokenCountWs(col("t")), "") shouldBe 0
+    one[Int](tokenCountWs(col("t")), "   ") shouldBe 0
+  }
+
+  test("tokenCountBpe splits case runs, digits, and symbols") {
+    // "Hello" + "world" + "9" + "9" + "!" = 5
+    one[Long](tokenCountBpe(col("t")), "Hello world99!") shouldBe 5L
+  }
+
+  test("punctRatio and stopwordRatio") {
+    one[Double](punctRatio(col("t")), "ab,!") shouldBe 0.5
+    one[Double](punctRatio(col("t")), "") shouldBe 0.0
+    // 2 stopwords ("the", "of") out of 4 tokens
+    one[Double](stopwordRatio(col("t")), "the cat of doom") shouldBe 0.5
+    // exact token match only: "theater" is not "the"
+    one[Double](stopwordRatio(col("t")), "theater cat") shouldBe 0.0
+  }
+
+  test("qualityScore stays in [0,1] and rewards stopword-rich text") {
+    val good = one[Double](qualityScore(col("t")),
+      ("the cat sat on the mat and it was a fine day in the sun " * 4))
+    val noise = one[Double](qualityScore(col("t")), "@#$% ^&* !!! ???")
+    assert(good > noise)
+    for (t <- Seq("", "a", "!!!", "the the the")) {
+      val q = one[Double](qualityScore(col("t")), t)
+      assert(q >= 0.0 && q <= 1.0, s"quality($t) = $q")
+    }
+  }
+
+  test("langId picks marker-majority language, alphabetical ties, und on zero hits") {
+    one[String](langId(col("t")), "el que la casa de") shouldBe "es"
+    one[String](langId(col("t")), "der hund ist und die") shouldBe "de"
+    one[String](langId(col("t")), "xyzzy plugh") shouldBe "und"
+    // "la" ∈ es and fr; tie at 1 hit each → alphabetical → "es"
+    one[String](langId(col("t")), "la maison") shouldBe "es"
+  }
+
+  test("fingerprint is order-sensitive and matches the fold definition") {
+    def poly(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    for (t <- Seq("abc", "cba", "hello world", ""))
+      one[Long](fingerprint(col("t")), t) shouldBe poly(t)
+    assert(poly("abc") != poly("cba"))
+  }
+
+  test("wordShingles produces n-grams; short docs → empty; minShingleHash null") {
+    val sh = one[collection.Seq[String]](wordShingles(col("t"), 3), "a b c d")
+    sh.toSeq shouldBe Seq("a b c", "b c d")
+    one[collection.Seq[String]](wordShingles(col("t"), 3), "a b").toSeq shouldBe Seq.empty
+    val r = Seq("a b").toDF("t").select(minShingleHash(col("t"), 3).as("v")).collect()(0)
+    r.isNullAt(0) shouldBe true
+  }
+
+  test("hash60 and hashPerm are deterministic and non-negative") {
+    val h1 = one[Long](hash60(col("t")), "hello world")
+    h1 shouldBe 426544247714475757L // int(md5('hello world')[:15], 16)
+    val hp = one[Long](hashPerm(col("t"), 3), "hello world")
+    assert(hp >= 0L)
+    one[Long](hashPerm(col("t"), 3), "hello world") shouldBe hp
+  }
+}
