@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/**
+ * Document deduplication for training-data pipelines, four tiers:
+ *
+ *  - EXACT: hash-groupBy on a content digest — one shuffle keyed on a
+ *    16-byte digest, never on the document body.
+ *  - NEAR (n-gram Jaccard): inverted-index self-join on shingle hashes —
+ *    exact set similarity, cost bounded by shared-shingle candidates.
+ *  - NEAR (MinHash + LSH): per-doc signatures are a MAP-ONLY expression
+ *    (no shuffle); banding explodes b rows/doc and self-joins on the
+ *    band bucket — the classic shingle→minhash→band→bucket-join pipeline.
+ *    At 100 TB this is the path: candidate count is driven by collision
+ *    probability, not |docs|².
+ *  - NEAR (SimHash): 60-bit signature, map-only; banded Hamming blocking
+ *    (pigeonhole: distance ≤ k pairs must share one of k+1 bands).
+ *
+ * Embedding-cosine near-dup lives in `SimilaritySearch` (same cosine core).
+ *
+ * All hashes are md5-derived (`TextFunctions.hash60`) so every step is
+ * reproducible in any SQL engine — the DuckDB oracle recomputes the whole
+ * pipeline, LSH included.
+ */
+object Dedup {
+
+  /** EXACT dedup: one row per distinct text; canonical id = min(id).
+    * Output: (digest, canonical_id, n_dups). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Survivors of exact dedup (the kept rows, by canonical id). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("canonical_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Distinct reduced shingle-hash set per document, exploded long form:
+    * (id, g) with g = hash60(shingle) mod 2^31−1. Docs with fewer than n
+    * tokens contribute no rows. */
+  def shingleSets(docs: DataFrame, n: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(transform(wordShingles(col(textCol), n),
+          s => hash60(s) % HashPermMod))).as("g"))
+
+  /**
+   * NEAR dedup via exact n-gram Jaccard: inverted-index join on shingle
+   * hash, then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Hot shingles (shared
+   * by many docs) are the skew risk at scale — `maxShingleDegree` drops
+   * them (a shingle in thousands of docs is boilerplate, not signal),
+   * mirroring `Correlation.maxContextDegree`.
+   * Output: (doc_a, doc_b, jaccard), a < b.
+   */
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+                   maxShingleDegree: Option[Int] = None): DataFrame = {
+    val sh = maxShingleDegree match {
+      case Some(d) =>
+        val deg = shingles.groupBy("g").agg(count(lit(1)).as("deg"))
+        shingles.join(deg.where(col("deg") <= d).select("g"), Seq("g"), "left_semi")
+      case None => shingles
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("id").as("doc_a"), col("g"))
+    val b = sh.select(col("id").as("doc_b"), col("g"))
+    val inter = a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: (id, sig array<long> of length numPerms).
+    * A single map-only expression — the signature never shuffles the text.
+    * Docs without shingles (fewer than n tokens) are excluded. */
+  def minHashSignatures(docs: DataFrame, n: Int, numPerms: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gs = array_distinct(transform(wordShingles(col(textCol), n),
+      s => hash60(s) % HashPermMod))
+    docs.select(col(idCol).as("id"), gs.as("gs"))
+      .where(size(col("gs")) > 0)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numPerms - 1)),
+          i => array_min(transform(col("gs"), g => hashPermOf(g, i)))).as("sig"))
+  }
+
+  /** LSH banding: b bands of r rows; band key = md5 of the ':'-joined
+    * signature slice. Output: (id, band, bk). */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
+        md5(concat_ws(":", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("bk"))
+
+  /**
+   * MinHash-LSH candidate pairs with estimated similarity (fraction of
+   * agreeing signature positions). Pairs must share ≥1 band bucket.
+   * Output: (doc_a, doc_b, est_sim), a < b.
+   */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val bd = lshBands(sig, bands, rowsPerBand)
+    val cand = bd.select(col("id").as("doc_a"), col("band"), col("bk"))
+      .join(bd.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numPerms).as("est_sim"))
+  }
+
+  /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
+    * whitespace tokens: bit j is set iff the majority of token hashes have
+    * bit j set. Map-only; the fold is a SQL expr because Spark's Scala
+    * `shiftright`/`shiftleft` wrappers only take literal shift amounts,
+    * while the SQL operators accept column operands. */
+  def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        array_distinct(transform(tokensWs(col(textCol)), t => hash60(t))).as("ghs"))
+      .select(col("id"), expr(
+        """aggregate(sequence(0L, 59L), 0L, (acc, j) -> acc +
+          |  CASE WHEN aggregate(ghs, 0L, (a2, h) -> a2 + ((h >> j) & 1L) * 2L - 1L) > 0L
+          |       THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("sh"))
+
+  /**
+   * SimHash near-dup pairs within Hamming distance `maxDist`, found by
+   * banded blocking over `bands` 12-bit bands (sound for
+   * maxDist ≤ bands−1 by pigeonhole). Output: (doc_a, doc_b, dist), a < b.
+   */
+  def simHashPairs(sh: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
+    val keyed = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+      .withColumn("bk", expr("(sh >> (12 * band)) & 4095"))
+    val cand = keyed.select(col("id").as("doc_a"), col("band"), col("bk"))
+      .join(keyed.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+}

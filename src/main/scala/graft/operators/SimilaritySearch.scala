@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - Brute-force cosine top-k: the exact baseline. The QUERY set is
+ *    broadcast (serving queries ≪ corpus); the corpus streams map-side —
+ *    a broadcast nested-loop + per-query top-k, no corpus shuffle except
+ *    the final per-query window (tiny: k rows per query survive).
+ *  - LSH (random-hyperplane / SRP) bucketing: the scale path. Each vector
+ *    gets an L-bit sign bucket from L fixed ±1 hyperplanes (map-only);
+ *    candidates = same-bucket pairs; exact cosine re-ranks inside buckets.
+ *    Collision probability 1 − θ/π per bit — near neighbors land together.
+ *  - Embedding-cosine near-dup pairs (the dedup tier over embeddings),
+ *    optionally blocked by a metadata column.
+ *
+ * All folds are explicit left-to-right `aggregate`s in binary64 so any
+ * SQL engine reproduces the numbers bit-for-bit (oracle-checkable).
+ */
+object SimilaritySearch {
+
+  /** Deterministic ±1 hyperplanes (L planes × dim), from a tiny seeded
+    * LCG — reproducible here and in generated oracle SQL. */
+  def hyperplanes(l: Int, dim: Int, seed: Long = 42L): Seq[Seq[Int]] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    Seq.fill(l)(Seq.fill(dim)(if (((next() >>> 33) & 1L) == 0L) 1 else -1))
+  }
+
+  /** Left-to-right fold sum of an array<double> column. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two float-array columns, computed in binary64
+    * with deterministic summation order; NULL when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(foldSum(transform(b, x => x.cast("double") * x.cast("double"))))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (na * nb))
+  }
+
+  /**
+   * Exact top-k: for each query vector, the k nearest corpus vectors by
+   * cosine (self excluded when ids collide). `queries` is broadcast.
+   * Output: (query_id, vec_id, cos), deterministic tie-break on vec_id.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /** Sign bucket: L-bit integer, bit j = [dot(emb, plane_j) > 0].
+    * Map-only expression over the embedding column. */
+  def srpBucket(emb: Column, planes: Seq[Seq[Int]]): Column = {
+    val p = typedlit(planes)
+    aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L), (acc, j) =>
+      acc + when(
+        foldSum(zip_with(emb, element_at(p, (j + 1).cast("int")),
+          (x, w) => x.cast("double") * w.cast("double"))) > 0.0,
+        // 2^j as a long (exact for j ≤ 62; Scala shiftleft only takes
+        // literal shifts, so go through an exact double power instead)
+        pow(lit(2.0), j.cast("double")).cast("long")
+      ).otherwise(0L))
+  }
+
+  /** Corpus bucketed by SRP signature: (vec_id, embedding, bucket). */
+  def withBucket(embs: DataFrame, planes: Seq[Seq[Int]]): DataFrame =
+    embs.withColumn("bucket", srpBucket(col("embedding"), planes))
+
+  /**
+   * Approximate top-k: brute-force ranking restricted to the query's SRP
+   * bucket. At scale the bucket join is a hash join on the bucket id —
+   * corpus shuffles once by bucket, queries broadcast.
+   * Output: (query_id, vec_id, cos), only candidates sharing the bucket.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Int]], k: Int): DataFrame = {
+    val qb = broadcast(withBucket(queries, planes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val cb = withBucket(corpus, planes).select(col("vec_id"), col("embedding"), col("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+   * cosine ≥ threshold, optionally restricted to pairs sharing `blockCol`
+   * (metadata blocking — at 100 TB an unblocked all-pairs join is the I²
+   * cliff; use SRP buckets or a metadata block).
+   * Output: (vec_a, vec_b, cos).
+   */
+  def nearDupPairs(embs: DataFrame, threshold: Double,
+                   blockCol: Option[String] = None): DataFrame = {
+    val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

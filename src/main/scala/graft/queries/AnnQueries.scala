@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+/**
+ * Approximate-nearest-neighbor queries over `embeddings` (EXT operators,
+ * SURVEY §2.11): exact brute-force cosine top-k as the baseline, and
+ * SRP-LSH (sign-random-projection) bucketed top-k as the scale path.
+ * The fixed ±1 hyperplanes come from a seeded LCG shared with the oracle
+ * SQL generator, so even the LSH buckets are exactly reproducible.
+ */
+object AnnQueries extends QueryPack {
+
+  private val K = 5
+  private val Planes = 8
+  private val Dim = 64
+  private val QueryMod = 50 // query set: vec_id % 50 == 0
+
+  private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
+
+  private def embs(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
+  private def querySet(s: SparkSession, dir: String) =
+    embs(s, dir).where(col("vec_id") % QueryMod === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXT-A1: exact brute-force cosine top-k per query vector.
+    "q25_ann_brute" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A2: SRP-LSH bucketed approximate top-k (candidates share the
+    // 8-bit sign bucket; exact cosine re-ranks inside the bucket).
+    "q26_ann_lsh" -> ((s, dir) =>
+      SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id")))
+  )
+
+  // DuckDB mirrors -----------------------------------------------------------
+
+  private def cosSql(a: String, b: String) =
+    s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |      i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len($b) + 1),
+       |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))))""".stripMargin
+
+  /** The hyperplane matrix as a DuckDB nested-list literal. */
+  private lazy val planesSql: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** SRP bucket of embedding column `e` (mirrors SimilaritySearch.srpBucket:
+    * bit j set iff fold-dot(e, plane_j) > 0). */
+  private def bucketSql(e: String) =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $Planes), x -> x::BIGINT)),
+       |  (acc, j) -> acc + CASE WHEN
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
+       |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
+       |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q26_ann_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |      WHERE vec_id % $QueryMod = 0),
+         |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |           FROM bk c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin
+  )
+}

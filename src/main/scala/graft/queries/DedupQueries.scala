@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/**
+ * Deduplication queries over `documents` / `embeddings` (EXT operators,
+ * SURVEY §2.11): exact digest dedup, n-gram Jaccard, MinHash+LSH, SimHash,
+ * and embedding-cosine near-dup. The DuckDB oracles recompute every
+ * pipeline end-to-end — including the LSH banding — from the same
+ * md5-derived hash family, so the match is exact, not statistical.
+ */
+object DedupQueries extends QueryPack {
+
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.5
+  private val NumPerms = 16
+  private val Bands = 4 // × 4 rows/band
+  private val SimHashMaxDist = 2
+  private val CosineThreshold = 0.4
+
+  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXT-D1: exact dedup groups by content digest.
+    "q19_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir))
+        .orderBy(col("digest"))),
+
+    // EXT-D2: n-gram Jaccard near-dup pairs (inverted-index join).
+    "q20_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
+    "q21_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(
+          Dedup.minHashSignatures(docs(s, dir), ShingleN, NumPerms),
+          Bands, NumPerms / Bands)
+        .select(col("doc_a"), col("doc_b"), round(col("est_sim"), 6).as("est_sim"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-D4a: per-document 60-bit SimHash (row-level determinism check).
+    "q22_simhash" -> ((s, dir) =>
+      Dedup.simHashes(docs(s, dir))
+        .select(col("id").as("doc_id"), col("sh"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-D4b: SimHash near-dup pairs via banded Hamming blocking.
+    "q23_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Dedup.simHashes(docs(s, dir)), SimHashMaxDist)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-D5: embedding-cosine near-dup pairs (brute force at test SF;
+    // blocked/SRP variants are the scale path — see AnnQueries).
+    "q24_embed_neardup" -> ((s, dir) =>
+      SimilaritySearch.nearDupPairs(embs(s, dir), CosineThreshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b")))
+  )
+
+  // DuckDB mirrors -----------------------------------------------------------
+
+  /** doc → distinct reduced shingle-hash set (mirrors Dedup.shingleSets). */
+  private val ShingleCtes =
+    s"""toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+       |shs AS (SELECT doc_id, list_distinct(list_transform(
+       |  CASE WHEN len(tk) < $ShingleN THEN []
+       |       ELSE list_transform(range(1, len(tk) - ${ShingleN - 2}),
+       |              i -> array_to_string(list_slice(tk, i, i + ${ShingleN - 1}), ' ')) END,
+       |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs FROM toks)""".stripMargin
+
+  /** Fold-based cosine identical to SimilaritySearch.cosine (same order). */
+  private def cosSql(a: String, b: String) =
+    s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |      i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len($b) + 1),
+       |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q19_exact_dedup" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_jaccard_pairs" ->
+      s"""WITH $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q21_minhash_lsh" -> {
+      val r = NumPerms / Bands
+      s"""WITH $ShingleCtes,
+         |sig AS (SELECT doc_id, list_transform(range(0, $NumPerms), i ->
+         |          list_min(list_transform(gs, g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
+         |        FROM shs WHERE len(gs) > 0),
+         |bands AS (SELECT doc_id, b,
+         |            md5(array_to_string(list_slice(sg, b * $r + 1, b * $r + $r), ':')) AS bk
+         |          FROM sig, unnest(range(0, $Bands)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+         |           AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(len(list_filter(list_transform(range(1, ${NumPerms + 1}),
+         |    i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE / $NumPerms.0, 6) AS est_sim
+         |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q22_simhash" ->
+      """WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE list_distinct(regexp_split_to_array(trim(text), '\s+')) END AS tk
+        |         FROM documents),
+        |hs AS (SELECT doc_id, list_transform(tk,
+        |         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS ghs FROM toks)
+        |SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(range(0, 60), x -> x::BIGINT)),
+        |  (acc, j) -> acc + CASE
+        |    WHEN list_reduce(list_prepend(0::BIGINT, ghs),
+        |           (a2, h) -> a2 + ((h >> j) & 1) * 2 - 1) > 0
+        |    THEN (1::BIGINT << j) ELSE 0 END) AS sh
+        |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "q23_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE list_distinct(regexp_split_to_array(trim(text), '\\s+')) END AS tk
+         |         FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk,
+         |         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS ghs FROM toks),
+         |sh AS (SELECT doc_id, list_reduce(
+         |  list_prepend(0::BIGINT, list_transform(range(0, 60), x -> x::BIGINT)),
+         |  (acc, j) -> acc + CASE
+         |    WHEN list_reduce(list_prepend(0::BIGINT, ghs),
+         |           (a2, h) -> a2 + ((h >> j) & 1) * 2 - 1) > 0
+         |    THEN (1::BIGINT << j) ELSE 0 END) AS sh FROM hs),
+         |bl AS (SELECT doc_id, b, (sh >> (12 * b)) & 4095 AS bk
+         |       FROM sh, unnest(range(0, 5)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bl a JOIN bl b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
+         |FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= $SimHashMaxDist
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q24_embed_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold
+         |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "x")) // too short for 3-gram shingles
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to the min doc_id") {
+    val g = Dedup.exactGroups(docs).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_dups")).toMap
+    g(1L) shouldBe 2L // docs 1+2
+    g.keySet shouldBe Set(1L, 3L, 4L, 5L)
+    Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 4L, 5L)
+  }
+
+  test("jaccardPairs finds near-dups and gives exact dups jaccard 1.0") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSets(docs, 3), 0.3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    // 1 vs 3: 7 shingles each, 5 shared ("over the lazy|sleepy" breaks 2)
+    assert(pairs((1L, 3L)) > 0.4 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signatures are identical for identical docs; LSH finds them") {
+    val sig = Dedup.minHashSignatures(docs, 3, 16)
+    // doc 5 has no shingles → excluded
+    sig.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L)
+    val cand = Dedup.lshCandidates(sig, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_sim")).toMap
+    cand((1L, 2L)) shouldBe 1.0 // identical docs always collide, est 1
+  }
+
+  test("simhash of identical docs is equal; near-dups are close in Hamming space") {
+    val sh = Dedup.simHashes(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simHashPairs(Dedup.simHashes(docs), 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+  }
+}

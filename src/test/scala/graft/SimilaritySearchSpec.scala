@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val embs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),  // near 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 1
+    (5L, Seq(0.0f, 0.0f, 0.0f)))  // zero vector
+    .toDF("vec_id", "embedding")
+
+  test("cosine: exact values, zero-norm → NULL") {
+    val c = embs.as("a").crossJoin(embs.as("b"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        SimilaritySearch.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    c((1L, 1L)).get shouldBe 1.0 +- 1e-12
+    c((1L, 3L)).get shouldBe 0.0 +- 1e-12
+    c((1L, 4L)).get shouldBe -1.0 +- 1e-12
+    assert(c((1L, 2L)).get > 0.99)
+    c((1L, 5L)) shouldBe None
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val q = embs.where(col("vec_id") === 1L)
+    val top = SimilaritySearch.bruteForceTopK(q, embs, 2).collect()
+      .map(r => r.getLong(1))
+    top.toSeq shouldBe Seq(2L, 3L) // nearest first; zero-vec NULL sorts last
+  }
+
+  test("SRP buckets put identical vectors together and opposite vectors apart") {
+    val planes = SimilaritySearch.hyperplanes(8, 3)
+    val b = SimilaritySearch.withBucket(embs, planes).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    b(1L) shouldBe b(2L) // near-identical directions share all sign bits here
+    assert(b(1L) != b(4L)) // opposite direction flips every nonzero-dot bit
+    // bucket is deterministic across evaluations
+    SimilaritySearch.withBucket(embs, planes).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap shouldBe b
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with same scores") {
+    val planes = SimilaritySearch.hyperplanes(8, 3)
+    val q = embs.where(col("vec_id") === 1L)
+    val brute = SimilaritySearch.bruteForceTopK(q, embs, 5).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val lsh = SimilaritySearch.lshTopK(q, embs, planes, 5).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (id, c) => c shouldBe brute(id) }
+    lsh.keySet should contain(2L) // the true near neighbor shares the bucket
+  }
+
+  test("nearDupPairs respects threshold and optional blocking") {
+    val withBlk = embs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val all = SimilaritySearch.nearDupPairs(withBlk, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    all shouldBe Set((1L, 2L))
+    // blocking by label parity separates 1 (odd) from 2 (even) → no pairs
+    SimilaritySearch.nearDupPairs(withBlk, 0.9, Some("label")).count() shouldBe 0L
+  }
+}
