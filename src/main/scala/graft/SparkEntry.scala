@@ -11,7 +11,8 @@ object SparkEntry {
     ParityQueries,
     TextQueries,
     DedupQueries,
-    AnnQueries
+    AnnQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash60
+
+/** Typed metadata carried alongside an opaque media payload. */
+case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Int)
+
+/** One media asset: opaque bytes + typed metadata. The engine never
+  * interprets `data` except through a registered decoder. */
+case class MediaRow(mediaId: Long, kind: String, data: Array[Byte], meta: MediaMeta)
+
+/** Decoder output: fixed-width feature vector per asset. */
+case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long, features: Array[Double])
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, plus decode / feature-extract /
+ * resize / frame-sample operators.
+ *
+ * The Spark-side machinery — schema, partition-preserving batch iteration,
+ * decoder signature, typed Encoders — is real and tested. The DECODE STEP
+ * ITSELF IS A STUB: this container has no image/audio codecs, so
+ * `stubDecoder` produces a deterministic md5-derived fake feature vector.
+ * Swapping in a real decoder (JNI/ONNX/javacv) is a one-argument change to
+ * `decodeFeatures`; nothing else moves. The fake is also expressible as a
+ * pure Column expression (`fakeFeatureExpr`), which is what the oracle
+ * checks — guaranteeing the distributed plumbing and the row-level
+ * semantics agree.
+ *
+ * Scale notes: payload bytes never shuffle — every operator here is
+ * map-only over the media table's file splits; metadata-only outputs
+ * (features, frames) are the only thing that moves. Frame sampling
+ * explodes to (asset × frames) rows but carries no payload.
+ */
+object Multimodal {
+
+  /** Deterministic synthetic media table derived from `documents` — the
+    * fixture for binary-column plumbing (no real media in the container).
+    * data = utf8(text); kind cycles by source; metadata is derived
+    * arithmetic on n_chars, so every engine can recompute it. */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("data"),
+      struct(
+        (col("n_chars") % 640 + 64).cast("int").as("width"),
+        (col("n_chars") % 480 + 48).cast("int").as("height"),
+        (col("n_chars") % 2 * 22050 + 22050).cast("int").as("sampleRate"),
+        (col("n_chars") % 10000 + 1000).cast("int").as("durationMs")).as("meta"))
+
+  /** Metadata projection without touching payload bytes (column pruning
+    * keeps `data` out of the scan entirely when this is all you ask for). */
+  def describe(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      length(col("data")).cast("long").as("n_bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.sampleRate").as("sample_rate"), col("meta.durationMs").as("duration_ms"))
+
+  /** Fit-into-box resize of the metadata (payload untouched — a real
+    * pipeline would pair this with a decoder stage): scales (width,height)
+    * to fit (maxW,maxH) preserving aspect ratio, integer floor. */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    media.withColumn("resized", struct(
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height")))
+  }
+
+  /** Frame sampling: one row per sampled frame at `fps`, from the duration
+    * metadata. Pure expression — (media_id, frame_idx, ts_ms) rows. */
+  def sampleFrames(media: DataFrame, fps: Int): DataFrame = {
+    val stepMs = 1000 / fps
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          (col("meta.durationMs") / stepMs).cast("int"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * stepMs).cast("long").as("ts_ms"))
+  }
+
+  /** The number of fake feature dimensions produced by the stub decoder. */
+  val FakeDim = 4
+
+  /** Deterministic fake "decoded features" as a pure Column expression:
+    * dim j = hash60(md5-hex of payload ++ ":j") scaled to [0,1).
+    * This is the STUB for codec-based feature extraction. */
+  /** 2^60 — the exclusive upper bound of hash60, exact as a double. */
+  private val Pow60 = 1152921504606846976L.toDouble
+
+  def fakeFeatureExpr(data: Column): Column =
+    transform(sequence(lit(0), lit(FakeDim - 1)), j =>
+      hash60(concat(md5(data), lit(":"), j.cast("string"))).cast("double") / Pow60)
+
+  /** STUB decoder (JVM side) — byte-identical to `fakeFeatureExpr`, used
+    * by the mapPartitions path. A real implementation would decode
+    * `row.data` with a codec and run a feature extractor. */
+  def stubDecoder(row: MediaRow): MediaFeatures = {
+    val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(row.data)
+    val fs = Array.tabulate(FakeDim) { j =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$hex:$j").take(15), 16)
+        .toDouble / Pow60
+    }
+    MediaFeatures(row.mediaId, row.kind, row.data.length.toLong, fs)
+  }
+
+  /**
+   * Decode + feature-extract over partition-sized batches: the typed
+   * `mapPartitions` shape a real decoder needs (amortize codec init per
+   * partition, stream rows, never hold a partition's payloads in memory
+   * at once). Payloads stay on their input partitions — map-only.
+   */
+  def decodeFeatures(media: DataFrame,
+                     decoder: MediaRow => MediaFeatures = stubDecoder): Dataset[MediaFeatures] = {
+    val ds = media.select(
+      col("media_id").as("mediaId"), col("kind"), col("data"),
+      struct(col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.sampleRate").as("sampleRate"),
+        col("meta.durationMs").as("durationMs")).as("meta"))
+      .as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      // per-partition init hook for a real codec would go here
+      rows.map(decoder)
+    }(Encoders.product[MediaFeatures])
+  }
+}
