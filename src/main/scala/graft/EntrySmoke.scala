@@ -3,6 +3,7 @@ object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)

@@ -12,7 +12,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     AnnQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -16,6 +16,18 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with its nanosecond parquet timestamp normalized to
+    * a microsecond TimestampType column. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
+    * builder in this project): Spark 4 has no native NANOS timestamp, so
+    * the column arrives as a long and is floor-divided to µs — exactly
+    * how DuckDB truncates the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    read(spark, dir, "events").withColumn("ts",
+      expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Occurrence-log derivation "orders-basket" (FIXTURES.md §B): items
     * co-occurring within an order. */
   def occOrders(spark: SparkSession, dir: String): DataFrame = {

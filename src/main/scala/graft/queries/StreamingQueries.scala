@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/**
+ * Event-time windowing queries over `events` (EXT operators, SURVEY
+ * §2.11), running the UNIFIED transforms from EventStreams in batch mode —
+ * identical code serves `readStream` (spec-verified). Oracles use
+ * time_bucket (DuckDB's epoch-aligned bucketing matches Spark's
+ * epoch-aligned `window()` for sub-day durations).
+ */
+object StreamingQueries extends QueryPack {
+
+  private val SessionGapSec = 21600L // 6 hours
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXT-S1: tumbling 1-hour window per event type.
+    "q31_tumbling_window" -> ((s, dir) =>
+      EventStreams.tumblingCounts(events(s, dir), "1 hour")
+        .select(col("ws"), col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))),
+
+    // EXT-S2: sliding 1-hour window, 30-minute hop.
+    "q32_sliding_window" -> ((s, dir) =>
+      EventStreams.slidingCounts(events(s, dir), "1 hour", "30 minutes")
+        .select(col("ws"), col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))),
+
+    // EXT-S3: gap-based sessionization (batch twin of the
+    // flatMapGroupsWithState path).
+    "q33_sessions" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(events(s, dir), SessionGapSec)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q32_sliding_window" ->
+      """WITH hops AS (
+        |  SELECT event_type, value, ws FROM events,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |    AS t(ws))
+        |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 6) AS sum_value
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q33_sessions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+         |              > $SessionGapSec
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
+         |FROM numbered GROUP BY user_id, sess
+         |ORDER BY user_id, session_start""".stripMargin
+  )
+}

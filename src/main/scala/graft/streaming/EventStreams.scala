@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event for the stateful-streaming paths. */
+case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+                 eventType: String, value: Double)
+
+/** A closed (or flushed) user session. */
+case class Session(userId: Long, sessionStart: java.sql.Timestamp,
+                   sessionEnd: java.sql.Timestamp, nEvents: Long, sumValue: Double)
+
+/**
+ * Event-time processing over the `events` stream (EXT operators,
+ * SURVEY §2.11). Every transform here is written against the UNIFIED
+ * DataFrame API: applied to a batch DataFrame it runs as a normal
+ * aggregation; applied to a `readStream` source it becomes an incremental
+ * Structured Streaming query (the spec proves both paths produce the same
+ * rows via MemoryStream). Watermarks bound state; windowed aggregations
+ * shuffle on (window, key) exactly like any groupBy.
+ *
+ * Sessionization exists twice ON PURPOSE:
+ *  - `sessionizeBatch`: pure window functions (lag → gap flags → running
+ *    sum → groupBy) — oracle-checkable SQL, the batch/backfill path;
+ *  - `sessionizeStream`: `flatMapGroupsWithState` with event-time timeout
+ *    — the online path, emitting a session when the watermark passes its
+ *    gap horizon. Same gap semantics; the spec cross-checks them.
+ */
+object EventStreams {
+
+  /** Tumbling-window counts per event type. `watermark` (e.g. "10 minutes")
+    * is required for append-mode streaming; pass None for batch. */
+  def tumblingCounts(events: DataFrame, windowDur: String,
+                     watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Sliding-window counts per event type (window `windowDur`, hop
+    * `slideDur`) — each event lands in windowDur/slideDur windows. */
+  def slidingCounts(events: DataFrame, windowDur: String, slideDur: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization, batch path: a session breaks when the gap
+    * to the previous event (per user, in whole epoch seconds — the
+    * cross-engine-stable comparison) exceeds `gapSec`. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      col("ts").cast("long") - prev.cast("long") > gapSec, 1L).otherwise(0L)
+    events
+      .withColumn("sess", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .drop("sess")
+  }
+
+  /**
+   * Gap-based sessionization, streaming path: per-user state holds the
+   * open session; an event-time timeout at (session end + gap) closes and
+   * emits it. Late events inside the gap extend the session. State is one
+   * tiny tuple per active user — bounded by the watermark, not by history.
+   */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            var open = state.getOption
+            val out = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              open match {
+                case Some(s) if e.ts.getTime / 1000 - s.sessionEnd.getTime / 1000 <= gapSec =>
+                  open = Some(s.copy(
+                    sessionEnd = if (e.ts.after(s.sessionEnd)) e.ts else s.sessionEnd,
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  out += s
+                  open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.sessionEnd.getTime + gapSec * 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.{Event, EventStreams, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch = Seq(
+    Event(1L, ts(0), 1L, "click", 1.0),
+    Event(2L, ts(5), 1L, "click", 2.0),
+    Event(3L, ts(40), 1L, "view", 4.0), // >30min gap for user 1 → new session
+    Event(4L, ts(2), 2L, "click", 8.0))
+
+  private val EventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumblingCounts in batch mode aggregates per aligned hour window") {
+    val out = EventStreams.tumblingCounts(batch.toDF(EventCols: _*), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    out((Timestamp.valueOf("2024-01-01 10:00:00"), "click")) shouldBe ((3L, 11.0))
+    out((Timestamp.valueOf("2024-01-01 10:00:00"), "view")) shouldBe ((1L, 4.0))
+  }
+
+  test("the SAME tumblingCounts transform runs as a streaming query (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sq = EventStreams.tumblingCounts(mem.toDF().toDF(EventCols: _*), "1 hour", Some("10 minutes"))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch: _*)
+      sq.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      rows((Timestamp.valueOf("2024-01-01 10:00:00"), "click")) shouldBe ((3L, 11.0))
+      rows((Timestamp.valueOf("2024-01-01 10:00:00"), "view")) shouldBe ((1L, 4.0))
+    } finally sq.stop()
+  }
+
+  test("sessionizeBatch splits on gap, keeps within-gap runs together") {
+    val out = EventStreams.sessionizeBatch(
+        batch.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumnRenamed("eventId", "event_id"), 30 * 60L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    out.sortBy(r => (r._1, r._2.getTime)).toSeq shouldBe Seq(
+      (1L, ts(0), ts(5), 2L, 3.0),
+      (1L, ts(40), ts(40), 1L, 4.0),
+      (2L, ts(2), ts(2), 1L, 8.0))
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState) emits the same closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sq = EventStreams.sessionizeStream(mem.toDS(), 30 * 60L)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch: _*)
+      sq.processAllAvailable()
+      // flush: an event far in the future advances the watermark past every
+      // session's gap horizon, timing out all open sessions
+      mem.addData(Event(99L, Timestamp.valueOf("2024-01-02 10:00:00"), 9L, "x", 0.0))
+      sq.processAllAvailable()
+      mem.addData(Event(100L, Timestamp.valueOf("2024-01-03 10:00:00"), 9L, "x", 0.0))
+      sq.processAllAvailable()
+      val got = spark.table("sessions_test").as[Session].collect()
+        .filter(_.userId != 9L)
+        .map(s => (s.userId, s.sessionStart, s.sessionEnd, s.nEvents, s.sumValue))
+        .sortBy(r => (r._1, r._2.getTime)).toSeq
+      got shouldBe Seq(
+        (1L, ts(0), ts(5), 2L, 3.0),
+        (1L, ts(40), ts(40), 1L, 4.0),
+        (2L, ts(2), ts(2), 1L, 8.0))
+    } finally sq.stop()
+  }
+
+  test("batch and streaming sessionization agree on random event logs (seed=7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 120).map { i =>
+      Event(i.toLong, new Timestamp(
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime + rnd.nextInt(6 * 3600) * 1000L),
+        1L + rnd.nextInt(4), "e" + rnd.nextInt(2), rnd.nextInt(10).toDouble)
+    }
+    val gap = 600L
+    val expected = EventStreams.sessionizeBatch(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"), gap)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    val mem = MemoryStream[Event]
+    val sq = EventStreams.sessionizeStream(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions_rand")
+      .outputMode("append").start()
+    try {
+      // feed in event-time order so no in-gap event arrives after its
+      // session was closed by the advancing watermark
+      events.sortBy(_.ts.getTime).grouped(40).foreach { chunk =>
+        mem.addData(chunk: _*); sq.processAllAvailable()
+      }
+      mem.addData(Event(999L, Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "x", 0.0))
+      sq.processAllAvailable()
+      mem.addData(Event(1000L, Timestamp.valueOf("2024-04-01 00:00:00"), 99L, "x", 0.0))
+      sq.processAllAvailable()
+      val got = spark.table("sessions_rand").as[Session].collect()
+        .filter(_.userId != 99L)
+        .map(s => (s.userId, s.sessionStart, s.sessionEnd, s.nEvents, s.sumValue)).toSet
+      got shouldBe expected
+    } finally sq.stop()
+  }
+}
