@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * OP-19 (SURVEY §2.4): all-pairs Pearson correlation between items over the
@@ -74,7 +75,12 @@ object Correlation {
    * (both (a,b) and (b,a)), self excluded. Item stats are small (one row
    * per item) — broadcast both joins; n is a 1-row broadcast.
    */
-  def sparsePairs(crosstab: DataFrame, maxContextDegree: Option[Int] = None): DataFrame = {
+  def sparsePairs(crosstab0: DataFrame, maxContextDegree: Option[Int] = None): DataFrame = {
+    // The crosstab feeds three independent aggregations (item stats,
+    // pair co-moments, context count); Catalyst has no cross-branch
+    // subplan reuse, so persist it — MEMORY_AND_DISK spills cleanly when
+    // the cell table outgrows executor memory at scale.
+    val crosstab = crosstab0.persist(StorageLevel.MEMORY_AND_DISK)
     val st = itemStats(crosstab)
     val co = sparseCoMoments(crosstab, maxContextDegree)
     val sym = co.unionByName(
@@ -102,7 +108,8 @@ object Correlation {
    * (the unrestricted matrix is the I² cliff this engine exists to avoid;
    * use `sparsePairs` + `Neighbors.topK` for the all-items kNN path).
    */
-  def fullPairs(crosstab: DataFrame, itemPredicate: Column): DataFrame = {
+  def fullPairs(crosstab0: DataFrame, itemPredicate: Column): DataFrame = {
+    val crosstab = crosstab0.persist(StorageLevel.MEMORY_AND_DISK) // see sparsePairs
     val st = itemStats(crosstab)
     val co = sparseCoMoments(crosstab)
     val sym = co.unionByName(

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 
 /**
@@ -44,7 +45,11 @@ object Dedup {
     * tokens contribute no rows. */
   def shingleSets(docs: DataFrame, n: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // spread documents across the cluster BEFORE the md5-heavy shingle
+    // hashing — a corpus that arrives as few large files would otherwise
+    // run the whole hash pipeline on as many cores as there are files
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
         explode(array_distinct(transform(wordShingles(col(textCol), n),
           s => hash60(s) % HashPermMod))).as("g"))
 
@@ -58,12 +63,17 @@ object Dedup {
    */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
                    maxShingleDegree: Option[Int] = None): DataFrame = {
-    val sh = maxShingleDegree match {
+    // The shingle set feeds three consumers (sizes + both join sides);
+    // persist so the hash pipeline runs once. The table is (id, g) longs —
+    // tiny next to the corpus — and spills to disk if not. (Catalyst gives
+    // no cross-branch common-subexpression reuse; this is the same
+    // explicit-persist pattern MLlib uses for iterative reuse.)
+    val sh = (maxShingleDegree match {
       case Some(d) =>
         val deg = shingles.groupBy("g").agg(count(lit(1)).as("deg"))
         shingles.join(deg.where(col("deg") <= d).select("g"), Seq("g"), "left_semi")
       case None => shingles
-    }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("doc_a"), col("g"))
     val b = sh.select(col("id").as("doc_b"), col("g"))
@@ -78,19 +88,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: (id, sig array<long> of length numPerms).
-    * A single map-only expression — the signature never shuffles the text.
-    * Docs without shingles (fewer than n tokens) are excluded. */
+  /** MinHash signatures: (id, sig array<long> of length numPerms), built
+    * RELATIONALLY: explode the shingle set once, then numPerms codegen'd
+    * `min` aggregates in one hash-aggregate pass. (The tempting nested-HOF
+    * formulation — transform over perms of array_min over shingles — makes
+    * Catalyst inline the md5 shingle pipeline into every permutation
+    * lambda and falls out of codegen: measured 10× slower.) The shuffle
+    * carries (id, g) longs, never the text. Docs without shingles (fewer
+    * than n tokens) are excluded. */
   def minHashSignatures(docs: DataFrame, n: Int, numPerms: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gs = array_distinct(transform(wordShingles(col(textCol), n),
-      s => hash60(s) % HashPermMod))
-    docs.select(col(idCol).as("id"), gs.as("gs"))
-      .where(size(col("gs")) > 0)
-      .select(col("id"),
-        transform(sequence(lit(0), lit(numPerms - 1)),
-          i => array_min(transform(col("gs"), g => hashPermOf(g, i)))).as("sig"))
-  }
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleSets(docs, n, idCol, textCol)
+      .groupBy("id")
+      .agg(array((0 until numPerms).map(i =>
+        min(hashPermOf(col("g"), lit(i)))): _*).as("sig"))
 
   /** LSH banding: b bands of r rows; band key = md5 of the ':'-joined
     * signature slice. Output: (id, band, bk). */
@@ -105,8 +116,12 @@ object Dedup {
    * agreeing signature positions). Pairs must share ≥1 band bucket.
    * Output: (doc_a, doc_b, est_sim), a < b.
    */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sig0: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numPerms = bands * rowsPerBand
+    // 4 plan references (two band sides, two signature re-joins): persist
+    // the signature table — numPerms longs per doc — so the MinHash
+    // pipeline runs once (see jaccardPairs note).
+    val sig = sig0.persist(StorageLevel.MEMORY_AND_DISK)
     val bd = lshBands(sig, bands, rowsPerBand)
     val cand = bd.select(col("id").as("doc_a"), col("band"), col("bk"))
       .join(bd.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
@@ -122,23 +137,37 @@ object Dedup {
 
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
     * whitespace tokens: bit j is set iff the majority of token hashes have
-    * bit j set. Map-only; the fold is a SQL expr because Spark's Scala
-    * `shiftright`/`shiftleft` wrappers only take literal shift amounts,
-    * while the SQL operators accept column operands. */
-  def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-        array_distinct(transform(tokensWs(col(textCol)), t => hash60(t))).as("ghs"))
-      .select(col("id"), expr(
-        """aggregate(sequence(0L, 59L), 0L, (acc, j) -> acc +
-          |  CASE WHEN aggregate(ghs, 0L, (a2, h) -> a2 + ((h >> j) & 1L) * 2L - 1L) > 0L
-          |       THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("sh"))
+    * bit j set. Built RELATIONALLY (explode token hashes once, 60 codegen'd
+    * ±1 bit-sum aggregates, then one bit-assembly expression) for the same
+    * reason as minHashSignatures: the nested-HOF fold re-evaluates the md5
+    * token pipeline per bit position and falls out of codegen. Tokenless
+    * docs get signature 0 (the majority-vote of nothing), matching the
+    * fold semantics. */
+  def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.repartition(col(idCol)) // parallelize beyond input file count
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(tokensWs(col(textCol)), t => hash60(t)))).as("h"))
+    val bitCols = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
+    val bitSums = hashed.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val assembled = bitSums.select(col("id"),
+      (0 until 60).map(j =>
+        when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sh"))
+    // docs whose token set is empty produce no exploded rows — re-attach
+    // them with the empty-majority signature 0
+    docs.select(col(idCol).as("id"))
+      .join(assembled, Seq("id"), "left")
+      .na.fill(0L, Seq("sh"))
+  }
 
   /**
    * SimHash near-dup pairs within Hamming distance `maxDist`, found by
    * banded blocking over `bands` 12-bit bands (sound for
    * maxDist ≤ bands−1 by pigeonhole). Output: (doc_a, doc_b, dist), a < b.
    */
-  def simHashPairs(sh: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
+  def simHashPairs(sh0: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
+    // 4 plan references — persist one long per doc (see lshCandidates).
+    val sh = sh0.persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .withColumn("bk", expr("(sh >> (12 * band)) & 4095"))
     val cand = keyed.select(col("id").as("doc_a"), col("band"), col("bk"))

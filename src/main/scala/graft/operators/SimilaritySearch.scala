@@ -45,17 +45,34 @@ object SimilaritySearch {
       .otherwise(dot / (na * nb))
   }
 
+  /** L2 norm of a float-array column (same fold as `cosine`). */
+  def l2Norm(emb: Column): Column =
+    sqrt(foldSum(transform(emb, x => x.cast("double") * x.cast("double"))))
+
+  /** Pair cosine from a pre-computed norm on each side: only the dot
+    * product is evaluated per PAIR; the O(dim) norm folds run once per ROW
+    * map-side. Numerically identical to `cosine` (same folds, same order). */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double")).otherwise(dot / (na * nb))
+  }
+
   /**
    * Exact top-k: for each query vector, the k nearest corpus vectors by
-   * cosine (self excluded when ids collide). `queries` is broadcast.
+   * cosine (self excluded when ids collide). `queries` is broadcast; both
+   * sides carry pre-computed norms so the per-pair work is one dot fold.
    * Output: (query_id, vec_id, cos), deterministic tie-break on vec_id.
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm")))
+    val scored = corpus
+      .repartition(col("vec_id")) // parallelize scoring beyond the input file count
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
   }
@@ -86,11 +103,14 @@ object SimilaritySearch {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Int]], k: Int): DataFrame = {
     val qb = broadcast(withBucket(queries, planes)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
-    val cb = withBucket(corpus, planes).select(col("vec_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"), col("bucket")))
+    val cb = withBucket(corpus.repartition(col("vec_id")), planes)
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"), col("bucket"))
     val scored = cb.join(qb, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
   }
@@ -102,14 +122,24 @@ object SimilaritySearch {
    * cliff; use SRP buckets or a metadata block).
    * Output: (vec_a, vec_b, cos).
    */
-  def nearDupPairs(embs: DataFrame, threshold: Double,
+  def nearDupPairs(embs0: DataFrame, threshold: Double,
                    blockCol: Option[String] = None): DataFrame = {
+    val embs = embs0.repartition(col("vec_id")) // parallelize the pair scan side
     val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      l2Norm(col("embedding")).as("nrm_a"), blockCol.map(col).getOrElse(lit(0)).as("blk"))
     val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      l2Norm(col("embedding")).as("nrm_b"), blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val paired = blockCol match {
+      case Some(_) => a.join(b, Seq("blk")) // hash join on the block key
+      case None =>
+        // no block key → an equi-join on a constant would collapse to ONE
+        // partition; an explicit crossJoin plans a broadcast nested loop
+        // that stays parallel over the left side's partitions
+        a.drop("blk").crossJoin(broadcast(b.drop("blk")))
+    }
+    paired.where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }
