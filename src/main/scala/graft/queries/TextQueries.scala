@@ -16,7 +16,13 @@ import graft.functions.TextFunctions._
  */
 object TextQueries extends QueryPack {
 
-  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+  /** Documents spread across the session's parallelism: the per-document
+    * scoring expressions are interpreted (HOF folds), so a corpus arriving
+    * as few files would otherwise bottleneck on as many cores. At cluster
+    * scale the input arrives pre-split and this shuffle is a no-op cost
+    * next to the scoring pass. */
+  private def docs(s: SparkSession, dir: String) =
+    Tables.read(s, dir, "documents").repartition(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXT-T1: token counts (whitespace + BPE-ish), punctuation, ratios, quality.
