@@ -35,27 +35,34 @@ object SimilaritySearch {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Binary64 dot product of two float-array columns via the native
+    * codegen'd `VecDot` expression — numerically identical to the
+    * ascending-index fold (same order, same start), ~an order of magnitude
+    * faster than the interpreted lambda tree on the pair-scoring hot path. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.VecDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Cosine similarity of two float-array columns, computed in binary64
     * with deterministic summation order; NULL when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
-    val nb = sqrt(foldSum(transform(b, x => x.cast("double") * x.cast("double"))))
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
     when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
-      .otherwise(dot / (na * nb))
+      .otherwise(dot(a, b) / (na * nb))
   }
 
-  /** L2 norm of a float-array column (same fold as `cosine`). */
-  def l2Norm(emb: Column): Column =
-    sqrt(foldSum(transform(emb, x => x.cast("double") * x.cast("double"))))
+  /** L2 norm of a float-array column (same kernel as `cosine`). */
+  def l2Norm(emb: Column): Column = sqrt(dot(emb, emb))
 
   /** Pair cosine from a pre-computed norm on each side: only the dot
-    * product is evaluated per PAIR; the O(dim) norm folds run once per ROW
-    * map-side. Numerically identical to `cosine` (same folds, same order). */
-  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    when(na === 0.0 || nb === 0.0, lit(null).cast("double")).otherwise(dot / (na * nb))
-  }
+    * product is evaluated per PAIR; the O(dim) norm kernels run once per
+    * ROW map-side. Numerically identical to `cosine`. */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / (na * nb))
 
   /**
    * Exact top-k: for each query vector, the k nearest corpus vectors by

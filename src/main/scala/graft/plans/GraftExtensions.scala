@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.VecDot
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's native
+ * expressions with the Catalyst function registry so they are callable
+ * from SQL as well as the Column API.
+ *
+ * Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
+ * (all of this project's session builders do), then:
+ *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+  }
+}
