@@ -123,6 +123,55 @@ object SimilaritySearch {
   }
 
   /**
+   * IVF (inverted-file) coarse quantization — the other classic ANN scale
+   * path next to SRP-LSH. Centroids here are a DETERMINISTIC sample of the
+   * corpus (vec_id ≡ 1 mod `centroidMod`) rather than k-means iterations:
+   * reproducible in plain SQL, and at 100 TB you would swap in trained
+   * centroids without touching the dataflow (assignment, inverted lists,
+   * probing are identical).
+   */
+  def ivfCentroids(corpus: DataFrame, centroidMod: Int): DataFrame =
+    corpus.where(col("vec_id") % centroidMod === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        l2Norm(col("embedding")).as("cent_nrm"))
+
+  /** Nearest-centroid assignments: rank 1..nprobe per vector (rank 1 = the
+    * inverted-list assignment; higher ranks = probe lists for queries). */
+  private def centroidRanks(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val scored = vecs
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosineWithNorms(col("embedding"), col("cent_emb"), col("nrm"), col("cent_nrm"))
+          .as("cscore"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc_nulls_last, col("cent_id"))
+    scored.withColumn("crnk", row_number().over(w)).where(col("crnk") <= nprobe)
+  }
+
+  /**
+   * IVF approximate top-k: corpus vectors live in the inverted list of
+   * their nearest centroid; each query probes its `nprobe` nearest
+   * centroids and exact-ranks only those lists. Corpus shuffles once by
+   * centroid id; queries broadcast.
+   * Output: (query_id, vec_id, cos).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroidMod: Int,
+              nprobe: Int, k: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, centroidMod)
+    val lists = centroidRanks(corpus.repartition(col("vec_id")), cents, 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val probes = broadcast(centroidRanks(queries, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id")))
+    val scored = lists.join(probes, Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: all (a < b) pairs with
    * cosine ≥ threshold, optionally restricted to pairs sharing `blockCol`
    * (metadata blocking — at 100 TB an unblocked all-pairs join is the I²

@@ -17,6 +17,8 @@ object AnnQueries extends QueryPack {
   private val Planes = 8
   private val Dim = 64
   private val QueryMod = 50 // query set: vec_id % 50 == 0
+  private val CentroidMod = 37 // IVF centroids: vec_id % 37 == 1
+  private val NProbe = 2
 
   private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
 
@@ -35,6 +37,13 @@ object AnnQueries extends QueryPack {
     // 8-bit sign bucket; exact cosine re-ranks inside the bucket).
     "q26_ann_lsh" -> ((s, dir) =>
       SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A3: IVF coarse-quantized approximate top-k (deterministic
+    // centroid sample; inverted lists probed per query, exact re-rank).
+    "q34_ann_ivf" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(querySet(s, dir), embs(s, dir), CentroidMod, NProbe, K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id")))
   )
@@ -68,6 +77,28 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0),
          |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q34_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |               FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |scored AS (SELECT p.query_id, l.vec_id,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
          |rk AS (SELECT query_id, vec_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk

@@ -183,6 +183,22 @@ object ParityQueries extends QueryPack {
       val p = Tables.read(s, dir, "part").select(col("p_partkey"))
       li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")
         .agg(count(lit(1)).as("n_missing"))
+    }),
+
+    // OP-04+05: matrix sink/source round-trip — persist the correlation
+    // pair table as headered CSV, read it back with the declared schema.
+    // Double round-trip is exact (Java shortest-repr formatting parses
+    // back to the identical binary64), so the oracle is the correlation
+    // itself.
+    "q35_matrix_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      val pairs = Correlation.sparsePairs(ct(s, dir))
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+      graft.sources.Sources.saveCsv(pairs, out)
+      graft.sources.Sources.loadCsv(s, out,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "item_a BIGINT, item_b BIGINT, corr DOUBLE"))
+        .orderBy(col("item_a"), col("item_b"))
     })
   )
 
@@ -279,6 +295,11 @@ object ParityQueries extends QueryPack {
     "q15_missing_items" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_missing FROM (
         |  SELECT DISTINCT l_partkey FROM lineitem
-        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin,
+
+    "q35_matrix_roundtrip" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin
   )
 }

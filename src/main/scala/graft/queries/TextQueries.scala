@@ -50,7 +50,26 @@ object TextQueries extends QueryPack {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         minShingleHash(col("text"), 3).as("min_shingle"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T4: term co-occurrence similarity — text analysis feeding the
+    // engine's Pearson core (SURVEY §7.5): tokens become items, documents
+    // become contexts, and the same Crosstab → Correlation → topK pipeline
+    // produces "related terms". Token identity is hash60 (items are opaque
+    // Longs); names re-attached from the token dictionary.
+    "q36_term_similarity" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(tokensWs(col("text"))).as("tok"))
+      val occ = toks.select(hash60(col("tok")).as("item_id"), col("doc_id").as("reference_id"))
+      val dict = toks.select(hash60(col("tok")).as("h"), col("tok")).distinct()
+      val top = graft.core.Neighbors.topK(
+        graft.core.Correlation.sparsePairs(graft.core.Crosstab.build(occ)), 3)
+      top
+        .join(dict.select(col("h").as("item_a"), col("tok").as("term_a")), Seq("item_a"))
+        .join(dict.select(col("h").as("item_b"), col("tok").as("term_b")), Seq("item_b"))
+        .select(col("term_a"), col("term_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("term_a"), col("corr").desc_nulls_last, col("term_b"))
+    })
   )
 
   // DuckDB mirrors -----------------------------------------------------------
@@ -111,6 +130,34 @@ object TextQueries extends QueryPack {
          |         ELSE list_transform(range(1, len(tk) - 1),
          |                i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
          |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS min_shingle
-         |FROM toks ORDER BY doc_id""".stripMargin
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q36_term_similarity" ->
+      s"""WITH $ToksCte,
+         |occ AS (SELECT ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS item,
+         |               doc_id AS ctx
+         |        FROM toks, unnest(toks.tk) AS t(tok)),
+         |dict AS (SELECT DISTINCT ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h, t.tok
+         |         FROM toks, unnest(toks.tk) AS t(tok)),
+         |ct AS (SELECT item, ctx, CAST(COUNT(*) AS DOUBLE) AS cnt FROM occ GROUP BY 1, 2),
+         |nn AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n FROM ct),
+         |st AS (SELECT item, SUM(cnt) AS sx, SUM(cnt*cnt) AS sxx FROM ct GROUP BY 1),
+         |co AS (SELECT a.item AS item_a, b.item AS item_b, SUM(a.cnt*b.cnt) AS sxy
+         |       FROM ct a JOIN ct b ON a.ctx = b.ctx AND a.item < b.item GROUP BY 1, 2),
+         |cosym AS (SELECT item_a, item_b, sxy FROM co
+         |          UNION ALL SELECT item_b, item_a, sxy FROM co),
+         |sp AS (SELECT c.item_a, c.item_b,
+         |  (nn.n*c.sxy - sa.sx*sb.sx)
+         |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+         |  FROM cosym c JOIN st sa ON c.item_a = sa.item
+         |  JOIN st sb ON c.item_b = sb.item CROSS JOIN nn),
+         |rk AS (SELECT item_a, item_b, corr,
+         |         ROW_NUMBER() OVER (PARTITION BY item_a
+         |                            ORDER BY corr DESC NULLS LAST, item_b) AS rnk
+         |       FROM sp)
+         |SELECT da.tok AS term_a, db.tok AS term_b, ROUND(corr, 6) AS corr
+         |FROM rk JOIN dict da ON rk.item_a = da.h JOIN dict db ON rk.item_b = db.h
+         |WHERE rnk <= 3
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin
   )
 }
