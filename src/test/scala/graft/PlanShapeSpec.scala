@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.{Correlation, Crosstab, Neighbors}
+import graft.store.Serving
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape guards: the perf-critical plan properties verified
+  * once by hand (SURVEY §4) must not silently regress. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Pre-execution physical plan: collect() would route limits through
+    * the driver-side executeTake path and hide TakeOrderedAndProject. */
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.2), (4L, 2L, 0.5))
+    .toDF("item_a", "item_b", "corr")
+
+  test("per-item topK plans a rank-limit window (WindowGroupLimit), not a global sort") {
+    val p = planOf(Neighbors.topK(pairs, 2))
+    p should include("WindowGroupLimit")
+  }
+
+  test("serving point lookup broadcasts the dictionary and plans top-k for the limit") {
+    val sim = Seq((1L, 2L, 0.9), (1L, 3L, 0.8)).toDF("item_a_id", "item_b_id", "scaled_score")
+    val dict = Seq((2L, "a", null: String), (3L, "b", null: String))
+      .toDF("id", "key", "human_label")
+    // limit must be below the fixture's row count or EliminateLimits
+    // removes it from the logical plan entirely
+    val p = planOf(Serving.retrieveSimilarItems(sim, dict, 1L, Some(1)))
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("parquet point-lookup filter reaches the scan (PushedFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    pairs.write.mode("overwrite").parquet(dir)
+    val p = planOf(spark.read.parquet(dir).where(col("item_a") === 1L).select(col("item_b")))
+    p should include("PushedFilters: [IsNotNull(item_a), EqualTo(item_a,1)]")
+    // column pruning: the scan must not read the untouched corr column
+    "ReadSchema: [^\\n]*".r.findFirstIn(p).get should not include "corr"
+  }
+
+  test("sparsePairs broadcasts the per-item stats joins") {
+    val ct = Crosstab.build(Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L))
+      .toDF("item_id", "reference_id"))
+    val p = planOf(Correlation.sparsePairs(ct))
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+  }
+
+  test("native vec_dot appears in the plan instead of interpreted lambda folds") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val p = df.select(graft.operators.SimilaritySearch.dot(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    p.toLowerCase should include("vec_dot")
+    p should not include "lambdafunction"
+  }
+}
