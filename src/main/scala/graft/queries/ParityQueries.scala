@@ -129,6 +129,13 @@ object ParityQueries extends QueryPack {
         .select(col("item_b"), round(col("corr"), 6).as("corr"))
         .orderBy(col("corr").desc_nulls_last, col("item_b"))),
 
+    // get_similar_items "absolute" mode (OP-11/28): plain corr >= t cutoff.
+    "q37_similar_items_abs" -> ((s, dir) =>
+      Neighbors.absoluteThreshold(
+          Correlation.fullPairs(ct(s, dir), col("item") === ProbeItem), 0.02)
+        .select(col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("corr").desc_nulls_last, col("item_b"))),
+
     // EP-2 store pipeline: min-max scale + scaled mean+2σ (OP-21/11/24/28).
     "q08_store_pipeline" -> ((s, dir) =>
       storePairs(s, dir, col("item") % SampleMod === 0)
@@ -241,6 +248,12 @@ object ParityQueries extends QueryPack {
          |thr AS (SELECT AVG(corr) + 2.0 * STDDEV_SAMP(corr) AS t FROM fp)
          |SELECT fp.item_b, ROUND(fp.corr, 6) AS corr FROM fp, thr
          |WHERE fp.corr >= thr.t ORDER BY 2 DESC NULLS LAST, 1""".stripMargin,
+
+    "q37_similar_items_abs" ->
+      s"""$BaseCtes,
+         |${fullCte(s"sa.item = $ProbeItem")}
+         |SELECT fp.item_b, ROUND(fp.corr, 6) AS corr FROM fp
+         |WHERE fp.corr >= 0.02 ORDER BY 2 DESC NULLS LAST, 1""".stripMargin,
 
     "q08_store_pipeline" ->
       s"""$BaseCtes,

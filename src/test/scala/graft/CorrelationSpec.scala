@@ -75,6 +75,25 @@ class CorrelationSpec extends SparkSpec {
     got.keySet shouldBe Set((1L, 2L), (2L, 1L))
   }
 
+  test("MLlib Statistics.corr is a second independent witness (SURVEY §7.2 strategy A)") {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.stat.Statistics
+    val vecs = denseVectors(occ)
+    val items = vecs.keys.toSeq.sorted
+    val nCtx = vecs(items.head).length
+    // rows = contexts, cols = items — the reference's matrix orientation
+    val rows = spark.sparkContext.parallelize(
+      (0 until nCtx).map(c => Vectors.dense(items.map(i => vecs(i)(c)).toArray)))
+    val m = Statistics.corr(rows, "pearson")
+    val got = pairMap(Correlation.sparsePairs(ct))
+    for {
+      (a, ia) <- items.zipWithIndex
+      (b, ib) <- items.zipWithIndex
+      if a != b && got.contains((a, b))
+    } got((a, b)).foreach(v =>
+      assert(approx(v, m(ia, ib), 1e-8), s"corr($a,$b): $v vs mllib ${m(ia, ib)}"))
+  }
+
   test("property: relational Pearson == dense witness on random occurrence logs (seed=42)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 15) {
