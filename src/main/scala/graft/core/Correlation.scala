@@ -111,16 +111,27 @@ object Correlation {
   def fullPairs(crosstab0: DataFrame, itemPredicate: Column): DataFrame = {
     val crosstab = crosstab0.persist(StorageLevel.MEMORY_AND_DISK) // see sparsePairs
     val st = itemStats(crosstab)
-    val co = sparseCoMoments(crosstab)
-    val sym = co.unionByName(
-      co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
+    // Predicate pushdown INTO the co-moment join: only the selected items'
+    // cells enter the ctx self-join (broadcast semi-join against the small
+    // selected-item set), so the quadratic pair work scales with
+    // |selected| × avg-degree instead of all items. Keeping the full
+    // crosstab on the b-side covers both orientations — no symmetric
+    // union needed.
+    val selCells = crosstab.join(
+      broadcast(st.where(itemPredicate).select(col("item"))), Seq("item"), "left_semi")
+    val a = selCells.select(col("item").as("item_a"), col("ctx"), col("cnt").as("cnt_a"))
+    val b = crosstab.select(col("item").as("item_b"), col("ctx"), col("cnt").as("cnt_b"))
+    val symSel = a.join(b, Seq("ctx"))
+      .where(col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("cnt_a") * col("cnt_b")).cast("double").as("sxy"))
     val left = st.where(itemPredicate) // predicate over column "item"
       .select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
     val right = st.select(col("item").as("item_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
     val n = nContexts(crosstab)
     left.crossJoin(right)
       .where(col("item_a") =!= col("item_b"))
-      .join(sym, Seq("item_a", "item_b"), "left")
+      .join(symSel, Seq("item_a", "item_b"), "left")
       .na.fill(0.0, Seq("sxy"))
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"),
