@@ -94,6 +94,19 @@ class CorrelationSpec extends SparkSpec {
       assert(approx(v, m(ia, ib), 1e-8), s"corr($a,$b): $v vs mllib ${m(ia, ib)}"))
   }
 
+  test("densePairs (strategy C, MLlib matrix path) agrees with fullPairs on every pair") {
+    val dense = pairMap(Correlation.densePairs(ct))
+    for (item <- Seq(1L, 2L, 3L)) {
+      val full = pairMap(Correlation.fullPairs(ct, col("item") === item))
+      for (((a, b), c) <- full) {
+        (c, dense((a, b))) match {
+          case (Some(x), Some(y)) => assert(approx(x, y, 1e-8), s"corr($a,$b): $x vs $y")
+          case (g, w) => assert(g == w, s"corr($a,$b): $g vs $w")
+        }
+      }
+    }
+  }
+
   test("property: relational Pearson == dense witness on random occurrence logs (seed=42)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 15) {
