@@ -13,10 +13,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet-footer caches, so the first
-    // timed query doesn't absorb session warmup
-    try SparkEntry.queries.get("q03_crosstab")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // timed queries don't absorb session warmup (q05 exercises the
+    // scan→aggregate→self-join→sort shapes the correlation family shares)
+    for (w <- Seq("q03_crosstab", "q05_corr_sparse"))
+      try SparkEntry.queries.get(w)
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would
