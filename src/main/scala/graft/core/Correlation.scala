@@ -71,6 +71,31 @@ object Correlation {
   }
 
   /**
+   * Skew-resistant variant of `sparseCoMoments`: salted self-join for
+   * workloads where a few hot contexts would overload single shuffle
+   * partitions (AQE skew-join splits help, but a context with 10^5 items
+   * in ONE key is beyond it). Standard replicated-salt scheme: the left
+   * side scatters each cell to one of `salts` sub-keys by item hash, the
+   * right side replicates each cell to ALL sub-keys, so every (a, b, ctx)
+   * combination meets exactly once and the final (item_a, item_b) sum is
+   * unchanged — verified pair-for-pair against the unsalted join in the
+   * spec. Costs a `salts`× blow-up of the right side; use for genuinely
+   * skewed context degree distributions, `maxContextDegree` when hot
+   * contexts carry no signal anyway.
+   */
+  def saltedCoMoments(crosstab: DataFrame, salts: Int): DataFrame = {
+    val a = crosstab.select(col("item").as("item_a"), col("ctx"), col("cnt").as("cnt_a"),
+      pmod(hash(col("item")), lit(salts)).as("salt"))
+    val b = crosstab.select(col("item").as("item_b"), col("ctx"), col("cnt").as("cnt_b"))
+      .crossJoin(broadcast(
+        crosstab.sparkSession.range(salts).select(col("id").cast("int").as("salt"))))
+    a.join(b, Seq("ctx", "salt"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("cnt_a") * col("cnt_b")).cast("double").as("sxy"))
+  }
+
+  /**
    * Scalable path: correlations for CO-OCCURRING pairs, symmetric output
    * (both (a,b) and (b,a)), self excluded. Item stats are small (one row
    * per item) — broadcast both joins; n is a 1-row broadcast.

@@ -107,6 +107,17 @@ class CorrelationSpec extends SparkSpec {
     }
   }
 
+  test("saltedCoMoments equals sparseCoMoments pair-for-pair (skew-resistant join)") {
+    val rnd = new scala.util.Random(13)
+    // one deliberately hot context (id 99) shared by every item
+    val rows = Seq.fill(60)((1L + rnd.nextInt(8).toLong, 1L + rnd.nextInt(5).toLong)) ++
+      (1L to 8L).map(i => (i, 99L))
+    val ctR = graft.core.Crosstab.build(rows.toDF("item_id", "reference_id"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    toMap(Correlation.saltedCoMoments(ctR, 4)) shouldBe toMap(Correlation.sparseCoMoments(ctR))
+  }
+
   test("property: relational Pearson == dense witness on random occurrence logs (seed=42)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 15) {
