@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-round benchmark: every SparkEntry query, `reps` interleaved rounds,
+  * reporting the per-query MEDIAN (machine noise swings single runs up to
+  * 4×; medians are what BASELINE.md numbers should be compared against).
+  * A failing query is recorded as -1 with its error message in "errors" —
+  * never silently timed as a success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,18 +27,39 @@ object Bench {
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = mutable.Map.empty[String, mutable.Buffer[Double]]
+    val errors = mutable.Map.empty[String, String]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would
       // let Catalyst prune unevaluated projections), zero write cost
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times.getOrElseUpdate(name, mutable.Buffer.empty) +=
+          (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val med = names.map(n => n -> times.get(n).map(b => median(b.toSeq)).getOrElse(-1.0)).toMap
+    val qs = names.map(n => s"\"$n\":${fmt(med(n))}").mkString("{", ",", "}")
+    val spread = names.flatMap(n => times.get(n).map(b =>
+      s"\"$n\":${fmt(b.max - b.min)}")).mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":\"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spread,"errors":$errJson}""")
+    graft.core.Caches.clearAll(spark)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Cache lifecycle for the engine's shared subplans (crosstabs, signature
+ * tables). Catalyst has no cross-branch common-subexpression reuse, so
+ * multi-consumer plans must be persisted explicitly — but a long-lived
+ * session that persists per call would (a) spam `CacheManager: Asked to
+ * cache already cached data` warnings and (b) accumulate storage entries
+ * forever.
+ *
+ * `cacheOnce` consults the session CacheManager first (via the public
+ * `Dataset.storageLevel`, which resolves by canonicalized plan): a plan
+ * that is already cached — by an earlier query in the same session, or a
+ * structurally-equal copy of it — is returned as-is. `clearAll` releases
+ * everything at a session boundary (Verify/Bench call it on shutdown;
+ * library users own their session's lifecycle).
+ */
+object Caches {
+
+  /** Persist MEMORY_AND_DISK unless an equal plan is already cached. */
+  def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df
+
+  /** Drop every cached plan in the session (`spark.catalog.clearCache`). */
+  def clearAll(spark: SparkSession): Unit = spark.catalog.clearCache()
+}

@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * OP-19 (SURVEY §2.4): all-pairs Pearson correlation between items over the
@@ -104,8 +103,9 @@ object Correlation {
     // The crosstab feeds three independent aggregations (item stats,
     // pair co-moments, context count); Catalyst has no cross-branch
     // subplan reuse, so persist it — MEMORY_AND_DISK spills cleanly when
-    // the cell table outgrows executor memory at scale.
-    val crosstab = crosstab0.persist(StorageLevel.MEMORY_AND_DISK)
+    // the cell table outgrows executor memory at scale. `cacheOnce`
+    // reuses an already-cached equal plan instead of re-persisting.
+    val crosstab = Caches.cacheOnce(crosstab0)
     val st = itemStats(crosstab)
     val co = sparseCoMoments(crosstab, maxContextDegree)
     val sym = co.unionByName(
@@ -134,7 +134,7 @@ object Correlation {
    * use `sparsePairs` + `Neighbors.topK` for the all-items kNN path).
    */
   def fullPairs(crosstab0: DataFrame, itemPredicate: Column): DataFrame = {
-    val crosstab = crosstab0.persist(StorageLevel.MEMORY_AND_DISK) // see sparsePairs
+    val crosstab = Caches.cacheOnce(crosstab0) // see sparsePairs
     val st = itemStats(crosstab)
     // Predicate pushdown INTO the co-moment join: only the selected items'
     // cells enter the ctx self-join (broadcast semi-join against the small

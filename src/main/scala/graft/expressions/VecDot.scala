@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * hot scalar kernel in the engine (embedding similarity evaluates it
  * O(pairs) times); everything else stays on built-in functions.
  *
- * Null semantics: NULL if either array is NULL (standard binary-expression
- * propagation); array ELEMENTS must be non-null (embedding vectors).
- * Mismatched lengths evaluate over the shorter prefix, like `zip_with`
- * would with its null padding multiplied out — callers validate dims.
+ * Null semantics match the fold exactly: NULL if either array is NULL,
+ * NULL if any element is NULL (the fold's `x * NULL` poisons the sum), and
+ * NULL on length mismatch (`zip_with` null-pads the shorter side, which
+ * poisons the sum the same way). The per-element null branch is emitted
+ * only when the input type says `containsNull` — embedding columns read
+ * from parquet as `array<float> NOT NULL` keep the tight primitive loop.
  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -33,13 +35,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  /** NULL on mismatched lengths / null elements, beyond child-null propagation. */
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -51,13 +64,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 
 /**
@@ -68,12 +67,12 @@ object Dedup {
     // tiny next to the corpus — and spills to disk if not. (Catalyst gives
     // no cross-branch common-subexpression reuse; this is the same
     // explicit-persist pattern MLlib uses for iterative reuse.)
-    val sh = (maxShingleDegree match {
+    val sh = graft.core.Caches.cacheOnce(maxShingleDegree match {
       case Some(d) =>
         val deg = shingles.groupBy("g").agg(count(lit(1)).as("deg"))
         shingles.join(deg.where(col("deg") <= d).select("g"), Seq("g"), "left_semi")
       case None => shingles
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    })
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("doc_a"), col("g"))
     val b = sh.select(col("id").as("doc_b"), col("g"))
@@ -121,7 +120,7 @@ object Dedup {
     // 4 plan references (two band sides, two signature re-joins): persist
     // the signature table — numPerms longs per doc — so the MinHash
     // pipeline runs once (see jaccardPairs note).
-    val sig = sig0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.core.Caches.cacheOnce(sig0)
     val bd = lshBands(sig, bands, rowsPerBand)
     val cand = bd.select(col("id").as("doc_a"), col("band"), col("bk"))
       .join(bd.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
@@ -167,7 +166,7 @@ object Dedup {
    */
   def simHashPairs(sh0: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
     // 4 plan references — persist one long per doc (see lshCandidates).
-    val sh = sh0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.Caches.cacheOnce(sh0)
     val keyed = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .withColumn("bk", expr("(sh >> (12 * band)) & 4095"))
     val cand = keyed.select(col("id").as("doc_a"), col("band"), col("bk"))

@@ -99,11 +99,13 @@ object ParityQueries extends QueryPack {
       ct(s, dir).orderBy(col("item"), col("ctx"))),
 
     // OP-27: vstack of two crosstabs (disjoint item spaces) + per-item agg.
+    // The 10^12 offset keeps the two item spaces disjoint at any realistic
+    // SF (p_partkey = SF·200k ≪ 10^12), honoring vstack's contract.
     "q04_crosstab_union" -> ((s, dir) => {
       val a = ct(s, dir)
       val b = Crosstab.build(
         Tables.occCustomers(s, dir)
-          .select((col("item_id") + 100000L).as("item_id"), col("reference_id")))
+          .select((col("item_id") + 1000000000000L).as("item_id"), col("reference_id")))
       Crosstab.vstack(a, b)
         .groupBy("item")
         .agg(count(lit(1)).as("n_ctx"), sum("cnt").cast("long").as("total"))
@@ -226,7 +228,7 @@ object ParityQueries extends QueryPack {
     "q04_crosstab_union" ->
       """WITH ct1 AS (SELECT l_partkey AS item, l_orderkey AS ctx, COUNT(*) AS cnt
         |             FROM lineitem GROUP BY 1, 2),
-        |ct2 AS (SELECT l.l_partkey + 100000 AS item, o.o_custkey AS ctx, COUNT(*) AS cnt
+        |ct2 AS (SELECT l.l_partkey + 1000000000000 AS item, o.o_custkey AS ctx, COUNT(*) AS cnt
         |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2),
         |ctu AS (SELECT * FROM ct1 UNION ALL SELECT * FROM ct2)
         |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ctx, CAST(SUM(cnt) AS BIGINT) AS total

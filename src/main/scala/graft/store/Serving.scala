@@ -63,10 +63,15 @@ object Serving {
    */
   def databaseStats(similarItems: DataFrame, correlatedItems: DataFrame): DataFrame = {
     val items = correlatedItems.agg(count(lit(1)).as("correlated_items"))
-    val pairs = similarItems.agg(count(lit(1)).as("similar_items"))
-    val avgN = similarItems.groupBy("item_a_id")
-      .agg(count(lit(1)).cast("double").as("c"))
-      .agg(coalesce(round(avg(col("c")), 2), lit(0.0)).as("avg_similar_items"))
-    items.crossJoin(pairs).crossJoin(avgN)
+    // Single pass over the (potentially expensive) similar-items plan: the
+    // grouped neighbor counts yield BOTH the total pair count (Σc) and the
+    // average list length — evaluating the input twice would recompute the
+    // whole store pipeline per branch (Catalyst has no cross-branch reuse).
+    val pairsAndAvg = similarItems.groupBy("item_a_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("similar_items"),
+        coalesce(round(avg(col("c").cast("double")), 2), lit(0.0)).as("avg_similar_items"))
+    items.crossJoin(pairsAndAvg)
+      .select(col("correlated_items"), col("similar_items"), col("avg_similar_items"))
   }
 }

@@ -32,6 +32,22 @@ class VecDotSpec extends SparkSpec {
     r(0).getDouble(0) shouldBe 32.0
   }
 
+  test("length mismatch yields NULL, matching the zip_with fold") {
+    val mismatched = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val r = mismatched.select(SimilaritySearch.dot(col("a"), col("b")), fold).collect()(0)
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true // the fold the doc claims identity with
+  }
+
+  test("null element yields NULL, matching the zip_with fold") {
+    val withNullElem = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(4.0f), Some(5.0f), Some(6.0f))))
+      .toDF("a", "b")
+    withNullElem.select(SimilaritySearch.dot(col("a"), col("b")))
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+
   test("type check rejects non-float arrays") {
     val bad = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     an[Exception] should be thrownBy
