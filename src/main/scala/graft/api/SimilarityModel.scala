@@ -67,6 +67,17 @@ final class SimilarityModel private (val crosstab: DataFrame) {
     SimilarityStore.writeSimilarItems(thresholded, path)
   }
 
+  /** All-items EP-2 (`populate_similar_items` over the FULL catalog,
+    * `data.py:116-149`) via the closed-form zero-pair decomposition —
+    * identical output to `storeIn(path, dict, lit(true))` but never
+    * materializes the I×I matrix (see `core.StoreBuild`). The production
+    * full-catalog build. */
+  def storeAllIn(path: String, dictionary: DataFrame, k: Double = 2.0): Unit = {
+    SimilarityStore.writeCorrelatedItems(dictionary, path)
+    SimilarityStore.writeSimilarItems(
+      graft.core.StoreBuild.scaledNeighbors(crosstab, k), path)
+  }
+
   /** `save_correlation_matrix` parity (OP-04) — long-form pairs, CSV. */
   def save(path: String): Unit =
     graft.sources.Sources.saveCsv(pairs, path)

@@ -1,0 +1,218 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * EP-2 store build over the FULL catalog — the reference's
+ * `populate_similar_items` loop (`/root/reference/propius/data.py:116-149`)
+ * semantics (per-item min-max scale of the COMPLETE correlation vector,
+ * then keep neighbors with scaled score ≥ mean + k·σ) — WITHOUT ever
+ * materializing the I×I matrix.
+ *
+ * The trick: split each item's full correlation vector into
+ *
+ *  - co-occurring partners (sparse — avg degree rows per item), whose
+ *    correlations come from `Correlation.sparseCoMoments`; and
+ *  - never-co-occurring partners, whose correlation has the CLOSED FORM
+ *        corr(a,b) = (n·0 − sx_a·sx_b) / (den_a·den_b) = −u_a·u_b,
+ *        u_i = sx_i / den_i,  den_i = √(n·sxx_i − sx_i²)
+ *    — a product of per-item quantities. So the vector-wide statistics
+ *    decompose:
+ *        Σ corr   = Σ_sparse corr  − u_a·(U − u_a − Σ_sparse u_b)
+ *        Σ corr²  = Σ_sparse corr² + u_a²·(V − u_a² − Σ_sparse u_b²)
+ *        min corr = min(min_sparse, −u_a · max{u_b : b zero-partner})
+ *        max corr = max(max_sparse, −u_a · min{u_b : b zero-partner})
+ *    with U = Σ u, V = Σ u² over all non-degenerate items — one global
+ *    row. Items with zero variance (den = 0) produce NULL correlations
+ *    everywhere and are skipped, exactly like the windowed/pandas path.
+ *
+ * The zero-partner u-extrema are exact, not sampled: rank all items by u
+ * (one global sort of the SMALL per-item stats table), then for each item
+ * find the first rank not occupied by itself or a co-occurring partner —
+ * a first-gap scan over its sparse partner list (two window passes over
+ * the pair table). Because row_number is a total order monotone in u, the
+ * first gap in the descending (ascending) ranking IS the zero-partner
+ * max (min) u.
+ *
+ * Output rows are then produced from (a) the sparse pairs filtered by the
+ * per-item threshold and (b) a zero-partner theta join that only runs for
+ * items whose threshold dips below the best zero-pair score
+ * (−u_a·min u ≥ rawThr): in real corpora the mean+k·σ cutoff sits above
+ * the zero-pair band and this candidate set is EMPTY (verified at
+ * sf0.01: 0 of 231k emitted rows are zero pairs), so the a-side is a
+ * tiny broadcast and the join costs nothing. Total cost: the sparse
+ * pipeline + one global sort of the item-stats table — linear in the
+ * co-occurrence data, never I².
+ *
+ * Emitted scores use the IDENTICAL arithmetic (term order included) as
+ * `Correlation.fullPairs` + `Neighbors.scaledStdDevThreshold`, so results
+ * hash-match the windowed oracle after 1e-6 rounding.
+ */
+object StoreBuild {
+
+  /** All-items store table: (item_a_id, item_b_id, scaled_score). */
+  def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0): DataFrame = {
+    val ct = Caches.cacheOnce(crosstab0)
+    val n1 = Correlation.nContexts(ct) // 1 row
+
+    // Per-item stats with den/u; D = non-degenerate items (den > 0).
+    val d = Caches.cacheOnce(
+      Correlation.itemStats(ct).crossJoin(broadcast(n1))
+        .withColumn("den", sqrt(col("n") * col("sxx") - col("sx") * col("sx")))
+        .where(col("den") > 0.0)
+        .withColumn("u", col("sx") / col("den")))
+
+    // One global row: ΣU, ΣV, |D|, min/max u.
+    val globals = broadcast(d.agg(
+      sum(col("u")).as("gU"), sum(col("u") * col("u")).as("gV"),
+      count(lit(1)).as("cntD"), min(col("u")).as("uming")))
+
+    def corrCol(sxy: Column): Column = {
+      val den = sqrt(col("n") * col("sxx_a") - col("sx_a") * col("sx_a")) *
+        sqrt(col("n") * col("sxx_b") - col("sx_b") * col("sx_b"))
+      when(den === 0.0 || isnan(den), lit(null).cast("double"))
+        .otherwise((col("n") * sxy - col("sx_a") * col("sx_b")) / den)
+    }
+
+    val da = d.select(col("item").as("item_a"), col("sx").as("sx_a"),
+      col("sxx").as("sxx_a"), col("u").as("u_a"))
+    val db = d.select(col("item").as("item_b"), col("sx").as("sx_b"),
+      col("sxx").as("sxx_b"), col("u").as("u_b"))
+
+    // Sparse side: symmetric co-occurring pairs restricted to D, with the
+    // exact pair correlation. 4 consumers (moment agg, gap scan, emission,
+    // zero-side anti join) → persist.
+    val co = Correlation.sparseCoMoments(ct)
+    val sym = co.unionByName(
+      co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
+    val sp = Caches.cacheOnce(
+      sym.join(broadcast(da), Seq("item_a"))
+        .join(broadcast(db), Seq("item_b"))
+        .crossJoin(broadcast(n1))
+        .select(col("item_a"), col("item_b"), col("u_b"),
+          corrCol(col("sxy")).as("corr")))
+
+    // Per-item aggregates over the sparse partners (NULL-corr pairs — both
+    // endpoints in D but underflowed denominator — excluded everywhere,
+    // matching NULL-skipping window statistics).
+    val live = when(col("corr").isNotNull, lit(1))
+    val spAgg = sp.groupBy("item_a").agg(
+      sum(col("corr")).as("sSp"),
+      sum(col("corr") * col("corr")).as("qSp"),
+      min(col("corr")).as("minSp"),
+      max(col("corr")).as("maxSp"),
+      sum(when(col("corr").isNotNull, col("u_b"))).as("uSp"),
+      sum(when(col("corr").isNotNull, col("u_b") * col("u_b"))).as("vSp"),
+      count(live).as("degD"))
+
+    // Global u-ranking of D (the item-stats table is the SMALL side — one
+    // single-partition sort of one row per item, same size class as the
+    // stats broadcasts above). r is descending in u; the ascending rank of
+    // the same row is cntD+1−r, so ONE ranking serves both extrema.
+    val rk = broadcast(d.select(col("item"), col("u"))
+      .withColumn("r", row_number().over(Window.orderBy(col("u").desc, col("item").asc))))
+
+    // First-gap scan: members of S_a = {a} ∪ (co-occurring ∩ D), joined to
+    // their global ranks; the first rank not present in S_a (ascending
+    // scan) locates the zero-partner max-u, and symmetrically from the
+    // other end the zero-partner min-u.
+    val members = sp.select(col("item_a"), col("item_b"))
+      .unionByName(d.select(col("item").as("item_a"), col("item").as("item_b")))
+      .join(rk.select(col("item").as("item_b"), col("r")), Seq("item_b"))
+      .crossJoin(globals)
+    val wAsc = Window.partitionBy(col("item_a")).orderBy(col("r").asc)
+    val wDesc = Window.partitionBy(col("item_a")).orderBy(col("r").desc)
+    val gaps = members
+      .withColumn("pos", row_number().over(wAsc))
+      .withColumn("pos2", row_number().over(wDesc))
+      .groupBy("item_a")
+      .agg(coalesce(min(when(col("r") =!= col("pos"), col("pos"))),
+             max(col("pos")) + 1).as("gapD"),
+           coalesce(min(when(col("cntD") + 1 - col("r") =!= col("pos2"), col("pos2"))),
+             max(col("pos2")) + 1).as("gapA"),
+           first(col("cntD")).as("cntD"))
+    val zExtrema = gaps
+      .join(rk.select(col("r").as("gapD"), col("u").as("zMaxU")), Seq("gapD"), "left")
+      .join(rk.select(col("r").as("rAsc"), col("u").as("zMinU")),
+        col("rAsc") === col("cntD") + 1 - col("gapA"), "left")
+      .select(col("item_a"), col("zMaxU"), col("zMinU"))
+
+    // Closed-form per-item vector statistics → scaling bounds + threshold.
+    val perItem = broadcast(
+      d.select(col("item").as("item_a"), col("sx").as("sx_a"),
+          col("sxx").as("sxx_a"), col("u").as("u_a"), col("n"))
+        .join(spAgg, Seq("item_a"), "left")
+        .join(zExtrema, Seq("item_a"), "left")
+        .crossJoin(globals)
+        .withColumn("c", col("cntD") - 1)
+        .withColumn("zCnt", col("c") - coalesce(col("degD"), lit(0L)))
+        .withColumn("sZero", when(col("zCnt") === 0, lit(0.0)).otherwise(
+          -col("u_a") * (col("gU") - col("u_a") - coalesce(col("uSp"), lit(0.0)))))
+        .withColumn("qZero", when(col("zCnt") === 0, lit(0.0)).otherwise(
+          col("u_a") * col("u_a") *
+            (col("gV") - col("u_a") * col("u_a") - coalesce(col("vSp"), lit(0.0)))))
+        .withColumn("mn", least(col("minSp"),
+          when(col("zCnt") > 0, -col("u_a") * col("zMaxU"))))
+        .withColumn("mx", greatest(col("maxSp"),
+          when(col("zCnt") > 0, -col("u_a") * col("zMinU"))))
+        .withColumn("mean", when(col("c") > 0,
+          (coalesce(col("sSp"), lit(0.0)) + col("sZero")) / col("c")))
+        .withColumn("variance",
+          (coalesce(col("qSp"), lit(0.0)) + col("qZero") -
+            col("c") * col("mean") * col("mean")) / nullif(col("c") - 1, lit(0L)))
+        // clip tiny negative cancellation residue to 0, but PRESERVE NULL
+        // (c == 1 → sample σ undefined → no emissions, like stddev_samp);
+        // greatest() would skip the NULL and wrongly yield σ = 0
+        .withColumn("sigma", sqrt(when(col("variance") < 0.0, lit(0.0))
+          .otherwise(col("variance"))))
+        // constant vector (mx == mn, ≥2 values): every scaled score is 0.0
+        // and the threshold is 0.0 — everything passes, like the window path.
+        .withColumn("isConst", col("mx") === col("mn") && col("c") >= 2)
+        // mx == mn with c < 2 (single-value vector): σ undefined → NULL
+        // threshold → no emissions; the explicit branch also keeps ANSI
+        // mode from throwing on the zero-range division.
+        .withColumn("thr", when(col("isConst"), lit(0.0))
+          .when(col("mx") === col("mn"), lit(null).cast("double"))
+          .otherwise(
+            (col("mean") - col("mn")) / (col("mx") - col("mn")) +
+              col("sigma") / (col("mx") - col("mn")) * lit(k)))
+        .select(col("item_a"), col("sx_a"), col("sxx_a"), col("u_a"), col("n"),
+          col("mn"), col("mx"), col("thr"), col("isConst"), col("uming")))
+
+    def scaledScore: Column =
+      when(col("isConst"), lit(0.0))
+        .when(col("mx") === col("mn"), lit(null).cast("double")) // thr NULL → dropped
+        .otherwise((col("corr") - col("mn")) / (col("mx") - col("mn")))
+    def passes: Column = {
+      val s = scaledScore
+      col("isConst") || (s >= col("thr"))
+    }
+
+    // (a) Sparse emissions: per-row scaled score vs per-item threshold.
+    val sparseOut = sp
+      .join(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming"), Seq("item_a"))
+      .where(passes)
+      .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
+        scaledScore.as("scaled_score"))
+
+    // (b) Zero-partner emissions. Candidate a-items: threshold at or below
+    // the best zero-pair score (loose by a relative epsilon so the exact
+    // per-row filter below makes the boundary call). Typically EMPTY.
+    val rawThr = col("mn") + col("thr") * (col("mx") - col("mn"))
+    val aCand = perItem.where(col("isConst") ||
+      (-col("u_a") * col("uming") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12)))
+    val zeroOut = db
+      .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
+        (col("isConst") ||
+          (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
+      .join(sp.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
+      .withColumn("corr", corrCol(lit(0.0)))
+      .where(passes)
+      .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
+        scaledScore.as("scaled_score"))
+
+    sparseOut.unionByName(zeroOut)
+  }
+}

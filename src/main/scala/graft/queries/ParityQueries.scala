@@ -145,6 +145,15 @@ object ParityQueries extends QueryPack {
           round(col("scaled_score"), 6).as("scaled_score"))
         .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
 
+    // EP-2 store build over the FULL catalog (no sample predicate): the
+    // reference's populate_similar_items loop semantics via the closed-form
+    // zero-pair decomposition — never materializes I×I (StoreBuild).
+    "q38_store_all_items" -> ((s, dir) =>
+      graft.core.StoreBuild.scaledNeighbors(ct(s, dir), 2.0)
+        .select(col("item_a_id"), col("item_b_id"),
+          round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
+
     // kNN per item over sparse pairs (OP-24/26 — WindowGroupLimit top-k).
     "q09_topk" -> ((s, dir) =>
       Neighbors.topK(Correlation.sparsePairs(ct(s, dir)), 5)
@@ -260,6 +269,13 @@ object ParityQueries extends QueryPack {
     "q08_store_pipeline" ->
       s"""$BaseCtes,
          |${fullCte(s"sa.item % $SampleMod = 0")},
+         |$StoreCtes
+         |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
+         |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q38_store_all_items" ->
+      s"""$BaseCtes,
+         |${fullCte("TRUE")},
          |$StoreCtes
          |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
          |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,

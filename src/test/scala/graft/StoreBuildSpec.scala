@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.{Correlation, Crosstab, Neighbors, StoreBuild}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The closed-form all-items store build must agree ROW-FOR-ROW with the
+  * windowed reference pipeline (fullPairs(true) → minmax scale → mean+kσ),
+  * which is itself oracle-checked (q08/q10). Covers: random logs, isolated
+  * items (no co-occurrences), degenerate items (zero variance → NULL
+  * vector, no emissions), and tiny catalogs where sample σ is undefined. */
+class StoreBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowed(ct: DataFrame, k: Double) =
+    Neighbors.scaledStdDevThreshold(Correlation.fullPairs(ct, lit(true)), k)
+
+  private def asMap(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map { r =>
+      (r.getLong(r.fieldIndex("item_a_id")), r.getLong(r.fieldIndex("item_b_id"))) ->
+        r.getDouble(r.fieldIndex("scaled_score"))
+    }.toMap
+
+  private def check(occ: Seq[(Long, Long)], k: Double = 2.0): Unit = {
+    val ct = Crosstab.build(occ.toDF("item_id", "reference_id"))
+    val got = asMap(StoreBuild.scaledNeighbors(ct, k))
+    val want = asMap(windowed(ct, k))
+    got.keySet shouldBe want.keySet
+    got.foreach { case (key, s) =>
+      assert(approx(s, want(key), 1e-9), s"$key: closed=$s windowed=${want(key)}")
+    }
+  }
+
+  test("random occurrence log matches the windowed pipeline") {
+    val rnd = new scala.util.Random(42)
+    val occ = Seq.fill(400)((rnd.nextInt(15).toLong + 1, rnd.nextInt(30).toLong + 1))
+    check(occ)
+  }
+
+  test("isolated item (private context, no co-occurrences) matches") {
+    val rnd = new scala.util.Random(7)
+    val occ = Seq.fill(200)((rnd.nextInt(10).toLong + 1, rnd.nextInt(20).toLong + 1)) ++
+      Seq((50L, 100L), (50L, 101L)) // item 50 alone in its contexts
+    check(occ)
+  }
+
+  test("degenerate item (appears once in every context) emits nothing and is skipped") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(150)((rnd.nextInt(8).toLong + 1, rnd.nextInt(12).toLong + 1))
+    val ctxs = base.map(_._2).distinct
+    val occ = base ++ ctxs.map(c => (99L, c)) // item 99: constant vector → den = 0
+    check(occ)
+  }
+
+  test("two-item catalog (sample σ undefined) emits nothing, like the window path") {
+    check(Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
+  test("low threshold multiplier admits zero-co-occurrence pairs") {
+    // k = -3 pushes the threshold below the zero-pair band, forcing the
+    // theta-join path to actually emit closed-form zero pairs.
+    val rnd = new scala.util.Random(3)
+    val occ = Seq.fill(300)((rnd.nextInt(12).toLong + 1, rnd.nextInt(25).toLong + 1))
+    check(occ, k = -3.0)
+  }
+}
