@@ -119,8 +119,17 @@ object TextFunctions {
 
   /** Rolling polynomial fingerprint over the characters of the text:
     * acc ← (31·acc + codepoint) mod 1e9+7. Order-sensitive (anagram-safe),
-    * exact in 64-bit arithmetic, reproducible in any engine with a fold. */
+    * exact in 64-bit arithmetic, reproducible in any engine with a fold.
+    * Evaluated by the native codegen'd `RollingFingerprint` expression —
+    * the interpreted per-character fold (`fingerprintFold`) computes the
+    * identical value ~10× slower and exists as the spec cross-witness. */
   def fingerprint(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.RollingFingerprint(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** Declarative-fold witness for `fingerprint` (see above). */
+  def fingerprintFold(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),

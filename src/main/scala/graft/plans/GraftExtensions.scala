@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.VecDot
+import graft.expressions.{RollingFingerprint, VecDot}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
+      (children: Seq[Expression]) => RollingFingerprint(children.head)))
   }
 }

@@ -56,6 +56,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(poly("abc") != poly("cba"))
   }
 
+  test("native fingerprint equals the declarative fold, incl. non-ASCII") {
+    for (t <- Seq("abc", "", "héllo wörld", "über café ñ", "a b\tc\nd",
+        "the quick brown fox jumps over the lazy dog" * 5)) {
+      val r = Seq(t).toDF("t")
+        .select(fingerprint(col("t")).as("nat"), fingerprintFold(col("t")).as("fold"))
+        .collect()(0)
+      assert(r.getLong(0) == r.getLong(1), s"native != fold for '$t'")
+    }
+  }
+
+  test("rolling_fp is registered in SQL and NULL-propagates") {
+    spark.sql("SELECT rolling_fp('abc') AS fp").collect()(0).getLong(0) shouldBe
+      "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    spark.sql("SELECT rolling_fp(CAST(NULL AS STRING)) AS fp")
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+
   test("wordShingles produces n-grams; short docs → empty; minShingleHash null") {
     val sh = one[collection.Seq[String]](wordShingles(col("t"), 3), "a b c d")
     sh.toSeq shouldBe Seq("a b c", "b c d")
