@@ -19,6 +19,13 @@ object DedupQueries extends QueryPack {
   private val Bands = 4 // × 4 rows/band
   private val SimHashMaxDist = 2
   private val CosineThreshold = 0.4
+  // SRP-blocked variant: 8 seeded ±1 hyperplanes over dim 64 (the same
+  // family AnnQueries uses); lower threshold so the blocked pair set stays
+  // non-trivial at test SF.
+  private val SrpPlanes = 8
+  private val Dim = 64
+  private val BlockedCosineThreshold = 0.3
+  private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
@@ -55,9 +62,20 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // EXT-D5: embedding-cosine near-dup pairs (brute force at test SF;
-    // blocked/SRP variants are the scale path — see AnnQueries).
+    // the exact baseline the blocked variant is measured against).
     "q24_embed_neardup" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(embs(s, dir), CosineThreshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // EXT-D5 (scale path): the SAME operator with SRP-bucket blocking —
+    // candidates must share the 8-bit sign bucket, so the pair scan is a
+    // hash join on the bucket key instead of an all-pairs nested loop
+    // (plan-guarded in PlanShapeSpec). This is the 100 TB configuration.
+    "q39_embed_neardup_srp" -> ((s, dir) =>
+      SimilaritySearch.nearDupPairs(
+          SimilaritySearch.withBucket(embs(s, dir), planes),
+          BlockedCosineThreshold, blockCol = Some("bucket"))
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b")))
   )
@@ -73,6 +91,18 @@ object DedupQueries extends QueryPack {
        |       ELSE list_transform(range(1, len(tk) - ${ShingleN - 2}),
        |              i -> array_to_string(list_slice(tk, i, i + ${ShingleN - 1}), ' ')) END,
        |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs FROM toks)""".stripMargin
+
+  /** The hyperplane matrix as a DuckDB nested-list literal (see AnnQueries). */
+  private lazy val planesSql: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** SRP bucket of embedding column `e` (mirrors SimilaritySearch.srpBucket). */
+  private def bucketSql(e: String) =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $SrpPlanes), x -> x::BIGINT)),
+       |  (acc, j) -> acc + CASE WHEN
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
+       |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
+       |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
 
   /** Fold-based cosine identical to SimilaritySearch.cosine (same order). */
   private def cosSql(a: String, b: String) =
@@ -160,6 +190,15 @@ object DedupQueries extends QueryPack {
          |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q39_embed_neardup_srp" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $BlockedCosineThreshold
          |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -50,6 +50,19 @@ class PlanShapeSpec extends SparkSpec {
     "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
   }
 
+  test("SRP-blocked near-dup plans a HASH join on the bucket key, not a nested loop") {
+    val embs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 1.0f)), (3L, Seq(1.0f, 2.1f)))
+      .toDF("vec_id", "embedding")
+    val planes = graft.operators.SimilaritySearch.hyperplanes(4, 2)
+    val blocked = graft.operators.SimilaritySearch.nearDupPairs(
+      graft.operators.SimilaritySearch.withBucket(embs, planes),
+      0.3, blockCol = Some("bucket"))
+    val p = planOf(blocked)
+    p should not include "BroadcastNestedLoopJoin"
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash join on block key in:\n$p")
+  }
+
   test("native vec_dot appears in the plan instead of interpreted lambda folds") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     val p = df.select(graft.operators.SimilaritySearch.dot(col("a"), col("b")))
