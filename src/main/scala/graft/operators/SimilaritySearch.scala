@@ -156,8 +156,13 @@ object SimilaritySearch {
    * Output: (query_id, vec_id, cos).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroidMod: Int,
-              nprobe: Int, k: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, centroidMod)
+              nprobe: Int, k: Int): DataFrame =
+    ivfTopKFrom(ivfCentroids(corpus, centroidMod), queries, corpus, nprobe, k)
+
+  /** IVF probing against an explicit centroid table (sampled OR trained —
+    * the dataflow is identical, as the IVF design promises). */
+  def ivfTopKFrom(cents: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  nprobe: Int, k: Int): DataFrame = {
     val lists = centroidRanks(corpus.repartition(col("vec_id")), cents, 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
     val probes = broadcast(centroidRanks(queries, cents, nprobe)
@@ -169,6 +174,38 @@ object SimilaritySearch {
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /**
+   * Trained IVF centroids: one deterministic Lloyd refinement of the
+   * sampled seeds — assign every corpus vector to its nearest seed
+   * (cosine, tie-break on cent_id), then replace each centroid with the
+   * MEAN of its assigned vectors. The mean is an ORDERED fold (vectors
+   * sorted by vec_id, summed left-to-right in binary64, divided, then
+   * rounded to float32), so any engine reproduces the centroids
+   * bit-for-bit — that is what makes trained-IVF oracle-checkable, not
+   * just spec-checkable. Empty clusters drop out, like k-means.
+   *
+   * At 100 TB: assignment is the same broadcast-centroids map pass the
+   * probe step uses; the update is one groupBy over nlist groups. Train
+   * on a corpus sample (standard IVF practice) if the per-list
+   * collect_list grows beyond executor memory.
+   */
+  def trainedCentroids(corpus: DataFrame, centroidMod: Int, dim: Int): DataFrame = {
+    val seeds = ivfCentroids(corpus, centroidMod)
+    val assigned = centroidRanks(corpus.repartition(col("vec_id")), seeds, 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+    assigned
+      .groupBy(col("cent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("cent_id"),
+        transform(
+          aggregate(col("vs"),
+            array_repeat(lit(0.0), dim),
+            (acc, v) => zip_with(acc, v.getField("embedding"),
+              (x, y) => x + y.cast("double"))),
+          x => (x / size(col("vs"))).cast("float")).as("cent_emb"))
+      .withColumn("cent_nrm", l2Norm(col("cent_emb")))
   }
 
   /**

@@ -45,7 +45,33 @@ object AnnQueries extends QueryPack {
     "q34_ann_ivf" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(querySet(s, dir), embs(s, dir), CentroidMod, NProbe, K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id")))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A3b: IVF with TRAINED centroids — one deterministic Lloyd
+    // refinement (ordered fold means, float32-rounded) behind the same
+    // probing dataflow; the oracle recomputes the training step too.
+    "q40_ann_ivf_trained" -> ((s, dir) =>
+      SimilaritySearch.ivfTopKFrom(
+          SimilaritySearch.trainedCentroids(embs(s, dir), CentroidMod, Dim),
+          querySet(s, dir), embs(s, dir), NProbe, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A4: recall@k of the two approximate paths against the exact
+    // brute-force ground truth, computed in-engine per query.
+    "q41_ann_recall" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
+      val lt = ids(SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K))
+      val it = ids(SimilaritySearch.ivfTopK(querySet(s, dir), embs(s, dir), CentroidMod, NProbe, K))
+      def recallOf(ann: DataFrame, name: String) = bt
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6).as(name))
+      recallOf(lt, "recall_lsh")
+        .join(recallOf(it, "recall_ivf"), Seq("query_id"))
+        .orderBy(col("query_id"))
+    })
   )
 
   // DuckDB mirrors -----------------------------------------------------------
@@ -70,6 +96,26 @@ object AnnQueries extends QueryPack {
        |    list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
        |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
        |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
+
+  /** One deterministic Lloyd refinement of the sampled seeds (mirrors
+    * SimilaritySearch.trainedCentroids): assignment by cosine rank, then
+    * ordered fold-mean per cluster, float32-rounded. Ends with CTE `tc`. */
+  private lazy val TrainedCentsCtes =
+    s"""seeds AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
+       |ar AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+       |                    c.cent_id) AS crnk
+       |       FROM embeddings e CROSS JOIN seeds c),
+       |asg AS (SELECT cent_id, vec_id, embedding FROM ar WHERE crnk = 1),
+       |tc0 AS (SELECT cent_id, list(embedding ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM asg GROUP BY 1),
+       |tc AS (SELECT cent_id, list_transform(
+       |         list_reduce(
+       |           list_prepend(list_transform(range(1, ${Dim + 1}), i -> 0.0), vs),
+       |           (acc, v) -> list_transform(range(1, ${Dim + 1}), i -> acc[i] + v[i]::DOUBLE)),
+       |         x -> (x / n)::REAL) AS cent_emb FROM tc0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
@@ -118,6 +164,75 @@ object AnnQueries extends QueryPack {
          |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |       FROM scored)
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
-         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q40_ann_ivf_trained" ->
+      s"""WITH $TrainedCentsCtes,
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN tc c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |scored AS (SELECT p.query_id, l.vec_id,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q41_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |       FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0),
+         |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
+         |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
+         |lt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM lscored) WHERE rnk <= $K),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |it AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM iscored) WHERE rnk <= $K),
+         |rl AS (SELECT b.query_id, ROUND(COUNT(l.vec_id)::DOUBLE / $K, 6) AS recall_lsh
+         |       FROM bt b LEFT JOIN lt l
+         |         ON b.query_id = l.query_id AND b.vec_id = l.vec_id GROUP BY 1),
+         |ri AS (SELECT b.query_id, ROUND(COUNT(i.vec_id)::DOUBLE / $K, 6) AS recall_ivf
+         |       FROM bt b LEFT JOIN it i
+         |         ON b.query_id = i.query_id AND b.vec_id = i.vec_id GROUP BY 1)
+         |SELECT rl.query_id, rl.recall_lsh, ri.recall_ivf
+         |FROM rl JOIN ri ON rl.query_id = ri.query_id ORDER BY 1""".stripMargin
   )
 }
