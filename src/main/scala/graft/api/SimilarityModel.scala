@@ -81,4 +81,29 @@ final class SimilarityModel private (val crosstab: DataFrame) {
   /** `save_correlation_matrix` parity (OP-04) — long-form pairs, CSV. */
   def save(path: String): Unit =
     graft.sources.Sources.saveCsv(pairs, path)
+
+  /** `correlation_matrix_to_dataframe` parity (`similarity.py:120-130`):
+    * the item×item correlation matrix as a WIDE DataFrame — one row per
+    * item_a, one column per item_b, diagonal 1.0 (NULL for zero-variance
+    * items, like the dense path's NaN). A DEBUG view for small catalogs:
+    * the long pair form is the scale representation, so this guards at
+    * `maxItems` (pivot requires collecting the column key set).
+    * Column order follows ascending item id. */
+  def wideMatrix(maxItems: Int = 1000): DataFrame = {
+    val itemIds = crosstab.select(col("item")).distinct()
+      .orderBy(col("item")).collect().map(_.getLong(0))
+    require(itemIds.length <= maxItems,
+      s"wideMatrix is a small-catalog debug view (${itemIds.length} items > $maxItems); " +
+        "use pairs/fullPairs at scale")
+    val st = Correlation.itemStats(crosstab)
+      .crossJoin(broadcast(Correlation.nContexts(crosstab)))
+    val diag = st.select(col("item").as("item_a"), col("item").as("item_b"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") > 0.0, lit(1.0))
+        .otherwise(lit(null).cast("double")).as("corr"))
+    fullPairs(lit(true)).unionByName(diag)
+      .groupBy(col("item_a"))
+      .pivot(col("item_b"), itemIds.map(_.asInstanceOf[AnyRef]).toSeq)
+      .agg(first(col("corr")))
+      .orderBy(col("item_a"))
+  }
 }

@@ -99,7 +99,8 @@ object Correlation {
    * (both (a,b) and (b,a)), self excluded. Item stats are small (one row
    * per item) — broadcast both joins; n is a 1-row broadcast.
    */
-  def sparsePairs(crosstab0: DataFrame, maxContextDegree: Option[Int] = None): DataFrame = {
+  def sparsePairs(crosstab0: DataFrame, maxContextDegree: Option[Int] = None,
+                  saltedWith: Option[Int] = None): DataFrame = {
     // The crosstab feeds three independent aggregations (item stats,
     // pair co-moments, context count); Catalyst has no cross-branch
     // subplan reuse, so persist it — MEMORY_AND_DISK spills cleanly when
@@ -107,7 +108,12 @@ object Correlation {
     // reuses an already-cached equal plan instead of re-persisting.
     val crosstab = Caches.cacheOnce(crosstab0)
     val st = itemStats(crosstab)
-    val co = sparseCoMoments(crosstab, maxContextDegree)
+    // The salted join computes the SAME integer-exact co-moment sums over
+    // a skew-resistant shuffle layout — oracle-identical output.
+    val co = saltedWith match {
+      case Some(salts) => saltedCoMoments(crosstab, salts)
+      case None => sparseCoMoments(crosstab, maxContextDegree)
+    }
     val sym = co.unionByName(
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
     val sa = st.select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))

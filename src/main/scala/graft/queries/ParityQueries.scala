@@ -23,6 +23,8 @@ object ParityQueries extends QueryPack {
   private val SampleMod = 50
   /** Fixed probe item for single-item query-path parity (exists at all SFs). */
   private val ProbeItem = 7
+  /** Degree cap for the skew-gated q42 (drops the hottest contexts). */
+  private val MaxCtxDegree = 5
 
   // ---- shared DuckDB CTE prefix -------------------------------------------
 
@@ -115,6 +117,22 @@ object ParityQueries extends QueryPack {
     // OP-19 (scale path): Pearson over co-occurring pairs, symmetric.
     "q05_corr_sparse" -> ((s, dir) =>
       Correlation.sparsePairs(ct(s, dir))
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // OP-19 + skew cap: sparse correlations with hot contexts dropped
+    // (maxContextDegree — a context shared by > d items carries ~no signal
+    // at quadratic cost). The oracle applies the identical degree filter.
+    "q42_corr_capped" -> ((s, dir) =>
+      Correlation.sparsePairs(ct(s, dir), maxContextDegree = Some(MaxCtxDegree))
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // OP-19 via the SALTED co-moment join (hot-key scatter/replicate):
+    // the co-moment sums are integer-exact, so the skew-resistant layout
+    // must reproduce q05's answer bit-for-bit — gated here.
+    "q43_corr_salted" -> ((s, dir) =>
+      Correlation.sparsePairs(ct(s, dir), saltedWith = Some(4))
         .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
         .orderBy(col("item_a"), col("item_b"))),
 
@@ -244,6 +262,27 @@ object ParityQueries extends QueryPack {
         |FROM ctu GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q05_corr_sparse" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    "q42_corr_capped" ->
+      s"""$BaseCtes,
+         |deg AS (SELECT ctx, COUNT(*) AS dg FROM ct GROUP BY 1),
+         |coc AS (SELECT a.item AS item_a, b.item AS item_b, SUM(a.cnt*b.cnt) AS sxy
+         |        FROM ct a JOIN ct b ON a.ctx = b.ctx AND a.item < b.item
+         |        JOIN deg d ON a.ctx = d.ctx
+         |        WHERE d.dg <= $MaxCtxDegree GROUP BY 1, 2),
+         |cocsym AS (SELECT item_a, item_b, sxy FROM coc
+         |           UNION ALL SELECT item_b AS item_a, item_a AS item_b, sxy FROM coc),
+         |spc AS (SELECT c.item_a, c.item_b,
+         |  (nn.n*c.sxy - sa.sx*sb.sx)
+         |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+         |  FROM cocsym c JOIN st sa ON c.item_a = sa.item
+         |  JOIN st sb ON c.item_b = sb.item CROSS JOIN nn)
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM spc ORDER BY 1, 2""".stripMargin,
+
+    "q43_corr_salted" ->
       s"""$BaseCtes,
          |$SparseCte
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,

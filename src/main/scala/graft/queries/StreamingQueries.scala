@@ -14,6 +14,7 @@ import graft.streaming.EventStreams
 object StreamingQueries extends QueryPack {
 
   private val SessionGapSec = 21600L // 6 hours
+  private val FunnelWithinSec = 86400L // view → click attribution window
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
 
@@ -38,7 +39,18 @@ object StreamingQueries extends QueryPack {
       EventStreams.sessionizeBatch(events(s, dir), SessionGapSec)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // EXT-S5: view→click funnel via the unified interval join — the batch
+    // face of the stream-stream join (streaming face spec-verified on the
+    // same transform).
+    "q44_event_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventStreams.joinWithin(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "click"), FunnelWithinSec)
+        .orderBy(col("user_id"), col("left_event_id"), col("right_event_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -73,6 +85,14 @@ object StreamingQueries extends QueryPack {
          |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
          |       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
          |FROM numbered GROUP BY user_id, sess
-         |ORDER BY user_id, session_start""".stripMargin
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q44_event_funnel" ->
+      s"""SELECT v.user_id, v.event_id AS left_event_id, v.ts AS left_ts,
+         |       c.event_id AS right_event_id, c.ts AS right_ts
+         |FROM events v JOIN events c ON v.user_id = c.user_id
+         |WHERE v.event_type = 'view' AND c.event_type = 'click'
+         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '$FunnelWithinSec seconds'
+         |ORDER BY 1, 2, 4""".stripMargin
   )
 }

@@ -51,6 +51,31 @@ object EventStreams {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /**
+   * Interval join (funnel primitive): pair each LEFT event with RIGHT
+   * events of the same user landing within [0, withinSec] seconds AFTER
+   * it. UNIFIED shape: on batch frames it plans a plain equi+range join
+   * (oracle-gated as q44); on streaming frames — both sides watermarked —
+   * it becomes a Spark stream-stream join whose buffered state is bounded
+   * by the watermark plus the interval (the spec cross-checks the two
+   * paths on the same events). At scale both sides shuffle once on
+   * user_id; the range predicate prunes inside each key group.
+   */
+  def joinWithin(left: DataFrame, right: DataFrame, withinSec: Long,
+                 watermark: Option[String] = None): DataFrame = {
+    val l = watermark.fold(left)(w => left.withWatermark("ts", w))
+      .select(col("user_id"), col("event_id").as("left_event_id"),
+        col("ts").as("left_ts"))
+    val r = watermark.fold(right)(w => right.withWatermark("ts", w))
+      .select(col("user_id").as("r_user"), col("event_id").as("right_event_id"),
+        col("ts").as("right_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("user_id"), col("left_event_id"), col("left_ts"),
+        col("right_event_id"), col("right_ts"))
+  }
+
   /** Gap-based sessionization, batch path: a session breaks when the gap
     * to the previous event (per user, in whole epoch seconds — the
     * cross-engine-stable comparison) exceeds `gapSec`. */

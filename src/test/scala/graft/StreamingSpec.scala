@@ -80,6 +80,44 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("joinWithin runs as a STREAM-STREAM join and matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      Event(1L, ts(0), 1L, "view", 0.0),
+      Event(2L, ts(20), 1L, "view", 0.0),
+      Event(3L, ts(1), 2L, "view", 0.0))
+    val clicks = Seq(
+      Event(10L, ts(3), 1L, "click", 0.0),  // within 10min of view 1
+      Event(11L, ts(25), 1L, "click", 0.0), // within 10min of view 2
+      Event(12L, ts(45), 2L, "click", 0.0)) // 44min after view 3 → no match
+    val within = 600L
+    def df(es: Seq[Event]) = es.toDF(EventCols: _*)
+    val expected = EventStreams.joinWithin(df(views), df(clicks), within)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    expected shouldBe Set((1L, 1L, 10L), (1L, 2L, 11L))
+
+    val memV = MemoryStream[Event]
+    val memC = MemoryStream[Event]
+    val sq = EventStreams.joinWithin(
+        memV.toDF().toDF(EventCols: _*), memC.toDF().toDF(EventCols: _*),
+        within, watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      memV.addData(views: _*)
+      memC.addData(clicks: _*)
+      sq.processAllAvailable()
+      // advance both watermarks past every buffered row so the join flushes
+      memV.addData(Event(98L, Timestamp.valueOf("2024-01-02 10:00:00"), 9L, "view", 0.0))
+      memC.addData(Event(99L, Timestamp.valueOf("2024-01-02 10:00:00"), 9L, "click", 0.0))
+      sq.processAllAvailable()
+      val got = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .filter(_._1 != 9L).toSet
+      got shouldBe expected
+    } finally sq.stop()
+  }
+
   test("batch and streaming sessionization agree on random event logs (seed=7)") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
