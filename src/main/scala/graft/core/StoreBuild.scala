@@ -81,31 +81,18 @@ object StoreBuild {
     val db = d.select(col("item").as("item_b"), col("sx").as("sx_b"),
       col("sxx").as("sxx_b"), col("u").as("u_b"))
 
-    // Sparse side: symmetric co-occurring pairs restricted to D, with the
-    // exact pair correlation. 4 consumers (moment agg, gap scan, emission,
-    // zero-side anti join) → persist.
-    val co = Correlation.sparseCoMoments(ct)
+    // Sparse side: persist the UPPER-TRIANGLE co-moments (the expensive
+    // ctx self-join) — the narrowest table that every consumer can rebuild
+    // its view from with broadcast-only work. The symmetric closure and
+    // stat joins are recomputed per consumer: map-side, no shuffle.
+    val co = Caches.cacheOnce(Correlation.sparseCoMoments(ct))
     val sym = co.unionByName(
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
-    val sp = Caches.cacheOnce(
-      sym.join(broadcast(da), Seq("item_a"))
-        .join(broadcast(db), Seq("item_b"))
-        .crossJoin(broadcast(n1))
-        .select(col("item_a"), col("item_b"), col("u_b"),
-          corrCol(col("sxy")).as("corr")))
-
-    // Per-item aggregates over the sparse partners (NULL-corr pairs — both
-    // endpoints in D but underflowed denominator — excluded everywhere,
-    // matching NULL-skipping window statistics).
-    val live = when(col("corr").isNotNull, lit(1))
-    val spAgg = sp.groupBy("item_a").agg(
-      sum(col("corr")).as("sSp"),
-      sum(col("corr") * col("corr")).as("qSp"),
-      min(col("corr")).as("minSp"),
-      max(col("corr")).as("maxSp"),
-      sum(when(col("corr").isNotNull, col("u_b"))).as("uSp"),
-      sum(when(col("corr").isNotNull, col("u_b") * col("u_b"))).as("vSp"),
-      count(live).as("degD"))
+    def sp = sym.join(broadcast(da), Seq("item_a"))
+      .join(broadcast(db), Seq("item_b"))
+      .crossJoin(broadcast(n1))
+      .select(col("item_a"), col("item_b"), col("u_b"),
+        corrCol(col("sxy")).as("corr"))
 
     // Global u-ranking of D (the item-stats table is the SMALL side — one
     // single-partition sort of one row per item, same size class as the
@@ -114,37 +101,50 @@ object StoreBuild {
     val rk = broadcast(d.select(col("item"), col("u"))
       .withColumn("r", row_number().over(Window.orderBy(col("u").desc, col("item").asc))))
 
-    // First-gap scan: members of S_a = {a} ∪ (co-occurring ∩ D), joined to
-    // their global ranks; the first rank not present in S_a (ascending
-    // scan) locates the zero-partner max-u, and symmetrically from the
-    // other end the zero-partner min-u.
-    val members = sp.select(col("item_a"), col("item_b"))
-      .unionByName(d.select(col("item").as("item_a"), col("item").as("item_b")))
+    // ONE shuffle on item_a computes every per-item statistic: the sparse
+    // moment aggregates (NULL-corr rows — degenerate partners and the
+    // self row — excluded, matching NULL-skipping window stats) AND the
+    // first-gap scan that locates the zero-partner u-extrema. The two
+    // window sorts and the final aggregate share the same hash partitioning,
+    // so Catalyst plans a single exchange. Self rows (corr = NULL) give
+    // every D item a group and put its own rank into the gap scan.
+    val withSelf = sp
+      .unionByName(d.select(col("item").as("item_a"), col("item").as("item_b"),
+        lit(null).cast("double").as("u_b"), lit(null).cast("double").as("corr")))
       .join(rk.select(col("item").as("item_b"), col("r")), Seq("item_b"))
       .crossJoin(globals)
     val wAsc = Window.partitionBy(col("item_a")).orderBy(col("r").asc)
     val wDesc = Window.partitionBy(col("item_a")).orderBy(col("r").desc)
-    val gaps = members
+    val fused = withSelf
       .withColumn("pos", row_number().over(wAsc))
       .withColumn("pos2", row_number().over(wDesc))
       .groupBy("item_a")
-      .agg(coalesce(min(when(col("r") =!= col("pos"), col("pos"))),
+      .agg(sum(col("corr")).as("sSp"),
+           sum(col("corr") * col("corr")).as("qSp"),
+           min(col("corr")).as("minSp"),
+           max(col("corr")).as("maxSp"),
+           sum(when(col("corr").isNotNull, col("u_b"))).as("uSp"),
+           sum(when(col("corr").isNotNull, col("u_b") * col("u_b"))).as("vSp"),
+           count(col("corr")).as("degD"),
+           coalesce(min(when(col("r") =!= col("pos"), col("pos"))),
              max(col("pos")) + 1).as("gapD"),
            coalesce(min(when(col("cntD") + 1 - col("r") =!= col("pos2"), col("pos2"))),
              max(col("pos2")) + 1).as("gapA"),
-           first(col("cntD")).as("cntD"))
-    val zExtrema = gaps
+           first(col("cntD")).as("cntDg"))
+    val stats = fused
       .join(rk.select(col("r").as("gapD"), col("u").as("zMaxU")), Seq("gapD"), "left")
       .join(rk.select(col("r").as("rAsc"), col("u").as("zMinU")),
-        col("rAsc") === col("cntD") + 1 - col("gapA"), "left")
-      .select(col("item_a"), col("zMaxU"), col("zMinU"))
+        col("rAsc") === col("cntDg") + 1 - col("gapA"), "left")
+      .drop("gapD", "gapA", "rAsc", "cntDg")
 
     // Closed-form per-item vector statistics → scaling bounds + threshold.
-    val perItem = broadcast(
+    // One row per item; CACHED because both emission branches broadcast it
+    // — without the cache each broadcast build would re-run the whole
+    // fused shuffle pipeline above.
+    val perItem = Caches.cacheOnce(
       d.select(col("item").as("item_a"), col("sx").as("sx_a"),
           col("sxx").as("sxx_a"), col("u").as("u_a"), col("n"))
-        .join(spAgg, Seq("item_a"), "left")
-        .join(zExtrema, Seq("item_a"), "left")
+        .join(stats, Seq("item_a"))
         .crossJoin(globals)
         .withColumn("c", col("cntD") - 1)
         .withColumn("zCnt", col("c") - coalesce(col("degD"), lit(0L)))
@@ -192,7 +192,7 @@ object StoreBuild {
 
     // (a) Sparse emissions: per-row scaled score vs per-item threshold.
     val sparseOut = sp
-      .join(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming"), Seq("item_a"))
+      .join(broadcast(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming")), Seq("item_a"))
       .where(passes)
       .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
         scaledScore.as("scaled_score"))
@@ -207,7 +207,7 @@ object StoreBuild {
       .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
         (col("isConst") ||
           (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
-      .join(sp.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
+      .join(sym.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
       .withColumn("corr", corrCol(lit(0.0)))
       .where(passes)
       .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
