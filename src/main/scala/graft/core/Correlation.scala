@@ -118,13 +118,16 @@ object Correlation {
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
     val sa = st.select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
     val sb = st.select(col("item").as("item_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
-    sym
+    // Cache the RESULT too: several queries consume the same pair table
+    // (raw, top-k, matrix export), and CacheManager dedups by canonical
+    // plan, so they share one materialization per session.
+    Caches.cacheOnce(sym
       .join(broadcast(sa), Seq("item_a"))
       .join(broadcast(sb), Seq("item_b"))
       .crossJoin(broadcast(nContexts(crosstab)))
       .select(col("item_a"), col("item_b"),
         corrExpr(col("n"), col("sxy"), col("sx_a"), col("sxx_a"),
-                 col("sx_b"), col("sxx_b")).as("corr"))
+                 col("sx_b"), col("sxx_b")).as("corr")))
   }
 
   /**
@@ -160,14 +163,17 @@ object Correlation {
       .select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
     val right = st.select(col("item").as("item_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
     val n = nContexts(crosstab)
-    left.crossJoin(right)
+    // Result cached: the full-vector table for one predicate feeds several
+    // downstream queries (raw stats, store thresholding, store stats,
+    // moments) — plan-equal calls share one materialization per session.
+    Caches.cacheOnce(left.crossJoin(right)
       .where(col("item_a") =!= col("item_b"))
       .join(symSel, Seq("item_a", "item_b"), "left")
       .na.fill(0.0, Seq("sxy"))
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"),
         corrExpr(col("n"), col("sxy"), col("sx_a"), col("sxx_a"),
-                 col("sx_b"), col("sxx_b")).as("corr"))
+                 col("sx_b"), col("sxx_b")).as("corr")))
   }
 
   /**

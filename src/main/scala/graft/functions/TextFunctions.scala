@@ -146,7 +146,43 @@ object TextFunctions {
   }
 
   /** Winnowing-style compact fingerprint: min hash60 over the n-gram
-    * shingles (null when the doc has fewer than n tokens). */
+    * shingles (null when the doc has fewer than n tokens). Row-level
+    * Column form — fine for ad-hoc use, but the md5 runs inside an
+    * interpreted HOF; bulk scoring should use `minShingleHashAgg`. */
   def minShingleHash(c: Column, n: Int): Column =
     array_min(transform(wordShingles(c, n), s => hash60(s)))
+
+  /**
+   * Bulk n-gram shingle stream: (idCol, sh) — one row per shingle, built
+   * with posexplode + window `lead` instead of the `wordShingles` HOF.
+   * The HOF form inlines the token-split into its lambda, re-evaluating
+   * it PER ELEMENT (O(tokens²) — measured 3.8s just to explode sf0.1's
+   * shingles vs 0.3s for the tokens); the window form tokenizes once and
+   * stays in codegen. One partition-sort on (id, pos) — free when the
+   * input is already id-partitioned.
+   */
+  def shingleStream(docs: org.apache.spark.sql.DataFrame, n: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    docs
+      .select(col(idCol), posexplode(tokensWs(col(textCol))).as(Seq("pos", "tk")))
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(j =>
+          if (j == 0) col("tk") else lead(col("tk"), j).over(w)): _*).as("sh"),
+        lead(col("tk"), n - 1).over(w).as("last"))
+      .where(col("last").isNotNull) // concat_ws skips NULLs: drop tail stubs
+      .select(col(idCol), col("sh"))
+  }
+
+  /** Bulk form of `minShingleHash`: shingle stream + codegen'd md5 + one
+    * min-aggregate. Returns (idCol, min_shingle); docs with fewer than n
+    * tokens are absent (join back with "left" for the NULL the Column
+    * form produces). */
+  def minShingleHashAgg(docs: org.apache.spark.sql.DataFrame, n: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    shingleStream(docs, n, idCol, textCol)
+      .groupBy(idCol).agg(min(hash60(col("sh"))).as("min_shingle"))
 }

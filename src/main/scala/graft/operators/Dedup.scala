@@ -41,16 +41,17 @@ object Dedup {
 
   /** Distinct reduced shingle-hash set per document, exploded long form:
     * (id, g) with g = hash60(shingle) mod 2^31−1. Docs with fewer than n
-    * tokens contribute no rows. */
+    * tokens contribute no rows. Built on the window-based shingle stream
+    * (`TextFunctions.shingleStream`) — the HOF formulation re-evaluates
+    * the tokenizer per shingle and falls out of codegen. */
   def shingleSets(docs: DataFrame, n: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // spread documents across the cluster BEFORE the md5-heavy shingle
     // hashing — a corpus that arrives as few large files would otherwise
     // run the whole hash pipeline on as many cores as there are files
-    docs.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        explode(array_distinct(transform(wordShingles(col(textCol), n),
-          s => hash60(s) % HashPermMod))).as("g"))
+    shingleStream(docs.repartition(col(idCol)), n, idCol, textCol)
+      .select(col(idCol).as("id"), (hash60(col("sh")) % HashPermMod).as("g"))
+      .distinct()
 
   /**
    * NEAR dedup via exact n-gram Jaccard: inverted-index join on shingle

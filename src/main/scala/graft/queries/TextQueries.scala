@@ -44,13 +44,17 @@ object TextQueries extends QueryPack {
         langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // EXT-T3: rolling-hash fingerprint + winnowing-style min 3-gram hash.
-    "q18_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fp"),
-        minShingleHash(col("text"), 3).as("min_shingle"))
-        .orderBy(col("doc_id"))),
+    // EXT-T3: rolling-hash fingerprint (native codegen'd expression) +
+    // winnowing-style min 3-gram hash (bulk explode/aggregate form — both
+    // kernels stay out of interpreted HOF lambdas). The input repartition
+    // keys by doc_id, so the aggregate and the join back are
+    // exchange-free.
+    "q18_fingerprint" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .join(minShingleHashAgg(d, 3), Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
 
     // EXT-T4: term co-occurrence similarity — text analysis feeding the
     // engine's Pearson core (SURVEY §7.5): tokens become items, documents

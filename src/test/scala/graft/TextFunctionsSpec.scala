@@ -81,6 +81,17 @@ class TextFunctionsSpec extends SparkSpec {
     r.isNullAt(0) shouldBe true
   }
 
+  test("minShingleHashAgg equals the Column form per document") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r"), (4L, ""))
+      .toDF("doc_id", "text")
+    val agg = minShingleHashAgg(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colForm = docs.select(col("doc_id"), minShingleHash(col("text"), 3).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    colForm.foreach { case (id, v) => agg.get(id) shouldBe v }
+  }
+
   test("hash60 and hashPerm are deterministic and non-negative") {
     val h1 = one[Long](hash60(col("t")), "hello world")
     h1 shouldBe 426544247714475757L // int(md5('hello world')[:15], 16)
