@@ -56,6 +56,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // OP-04/05 for text corpora: JSONL round-trip (the training-data
+    // interchange format) — write the documents table as newline-delimited
+    // JSON, read it back with an explicit schema. JSON string escaping
+    // makes the round-trip exact, so the oracle is the original table.
+    "q45_jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val d = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.sources.Sources.saveJsonl(d, out)
+      graft.sources.Sources.jsonl(s, out,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, text STRING"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-T4: term co-occurrence similarity — text analysis feeding the
     // engine's Pearson core (SURVEY §7.5): tokens become items, documents
     // become contexts, and the same Crosstab → Correlation → topK pipeline
@@ -88,6 +103,9 @@ object TextQueries extends QueryPack {
     s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracleSql: Map[String, String] = Map(
+    "q45_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
     "q16_text_stats" ->
       s"""WITH $ToksCte,
          |st AS (SELECT doc_id,

@@ -47,4 +47,14 @@ object Sources {
   /** OP-05: matrix source (CSV round-trip needs the schema back). */
   def loadCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSONL (newline-delimited JSON) — the lingua franca of training-data
+    * corpora. Explicit schema: at 100 TB, schema inference means a full
+    * extra pass over the data. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink (one JSON object per line, splittable by any consumer). */
+  def saveJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

@@ -44,6 +44,25 @@ object SimilarityStore {
     laidOut.write.mode("overwrite").parquet(s"$storePath/$SimilarItems")
   }
 
+  /**
+   * Warehouse-scale layout: the pair table as a BUCKETED catalog table —
+   * `bucketBy(item_a_id)` + in-bucket sort. Serving joins, self-joins,
+   * and repeated aggregations on item_a_id are then co-partitioned at
+   * read time: no Exchange in the plan (guarded by the spec). This is
+   * what the parquet-dir layout's row-group sorting becomes once a table
+   * catalog is available (at 100 TB: the store is a warehouse table, not
+   * a directory).
+   */
+  def writeSimilarItemsBucketed(pairs: DataFrame, tableName: String, buckets: Int,
+                                path: Option[String] = None): Unit = {
+    val w = pairs.select(col("item_a_id").cast("long"),
+        col("item_b_id").cast("long"), col("scaled_score").cast("double"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "item_a_id")
+      .sortBy("item_a_id", "item_b_id")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
+
   def readCorrelatedItems(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(s"$storePath/$CorrelatedItems")
 

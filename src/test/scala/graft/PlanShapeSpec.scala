@@ -63,6 +63,31 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"no hash join on block key in:\n$p")
   }
 
+  test("bucketed store table joins on item_a_id without any Exchange") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 1L, 0.7), (3L, 2L, 0.6))
+      .toDF("item_a_id", "item_b_id", "scaled_score")
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
+    graft.store.SimilarityStore.writeSimilarItemsBucketed(
+      pairs, "graft_bucket_test", buckets = 4, path = Some(loc))
+    val t = spark.table("graft_bucket_test")
+    t.count() shouldBe 4
+    // Broadcast would win on this tiny fixture and bypass bucketing
+    // entirely — disable it so the plan shows what a WAREHOUSE-scale join
+    // (both sides too big to broadcast) does: bucketed scans, no shuffle.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = t.join(t.withColumnRenamed("item_b_id", "other_b"),
+        Seq("item_a_id"))
+      val p = planOf(joined)
+      p should include("Bucketed: true")
+      p should not include "Exchange"
+      // aggregation on the bucket key is likewise exchange-free
+      planOf(t.groupBy("item_a_id").count()) should not include "Exchange hashpartitioning"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("native vec_dot appears in the plan instead of interpreted lambda folds") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     val p = df.select(graft.operators.SimilaritySearch.dot(col("a"), col("b")))

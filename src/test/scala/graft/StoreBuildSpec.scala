@@ -63,4 +63,24 @@ class StoreBuildSpec extends SparkSpec {
     val occ = Seq.fill(300)((rnd.nextInt(12).toLong + 1, rnd.nextInt(25).toLong + 1))
     check(occ, k = -3.0)
   }
+
+  test("randomized battery: shapes × thresholds all match the windowed pipeline") {
+    // Deterministic fuzz over catalog size, context density, duplicate
+    // rates, and threshold multipliers — the closed form has to agree
+    // with the windowed oracle pipeline on every draw.
+    for {
+      seed <- 100 to 104
+      k <- Seq(2.0, 0.5, -1.0)
+    } {
+      val rnd = new scala.util.Random(seed)
+      val nItems = 4 + rnd.nextInt(14)
+      val nCtx = 3 + rnd.nextInt(30)
+      val rows = 30 + rnd.nextInt(300)
+      val occ = Seq.fill(rows)(
+        (rnd.nextInt(nItems).toLong + 1, rnd.nextInt(nCtx).toLong + 1))
+      withClue(s"seed=$seed k=$k items=$nItems ctx=$nCtx rows=$rows: ") {
+        check(occ, k)
+      }
+    }
+  }
 }
