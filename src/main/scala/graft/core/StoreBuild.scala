@@ -94,12 +94,19 @@ object StoreBuild {
       .select(col("item_a"), col("item_b"), col("u_b"),
         corrCol(col("sxy")).as("corr"))
 
-    // Global u-ranking of D (the item-stats table is the SMALL side — one
-    // single-partition sort of one row per item, same size class as the
-    // stats broadcasts above). r is descending in u; the ascending rank of
-    // the same row is cntD+1−r, so ONE ranking serves both extrema.
-    val rk = broadcast(d.select(col("item"), col("u"))
-      .withColumn("r", row_number().over(Window.orderBy(col("u").desc, col("item").asc))))
+    // Global u-ranking of D. A bare row_number window would drag the whole
+    // item-stats table onto ONE partition; the distributed form is a
+    // range-partitioned total sort + zipWithIndex (order-preserving, so
+    // index = rank). One row per item — small — but the sort stays
+    // parallel at any catalog size. r is descending in u; the ascending
+    // rank of the same row is cntD+1−r, so ONE ranking serves both extrema.
+    val spark = crosstab0.sparkSession
+    val rk = broadcast(spark.createDataFrame(
+      d.select(col("item"), col("u")).orderBy(col("u").desc, col("item").asc)
+        .rdd.zipWithIndex.map { case (row, i) =>
+          org.apache.spark.sql.Row(row.getLong(0), row.getDouble(1), i + 1L)
+        },
+      org.apache.spark.sql.types.StructType.fromDDL("item BIGINT, u DOUBLE, r BIGINT")))
 
     // ONE shuffle on item_a computes every per-item statistic: the sparse
     // moment aggregates (NULL-corr rows — degenerate partners and the
