@@ -94,19 +94,19 @@ object StoreBuild {
       .select(col("item_a"), col("item_b"), col("u_b"),
         corrCol(col("sxy")).as("corr"))
 
-    // Global u-ranking of D. A bare row_number window would drag the whole
-    // item-stats table onto ONE partition; the distributed form is a
-    // range-partitioned total sort + zipWithIndex (order-preserving, so
-    // index = rank). One row per item — small — but the sort stays
-    // parallel at any catalog size. r is descending in u; the ascending
-    // rank of the same row is cntD+1−r, so ONE ranking serves both extrema.
-    val spark = crosstab0.sparkSession
-    val rk = broadcast(spark.createDataFrame(
-      d.select(col("item"), col("u")).orderBy(col("u").desc, col("item").asc)
-        .rdd.zipWithIndex.map { case (row, i) =>
-          org.apache.spark.sql.Row(row.getLong(0), row.getDouble(1), i + 1L)
-        },
-      org.apache.spark.sql.types.StructType.fromDDL("item BIGINT, u DOUBLE, r BIGINT")))
+    // Global u-ranking of D via one unpartitioned row_number window. This
+    // is a DELIBERATE single-partition sort of the per-item stats table —
+    // the same table the plan broadcasts anyway, so its size class is
+    // already bounded by driver/executor memory, and the sort is a
+    // negligible fraction of the build. (The tempting "distributed"
+    // alternative — orderBy + rdd.zipWithIndex — produces an RDD-backed
+    // plan with a fresh identity per call, which defeats canonical-plan
+    // cache reuse across queries and measured 2× SLOWER end-to-end.)
+    // r is descending in u; the ascending rank of the same row is
+    // cntD+1−r, so ONE ranking serves both extrema.
+    val rk = broadcast(d.select(col("item"), col("u"))
+      .withColumn("r", row_number().over(Window.orderBy(col("u").desc, col("item").asc))
+        .cast("long")))
 
     // ONE shuffle on item_a computes every per-item statistic: the sparse
     // moment aggregates (NULL-corr rows — degenerate partners and the
