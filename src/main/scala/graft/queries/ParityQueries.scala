@@ -172,6 +172,20 @@ object ParityQueries extends QueryPack {
           round(col("scaled_score"), 6).as("scaled_score"))
         .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
 
+    // OP-06/07/08 write paths under the gate: full EP-2 store write (both
+    // parquet tables, point-lookup layout) followed by a read of the pair
+    // table — the oracle recomputes the all-items store pipeline, so this
+    // round-trips the actual persisted bytes, not just the plan.
+    "q46_store_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_store").toString
+      graft.api.SimilarityModel.fromCrosstab(ct(s, dir))
+        .storeAllIn(out, Tables.dictionary(s, dir))
+      graft.store.SimilarityStore.readSimilarItems(s, out)
+        .select(col("item_a_id"), col("item_b_id"),
+          round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))
+    }),
+
     // kNN per item over sparse pairs (OP-24/26 — WindowGroupLimit top-k).
     "q09_topk" -> ((s, dir) =>
       Neighbors.topK(Correlation.sparsePairs(ct(s, dir)), 5)
@@ -313,6 +327,13 @@ object ParityQueries extends QueryPack {
          |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q38_store_all_items" ->
+      s"""$BaseCtes,
+         |${fullCte("TRUE")},
+         |$StoreCtes
+         |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
+         |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q46_store_roundtrip" ->
       s"""$BaseCtes,
          |${fullCte("TRUE")},
          |$StoreCtes
