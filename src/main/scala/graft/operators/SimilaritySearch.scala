@@ -31,9 +31,6 @@ object SimilaritySearch {
     Seq.fill(l)(Seq.fill(dim)(if (((next() >>> 33) & 1L) == 0L) 1 else -1))
   }
 
-  /** Left-to-right fold sum of an array<double> column. */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
   /** Binary64 dot product of two float-array columns via the native
     * codegen'd `VecDot` expression — numerically identical to the
@@ -85,18 +82,16 @@ object SimilaritySearch {
   }
 
   /** Sign bucket: L-bit integer, bit j = [dot(emb, plane_j) > 0].
-    * Map-only expression over the embedding column. */
-  def srpBucket(emb: Column, planes: Seq[Seq[Int]]): Column = {
-    val p = typedlit(planes)
-    aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L), (acc, j) =>
-      acc + when(
-        foldSum(zip_with(emb, element_at(p, (j + 1).cast("int")),
-          (x, w) => x.cast("double") * w.cast("double"))) > 0.0,
-        // 2^j as a long (exact for j ≤ 62; Scala shiftleft only takes
-        // literal shifts, so go through an exact double power instead)
-        pow(lit(2.0), j.cast("double")).cast("long")
-      ).otherwise(0L))
-  }
+    * Map-only; each plane is a LITERAL float array fed to the native
+    * `vec_dot` kernel, so the whole bucket is one codegen'd projection —
+    * the earlier HOF fold (aggregate over zip_with) ran interpreted on
+    * the bucketing map stage, the hot pass of LSH at corpus scale.
+    * Numerically identical: ±1 weights are exact in float, and VecDot's
+    * ascending binary64 sum is the same fold order. */
+  def srpBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(emb, typedlit(p.map(_.toFloat))) > 0.0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Corpus bucketed by SRP signature: (vec_id, embedding, bucket). */
   def withBucket(embs: DataFrame, planes: Seq[Seq[Int]]): DataFrame =
