@@ -68,6 +68,25 @@ object DedupQueries extends QueryPack {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
+    // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
+    // One summary row: truth size, candidate size, hits, recall.
+    "q47_dedup_recall" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(docs(s, dir), ShingleN)
+      val truth = Dedup.jaccardPairs(sh, JaccardThreshold).select("doc_a", "doc_b")
+      val cand = Dedup.lshCandidates(
+          Dedup.minHashSignatures(docs(s, dir), ShingleN, NumPerms),
+          Bands, NumPerms / Bands).select("doc_a", "doc_b")
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            when(col("n_true") === 0, lit(null)).otherwise(col("n_true")), 6)
+            .as("recall"))
+    }),
+
     // EXT-D5 (scale path): the SAME operator with SRP-bucket blocking —
     // candidates must share the 8-bit sign bucket, so the pair scan is a
     // hash join on the bucket key instead of an all-pairs nested loop
@@ -104,6 +123,21 @@ object DedupQueries extends QueryPack {
        |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
        |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
 
+  /** MinHash signatures → LSH band buckets → candidate pairs (ends with
+    * CTEs `sig` and `cand`; assumes `shs` from ShingleCtes). */
+  private lazy val LshCandCtes = {
+    val r = NumPerms / Bands
+    s"""sig AS (SELECT doc_id, list_transform(range(0, $NumPerms), i ->
+       |          list_min(list_transform(gs, g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
+       |        FROM shs WHERE len(gs) > 0),
+       |bands AS (SELECT doc_id, b,
+       |            md5(array_to_string(list_slice(sg, b * $r + 1, b * $r + $r), ':')) AS bk
+       |          FROM sig, unnest(range(0, $Bands)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+       |           AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Fold-based cosine identical to SimilaritySearch.cosine (same order). */
   private def cosSql(a: String, b: String) =
     s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
@@ -131,24 +165,33 @@ object DedupQueries extends QueryPack {
          |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold
          |ORDER BY 1, 2""".stripMargin,
 
-    "q21_minhash_lsh" -> {
-      val r = NumPerms / Bands
+    "q21_minhash_lsh" ->
       s"""WITH $ShingleCtes,
-         |sig AS (SELECT doc_id, list_transform(range(0, $NumPerms), i ->
-         |          list_min(list_transform(gs, g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
-         |        FROM shs WHERE len(gs) > 0),
-         |bands AS (SELECT doc_id, b,
-         |            md5(array_to_string(list_slice(sg, b * $r + 1, b * $r + $r), ':')) AS bk
-         |          FROM sig, unnest(range(0, $Bands)) AS t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
-         |           AND a.doc_id < b.doc_id)
+         |$LshCandCtes
          |SELECT doc_a, doc_b,
          |  ROUND(len(list_filter(list_transform(range(1, ${NumPerms + 1}),
          |    i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE / $NumPerms.0, 6) AS est_sim
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
-         |ORDER BY 1, 2""".stripMargin
-    },
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q47_dedup_recall" ->
+      s"""WITH $ShingleCtes,
+         |$LshCandCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold),
+         |hits AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |         WHERE EXISTS (SELECT 1 FROM cand c
+         |                       WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         |SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+         |       (SELECT COUNT(*) FROM cand) AS n_cand,
+         |       (SELECT COUNT(*) FROM hits) AS n_hit,
+         |       ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+         |             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall""".stripMargin,
 
     "q22_simhash" ->
       """WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
