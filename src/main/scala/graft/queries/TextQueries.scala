@@ -56,6 +56,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T5: corpus profiling — the pre-training triage query: per-language
+    // volume, token-count distribution (exact interpolated percentiles),
+    // and mean quality. One aggregation pass, map-side partials.
+    "q48_corpus_profile" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), tokenCountWs(col("text")).cast("double").as("nt"),
+          qualityScore(col("text")).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nt")), 6).as("mean_tokens"),
+          round(percentile(col("nt"), lit(0.5)), 6).as("p50_tokens"),
+          round(percentile(col("nt"), lit(0.9)), 6).as("p90_tokens"),
+          round(avg(col("q")), 6).as("mean_quality"))
+        .orderBy(col("lang"))),
+
     // OP-04/05 for text corpora: JSONL round-trip (the training-data
     // interchange format) — write the documents table as newline-delimited
     // JSON, read it back with an explicit schema. JSON string escaping
@@ -105,6 +120,27 @@ object TextQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
+    "q48_corpus_profile" ->
+      s"""WITH $ToksCte,
+         |st AS (SELECT lang, len(tk)::DOUBLE AS nt,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |       ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END AS sr,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |            / length(text)::DOUBLE END AS pr
+         |  FROM toks),
+         |sq AS (SELECT lang, nt,
+         |  GREATEST(0.0, LEAST(1.0, nt / 50.0) * 0.5
+         |              + LEAST(1.0, sr * 4.0) * 0.5
+         |              - LEAST(1.0, pr * 10.0) * 0.25) AS q
+         |  FROM st)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(AVG(nt), 6) AS mean_tokens,
+         |  ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+         |  ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+         |  ROUND(AVG(q), 6) AS mean_quality
+         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_text_stats" ->
       s"""WITH $ToksCte,
