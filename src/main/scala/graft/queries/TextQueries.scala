@@ -71,6 +71,16 @@ object TextQueries extends QueryPack {
           round(avg(col("q")), 6).as("mean_quality"))
         .orderBy(col("lang"))),
 
+    // EXT-T6: deterministic stratified sampling — rebalance the corpus by
+    // language with hash-slice membership (content-stable: same row in or
+    // out on any engine, layout, or rerun — unlike seed sampling).
+    "q49_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratified(
+          Tables.read(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250), defaultPermille = 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // OP-04/05 for text corpora: JSONL round-trip (the training-data
     // interchange format) — write the documents table as newline-delimited
     // JSON, read it back with an explicit schema. JSON string escaping
@@ -120,6 +130,12 @@ object TextQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
+    "q49_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |      < CASE WHEN lang = 'de' THEN 250 WHEN lang = 'en' THEN 500 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_corpus_profile" ->
       s"""WITH $ToksCte,
