@@ -71,6 +71,12 @@ object TextQueries extends QueryPack {
           round(avg(col("q")), 6).as("mean_quality"))
         .orderBy(col("lang"))),
 
+    // EXT-T7: context-window chunking — 64-token windows every 48 tokens
+    // (overlapping), the training-data packing operator. Map-only.
+    "q50_chunk_windows" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // EXT-T6: deterministic stratified sampling — rebalance the corpus by
     // language with hash-slice membership (content-stable: same row in or
     // out on any engine, layout, or rerun — unlike seed sampling).
@@ -130,6 +136,17 @@ object TextQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
+    "q50_chunk_windows" ->
+      s"""WITH $ToksCte,
+         |starts AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk), 1), 48)) AS start
+         |           FROM toks)
+         |SELECT doc_id,
+         |  CAST(start // 48 AS BIGINT) AS chunk_id,
+         |  CAST(LEAST(64, len(tk) - start) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
+         |FROM starts WHERE start < len(tk)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q49_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
