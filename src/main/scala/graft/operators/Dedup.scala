@@ -135,6 +135,48 @@ object Dedup {
           b => b)).cast("double") / numPerms).as("est_sim"))
   }
 
+  /**
+   * Connected components over a near-dup pair graph: label every node
+   * with the MINIMUM reachable id — pairwise dedup becomes corpus dedup
+   * (keep one survivor per component, not per pair). Min-label
+   * propagation: each round every node takes the min of its own and its
+   * neighbors' labels; converges in graph-diameter rounds (near-dup
+   * components are shallow — duplicates of a common source). The edge
+   * set is the SMALL near-dup graph, orders of magnitude below the
+   * corpus; each round is one join + one aggregate. Deterministic:
+   * min-label is order-independent.
+   * Output: (id, component) — component = min doc id of the cluster.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val edges = graft.core.Caches.cacheOnce(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nbrComponent"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), col("nbrComponent")).as("component"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
     * whitespace tokens: bit j is set iff the majority of token hashes have
     * bit j set. Built RELATIONALLY (explode token hashes once, 60 codegen'd

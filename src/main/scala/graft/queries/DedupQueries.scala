@@ -68,6 +68,14 @@ object DedupQueries extends QueryPack {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // EXT-D7: near-dup CLUSTERS — connected components over the Jaccard
+    // pair graph (min-label propagation); component id = the canonical
+    // survivor. The oracle recomputes reachability with a recursive CTE.
+    "q51_neardup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold))
+        .orderBy(col("id"))),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -173,6 +181,23 @@ object DedupQueries extends QueryPack {
          |    i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE / $NumPerms.0, 6) AS est_sim
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
          |ORDER BY 1, 2""".stripMargin,
+
+    "q51_neardup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM truth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM truth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id, MIN(l) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q47_dedup_recall" ->
       s"""WITH $ShingleCtes,

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents labels chains, rings, and separate clusters by min id") {
+    // two components: a 5-chain (worst diameter) and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 5L).foreach(id => comp(id) shouldBe 1L)
+    Seq(10L, 11L, 12L).foreach(id => comp(id) shouldBe 10L)
+    comp.size shouldBe 8
+  }
+
+  import spark.implicits._
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
