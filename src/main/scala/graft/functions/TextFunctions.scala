@@ -40,6 +40,13 @@ object TextFunctions {
   def hashPermOf(g: Column, perm: Column): Column =
     pmod(g * (perm * 2L + 1L) + (perm + 1L) * 1000003L, lit(HashPermMod))
 
+  /** Canonical text form for dedup: trim, lowercase, collapse whitespace
+    * runs to single spaces. Punctuation-preserving (canonicalization must
+    * not merge genuinely different documents); engine-identical semantics
+    * (the oracle applies the same regex with the global flag). */
+  def canonicalText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
   /** Whitespace tokens of trimmed text; empty/blank text → empty array. */
   def tokensWs(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))

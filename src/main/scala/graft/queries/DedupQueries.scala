@@ -36,6 +36,14 @@ object DedupQueries extends QueryPack {
       Dedup.exactGroups(docs(s, dir))
         .orderBy(col("digest"))),
 
+    // EXT-D8: canonical-form exact dedup — digest over the NORMALIZED text
+    // (trim/lowercase/whitespace-collapse), catching case- and
+    // spacing-variant duplicates the raw digest misses.
+    "q52_canonical_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir).withColumn("text",
+          graft.functions.TextFunctions.canonicalText(col("text"))))
+        .orderBy(col("digest"))),
+
     // EXT-D2: n-gram Jaccard near-dup pairs (inverted-index join).
     "q20_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold)
@@ -159,6 +167,11 @@ object DedupQueries extends QueryPack {
     "q19_exact_dedup" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_canonical_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+        |       MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20_jaccard_pairs" ->
