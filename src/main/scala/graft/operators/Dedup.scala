@@ -208,19 +208,21 @@ object Dedup {
    * maxDist ≤ bands−1 by pigeonhole). Output: (doc_a, doc_b, dist), a < b.
    */
   def simHashPairs(sh0: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
-    // 4 plan references — persist one long per doc (see lshCandidates).
+    // The signature is ONE long, so the band self-join carries it directly
+    // — no candidate-distinct + signature re-join round trip (that shape
+    // pays off only when signatures are wide, as in lshCandidates). The
+    // Hamming filter runs before the dedup, so the distinct sees only
+    // near-dup rows (dist is a function of the pair — dedup is safe).
     val sh = graft.core.Caches.cacheOnce(sh0)
     val keyed = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .withColumn("bk", expr("(sh >> (12 * band)) & 4095"))
-    val cand = keyed.select(col("id").as("doc_a"), col("band"), col("bk"))
-      .join(keyed.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
+    keyed.select(col("id").as("doc_a"), col("band"), col("bk"), col("sh").as("sh_a"))
+      .join(keyed.select(col("id").as("doc_b"), col("band"), col("bk"), col("sh").as("sh_b")),
+        Seq("band", "bk"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 }
