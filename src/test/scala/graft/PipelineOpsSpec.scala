@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Chunking, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus-pipeline operators whose main gate is the
+  * DuckDB oracle (q49/q50): edge cases and the determinism contract. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and roughly proportional") {
+    val docs = (1L to 2000L).map(i => (i, "x")).toDF("doc_id", "text")
+    val once = Sampling.sample(docs, "doc_id", 250).select("doc_id").as[Long].collect().toSet
+    val twice = Sampling.sample(docs, "doc_id", 250).select("doc_id").as[Long].collect().toSet
+    once shouldBe twice // layout/rerun-stable
+    assert(once.size > 350 && once.size < 650, s"${once.size} of 2000 at 250 permille")
+    // slices nest: a 100 permille slice is a subset of the 250 permille slice
+    val smaller = Sampling.sample(docs, "doc_id", 100).select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(once))
+  }
+
+  test("stratified sampling applies per-stratum rates with a default") {
+    val docs = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 1000, "de" -> 0), defaultPermille = 1000)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("en") shouldBe 1000L  // keep all
+    byLang.get("de") shouldBe None // drop all
+    byLang("fr") shouldBe 1000L  // default keeps all
+  }
+
+  test("chunkDocuments windows with overlap; short and empty docs behave") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens → starts 0,3,6 at stride 3
+      (2L, "x y"),           // shorter than one chunk → one short chunk
+      (3L, "")               // empty → no rows
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkDocuments(docs, chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.filter(_._1 == 1L).sortBy(_._2).toSeq shouldBe Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g"), (1L, 2L, 1L, "g"))
+    out.filter(_._1 == 2L).toSeq shouldBe Seq((2L, 0L, 2L, "x y"))
+    out.count(_._1 == 3L) shouldBe 0
+  }
+}
