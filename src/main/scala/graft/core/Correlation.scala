@@ -95,9 +95,29 @@ object Correlation {
   }
 
   /**
+   * Pearson pairs from a sufficient-statistics triple — the shared tail of
+   * `sparsePairs` and the incremental path (`Incremental.pairs`): item
+   * stats (item, sx, sxx), upper-triangle co-moments (item_a, item_b,
+   * sxy), and the 1-row context count. Item stats are small (one row per
+   * item) — broadcast both joins; n is a 1-row broadcast.
+   */
+  def pairsFromStats(st: DataFrame, co: DataFrame, n: DataFrame): DataFrame = {
+    val sym = co.unionByName(
+      co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
+    val sa = st.select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val sb = st.select(col("item").as("item_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    sym
+      .join(broadcast(sa), Seq("item_a"))
+      .join(broadcast(sb), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"),
+        corrExpr(col("n"), col("sxy"), col("sx_a"), col("sxx_a"),
+                 col("sx_b"), col("sxx_b")).as("corr"))
+  }
+
+  /**
    * Scalable path: correlations for CO-OCCURRING pairs, symmetric output
-   * (both (a,b) and (b,a)), self excluded. Item stats are small (one row
-   * per item) — broadcast both joins; n is a 1-row broadcast.
+   * (both (a,b) and (b,a)), self excluded.
    */
   def sparsePairs(crosstab0: DataFrame, maxContextDegree: Option[Int] = None,
                   saltedWith: Option[Int] = None): DataFrame = {
@@ -107,27 +127,16 @@ object Correlation {
     // the cell table outgrows executor memory at scale. `cacheOnce`
     // reuses an already-cached equal plan instead of re-persisting.
     val crosstab = Caches.cacheOnce(crosstab0)
-    val st = itemStats(crosstab)
     // The salted join computes the SAME integer-exact co-moment sums over
     // a skew-resistant shuffle layout — oracle-identical output.
     val co = saltedWith match {
       case Some(salts) => saltedCoMoments(crosstab, salts)
       case None => sparseCoMoments(crosstab, maxContextDegree)
     }
-    val sym = co.unionByName(
-      co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
-    val sa = st.select(col("item").as("item_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
-    val sb = st.select(col("item").as("item_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
     // Cache the RESULT too: several queries consume the same pair table
     // (raw, top-k, matrix export), and CacheManager dedups by canonical
     // plan, so they share one materialization per session.
-    Caches.cacheOnce(sym
-      .join(broadcast(sa), Seq("item_a"))
-      .join(broadcast(sb), Seq("item_b"))
-      .crossJoin(broadcast(nContexts(crosstab)))
-      .select(col("item_a"), col("item_b"),
-        corrExpr(col("n"), col("sxy"), col("sx_a"), col("sxx_a"),
-                 col("sx_b"), col("sxx_b")).as("corr")))
+    Caches.cacheOnce(pairsFromStats(itemStats(crosstab), co, nContexts(crosstab)))
   }
 
   /**

@@ -39,11 +39,21 @@ object Crosstab {
       .agg(count(lit(1)).as("cnt"))
 
   /**
+   * Merge two cell tables over the SAME item/ctx space: cells are
+   * occurrence COUNTS, so merging is cell-wise addition — the crosstab of
+   * a union of occurrence logs equals the merge of their crosstabs. This
+   * additivity is what makes the model incrementally maintainable
+   * (`Incremental`): appending a day of occurrences is one delta
+   * aggregate + this merge, never a rescan of history.
+   */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("item", "ctx").agg(sum("cnt").as("cnt"))
+
+  /**
    * OP-27 (SURVEY §2.6): vstack / union of two crosstabs over the same
    * context space (`similarity.py:28-29`). Caller guarantees disjoint item
-   * id spaces (the reference requires the same via offset item ids).
-   * Re-aggregation keeps the (item, ctx) key unique after the union.
+   * id spaces (the reference requires the same via offset item ids), so
+   * this is `merge` where no cell can collide.
    */
-  def vstack(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("item", "ctx").agg(sum("cnt").as("cnt"))
+  def vstack(a: DataFrame, b: DataFrame): DataFrame = merge(a, b)
 }

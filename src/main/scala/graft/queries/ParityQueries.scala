@@ -136,6 +136,24 @@ object ParityQueries extends QueryPack {
         .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
         .orderBy(col("item_a"), col("item_b"))),
 
+    // EP-1 INCREMENTAL (Incremental.update): the reference retrains from
+    // scratch on every ingest (`similarity.py:92-117`); here a base model
+    // over lineitem lines 1-3 is updated with lines 4+ as the delta. The
+    // merged sufficient statistics are bit-identical to a full rebuild —
+    // the oracle is the SAME full-corpus SQL as q05. The line split makes
+    // base and delta share contexts AND individual cells, so every merge
+    // path (cell add, sxx correction, co-moment cross terms) is exercised.
+    "q53_incremental_corr" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      def occ(p: org.apache.spark.sql.Column) = li.where(p)
+        .select(col("l_partkey").as("item_id"), col("l_orderkey").as("reference_id"))
+      val base = graft.core.Incremental.fromOccurrences(occ(col("l_linenumber") <= 3))
+      val updated = graft.core.Incremental.update(base, occ(col("l_linenumber") > 3))
+      graft.core.Incremental.pairs(updated)
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // OP-19 (parity path): full correlation vectors for sampled items.
     "q06_corr_full_sample" -> ((s, dir) =>
       fullSample(s, dir)
@@ -297,6 +315,11 @@ object ParityQueries extends QueryPack {
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM spc ORDER BY 1, 2""".stripMargin,
 
     "q43_corr_salted" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    "q53_incremental_corr" ->
       s"""$BaseCtes,
          |$SparseCte
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
