@@ -52,8 +52,33 @@ import org.apache.spark.sql.functions._
  */
 object StoreBuild {
 
-  /** All-items store table: (item_a_id, item_b_id, scaled_score). */
-  def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0): DataFrame = {
+  /** Catalog size above which the build switches to the distributed-rank /
+    * shuffled-join plan (see `scaledNeighbors`). Below it, the per-item
+    * stats table is broadcast anyway, so the single-partition sort is
+    * already in the right cost class AND canonical-plan caching keeps
+    * repeated builds cheap. 10⁷ items ≈ a few hundred MB of stats rows —
+    * the edge of comfortable broadcast/sort-on-one-core territory. */
+  val LargeCatalogThreshold: Long = 10L * 1000 * 1000
+
+  /**
+   * All-items store table: (item_a_id, item_b_id, scaled_score).
+   *
+   * `largeCatalog`: None (default) probes the non-degenerate item count
+   * (one cheap count over the cached stats table — it materializes
+   * exactly what every downstream branch consumes anyway) and switches
+   * plans at `LargeCatalogThreshold`; Some(x) forces the choice. The two
+   * plans are output-identical (spec-checked); they differ only in how
+   * the CATALOG-sized structures are handled:
+   *
+   *  - small: global u-rank via one single-partition window over the
+   *    per-item stats table, stats broadcast into every join;
+   *  - large: two-phase distributed rank (range-partition by (u desc,
+   *    item), per-partition row_number, join-based partition offsets —
+   *    no single-partition stage anywhere, plan-shape-guarded) and
+   *    shuffled stats joins instead of broadcasts.
+   */
+  def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0,
+                      largeCatalog: Option[Boolean] = None): DataFrame = {
     val ct = Caches.cacheOnce(crosstab0)
     val n1 = Correlation.nContexts(ct) // 1 row
 
@@ -68,6 +93,15 @@ object StoreBuild {
     val globals = broadcast(d.agg(
       sum(col("u")).as("gU"), sum(col("u") * col("u")).as("gV"),
       count(lit(1)).as("cntD"), min(col("u")).as("uming")))
+
+    // Catalog-size gate: the count runs over the CACHED stats table that
+    // every downstream branch reads anyway, so the probe costs one cheap
+    // job, not a recompute.
+    val large = largeCatalog.getOrElse(d.count() > LargeCatalogThreshold)
+    // Under the large-catalog plan, catalog-sized tables join SHUFFLED
+    // instead of broadcast (1-row globals and the ~empty zero-pair
+    // candidate set stay broadcast at any scale).
+    def bcCat(df: DataFrame): DataFrame = if (large) df else broadcast(df)
 
     def corrCol(sxy: Column): Column = {
       val den = sqrt(col("n") * col("sxx_a") - col("sx_a") * col("sx_a")) *
@@ -88,25 +122,54 @@ object StoreBuild {
     val co = Caches.cacheOnce(Correlation.sparseCoMoments(ct))
     val sym = co.unionByName(
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
-    def sp = sym.join(broadcast(da), Seq("item_a"))
-      .join(broadcast(db), Seq("item_b"))
+    def sp = sym.join(bcCat(da), Seq("item_a"))
+      .join(bcCat(db), Seq("item_b"))
       .crossJoin(broadcast(n1))
       .select(col("item_a"), col("item_b"), col("u_b"),
         corrCol(col("sxy")).as("corr"))
 
-    // Global u-ranking of D via one unpartitioned row_number window. This
-    // is a DELIBERATE single-partition sort of the per-item stats table —
-    // the same table the plan broadcasts anyway, so its size class is
-    // already bounded by driver/executor memory, and the sort is a
-    // negligible fraction of the build. (The tempting "distributed"
-    // alternative — orderBy + rdd.zipWithIndex — produces an RDD-backed
-    // plan with a fresh identity per call, which defeats canonical-plan
-    // cache reuse across queries and measured 2× SLOWER end-to-end.)
-    // r is descending in u; the ascending rank of the same row is
-    // cntD+1−r, so ONE ranking serves both extrema.
-    val rk = broadcast(d.select(col("item"), col("u"))
-      .withColumn("r", row_number().over(Window.orderBy(col("u").desc, col("item").asc))
-        .cast("long")))
+    // Global u-ranking of D. r is descending in u; the ascending rank of
+    // the same row is cntD+1−r, so ONE ranking serves both extrema.
+    //
+    // Small catalogs: one unpartitioned row_number window — a DELIBERATE
+    // single-partition sort of the per-item stats table, the same table
+    // the plan broadcasts anyway, so its size class is already bounded by
+    // driver/executor memory and the sort is a negligible fraction of the
+    // build. (The tempting orderBy + rdd.zipWithIndex produces an
+    // RDD-backed plan with a fresh identity per call, which defeats
+    // canonical-plan cache reuse across queries — measured 2× SLOWER
+    // end-to-end.)
+    //
+    // Large catalogs: two-phase distributed rank. Range-partition by the
+    // rank order, number rows per partition, then add each partition's
+    // global offset (a join-based prefix sum over the ≤ shuffle-partition
+    // count of per-partition totals — deliberately NOT a window, so no
+    // single-partition stage exists anywhere in this plan). Correct for
+    // ANY contiguous-range placement, so it does not depend on the range
+    // sampler's exact bounds.
+    val rkBase = {
+      val du = d.select(col("item"), col("u"))
+      if (!large)
+        du.withColumn("r",
+          row_number().over(Window.orderBy(col("u").desc, col("item").asc)).cast("long"))
+      else {
+        // Cached: feeds both the local numbering and the per-partition
+        // counts; without it each consumer re-runs the range exchange.
+        val parts = Caches.cacheOnce(
+          du.repartitionByRange(col("u").desc, col("item").asc)
+            .withColumn("pid", spark_partition_id()))
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("u").desc, col("item").asc)
+        val local = parts.withColumn("lr", row_number().over(wLocal).cast("long"))
+        val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
+        val offs = counts.select(col("pid"), col("pcnt"))
+          .join(broadcast(counts.select(col("pid").as("qid"), col("pcnt").as("qcnt"))),
+            col("qid") < col("pid"), "left")
+          .groupBy(col("pid")).agg(coalesce(sum(col("qcnt")), lit(0L)).as("off"))
+        local.join(broadcast(offs), Seq("pid"))
+          .select(col("item"), col("u"), (col("lr") + col("off")).as("r"))
+      }
+    }
+    val rk = bcCat(rkBase)
 
     // ONE shuffle on item_a computes every per-item statistic: the sparse
     // moment aggregates (NULL-corr rows — degenerate partners and the
@@ -199,7 +262,7 @@ object StoreBuild {
 
     // (a) Sparse emissions: per-row scaled score vs per-item threshold.
     val sparseOut = sp
-      .join(broadcast(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming")), Seq("item_a"))
+      .join(bcCat(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming")), Seq("item_a"))
       .where(passes)
       .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
         scaledScore.as("scaled_score"))

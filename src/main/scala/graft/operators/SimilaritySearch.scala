@@ -181,25 +181,51 @@ object SimilaritySearch {
    * bit-for-bit — that is what makes trained-IVF oracle-checkable, not
    * just spec-checkable. Empty clusters drop out, like k-means.
    *
+   * The fold is a STREAMING per-partition pass (hash-partition by
+   * centroid, in-partition sort by (cent_id, vec_id), one O(dim)
+   * accumulator per cluster) — clusters are never materialized in memory,
+   * so arbitrarily large inverted lists train in bounded state where the
+   * earlier per-cluster collect_list capped out at executor memory.
+   * `mapPartitions` is the right tool here and nowhere else in this
+   * module: an ordered left-fold is genuinely per-partition imperative
+   * logic — no built-in aggregate guarantees input order.
+   *
    * At 100 TB: assignment is the same broadcast-centroids map pass the
-   * probe step uses; the update is one groupBy over nlist groups. Train
-   * on a corpus sample (standard IVF practice) if the per-list
-   * collect_list grows beyond executor memory.
+   * probe step uses; the update is one shuffle keyed on nlist centroids.
    */
   def trainedCentroids(corpus: DataFrame, centroidMod: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val seeds = ivfCentroids(corpus, centroidMod)
     val assigned = centroidRanks(corpus.repartition(col("vec_id")), seeds, 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"))
-    assigned
-      .groupBy(col("cent_id"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-      .select(col("cent_id"),
-        transform(
-          aggregate(col("vs"),
-            array_repeat(lit(0.0), dim),
-            (acc, v) => zip_with(acc, v.getField("embedding"),
-              (x, y) => x + y.cast("double"))),
-          x => (x / size(col("vs"))).cast("float")).as("cent_emb"))
+    val folded = assigned
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .select(col("cent_id").cast("long"), col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Array[Float])] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Array[Float]) = {
+            val cid = it.head._1
+            val acc = new Array[Double](dim)
+            var n = 0L
+            while (it.hasNext && it.head._1 == cid) {
+              val emb = it.next()._3
+              var i = 0
+              while (i < dim) { acc(i) += emb(i).toDouble; i += 1 }
+              n += 1
+            }
+            val out = new Array[Float](dim)
+            var i = 0
+            while (i < dim) { out(i) = (acc(i) / n).toFloat; i += 1 }
+            (cid, out)
+          }
+        }
+      }
+    folded.toDF("cent_id", "cent_emb")
       .withColumn("cent_nrm", l2Norm(col("cent_emb")))
   }
 

@@ -57,6 +57,28 @@ class SimilaritySearchSpec extends SparkSpec {
     lsh.keySet should contain(2L) // the true near neighbor shares the bucket
   }
 
+  test("trainedCentroids: streaming ordered-fold mean, no collect_list in the plan") {
+    // 6 unit-ish vectors, seeds = vec_id % 3 == 1 → seeds {1, 4}
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.2f)), (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.2f, 0.8f)), (6L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val tc = SimilaritySearch.trainedCentroids(corpus, 3, 2)
+    // bounded-state pipeline: the cluster materialization is gone
+    val plan = tc.queryExecution.executedPlan.toString
+    plan should not include "collect_list"
+    // cluster {1,2,3} → mean of the ordered binary64 fold, float32-rounded
+    val got = tc.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def mean(vs: Seq[Seq[Float]]): Seq[Float] = {
+      val acc = new Array[Double](2)
+      vs.foreach(v => (0 until 2).foreach(i => acc(i) += v(i).toDouble))
+      acc.map(x => (x / vs.size).toFloat).toSeq
+    }
+    got(1L) shouldBe mean(Seq(Seq(1.0f, 0.0f), Seq(0.8f, 0.2f), Seq(0.9f, 0.1f)))
+    got(4L) shouldBe mean(Seq(Seq(0.0f, 1.0f), Seq(0.2f, 0.8f), Seq(0.1f, 0.9f)))
+  }
+
   test("nearDupPairs respects threshold and optional blocking") {
     val withBlk = embs.withColumn("label", (col("vec_id") % 2).cast("int"))
     val all = SimilaritySearch.nearDupPairs(withBlk, 0.9).collect()

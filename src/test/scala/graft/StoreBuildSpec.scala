@@ -64,6 +64,45 @@ class StoreBuildSpec extends SparkSpec {
     check(occ, k = -3.0)
   }
 
+  test("large-catalog plan is output-identical to the small plan") {
+    val rnd = new scala.util.Random(19)
+    val occ = Seq.fill(400)((rnd.nextInt(15).toLong + 1, rnd.nextInt(30).toLong + 1))
+    val ct = Crosstab.build(occ.toDF("item_id", "reference_id"))
+    val small = asMap(StoreBuild.scaledNeighbors(ct, 2.0, largeCatalog = Some(false)))
+    val large = asMap(StoreBuild.scaledNeighbors(ct, 2.0, largeCatalog = Some(true)))
+    large.keySet shouldBe small.keySet
+    large.foreach { case (key, s) =>
+      assert(approx(s, small(key), 1e-12), s"$key: large=$s small=${small(key)}")
+    }
+  }
+
+  test("large-catalog plan has NO single-partition window anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Descend through AQE wrappers AND cached (InMemoryRelation) subplans —
+    // cacheOnce hides the rank pipeline behind an InMemoryTableScan.
+    def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.initialPlan)
+        case s: InMemoryTableScanExec => unpartitionedWindows(s.relation.cachedPlan)
+      }.flatten
+    // Plans from earlier tests are cached plan-equal; clear so this test
+    // inspects the full pipeline, not an InMemoryTableScan of it.
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(23)
+    val occ = Seq.fill(300)((rnd.nextInt(12).toLong + 1, rnd.nextInt(20).toLong + 1))
+    val ct = Crosstab.build(occ.toDF("item_id", "reference_id"))
+    val large = StoreBuild.scaledNeighbors(ct, 2.0, largeCatalog = Some(true))
+    unpartitionedWindows(large.queryExecution.executedPlan) shouldBe empty
+    // and the small plan DOES rank through one — the gate is real
+    spark.catalog.clearCache()
+    val small = StoreBuild.scaledNeighbors(ct, 2.0, largeCatalog = Some(false))
+    unpartitionedWindows(small.queryExecution.executedPlan) should not be empty
+  }
+
   test("randomized battery: shapes × thresholds all match the windowed pipeline") {
     // Deterministic fuzz over catalog size, context density, duplicate
     // rates, and threshold multipliers — the closed form has to agree
