@@ -72,9 +72,11 @@ object TextFunctions {
       .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
 
   /** Number of tokens that appear in `words` (exact token match — no
-    * substring false-positives). */
+    * substring false-positives). Tokens are lowercased before the hit
+    * test, so sentence-initial "The" counts like "the"; the marker lists
+    * are expected lowercase. */
   def wordHits(c: Column, words: Seq[String]): Column =
-    size(filter(tokensWs(c), t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+    size(filter(tokensWs(c), t => lower(t).isin(words.map(_.asInstanceOf[Any]): _*)))
 
   /** English-ish stopword list used by the default quality score. */
   val Stopwords: Seq[String] =
@@ -192,4 +194,39 @@ object TextFunctions {
                         textCol: String = "text"): org.apache.spark.sql.DataFrame =
     shingleStream(docs, n, idCol, textCol)
       .groupBy(idCol).agg(min(hash60(col("sh"))).as("min_shingle"))
+
+  /**
+   * TF-IDF-weighted token crosstab (SURVEY §7.5's weighted term
+   * similarity): tokens are items, documents are contexts, each cell
+   * carries tf · idf_q instead of the raw count, so boilerplate terms
+   * stop dominating the correlation core they feed.
+   *
+   * idf is QUANTIZED to integer milli-nats — idf_q = round(1000·ln(N/df))
+   * — because the downstream co-moment sums must stay EXACT in binary64
+   * (SURVEY §5.3): integer cell weights keep Σcnt, Σcnt², Σcnt_a·cnt_b
+   * order-independent across shuffle layouts, where raw-double idf would
+   * make partial-aggregation order observable. Terms in every document
+   * (idf_q = 0) carry no signal and are dropped.
+   *
+   * Scale: two hash aggregates (tf cells, then df per term) and a
+   * broadcast of the 1-row doc count — same shuffle shape as
+   * `Crosstab.build`. Output: (item, ctx, cnt) with item = hash60(token),
+   * ctx = the document id, cnt = tf·idf_q as double.
+   */
+  def tfidfCrosstab(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("ctx"),
+      explode(tokensWs(col(textCol))).as("tok"))
+    val tf = toks.groupBy(hash60(col("tok")).as("item"), col("ctx"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("item").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(countDistinct(col(idCol)).as("ndocs"))
+    tf.join(dfreq, Seq("item"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_q",
+        round(log(col("ndocs").cast("double") / col("df").cast("double")) * 1000.0, 0))
+      .where(col("idf_q") > 0.0)
+      .select(col("item"), col("ctx"), (col("tf") * col("idf_q")).cast("double").as("cnt"))
+  }
 }

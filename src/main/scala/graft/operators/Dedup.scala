@@ -152,9 +152,9 @@ object Dedup {
     val edges = graft.core.Caches.cacheOnce(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist()
+    var labels = graft.core.Caches.cacheOnce(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -162,11 +162,10 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbrComponent"))
-      val next = labels
+      val next = graft.core.Caches.cacheOnce(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), col("nbrComponent")).as("component"))
-        .persist()
+          least(col("component"), col("nbrComponent")).as("component")))
       converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old")).isEmpty
       labels.unpersist()
@@ -175,6 +174,35 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
+  }
+
+  /**
+   * Survivor selection over near-dup components: real pipelines keep the
+   * BEST document of each duplicate cluster, not the arbitrary min-id one.
+   * `components`: (id, component) from `connectedComponents`; `quality`:
+   * (id, <scoreCol>) — e.g. `TextFunctions.qualityScore`. One row per
+   * component: its argmax-quality member (ties break to the smaller id —
+   * deterministic), the winning score, and the member count.
+   *
+   * Scale: ONE shuffle on component; the rank-1 filter plans as a
+   * WindowGroupLimit (partial top-1 pushdown) and the member count shares
+   * the same partitioning — a single exchange serves both windows. The
+   * component table is the SMALL near-dup graph's node set, not the corpus.
+   * Output: (component, survivor_id, best_quality, n_members).
+   */
+  def survivors(components: DataFrame, quality: DataFrame,
+                scoreCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = components.join(quality, Seq("id"))
+    val wRank = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    val wAll = Window.partitionBy(col("component"))
+    joined
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .where(col("rnk") === 1)
+      .select(col("component"), col("id").as("survivor_id"),
+        col(scoreCol).as("best_quality"), col("n_members"))
   }
 
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT

@@ -84,6 +84,20 @@ object DedupQueries extends QueryPack {
           Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold))
         .orderBy(col("id"))),
 
+    // EXT-D9: survivor selection — components (q51's machinery) × quality
+    // scoring (q16's machinery): keep the argmax-quality member of each
+    // near-dup cluster, deterministic tie-break to the smaller id.
+    "q54_dedup_survivors" -> ((s, dir) => {
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold))
+      val qual = docs(s, dir).select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      Dedup.survivors(comps, qual)
+        .select(col("component"), col("survivor_id"),
+          round(col("best_quality"), 6).as("best_quality"), col("n_members"))
+        .orderBy(col("component"))
+    }),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -154,6 +168,23 @@ object DedupQueries extends QueryPack {
        |           AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Quality-score CTEs (mirrors TextFunctions.qualityScore with the
+    * lowercased stopword hit — q16's formula): ends with `tq(doc_id, q)`. */
+  private lazy val QualityCtes = {
+    val stop = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""qtoks AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+       |          ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+       |tq AS (SELECT doc_id,
+       |  GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+       |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+       |        ELSE len(list_filter(tk, t -> lower(t) IN ($stop)))::DOUBLE
+       |             / len(tk)::DOUBLE END) * 4.0) * 0.5
+       |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+       |             / length(text)::DOUBLE END) * 10.0) * 0.25) AS q
+       |  FROM qtoks)""".stripMargin
+  }
+
   /** Fold-based cosine identical to SimilaritySearch.cosine (same order). */
   private def cosSql(a: String, b: String) =
     s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
@@ -211,6 +242,31 @@ object DedupQueries extends QueryPack {
          |  UNION
          |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id)
          |SELECT id, MIN(l) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q54_dedup_survivors" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM truth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM truth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |$QualityCtes,
+         |jq AS (SELECT c.id, c.component, q.q FROM comp c JOIN tq q ON c.id = q.doc_id),
+         |rk AS (SELECT id, component, q,
+         |         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, id) AS rnk,
+         |         COUNT(*) OVER (PARTITION BY component) AS n_members
+         |       FROM jq)
+         |SELECT component, id AS survivor_id, ROUND(q, 6) AS best_quality, n_members
+         |FROM rk WHERE rnk = 1 ORDER BY component""".stripMargin,
 
     "q47_dedup_recall" ->
       s"""WITH $ShingleCtes,

@@ -107,6 +107,23 @@ object TextQueries extends QueryPack {
     // become contexts, and the same Crosstab → Correlation → topK pipeline
     // produces "related terms". Token identity is hash60 (items are opaque
     // Longs); names re-attached from the token dictionary.
+    // EXT-T8: TF-IDF-weighted term similarity (SURVEY §7.5) — the same
+    // correlation core as q36, but cells carry tf·idf_q (integer
+    // milli-nat idf keeps the co-moment sums exact — see
+    // TextFunctions.tfidfCrosstab), so boilerplate terms stop dominating.
+    "q56_tfidf_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val top = graft.core.Neighbors.topK(
+        graft.core.Correlation.sparsePairs(tfidfCrosstab(d)), 3)
+      val toks = d.select(explode(tokensWs(col("text"))).as("tok"))
+      val dict = toks.select(hash60(col("tok")).as("h"), col("tok")).distinct()
+      top
+        .join(dict.select(col("h").as("item_a"), col("tok").as("term_a")), Seq("item_a"))
+        .join(dict.select(col("h").as("item_b"), col("tok").as("term_b")), Seq("item_b"))
+        .select(col("term_a"), col("term_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("term_a"), col("corr").desc_nulls_last, col("term_b"))
+    }),
+
     "q36_term_similarity" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(tokensWs(col("text"))).as("tok"))
@@ -131,7 +148,7 @@ object TextQueries extends QueryPack {
       |  FROM documents)""".stripMargin
 
   private def hits(words: Seq[String]) =
-    s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    s"len(list_filter(tk, t -> lower(t) IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
@@ -222,6 +239,40 @@ object TextQueries extends QueryPack {
          |                i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
          |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS min_shingle
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q56_tfidf_terms" ->
+      s"""WITH $ToksCte,
+         |occ AS (SELECT ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS item,
+         |               doc_id AS ctx
+         |        FROM toks, unnest(toks.tk) AS t(tok)),
+         |dict AS (SELECT DISTINCT ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h, t.tok
+         |         FROM toks, unnest(toks.tk) AS t(tok)),
+         |tf AS (SELECT item, ctx, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+         |dfq AS (SELECT item, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS ndocs FROM documents),
+         |ct AS (SELECT t.item, t.ctx,
+         |         (t.tf * ROUND(1000.0 * LN(nd.ndocs::DOUBLE / d.df::DOUBLE)))::DOUBLE AS cnt
+         |       FROM tf t JOIN dfq d ON t.item = d.item CROSS JOIN nd
+         |       WHERE ROUND(1000.0 * LN(nd.ndocs::DOUBLE / d.df::DOUBLE)) > 0),
+         |nn AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n FROM ct),
+         |st AS (SELECT item, SUM(cnt) AS sx, SUM(cnt*cnt) AS sxx FROM ct GROUP BY 1),
+         |co AS (SELECT a.item AS item_a, b.item AS item_b, SUM(a.cnt*b.cnt) AS sxy
+         |       FROM ct a JOIN ct b ON a.ctx = b.ctx AND a.item < b.item GROUP BY 1, 2),
+         |cosym AS (SELECT item_a, item_b, sxy FROM co
+         |          UNION ALL SELECT item_b, item_a, sxy FROM co),
+         |sp AS (SELECT c.item_a, c.item_b,
+         |  (nn.n*c.sxy - sa.sx*sb.sx)
+         |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+         |  FROM cosym c JOIN st sa ON c.item_a = sa.item
+         |  JOIN st sb ON c.item_b = sb.item CROSS JOIN nn),
+         |rk AS (SELECT item_a, item_b, corr,
+         |         ROW_NUMBER() OVER (PARTITION BY item_a
+         |                            ORDER BY corr DESC NULLS LAST, item_b) AS rnk
+         |       FROM sp)
+         |SELECT da.tok AS term_a, db.tok AS term_b, ROUND(corr, 6) AS corr
+         |FROM rk JOIN dict da ON rk.item_a = da.h JOIN dict db ON rk.item_b = db.h
+         |WHERE rnk <= 3
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q36_term_similarity" ->
       s"""WITH $ToksCte,

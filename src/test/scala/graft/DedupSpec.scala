@@ -17,6 +17,18 @@ class DedupSpec extends SparkSpec {
     comp.size shouldBe 8
   }
 
+  test("survivors keeps the argmax-quality member, ties to the smaller id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val qual = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("id", "quality")
+    val s = Dedup.survivors(comps, qual).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    s(1L) shouldBe ((2L, 0.9, 3L)) // 2 beats 3 on the id tie-break
+    s(10L) shouldBe ((10L, 0.5, 2L))
+    s.size shouldBe 2
+  }
+
   import spark.implicits._
 
   private val docs = Seq(

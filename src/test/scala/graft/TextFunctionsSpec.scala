@@ -28,6 +28,8 @@ class TextFunctionsSpec extends SparkSpec {
     one[Double](stopwordRatio(col("t")), "the cat of doom") shouldBe 0.5
     // exact token match only: "theater" is not "the"
     one[Double](stopwordRatio(col("t")), "theater cat") shouldBe 0.0
+    // case-insensitive: sentence-initial "The" counts as a stopword
+    one[Double](stopwordRatio(col("t")), "The cat OF doom") shouldBe 0.5
   }
 
   test("qualityScore stays in [0,1] and rewards stopword-rich text") {
@@ -47,6 +49,8 @@ class TextFunctionsSpec extends SparkSpec {
     one[String](langId(col("t")), "xyzzy plugh") shouldBe "und"
     // "la" ∈ es and fr; tie at 1 hit each → alphabetical → "es"
     one[String](langId(col("t")), "la maison") shouldBe "es"
+    // case-insensitive markers: "The" / "AND" count as English hits
+    one[String](langId(col("t")), "The cat AND the dog") shouldBe "en"
   }
 
   test("fingerprint is order-sensitive and matches the fold definition") {
