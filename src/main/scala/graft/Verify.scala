@@ -17,11 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        System.err.println(s"[verify] $name failed: ${failures(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure ARTIFACT next to the dumps: a broken query must never read
+    // as an empty-but-valid result — the driver (and any human) can see
+    // exactly which queries failed and why without parsing stderr.
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     graft.core.Caches.clearAll(spark)
     spark.stop()
   }

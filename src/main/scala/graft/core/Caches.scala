@@ -25,6 +25,13 @@ object Caches {
     if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
     else df
 
+  /** Release one cached plan (no-op if it is not cached). Library users
+    * embedding a single pipeline in a long-lived session can release its
+    * shared subplans eagerly instead of waiting for `clearAll` at the
+    * session boundary. */
+  def release(df: DataFrame): Unit =
+    if (df.storageLevel != StorageLevel.NONE) { df.unpersist(); () }
+
   /** Drop every cached plan in the session (`spark.catalog.clearCache`). */
   def clearAll(spark: SparkSession): Unit = spark.catalog.clearCache()
 }
