@@ -57,7 +57,7 @@ object SimilaritySearch {
   /** Pair cosine from a pre-computed norm on each side: only the dot
     * product is evaluated per PAIR; the O(dim) norm kernels run once per
     * ROW map-side. Numerically identical to `cosine`. */
-  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[graft] def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
       .otherwise(dot(a, b) / (na * nb))
 
@@ -103,13 +103,22 @@ object SimilaritySearch {
    * corpus shuffles once by bucket, queries broadcast.
    * Output: (query_id, vec_id, cos), only candidates sharing the bucket.
    */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Int]], k: Int): DataFrame = {
+  def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Int]], k: Int): DataFrame =
+    srpServe(
+      withBucket(corpus.repartition(col("vec_id")), planes)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+          col("bucket")),
+      queries, planes, k)
+
+  /** Serve SRP top-k from a PREBUILT bucketed corpus (vec_id, embedding,
+    * nrm, bucket) — fresh (`lshTopK`) or persisted (`store.AnnStore`).
+    * Queries are bucketed with the same planes and broadcast. */
+  def srpServe(bucketedCorpus: DataFrame, queries: DataFrame,
+               planes: Seq[Seq[Int]], k: Int): DataFrame = {
     val qb = broadcast(withBucket(queries, planes)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         l2Norm(col("embedding")).as("q_nrm"), col("bucket")))
-    val cb = withBucket(corpus.repartition(col("vec_id")), planes)
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"), col("bucket"))
-    val scored = cb.join(qb, Seq("bucket"))
+    val scored = bucketedCorpus.join(qb, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
@@ -157,9 +166,21 @@ object SimilaritySearch {
   /** IVF probing against an explicit centroid table (sampled OR trained —
     * the dataflow is identical, as the IVF design promises). */
   def ivfTopKFrom(cents: DataFrame, queries: DataFrame, corpus: DataFrame,
-                  nprobe: Int, k: Int): DataFrame = {
-    val lists = centroidRanks(corpus.repartition(col("vec_id")), cents, 1)
+                  nprobe: Int, k: Int): DataFrame =
+    ivfServe(ivfLists(corpus, cents), cents, queries, nprobe, k)
+
+  /** Inverted lists: every corpus vector filed under its nearest centroid,
+    * with its precomputed norm — the table `store.AnnStore` persists. */
+  def ivfLists(corpus: DataFrame, cents: DataFrame): DataFrame =
+    centroidRanks(corpus.repartition(col("vec_id")), cents, 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+
+  /** Serve IVF top-k from PREBUILT inverted lists (cent_id, vec_id,
+    * embedding, nrm) — fresh (`ivfTopKFrom`) or persisted
+    * (`store.AnnStore`). Queries rank against the centroid table and
+    * probe their `nprobe` nearest lists. */
+  def ivfServe(lists: DataFrame, cents: DataFrame, queries: DataFrame,
+               nprobe: Int, k: Int): DataFrame = {
     val probes = broadcast(centroidRanks(queries, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id")))

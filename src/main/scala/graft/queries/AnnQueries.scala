@@ -57,6 +57,26 @@ object AnnQueries extends QueryPack {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
 
+    // EXT-A7: persisted ANN index round-trip — build the SRP bucket table
+    // and the IVF centroid/list tables in the store layout, then serve
+    // BOTH top-k paths from the persisted parquet (no recompute of
+    // buckets or assignments). Must hash-match q26/q34 computed fresh —
+    // the ANN analogue of q46.
+    "q55_ann_store_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      val e = embs(s, dir)
+      graft.store.AnnStore.writeSrp(e, planes, out)
+      graft.store.AnnStore.writeIvf(e, SimilaritySearch.ivfCentroids(e, CentroidMod), out)
+      val srp = graft.store.AnnStore.srpTopK(s, out, querySet(s, dir), K)
+        .withColumn("method", lit("srp"))
+      val ivf = graft.store.AnnStore.ivfTopK(s, out, querySet(s, dir), NProbe, K)
+        .withColumn("method", lit("ivf"))
+      srp.unionByName(ivf)
+        .select(col("method"), col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("method"), col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
     // EXT-A4: recall@k of the two approximate paths against the exact
     // brute-force ground truth, computed in-engine per query.
     "q41_ann_recall" -> ((s, dir) => {
@@ -186,6 +206,41 @@ object AnnQueries extends QueryPack {
          |       FROM scored)
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q55_ann_store_roundtrip" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0),
+         |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
+         |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
+         |lrk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM lscored),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |irk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM iscored)
+         |SELECT 'srp' AS method, query_id, vec_id, ROUND(cos, 6) AS cos
+         |FROM lrk WHERE rnk <= $K
+         |UNION ALL
+         |SELECT 'ivf' AS method, query_id, vec_id, ROUND(cos, 6) AS cos
+         |FROM irk WHERE rnk <= $K
+         |ORDER BY 1, 2, 4 DESC NULLS LAST, 3""".stripMargin,
 
     "q41_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -1,0 +1,87 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+/**
+ * Persisted ANN index — the serving analogue of `SimilarityStore` for the
+ * embedding tier. The computed structures the ANN operators build per
+ * query (SRP buckets, IVF centroid assignments) are written ONCE in the
+ * store layout and served from parquet, so a serving query costs a
+ * bucket/list hash join against the persisted index instead of
+ * recomputing buckets or assignments over the corpus:
+ *
+ *  - `srp_planes`   (plane_id, weights)            — the ±1 hyperplanes,
+ *    persisted so the index is self-describing: serving re-buckets only
+ *    the (tiny, broadcast) query set with the SAME planes;
+ *  - `srp_buckets`  (vec_id, embedding, nrm, bucket) — partitioned and
+ *    in-file sorted by bucket → row-group pruning on the bucket key;
+ *  - `ivf_centroids`(cent_id, cent_emb, cent_nrm)  — nlist rows;
+ *  - `ivf_lists`    (cent_id, vec_id, embedding, nrm) — partitioned and
+ *    in-file sorted by cent_id.
+ *
+ * Served results are IDENTICAL to the freshly-computed `lshTopK` /
+ * `ivfTopK` (same kernels, same persisted norms — gated by q55 against
+ * the q26/q34 oracles). At 100 TB the index build is the one pass over
+ * the corpus; serving touches only the probed buckets/lists.
+ */
+object AnnStore {
+
+  val SrpPlanes = "srp_planes"
+  val SrpBuckets = "srp_buckets"
+  val IvfCentroids = "ivf_centroids"
+  val IvfLists = "ivf_lists"
+
+  /** Build + persist the SRP index (planes table + bucketed corpus). */
+  def writeSrp(corpus: DataFrame, planes: Seq[Seq[Int]], storePath: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    planes.zipWithIndex
+      .map { case (p, i) => (i, p.map(_.toFloat)) }
+      .toDF("plane_id", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storePath/$SrpPlanes")
+    SimilaritySearch.withBucket(corpus.repartition(col("vec_id")), planes)
+      .select(col("vec_id"), col("embedding"),
+        SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
+      .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
+      .write.mode("overwrite").parquet(s"$storePath/$SrpBuckets")
+  }
+
+  /** Build + persist the IVF index (centroids + inverted lists). The
+    * centroid table may be the deterministic sample (`ivfCentroids`) or a
+    * trained one (`trainedCentroids`) — the layout is identical. */
+  def writeIvf(corpus: DataFrame, cents: DataFrame, storePath: String): Unit = {
+    val c = graft.core.Caches.cacheOnce(cents) // feeds the write AND the lists build
+    c.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$IvfCentroids")
+    SimilaritySearch.ivfLists(corpus, c)
+      .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$storePath/$IvfLists")
+  }
+
+  /** The persisted hyperplanes, reconstructed for query-side bucketing
+    * (collect is bounded by L — the plane count, not the corpus). */
+  def readPlanes(spark: SparkSession, storePath: String): Seq[Seq[Int]] =
+    spark.read.parquet(s"$storePath/$SrpPlanes")
+      .orderBy(col("plane_id"))
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toInt).toSeq)
+      .toSeq
+
+  /** SRP top-k served from the persisted index: queries are bucketed with
+    * the stored planes and hash-joined against the bucket table. */
+  def srpTopK(spark: SparkSession, storePath: String, queries: DataFrame,
+              k: Int): DataFrame =
+    SimilaritySearch.srpServe(
+      spark.read.parquet(s"$storePath/$SrpBuckets"),
+      queries, readPlanes(spark, storePath), k)
+
+  /** IVF top-k served from the persisted index: queries rank against the
+    * stored centroids and probe the persisted inverted lists. */
+  def ivfTopK(spark: SparkSession, storePath: String, queries: DataFrame,
+              nprobe: Int, k: Int): DataFrame =
+    SimilaritySearch.ivfServe(
+      spark.read.parquet(s"$storePath/$IvfLists"),
+      spark.read.parquet(s"$storePath/$IvfCentroids"),
+      queries, nprobe, k)
+}
