@@ -139,6 +139,48 @@ object Correlation {
     Caches.cacheOnce(pairsFromStats(itemStats(crosstab), co, nContexts(crosstab)))
   }
 
+  /** Skew decision from `probeSkew`: how the co-moment self-join should
+    * be laid out for this crosstab's context-degree distribution. */
+  sealed trait SkewPlan
+  case object NoSkew extends SkewPlan
+  final case class Salted(salts: Int) extends SkewPlan
+
+  /**
+   * Cheap skew probe: estimate the hottest context degree from a
+   * deterministic hash-slice sample of the cell table and decide whether
+   * the co-moment self-join needs salting. A context of degree d appears
+   * ~d·f times in an f-fraction sample, so maxSampleDeg/f estimates the
+   * true max degree; the estimate only needs to be right about ORDER OF
+   * MAGNITUDE — both layouts produce bit-identical sums (q43), so a wrong
+   * call costs performance, never correctness. The sample is hash-sliced
+   * on (item, ctx) (content-stable, like `Sampling.stratified`) rather
+   * than seed-random, so the decision is reproducible across runs and
+   * engines. Cost: one scan of the cell-table sample — negligible next to
+   * the quadratic join it protects.
+   */
+  def probeSkew(crosstab: DataFrame, hotDegree: Int = 1000,
+                fraction: Double = 0.1, salts: Int = 8): SkewPlan = {
+    val permille = math.max(1, (fraction * 1000).toInt)
+    val sampled = crosstab.where(
+      pmod(hash(col("item"), col("ctx")), lit(1000)) < permille)
+    val maxDeg = sampled.groupBy("ctx").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).cast("double").as("m"))
+      .collect()(0)
+    val est = if (maxDeg.isNullAt(0)) 0.0 else maxDeg.getDouble(0) * (1000.0 / permille)
+    if (est > hotDegree) Salted(salts) else NoSkew
+  }
+
+  /** `sparsePairs` with the salting decision taken by `probeSkew` instead
+    * of a caller flag — the self-tuning entry point. */
+  def sparsePairsAuto(crosstab0: DataFrame, hotDegree: Int = 1000,
+                      salts: Int = 8): DataFrame = {
+    val crosstab = Caches.cacheOnce(crosstab0) // probe + build share one scan
+    probeSkew(crosstab, hotDegree, salts = salts) match {
+      case Salted(s) => sparsePairs(crosstab, saltedWith = Some(s))
+      case NoSkew => sparsePairs(crosstab)
+    }
+  }
+
   /**
    * Parity path: the reference's FULL correlation matrix restricted to the
    * query items selected by `itemPredicate` (on column `item_a`): every

@@ -118,6 +118,22 @@ class CorrelationSpec extends SparkSpec {
     toMap(Correlation.saltedCoMoments(ctR, 4)) shouldBe toMap(Correlation.sparseCoMoments(ctR))
   }
 
+  test("skew probe picks the salted plan on a hot-context log, plain otherwise") {
+    // hot log: one context shared by 3000 items (a quadratic bomb), plus
+    // a uniform background — the probe must choose salting
+    val hot = (1L to 3000L).map(i => (i, 777L)) ++
+      (1L to 500L).map(i => (i, 10L + i % 50))
+    val hotCt = Crosstab.build(hot.toDF("item_id", "reference_id"))
+    Correlation.probeSkew(hotCt, hotDegree = 1000) shouldBe Correlation.Salted(8)
+    // uniform log: max degree ~ tens — no salting
+    val rnd = new scala.util.Random(5)
+    val uni = Seq.fill(800)((rnd.nextInt(40).toLong, rnd.nextInt(100).toLong))
+    val uniCt = Crosstab.build(uni.toDF("item_id", "reference_id"))
+    Correlation.probeSkew(uniCt, hotDegree = 1000) shouldBe Correlation.NoSkew
+    // and the auto path is output-identical to the explicit one
+    pairMap(Correlation.sparsePairsAuto(uniCt)) shouldBe pairMap(Correlation.sparsePairs(uniCt))
+  }
+
   test("property: relational Pearson == dense witness on random occurrence logs (seed=42)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 15) {
