@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.core.{Caches, Crosstab, Incremental}
+
+/**
+ * Continuous model maintenance — the streaming face of the incremental
+ * core (EXT-C5): fold `Incremental.updateCells` over a micro-batched
+ * occurrence stream with `foreachBatch`, persisting the
+ * sufficient-statistics snapshot after every batch. Each batch costs one
+ * delta aggregate plus summary merges bounded by the batch's contexts;
+ * the occurrence history is NEVER rescanned — this is the operational
+ * loop the reference cannot run (it retrains from the full log on every
+ * ingest, `/root/reference/propius/similarity.py:92-117`).
+ *
+ * Snapshot layout: versioned directories `$statePath/v{batchId}` with a
+ * `LATEST` marker written LAST, so a crash mid-write leaves the previous
+ * snapshot intact, and the streaming checkpoint makes batch redelivery
+ * idempotent (re-writing the same version from the same input is an
+ * overwrite with identical content).
+ *
+ * The per-batch fold caches its shared subplans; they are released after
+ * each snapshot is on disk (the fold reads the PERSISTED previous
+ * snapshot, not live plans, so dropping the cache is safe) — a
+ * long-running ingest holds O(1) cache entries, not O(batches).
+ */
+object IncrementalIngest {
+
+  private def marker(statePath: String) = s"$statePath/LATEST"
+
+  /** The latest durable snapshot version, if any. */
+  def latestVersion(spark: SparkSession, statePath: String): Option[Long] = {
+    val p = new Path(marker(statePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Load the latest durable snapshot, if any. */
+  def loadLatest(spark: SparkSession, statePath: String): Option[Incremental.Stats] =
+    latestVersion(spark, statePath).map(v => Incremental.load(spark, s"$statePath/v$v"))
+
+  /** Apply one occurrence micro-batch: fold into the latest snapshot,
+    * persist the result as version `batchId`, then advance the marker.
+    * Exposed for direct use (e.g. a nightly batch job shares the exact
+    * code path the stream runs). */
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    // Exactly-once across crash/redelivery: the checkpoint may replay the
+    // last uncommitted batch after the marker already advanced — a batch
+    // at or below the marker is already folded in, so skip it.
+    if (latestVersion(spark, statePath).exists(_ >= batchId)) return
+    val cells = Crosstab.build(batch)
+    val next = loadLatest(spark, statePath) match {
+      case Some(prev) => Incremental.updateCells(prev, cells)
+      case None => Incremental.fromCells(cells)
+    }
+    Incremental.save(next, s"$statePath/v$batchId")
+    // Snapshot is durable — drop the fold's cached subplans so a
+    // long-running ingest does not accumulate cache entries.
+    Caches.clearAll(spark)
+    val p = new Path(marker(statePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Start the ingest: `occurrences` is a STREAMING DataFrame with the
+    * canonical (item_id, reference_id) columns. */
+  def start(occurrences: DataFrame, statePath: String,
+            checkpointPath: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, id) => applyBatch(batch, id, statePath)
+    occurrences.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch(fn)
+      .start()
+  }
+}
