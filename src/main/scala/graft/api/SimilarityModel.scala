@@ -24,6 +24,23 @@ object SimilarityModel {
   def fromCrosstab(crosstab: DataFrame): SimilarityModel =
     new SimilarityModel(crosstab)
 
+  /** Incremental EP-1 — the ingest loop the reference cannot run (it
+    * rebuilds from the full log every time): resume from a
+    * sufficient-statistics snapshot (`graft.core.Incremental.load`) and
+    * serve/store from it. `pairs` reuses the snapshot's persisted
+    * co-moments instead of re-deriving them from the crosstab. */
+  def fromStats(stats: graft.core.Incremental.Stats): SimilarityModel =
+    new SimilarityModel(stats.cells, Some(stats))
+
+  /** One ingest step: fold a delta occurrence log into a snapshot and
+    * return the refreshed model plus the snapshot to persist for the
+    * next ingest. */
+  def updated(stats: graft.core.Incremental.Stats,
+              deltaOccurrences: DataFrame): (SimilarityModel, graft.core.Incremental.Stats) = {
+    val next = graft.core.Incremental.update(stats, deltaOccurrences)
+    (fromStats(next), next)
+  }
+
   /** Serving handle over a persisted store (EP-3). */
   final case class Store(spark: SparkSession, path: String) {
     private lazy val sim = SimilarityStore.readSimilarItems(spark, path)
@@ -37,11 +54,18 @@ object SimilarityModel {
   }
 }
 
-final class SimilarityModel private (val crosstab: DataFrame) {
+final class SimilarityModel private (
+    val crosstab: DataFrame,
+    precomputed: Option[graft.core.Incremental.Stats] = None) {
   import org.apache.spark.sql.functions._
 
-  /** Scalable correlation pairs (co-occurring, symmetric, self excluded). */
-  def pairs: DataFrame = Correlation.sparsePairs(crosstab)
+  /** Scalable correlation pairs (co-occurring, symmetric, self excluded).
+    * A model resumed from a statistics snapshot serves them from the
+    * persisted item-stats/co-moment summaries — no crosstab recompute. */
+  def pairs: DataFrame = precomputed match {
+    case Some(st) => graft.core.Incremental.pairs(st)
+    case None => Correlation.sparsePairs(crosstab)
+  }
 
   /** Reference-parity full vectors for selected items (SURVEY §7.4.10). */
   def fullPairs(itemPredicate: Column): DataFrame =
@@ -74,8 +98,13 @@ final class SimilarityModel private (val crosstab: DataFrame) {
     * full-catalog build. */
   def storeAllIn(path: String, dictionary: DataFrame, k: Double = 2.0): Unit = {
     SimilarityStore.writeCorrelatedItems(dictionary, path)
-    SimilarityStore.writeSimilarItems(
-      graft.core.StoreBuild.scaledNeighbors(crosstab, k), path)
+    // A model resumed from a statistics snapshot refreshes the store from
+    // the persisted summaries — no co-moment recompute (q57-gated).
+    val thresholded = precomputed match {
+      case Some(st) => graft.core.StoreBuild.scaledNeighborsFromStats(st, k)
+      case None => graft.core.StoreBuild.scaledNeighbors(crosstab, k)
+    }
+    SimilarityStore.writeSimilarItems(thresholded, path)
   }
 
   /** `save_correlation_matrix` parity (OP-04) — long-form pairs, CSV. */

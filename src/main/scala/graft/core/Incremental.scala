@@ -56,11 +56,19 @@ object Incremental {
     * what the reference does on EVERY ingest; here it runs once). */
   def fromOccurrences(occ: DataFrame): Stats = fromCells(Crosstab.build(occ))
 
-  /** Build a snapshot from an existing crosstab cell table. */
+  /** Build a snapshot from an existing crosstab cell table. The item-stat
+    * and co-moment summaries are session-cached (same policy as
+    * `sparsePairs`' result cache): they are the model state, and every
+    * consumer — pairs, the next delta update, a store build — reads them
+    * repeatedly. MEMORY_AND_DISK spills when the pair summary outgrows
+    * executor memory. */
   def fromCells(cells0: DataFrame): Stats = {
     val cells = Caches.cacheOnce(cells0) // feeds three aggregations
-    Stats(cells, Correlation.itemStats(cells),
-      Correlation.sparseCoMoments(cells), Correlation.nContexts(cells))
+    Stats(cells, Caches.cacheOnce(Correlation.itemStats(cells)),
+      Caches.cacheOnce(Correlation.sparseCoMoments(cells)),
+      // 1 row, but its plan is a full distinct over the cell table —
+      // and every broadcast that consumes it re-executes it uncached
+      Caches.cacheOnce(Correlation.nContexts(cells)))
   }
 
   /** Apply a delta occurrence log to a base snapshot. */
@@ -90,28 +98,58 @@ object Incremental {
       .groupBy("item")
       .agg(sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
 
-    // Pair co-moments: the same add − sub fold. Every pair in `sub` has
-    // base co-occurrence (it is in base.co), and a pair only in `add` has
-    // positive net weight, so no spurious zero rows can appear.
-    val addC = Correlation.sparseCoMoments(merged)
-    val subC = Correlation.sparseCoMoments(touched)
+    // Pair co-moments. Naive add − sub would self-join `merged` and
+    // `touched` — two joins QUADRATIC in the touched contexts' degree.
+    // Inclusion-exclusion puts the (small) DELTA on one side of every
+    // join instead: per context, the co-moment change for a pair {a, b}
+    //
+    //   (a_b+a_d)(b_b+b_d) − a_b·b_b  =  a_d·m_b + m_a·b_d − a_d·b_d
+    //
+    // (m = merged cell). The delta×merged join emits d·m for every
+    // orientation with the delta on one side — items absent from the
+    // delta contribute exactly the missing orientation (d = 0) — and the
+    // delta×delta join removes the double-counted d·d term. Cost:
+    // |delta cells| × context degree, never |touched|². All terms are
+    // integer products summed exactly in binary64, so the fold equals the
+    // full rebuild bit-for-bit; net weights are strictly positive (counts
+    // are positive), so no spurious zero rows can appear.
+    val dm = deltaCells.select(col("item").as("d_item"), col("ctx"), col("cnt").as("d_cnt"))
+      .join(merged.select(col("item").as("m_item"), col("ctx"), col("cnt").as("m_cnt")),
+        Seq("ctx"))
+      .where(col("d_item") =!= col("m_item"))
+      .select(least(col("d_item"), col("m_item")).as("item_a"),
+        greatest(col("d_item"), col("m_item")).as("item_b"),
+        (col("d_cnt") * col("m_cnt")).as("term"))
+    val dd = deltaCells.select(col("item").as("item_a"), col("ctx"), col("cnt").as("cnt_a"))
+      .join(deltaCells.select(col("item").as("item_b"), col("ctx"), col("cnt").as("cnt_b")),
+        Seq("ctx"))
+      .where(col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"), (-col("cnt_a") * col("cnt_b")).as("term"))
+    val diff = dm.unionByName(dd)
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("term")).cast("double").as("sxy"))
     val co = base.co
-      .unionByName(addC)
-      .unionByName(subC.select(col("item_a"), col("item_b"), (-col("sxy")).as("sxy")))
+      .unionByName(diff)
       .groupBy("item_a", "item_b")
       .agg(sum(col("sxy")).as("sxy"))
 
-    // Context count: + contexts the corpus has never seen.
+    // Context count: + contexts the corpus has never seen. Cached like
+    // the other summaries: the 1-row result hides an anti-join over the
+    // cell summary that every consuming broadcast would otherwise re-run.
     val freshCtx = dctx
       .join(base.cells.select("ctx").distinct(), Seq("ctx"), "left_anti")
       .agg(count(lit(1)).cast("double").as("dn"))
-    val n = base.n.crossJoin(freshCtx).select((col("n") + col("dn")).as("n"))
+    val n = Caches.cacheOnce(
+      base.n.crossJoin(freshCtx).select((col("n") + col("dn")).as("n")))
 
     // New cell summary for the NEXT update: untouched base cells + merged.
     // Lazy — consumers that only read `pairs` never execute this branch.
     val cells = base.cells.join(dctx, Seq("ctx"), "left_anti").unionByName(merged)
 
-    Stats(cells, items, co, n)
+    // The merged summaries are the NEW model state — cached like
+    // `fromCells`' (and like `sparsePairs`' result), so repeated
+    // consumers fold the delta once per session, not once per action.
+    Stats(cells, Caches.cacheOnce(items), Caches.cacheOnce(co), n)
   }
 
   /** Correlation pairs from a snapshot — identical arithmetic (and

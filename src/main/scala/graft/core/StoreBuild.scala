@@ -80,11 +80,29 @@ object StoreBuild {
   def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0,
                       largeCatalog: Option[Boolean] = None): DataFrame = {
     val ct = Caches.cacheOnce(crosstab0)
-    val n1 = Correlation.nContexts(ct) // 1 row
+    fromSufficientStats(Correlation.itemStats(ct),
+      Caches.cacheOnce(Correlation.sparseCoMoments(ct)),
+      Correlation.nContexts(ct), k, largeCatalog)
+  }
+
+  /** All-items store build from a SUFFICIENT-STATISTICS snapshot
+    * (`Incremental.Stats`) — the incremental-ingest composition: after a
+    * delta update, the store refresh reuses the merged item-stat and
+    * co-moment summaries instead of recomputing them from the cell table
+    * (gated by q57 against the same full-rebuild oracle as q38). */
+  def scaledNeighborsFromStats(stats: Incremental.Stats, k: Double = 2.0,
+                               largeCatalog: Option[Boolean] = None): DataFrame =
+    fromSufficientStats(stats.items, stats.co, stats.n, k, largeCatalog)
+
+  /** The shared build: per-item stats (item, sx, sxx), upper-triangle
+    * co-moments (item_a, item_b, sxy), 1-row context count. */
+  private def fromSufficientStats(itemSt: DataFrame, co0: DataFrame, n0: DataFrame,
+                                  k: Double, largeCatalog: Option[Boolean]): DataFrame = {
+    val n1 = n0 // 1 row
 
     // Per-item stats with den/u; D = non-degenerate items (den > 0).
     val d = Caches.cacheOnce(
-      Correlation.itemStats(ct).crossJoin(broadcast(n1))
+      itemSt.crossJoin(broadcast(n1))
         .withColumn("den", sqrt(col("n") * col("sxx") - col("sx") * col("sx")))
         .where(col("den") > 0.0)
         .withColumn("u", col("sx") / col("den")))
@@ -115,11 +133,12 @@ object StoreBuild {
     val db = d.select(col("item").as("item_b"), col("sx").as("sx_b"),
       col("sxx").as("sxx_b"), col("u").as("u_b"))
 
-    // Sparse side: persist the UPPER-TRIANGLE co-moments (the expensive
-    // ctx self-join) — the narrowest table that every consumer can rebuild
-    // its view from with broadcast-only work. The symmetric closure and
-    // stat joins are recomputed per consumer: map-side, no shuffle.
-    val co = Caches.cacheOnce(Correlation.sparseCoMoments(ct))
+    // Sparse side: the UPPER-TRIANGLE co-moments arrive persisted (the
+    // expensive ctx self-join, cached by the caller) — the narrowest
+    // table that every consumer can rebuild its view from with
+    // broadcast-only work. The symmetric closure and stat joins are
+    // recomputed per consumer: map-side, no shuffle.
+    val co = co0
     val sym = co.unionByName(
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
     def sp = sym.join(bcCat(da), Seq("item_a"))
@@ -269,20 +288,27 @@ object StoreBuild {
 
     // (b) Zero-partner emissions. Candidate a-items: threshold at or below
     // the best zero-pair score (loose by a relative epsilon so the exact
-    // per-row filter below makes the boundary call). Typically EMPTY.
+    // per-row filter below makes the boundary call). Typically EMPTY —
+    // and provably the seed of every zero-pair row, so one cheap probe on
+    // the CACHED perItem table skips the whole branch (its theta join AND
+    // the co-occurrence anti-join shuffle) in the common case. At any
+    // threshold a real store uses, the build is exactly the sparse
+    // pipeline; the probe is one filter over catalog-sized cached rows.
     val rawThr = col("mn") + col("thr") * (col("mx") - col("mn"))
     val aCand = perItem.where(col("isConst") ||
       (-col("u_a") * col("uming") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12)))
-    val zeroOut = db
-      .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
-        (col("isConst") ||
-          (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
-      .join(sym.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
-      .withColumn("corr", corrCol(lit(0.0)))
-      .where(passes)
-      .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
-        scaledScore.as("scaled_score"))
-
-    sparseOut.unionByName(zeroOut)
+    if (aCand.isEmpty) sparseOut
+    else {
+      val zeroOut = db
+        .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
+          (col("isConst") ||
+            (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
+        .join(sym.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
+        .withColumn("corr", corrCol(lit(0.0)))
+        .where(passes)
+        .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
+          scaledScore.as("scaled_score"))
+      sparseOut.unionByName(zeroOut)
+    }
   }
 }

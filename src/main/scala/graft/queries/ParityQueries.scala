@@ -190,6 +190,22 @@ object ParityQueries extends QueryPack {
           round(col("scaled_score"), 6).as("scaled_score"))
         .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
 
+    // EP-2 from an INCREMENTALLY-maintained model: the store refresh
+    // consumes the merged sufficient-statistics snapshot directly
+    // (StoreBuild.scaledNeighborsFromStats) — no co-moment recompute
+    // after the delta fold. Same full-rebuild oracle as q38.
+    "q57_incremental_store" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      def occ(p: org.apache.spark.sql.Column) = li.where(p)
+        .select(col("l_partkey").as("item_id"), col("l_orderkey").as("reference_id"))
+      val base = graft.core.Incremental.fromOccurrences(occ(col("l_linenumber") <= 3))
+      val updated = graft.core.Incremental.update(base, occ(col("l_linenumber") > 3))
+      graft.core.StoreBuild.scaledNeighborsFromStats(updated, 2.0)
+        .select(col("item_a_id"), col("item_b_id"),
+          round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))
+    }),
+
     // OP-06/07/08 write paths under the gate: full EP-2 store write (both
     // parquet tables, point-lookup layout) followed by a read of the pair
     // table — the oracle recomputes the all-items store pipeline, so this
@@ -357,6 +373,13 @@ object ParityQueries extends QueryPack {
          |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q46_store_roundtrip" ->
+      s"""$BaseCtes,
+         |${fullCte("TRUE")},
+         |$StoreCtes
+         |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
+         |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q57_incremental_store" ->
       s"""$BaseCtes,
          |${fullCte("TRUE")},
          |$StoreCtes

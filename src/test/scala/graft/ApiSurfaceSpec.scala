@@ -33,6 +33,17 @@ class ApiSurfaceSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy model.wideMatrix(maxItems = 2)
   }
 
+  test("fromStats/updated: the incremental model serves the same pairs as a rebuild") {
+    val (base, delta) = occ.splitAt(5)
+    val snapshot = graft.core.Incremental.fromOccurrences(
+      base.toDF("item_id", "reference_id"))
+    val (incModel, nextStats) =
+      SimilarityModel.updated(snapshot, delta.toDF("item_id", "reference_id"))
+    pairMap(incModel.pairs) shouldBe pairMap(model.pairs)
+    // the returned snapshot resumes the NEXT ingest: fold an empty delta
+    pairMap(SimilarityModel.fromStats(nextStats).pairs) shouldBe pairMap(model.pairs)
+  }
+
   test("legacy ModelStorer writes the same store as storeAllIn") {
     val p1 = java.nio.file.Files.createTempDirectory("graft-legacy").toString
     val p2 = java.nio.file.Files.createTempDirectory("graft-direct").toString

@@ -64,6 +64,22 @@ class StoreBuildSpec extends SparkSpec {
     check(occ, k = -3.0)
   }
 
+  test("store build from an incremental snapshot equals the crosstab build") {
+    val rnd = new scala.util.Random(31)
+    val all = Seq.fill(350)((rnd.nextInt(14).toLong + 1, rnd.nextInt(25).toLong + 1))
+    val (base, delta) = all.partition(_ => rnd.nextBoolean())
+    val snap = graft.core.Incremental.update(
+      graft.core.Incremental.fromOccurrences(base.toDF("item_id", "reference_id")),
+      delta.toDF("item_id", "reference_id"))
+    val fromStats = asMap(StoreBuild.scaledNeighborsFromStats(snap, 2.0))
+    val fromCt = asMap(StoreBuild.scaledNeighbors(
+      Crosstab.build(all.toDF("item_id", "reference_id")), 2.0))
+    fromStats.keySet shouldBe fromCt.keySet
+    fromStats.foreach { case (key, s) =>
+      assert(approx(s, fromCt(key), 1e-12), s"$key: stats=$s ct=${fromCt(key)}")
+    }
+  }
+
   test("large-catalog plan is output-identical to the small plan") {
     val rnd = new scala.util.Random(19)
     val occ = Seq.fill(400)((rnd.nextInt(15).toLong + 1, rnd.nextInt(30).toLong + 1))
