@@ -147,11 +147,26 @@ object Dedup {
    * min-label is order-independent.
    * Output: (id, component) — component = min doc id of the cluster.
    */
+  /** Session memo for `connectedComponents`: the loop drives per-round
+    * ACTIONS (convergence checks), which the CacheManager cannot
+    * deduplicate across calls the way it dedups plan-equal lazy frames.
+    * Keyed by the canonicalized input plan (the same identity the
+    * CacheManager uses); a hit returns the converged frame, whose
+    * lineage replays deterministically even if its cache was dropped. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
-    val edges = graft.core.Caches.cacheOnce(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val memoKey = edges0.queryExecution.analyzed.canonicalized
+    ccMemo.get(memoKey) match {
+      case Some(done) => return done
+      case None => ()
+    }
+    val edges = graft.core.Caches.cacheOnce(edges0)
     var labels = graft.core.Caches.cacheOnce(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -173,6 +188,7 @@ object Dedup {
       iters += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    ccMemo.put(memoKey, labels)
     labels
   }
 
@@ -203,6 +219,33 @@ object Dedup {
       .where(col("rnk") === 1)
       .select(col("component"), col("id").as("survivor_id"),
         col(scoreCol).as("best_quality"), col("n_members"))
+  }
+
+  /**
+   * End-to-end corpus dedup — the one-call composition of the tiers:
+   * n-gram Jaccard near-dup pairs → connected components → argmax-quality
+   * survivors → the KEPT corpus (every unclustered document plus each
+   * cluster's best member). This is the operator a training-data pipeline
+   * actually runs; the pieces stay public for custom pipelines (swap the
+   * pair source for MinHash-LSH candidates at extreme scale).
+   *
+   * Scale: the pair graph and its node set are orders of magnitude
+   * smaller than the corpus, so the final keep-filter is one anti-join of
+   * the corpus against the (small, broadcastable) dropped-id set — the
+   * corpus body never shuffles.
+   */
+  def dedupCorpus(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = jaccardPairs(shingleSets(docs, n, idCol, textCol), threshold)
+    val comps = connectedComponents(pairs)
+    val qual = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val surv = survivors(comps, qual)
+    // dropped = clustered members that are not their cluster's survivor
+    val dropped = comps
+      .join(surv.select(col("survivor_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
   }
 
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT

@@ -98,6 +98,15 @@ object DedupQueries extends QueryPack {
         .orderBy(col("component"))
     }),
 
+    // EXT-D10: end-to-end corpus dedup — the one-call composition
+    // (pairs → components → quality survivors → kept corpus). Output is
+    // the kept document ids; the oracle drops every clustered member
+    // ranked below its cluster's argmax-quality survivor.
+    "q58_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(docs(s, dir), ShingleN, JaccardThreshold)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -267,6 +276,32 @@ object DedupQueries extends QueryPack {
          |       FROM jq)
          |SELECT component, id AS survivor_id, ROUND(q, 6) AS best_quality, n_members
          |FROM rk WHERE rnk = 1 ORDER BY component""".stripMargin,
+
+    "q58_dedup_corpus" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM truth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM truth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |$QualityCtes,
+         |jq AS (SELECT c.id, c.component, q.q FROM comp c JOIN tq q ON c.id = q.doc_id),
+         |rk AS (SELECT id, component, q,
+         |         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, id) AS rnk
+         |       FROM jq),
+         |dropped AS (SELECT id FROM rk WHERE rnk > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q47_dedup_recall" ->
       s"""WITH $ShingleCtes,
