@@ -127,6 +127,36 @@ object SimilaritySearch {
   }
 
   /**
+   * Multi-probe SRP top-k: each query probes its own sign bucket AND
+   * every Hamming-1 neighbor (one flipped hyperplane bit) — the standard
+   * recall lever for sign-random-projection LSH: a near neighbor that
+   * landed one unlucky hyperplane away is recovered at the cost of L
+   * extra (tiny) probe rows per QUERY, with the corpus side untouched.
+   * Probe buckets are distinct, and a corpus vector lives in exactly one
+   * bucket, so no candidate is scored twice. Strictly super-sets
+   * `srpServe`'s candidates; same exact re-rank.
+   */
+  def multiProbeTopK(queries: DataFrame, corpus: DataFrame,
+                     planes: Seq[Seq[Int]], k: Int): DataFrame = {
+    val l = planes.size
+    val probeSet = array((col("bucket") +: (0 until l).map(j =>
+      col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val qb = broadcast(withBucket(queries, planes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"),
+        explode(probeSet).as("bucket")))
+    val cb = withBucket(corpus.repartition(col("vec_id")), planes)
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+        col("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /**
    * IVF (inverted-file) coarse quantization — the other classic ANN scale
    * path next to SRP-LSH. Centroids here are a DETERMINISTIC sample of the
    * corpus (vec_id ≡ 1 mod `centroidMod`) rather than k-means iterations:

@@ -57,6 +57,15 @@ object AnnQueries extends QueryPack {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
 
+    // EXT-A8: multi-probe SRP top-k — each query also probes its L
+    // Hamming-1 neighbor buckets (one flipped hyperplane), the standard
+    // LSH recall lever: near neighbors one unlucky plane away are
+    // recovered with L tiny probe rows per query, corpus side untouched.
+    "q59_ann_multiprobe" -> ((s, dir) =>
+      SimilaritySearch.multiProbeTopK(querySet(s, dir), embs(s, dir), planes, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
     // EXT-A7: persisted ANN index round-trip — build the SRP bucket table
     // and the IVF centroid/list tables in the store layout, then serve
     // BOTH top-k paths from the persisted parquet (no recompute of
@@ -200,6 +209,25 @@ object AnnQueries extends QueryPack {
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
          |           WHERE l.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q59_ann_multiprobe" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0),
+         |probes AS (SELECT query_id, q_emb,
+         |             CASE WHEN t.j = -1 THEN bucket
+         |                  ELSE xor(bucket, 1::BIGINT << t.j) END AS bucket
+         |           FROM q0, unnest(range(-1, $Planes)) AS t(j)),
+         |scored AS (SELECT p.query_id, c.vec_id, ${cosSql("p.q_emb", "c.embedding")} AS cos
+         |           FROM bk c JOIN probes p ON c.bucket = p.bucket
+         |           WHERE c.vec_id <> p.query_id),
          |rk AS (SELECT query_id, vec_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk

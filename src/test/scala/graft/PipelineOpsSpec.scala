@@ -32,6 +32,24 @@ class PipelineOpsSpec extends SparkSpec {
     byLang("fr") shouldBe 1000L  // default keeps all
   }
 
+  test("tfidfCrosstab: integer milli-nat weights, ubiquitous terms dropped") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val cells = graft.functions.TextFunctions.tfidfCrosstab(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // "alpha" appears in all 3 docs → idf_q = round(1000·ln(1)) = 0 → dropped
+    cells.size shouldBe 4 // beta×2, gamma×1, delta×1 — alpha gone
+    // every weight is a positive integer (tf · milli-nat idf)
+    cells.values.foreach { w =>
+      assert(w > 0.0 && w == math.rint(w), s"non-integer weight $w")
+    }
+    // beta (df=2): idf_q = round(1000·ln(3/2)) = 405
+    assert(cells.values.toSeq.sorted.take(2) == Seq(405.0, 405.0))
+    // gamma/delta (df=1): idf_q = round(1000·ln(3)) = 1099
+    assert(cells.values.toSeq.sorted.drop(2) == Seq(1099.0, 1099.0))
+  }
+
   test("chunkDocuments windows with overlap; short and empty docs behave") {
     val docs = Seq(
       (1L, "a b c d e f g"), // 7 tokens → starts 0,3,6 at stride 3

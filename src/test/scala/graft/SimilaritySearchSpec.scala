@@ -57,6 +57,20 @@ class SimilaritySearchSpec extends SparkSpec {
     lsh.keySet should contain(2L) // the true near neighbor shares the bucket
   }
 
+  test("multiProbeTopK supersets the single-bucket candidates with identical scores") {
+    val planes = SimilaritySearch.hyperplanes(8, 3)
+    val q = embs.where(col("vec_id") === 1L)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val single = toMap(SimilaritySearch.lshTopK(q, embs, planes, 5))
+    val multi = toMap(SimilaritySearch.multiProbeTopK(q, embs, planes, 5))
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.keySet.foreach(id => multi(id) shouldBe single(id))
+    // scores are the exact cosines (re-rank is exact in both)
+    val brute = toMap(SimilaritySearch.bruteForceTopK(q, embs, 5))
+    multi.foreach { case (id, c) => c shouldBe brute(id) }
+  }
+
   test("trainedCentroids: streaming ordered-fold mean, no collect_list in the plan") {
     // 6 unit-ish vectors, seeds = vec_id % 3 == 1 → seeds {1, 4}
     val corpus = Seq(
