@@ -248,6 +248,52 @@ object Dedup {
     docs.join(broadcast(dropped), Seq(idCol), "left_anti")
   }
 
+  /**
+   * Exact Jaccard for a GIVEN candidate pair set: the refine step of
+   * candidate-generation dedup. Work is bounded by |candidates| ×
+   * shingles-per-doc — never the all-pairs inverted index. Output:
+   * (doc_a, doc_b, jaccard) for candidates meeting the threshold.
+   */
+  def refineJaccard(candidates: DataFrame, shingles: DataFrame,
+                    threshold: Double): DataFrame = {
+    val sh = graft.core.Caches.cacheOnce(shingles)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * `dedupCorpus` for corpora where even the inverted-index join is too
+   * hot: MinHash-LSH candidate generation → EXACT Jaccard refine on the
+   * candidates only → components → quality survivors → kept corpus.
+   * Candidate cost tracks LSH collision probability; refine cost tracks
+   * the candidate count. Recall vs the exact pipeline is what q47
+   * measures; precision is exact (the refine re-checks true Jaccard).
+   */
+  def dedupCorpusLsh(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = lshCandidates(minHashSignatures(docs, n, numPerms, idCol, textCol),
+      bands, numPerms / bands).select("doc_a", "doc_b")
+    val pairs = refineJaccard(cand, shingleSets(docs, n, idCol, textCol), threshold)
+    val comps = connectedComponents(pairs)
+    val qual = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val dropped = comps
+      .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
     * whitespace tokens: bit j is set iff the majority of token hashes have
     * bit j set. Built RELATIONALLY (explode token hashes once, 60 codegen'd

@@ -107,6 +107,14 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // EXT-D11: corpus dedup via LSH candidates + exact refine — the
+    // extreme-scale configuration of q58 (candidate cost tracks LSH
+    // collision probability, refine re-checks true Jaccard).
+    "q61_dedup_corpus_lsh" -> ((s, dir) =>
+      Dedup.dedupCorpusLsh(docs(s, dir), ShingleN, NumPerms, Bands, JaccardThreshold)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -276,6 +284,35 @@ object DedupQueries extends QueryPack {
          |       FROM jq)
          |SELECT component, id AS survivor_id, ROUND(q, 6) AS best_quality, n_members
          |FROM rk WHERE rnk = 1 ORDER BY component""".stripMargin,
+
+    "q61_dedup_corpus_lsh" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |$LshCandCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |rint AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |         FROM cand c JOIN shd a ON c.doc_a = a.doc_id
+         |         JOIN shd b ON c.doc_b = b.doc_id AND a.g = b.g
+         |         GROUP BY 1, 2),
+         |rtruth AS (SELECT doc_a, doc_b FROM rint
+         |           JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |           WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM rtruth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM rtruth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |$QualityCtes,
+         |jq AS (SELECT c.id, c.component, q.q FROM comp c JOIN tq q ON c.id = q.doc_id),
+         |rk AS (SELECT id, component, q,
+         |         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, id) AS rnk
+         |       FROM jq),
+         |dropped AS (SELECT id FROM rk WHERE rnk > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q58_dedup_corpus" ->
       s"""WITH RECURSIVE $ShingleCtes,

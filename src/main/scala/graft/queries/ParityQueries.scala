@@ -128,6 +128,15 @@ object ParityQueries extends QueryPack {
         .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
         .orderBy(col("item_a"), col("item_b"))),
 
+    // OP-19 via the AUTO-SKEW probe (EXT-C6): the engine samples the
+    // context-degree distribution and picks the co-moment layout itself.
+    // Either choice is bit-identical (q43), so the oracle is q05's SQL —
+    // this gates the auto path end-to-end, not just the decision rule.
+    "q60_corr_auto" -> ((s, dir) =>
+      Correlation.sparsePairsAuto(ct(s, dir))
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))),
+
     // OP-19 via the SALTED co-moment join (hot-key scatter/replicate):
     // the co-moment sums are integer-exact, so the skew-resistant layout
     // must reproduce q05's answer bit-for-bit — gated here.
@@ -310,6 +319,11 @@ object ParityQueries extends QueryPack {
         |FROM ctu GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q05_corr_sparse" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    "q60_corr_auto" ->
       s"""$BaseCtes,
          |$SparseCte
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
