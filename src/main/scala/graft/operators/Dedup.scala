@@ -157,6 +157,18 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
 
+  /** Cut a frame's LOGICAL lineage at an iteration boundary: re-root it on
+    * its own RDD. Without this, each loop round nests the previous round's
+    * plan, and every later ACTION over the converged frame re-analyzes /
+    * re-canonicalizes a diameter-deep tree — measured seconds of pure
+    * DRIVER planning per downstream query on a ~100-row label table. The
+    * RDD keeps full recompute lineage (executor loss replays it; this is
+    * not a checkpoint), only the Catalyst tree is truncated. Identity of
+    * the converged frame is preserved by the memo, so downstream plan-cache
+    * dedup still sees one instance. */
+  private def cutLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -167,9 +179,9 @@ object Dedup {
       case None => ()
     }
     val edges = graft.core.Caches.cacheOnce(edges0)
-    var labels = graft.core.Caches.cacheOnce(
+    var labels = graft.core.Caches.cacheOnce(cutLineage(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")))
+        .withColumn("component", col("id"))))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -177,10 +189,10 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbrComponent"))
-      val next = graft.core.Caches.cacheOnce(labels
+      val next = graft.core.Caches.cacheOnce(cutLineage(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), col("nbrComponent")).as("component")))
+          least(col("component"), col("nbrComponent")).as("component"))))
       converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old")).isEmpty
       labels.unpersist()
