@@ -229,4 +229,42 @@ object TextFunctions {
       .where(col("idf_q") > 0.0)
       .select(col("item"), col("ctx"), (col("tf") * col("idf_q")).cast("double").as("cnt"))
   }
+
+  // ── PII detection / redaction ──────────────────────────────────────────
+  //
+  // Pre-training corpora are routinely scrubbed of contact-like strings.
+  // The patterns below are deliberately restricted to regex constructs
+  // with IDENTICAL semantics in Java regex (Spark codegen) and RE2
+  // (DuckDB, Go): character classes, bounded/unbounded greedy repetition,
+  // literal anchors — no backreferences, no lookaround. Counts are
+  // computed independently on the RAW text; redaction applies the three
+  // patterns IN ORDER (email → phone → IPv4), which is part of the
+  // contract (the placeholders contain no digits, so later patterns never
+  // match inside earlier replacements). Everything is a pure Column
+  // expression — map-only, no shuffle, whole-stage codegen.
+
+  /** Email-shaped spans: local@domain.tld (ASCII, 2+ letter TLD). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-shaped spans: optional +, then 8+ chars of digits/space/()/-,
+    * first and last char a digit. Greedy and dot-free, so it never crosses
+    * into emails or IPv4s. */
+  val PhonePattern = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** IPv4-shaped spans: four 1-3 digit runs joined by dots (no range
+    * check — a scrubber over-matches rather than under-matches). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailPattern)).cast("long")
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern)).cast("long")
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Pattern)).cast("long")
+
+  /** Redacted text: emails → `<EMAIL>`, then phones → `<PHONE>`, then
+    * IPv4s → `<IP>` (global replacement, order as documented above). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
 }

@@ -36,4 +36,31 @@ object Sampling {
     }
     df.where(hash60(col(idCol).cast("string")) % 1000L < rate.cast("long"))
   }
+
+  /**
+   * Deterministic per-stratum QUOTA: keep exactly min(cap, stratum size)
+   * rows per stratum — the data-mixing primitive when targets are
+   * absolute document COUNTS (tokens-per-language budgets) rather than
+   * rates. Membership is the `cap` smallest content-stable hashes of the
+   * stratum (ties by id), so the kept set is layout/rerun-stable and
+   * shrinking a cap yields a subset of the larger sample — budgets can be
+   * tightened without resampling.
+   *
+   * Scale: one shuffle on the stratum; the rank-≤cap filter plans as a
+   * WindowGroupLimit, so each map task pre-prunes to its local top-cap
+   * before the exchange — the shuffle carries O(strata × cap), not the
+   * corpus.
+   */
+  def quotaPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                      caps: Map[String, Int], defaultCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = caps.foldLeft(lit(defaultCap)) { case (acc, (s, n)) =>
+      when(col(strataCol) === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap.cast("long"))
+      .drop("__rk")
+  }
 }

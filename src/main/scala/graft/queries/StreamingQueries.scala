@@ -41,6 +41,21 @@ object StreamingQueries extends QueryPack {
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // EXT-S8: as-of join — each click attributed to the most recent view
+    // at-or-before it per user (point-in-time lookup). Union-merge shape:
+    // one shuffle on user_id, one partition sort, no range probe.
+    "q64_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventStreams.asOfJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"))
+        .select(col("user_id"), col("left_event_id"), col("left_ts"),
+          col("asof_event_id"), col("asof_ts"),
+          round(col("asof_value"), 6).as("asof_value"),
+          (unix_micros(col("left_ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("left_event_id"))
+    }),
+
     // EXT-S5: view→click funnel via the unified interval join — the batch
     // face of the stream-stream join (streaming face spec-verified on the
     // same transform).
@@ -86,6 +101,27 @@ object StreamingQueries extends QueryPack {
          |       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
          |FROM numbered GROUP BY user_id, sess
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q64_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id, value AS v
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS side, event_id, NULL AS v
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (SELECT user_id, side, event_id AS left_event_id, ts AS left_ts,
+        |  last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER win AS asof_event_id,
+        |  last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |    OVER win AS asof_ts,
+        |  last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+        |    OVER win AS asof_value
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |                        ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, left_event_id, left_ts, asof_event_id, asof_ts,
+        |  ROUND(asof_value, 6) AS asof_value,
+        |  epoch_us(left_ts) - epoch_us(asof_ts) AS lag_us
+        |FROM w WHERE side = 1 ORDER BY user_id, left_event_id""".stripMargin,
 
     "q44_event_funnel" ->
       s"""SELECT v.user_id, v.event_id AS left_event_id, v.ts AS left_ts,

@@ -124,6 +124,50 @@ object TextQueries extends QueryPack {
         .orderBy(col("term_a"), col("corr").desc_nulls_last, col("term_b"))
     }),
 
+    // EXT-T9: repetition quality filters (the Gopher/C4 family adapted to
+    // word n-grams): duplicate-token fraction, most-frequent-2-gram char
+    // coverage, duplicated-5-gram char coverage. One id-partition serves
+    // the whole pipeline (see Repetition).
+    "q62_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.repetitionStats(docs(s, dir))
+        .select(col("doc_id"),
+          round(col("dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("top2_char_frac"), 6).as("top2_char_frac"),
+          round(col("dup5_char_frac"), 6).as("dup5_char_frac"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T10: PII detection + redaction. The corpus has no organic PII,
+    // so every third document gets a deterministic doc_id-derived contact
+    // suffix (email + phone + IPv4) planted IN THE QUERY — the oracle
+    // derives the identical text, so both the counts and the redacted
+    // output are exercised on PII-bearing AND clean documents.
+    "q63_pii_redact" -> ((s, dir) => {
+      val withPii = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"), withPii.as("t"))
+        .select(col("doc_id"),
+          emailCount(col("t")).as("n_emails"),
+          phoneCount(col("t")).as("n_phones"),
+          ipv4Count(col("t")).as("n_ips"),
+          redactPii(col("t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXT-T11: per-stratum quota sampling — absolute per-language document
+    // budgets (vs q49's per-mille rates). WindowGroupLimit prunes map-side.
+    "q65_quota_sample" -> ((s, dir) =>
+      graft.operators.Sampling.quotaPerStratum(
+          Tables.read(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 120, "de" -> 40), defaultCap = 25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "q36_term_similarity" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(tokensWs(col("text"))).as("tok"))
@@ -153,6 +197,67 @@ object TextQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
+    "q62_repetition" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT doc_id, length(text) AS nc, len(tk) AS nt,
+         |                len(list_distinct(tk)) AS nd FROM toks),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []
+         |        ELSE list_transform(range(1, len(tk)),
+         |               i -> array_to_string(list_slice(tk, i, i + 1), ' ')) END) AS sh
+         |       FROM toks),
+         |c2 AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, cnt, length(sh) AS shlen,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, sh) AS rk
+         |       FROM c2),
+         |top2 AS (SELECT doc_id, cnt AS tc, shlen AS tl FROM t2 WHERE rk = 1),
+         |g5 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN []
+         |        ELSE list_transform(range(1, len(tk) - 3),
+         |               i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END) AS sh
+         |       FROM toks),
+         |c5 AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+         |d5 AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(sh) END) AS BIGINT)
+         |           AS dup_chars FROM c5 GROUP BY 1)
+         |SELECT b.doc_id,
+         |  ROUND(CASE WHEN nt = 0 THEN 0 ELSE (nt - nd)::DOUBLE / nt::DOUBLE END, 6)
+         |    AS dup_token_frac,
+         |  ROUND(CASE WHEN nc = 0 OR tc IS NULL THEN 0
+         |             ELSE LEAST(1.0, (tc * tl)::DOUBLE / nc::DOUBLE) END, 6)
+         |    AS top2_char_frac,
+         |  ROUND(CASE WHEN nc = 0 OR dup_chars IS NULL THEN 0
+         |             ELSE LEAST(1.0, dup_chars::DOUBLE / nc::DOUBLE) END, 6)
+         |    AS dup5_char_frac
+         |FROM base b LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q63_pii_redact" ->
+      s"""WITH pii AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |    CAST((doc_id * 7) % 256 AS VARCHAR)
+         |  ELSE text END AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g'),
+         |    '$Ipv4Pattern', '<IP>', 'g') AS redacted
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q65_quota_sample" ->
+      """WITH rk AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM rk
+        |WHERE rk <= CASE WHEN lang = 'en' THEN 120 WHEN lang = 'de' THEN 40 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q50_chunk_windows" ->
       s"""WITH $ToksCte,

@@ -137,4 +137,45 @@ object EventStreams {
           }
       }
   }
+
+  /**
+   * As-of join: attach to each LEFT event the most recent RIGHT event of
+   * the same key at-or-before its timestamp (the point-in-time lookup of
+   * feature stores and attribution pipelines — "the last `view` as of
+   * this `click`").
+   *
+   * Implemented as a union-merge, NOT a join: both sides union into one
+   * stream tagged (side 0 = right, 1 = left), then a running
+   * `last(..., ignoreNulls)` over (ts, side, id) within each key carries
+   * the latest right row forward. ONE shuffle on the key and one
+   * partition sort — no per-row range probe, no key×key blowup, state
+   * bounded by a single carried row. Equal timestamps: the right event IS
+   * visible to a left event at the same ts (side 0 sorts first); multiple
+   * right events on the same (key, ts) resolve to the largest id —
+   * deterministic.
+   *
+   * Output: (key, left_event_id, left_ts, asof_event_id, asof_ts,
+   * asof_value) — asof_* NULL when no right event precedes.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String = "user_id", tsCol: String = "ts",
+               idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("side"),
+      col(idCol), col(valueCol).cast("double").as("v"))
+    val l = left.select(col(keyCol), col(tsCol), lit(1).as("side"),
+      col(idCol), lit(null).cast("double").as("v"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("side") === 0, c), ignoreNulls = true).over(w)
+    l.unionByName(r)
+      .select(col(keyCol), col("side"), col(idCol).as("left_event_id"),
+        col(tsCol).as("left_ts"),
+        carried(col(idCol)).as("asof_event_id"),
+        carried(col(tsCol)).as("asof_ts"),
+        carried(col("v")).as("asof_value"))
+      .where(col("side") === 1)
+      .drop("side")
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Repetition, Sampling}
+import graft.streaming.EventStreams
+
+/** Hand-computed witnesses for the round-3 pipeline extras: repetition
+  * quality filters, PII redaction, the as-of join, and quota sampling. */
+class PipelineExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def repRow(text: String): (Double, Double, Double) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Repetition.repetitionStats(df).collect()(0)
+    (r.getAs[Double]("dup_token_frac"),
+      r.getAs[Double]("top2_char_frac"),
+      r.getAs[Double]("dup5_char_frac"))
+  }
+
+  test("repetitionStats matches hand computation") {
+    // "a b a b a": 5 tokens, 2 distinct -> dup 0.6; 2-grams "a b"x2,
+    // "b a"x2 -> argmax ties to "a b" (len 3): 2*3/9 chars; one 5-gram -> 0
+    val (d1, t1, f1) = repRow("a b a b a")
+    d1 shouldBe 0.6 +- 1e-9
+    t1 shouldBe (6.0 / 9.0) +- 1e-9
+    f1 shouldBe 0.0
+    // "w w w w w w": top 2-gram covers 5*3/11 > 1 -> capped; 5-gram
+    // "w w w w w" occurs twice -> 2*9/11 > 1 -> capped
+    val (d2, t2, f2) = repRow("w w w w w w")
+    d2 shouldBe (5.0 / 6.0) +- 1e-9
+    t2 shouldBe 1.0
+    f2 shouldBe 1.0
+    // all-distinct short doc: zero dup signals, top 2-gram covers all chars
+    val (d3, t3, f3) = repRow("x y")
+    d3 shouldBe 0.0
+    t3 shouldBe 1.0
+    f3 shouldBe 0.0
+    // empty text: all zeros (no NaN, no divide-by-zero)
+    val (d4, t4, f4) = repRow("")
+    (d4, t4, f4) shouldBe ((0.0, 0.0, 0.0))
+  }
+
+  test("PII counts and ordered redaction") {
+    val t = "write user.1@ex-a.com or +1 (555) 010-1234, server 10.0.3.77 ok"
+    val df = Seq(t).toDF("t").select(
+      emailCount(col("t")).as("e"), phoneCount(col("t")).as("p"),
+      ipv4Count(col("t")).as("i"), redactPii(col("t")).as("r"))
+    val r = df.collect()(0)
+    r.getAs[Long]("e") shouldBe 1L
+    r.getAs[Long]("p") shouldBe 1L
+    r.getAs[Long]("i") shouldBe 1L
+    r.getAs[String]("r") shouldBe "write <EMAIL> or <PHONE>, server <IP> ok"
+    // clean text passes through untouched, zero counts
+    val clean = "no contact information in this sentence at all"
+    val c = Seq(clean).toDF("t").select(
+      emailCount(col("t")).as("e"), phoneCount(col("t")).as("p"),
+      ipv4Count(col("t")).as("i"), redactPii(col("t")).as("r")).collect()(0)
+    (c.getAs[Long]("e"), c.getAs[Long]("p"), c.getAs[Long]("i")) shouldBe ((0L, 0L, 0L))
+    c.getAs[String]("r") shouldBe clean
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin: at-or-before semantics, max-id ties, null when unmatched") {
+    val views = Seq(
+      (10L, ts("2024-01-01 01:00:00"), 1L, "view", 5.0),
+      (11L, ts("2024-01-01 01:00:00"), 1L, "view", 6.0), // same ts: id 11 wins
+      (12L, ts("2024-01-01 03:00:00"), 1L, "view", 7.0),
+      (13L, ts("2024-01-01 09:00:00"), 2L, "view", 8.0))
+    val clicks = Seq(
+      (100L, ts("2024-01-01 00:30:00"), 1L, "click", 0.0), // before any view
+      (101L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0), // equal ts: visible
+      (102L, ts("2024-01-01 04:00:00"), 1L, "click", 0.0), // latest view wins
+      (103L, ts("2024-01-01 08:00:00"), 2L, "click", 0.0)) // other user's views invisible
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.asOfJoin(df(clicks), df(views))
+      .orderBy("left_event_id")
+      .select("left_event_id", "asof_event_id", "asof_value")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    out shouldBe Array(
+      (100L, None, None),
+      (101L, Some(11L), Some(6.0)),
+      (102L, Some(12L), Some(7.0)),
+      (103L, None, None))
+  }
+
+  test("quotaPerStratum honors caps and nests as caps shrink") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val big = Sampling.quotaPerStratum(df, "doc_id", "lang", Map("en" -> 10), 7)
+    big.where(col("lang") === "en").count() shouldBe 10L
+    big.where(col("lang") === "de").count() shouldBe 7L
+    // caps above the stratum size keep everything
+    Sampling.quotaPerStratum(df, "doc_id", "lang", Map.empty, 1000)
+      .count() shouldBe 100L
+    // shrinking a cap yields a SUBSET (budget tightening never resamples)
+    val small = Sampling.quotaPerStratum(df, "doc_id", "lang", Map("en" -> 4), 3)
+    val bigIds = big.select("doc_id").collect().map(_.getLong(0)).toSet
+    val smallIds = small.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smallIds.subsetOf(bigIds))
+    // layout-independence: same kept set under a different partitioning
+    val repart = Sampling.quotaPerStratum(
+      df.repartition(13), "doc_id", "lang", Map("en" -> 10), 7)
+    repart.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe bigIds
+  }
+}
