@@ -39,6 +39,28 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("canonical_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /**
+   * Streaming exact dedup — the online face of the digest tier: keep the
+   * FIRST arrival of each content digest; duplicates arriving within the
+   * watermark horizon are dropped with BOUNDED state
+   * (`dropDuplicatesWithinWatermark` evicts expired digests, so state
+   * tracks the horizon, not history — the only shape that survives an
+   * unbounded stream; a plain streaming `dropDuplicates` would grow
+   * forever). Batch frames take the deterministic min-id path
+   * (`exactDedup`); the spec cross-checks the two faces on an id-ordered
+   * arrival, where first-arrival == min-id.
+   */
+  def dedupKeepFirst(docs: DataFrame, watermarkDelay: String,
+                     idCol: String = "doc_id", tsCol: String = "ts",
+                     textCol: String = "text"): DataFrame =
+    if (docs.isStreaming)
+      docs.withColumn("__digest", md5(col(textCol)))
+        .withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark("__digest")
+        .drop("__digest")
+    else
+      exactDedup(docs, idCol, textCol)
+
   /** Distinct reduced shingle-hash set per document, exploded long form:
     * (id, g) with g = hash60(shingle) mod 2^31−1. Docs with fewer than n
     * tokens contribute no rows. Built on the window-based shingle stream

@@ -307,4 +307,37 @@ object SimilaritySearch {
         cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * cluster the corpus by nearest centroid (the IVF assignment pass),
+   * compare embeddings PAIRWISE ONLY WITHIN EACH CLUSTER, connect the
+   * ≥-threshold pairs into components, and keep the minimum-id member of
+   * each component. Near-semantic duplicates land in the same centroid
+   * cell with high probability, so the quadratic term drops from |corpus|²
+   * to Σ|cluster|² — the centroid count is the knob that trades recall
+   * against cost (exactly the SemDeDup design).
+   *
+   * Scale: assignment is a broadcast-centroids map pass; the in-cluster
+   * self-join shuffles on cent_id; the component graph is the tiny
+   * near-dup subset; the kept filter broadcasts the dropped-id set —
+   * corpus embeddings shuffle once (assignment) and never again.
+   * Output: the KEPT rows of `embs`, schema-preserving.
+   */
+  def semanticDedup(embs: DataFrame, centroidMod: Int, threshold: Double): DataFrame = {
+    val lists = graft.core.Caches.cacheOnce(
+      ivfLists(embs, ivfCentroids(embs, centroidMod)))
+    val pairs = lists.select(col("cent_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(lists.select(col("cent_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cent_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= threshold)
+    val comps = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    val dropped = comps.where(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    embs.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+  }
 }

@@ -25,6 +25,7 @@ object DedupQueries extends QueryPack {
   private val SrpPlanes = 8
   private val Dim = 64
   private val BlockedCosineThreshold = 0.3
+  private val CentroidMod = 37 // SemDeDup clustering seeds (AnnQueries' family)
   private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
@@ -114,6 +115,14 @@ object DedupQueries extends QueryPack {
       Dedup.dedupCorpusLsh(docs(s, dir), ShingleN, NumPerms, Bands, JaccardThreshold)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
+
+    // EXT-D12: SemDeDup — semantic dedup via centroid clustering: pairwise
+    // cosine only WITHIN each cluster cell, components, keep min id. The
+    // quadratic term is Σ|cluster|², not |corpus|².
+    "q66_semantic_dedup" -> ((s, dir) =>
+      SimilaritySearch.semanticDedup(embs(s, dir), CentroidMod, CosineThreshold)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))),
 
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
@@ -400,6 +409,31 @@ object DedupQueries extends QueryPack {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold
          |ORDER BY 1, 2""".stripMargin,
+
+    "q66_semantic_dedup" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |               c.cent_id) AS crnk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |        FROM lists a JOIN lists b
+         |          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |        WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold),
+         |edges AS (SELECT va AS a, vb AS b FROM prs
+         |          UNION ALL SELECT vb AS a, va AS b FROM prs),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE id <> component)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
 
     "q39_embed_neardup_srp" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket

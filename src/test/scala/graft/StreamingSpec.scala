@@ -152,4 +152,30 @@ class StreamingSpec extends SparkSpec {
       got shouldBe expected
     } finally sq.stop()
   }
+
+  test("dedupKeepFirst streams with bounded state and matches the batch face on id-ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"),
+      (4L, ts(3), "gamma"), (5L, ts(4), "beta"), (6L, ts(5), "alpha"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val sq = graft.operators.Dedup.dedupKeepFirst(
+        mem.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(4): _*)
+      sq.processAllAvailable()
+      mem.addData(docs.drop(4): _*) // dups arriving in a LATER batch still drop
+      sq.processAllAvailable()
+      val kept = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      kept shouldBe Array(1L, 2L, 4L)
+      // batch face: deterministic min-id per digest — same set here because
+      // the stream arrived in id order
+      val batchKept = graft.operators.Dedup.dedupKeepFirst(
+          docs.toDF("doc_id", "ts", "text"), "10 minutes")
+        .collect().map(_.getLong(0)).sorted
+      batchKept shouldBe kept
+    } finally sq.stop()
+  }
 }
