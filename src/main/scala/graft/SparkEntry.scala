@@ -13,7 +13,8 @@ object SparkEntry {
     DedupQueries,
     AnnQueries,
     MultimodalQueries,
-    StreamingQueries
+    StreamingQueries,
+    ScaleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

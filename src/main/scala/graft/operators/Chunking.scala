@@ -36,4 +36,35 @@ object Chunking {
           .as("n_tokens"),
         concat_ws(" ", slice(col("tk"), col("start") + 1, lit(chunkTokens))).as("chunk_text"))
   }
+
+  /**
+   * Sequence packing (concat-and-chunk accounting): lay the chunks of a
+   * stratum end to end in a deterministic order and slice the resulting
+   * token stream every `budget` tokens — the packing step that turns a
+   * chunked corpus into fixed-length training sequences. Each input row
+   * occupies the token interval [cum_before, cum_before + n_tokens);
+   * `pack_id` / `pack_offset` locate its start, and `straddles` marks
+   * rows the physical concat would split across a pack boundary.
+   *
+   * Packing is inherently sequential — the parallelism axis is the
+   * STRATUM (shard/language/source): one window shuffle partitioned by
+   * `strataCol`, running-sum within. A single global stream would plan a
+   * single-partition window; sharding is how real pipelines pack, and the
+   * assignment stays deterministic per stratum regardless of shard count.
+   * Output: input columns + (cum_before, pack_id, pack_offset, straddles).
+   */
+  def packSequences(chunks: DataFrame, budget: Int, strataCol: String,
+                    orderCols: Seq[String],
+                    tokenCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    chunks
+      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("cum_before") / budget).cast("long"))
+      .withColumn("pack_offset", col("cum_before") % budget)
+      .withColumn("straddles",
+        col("pack_offset") + col(tokenCol) > budget)
+  }
 }

@@ -124,6 +124,18 @@ object DedupQueries extends QueryPack {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))),
 
+    // EXT-T12: benchmark decontamination — every 17th document plays the
+    // held-out benchmark set; report train documents sharing any 3-gram
+    // with it (the n-gram-collision scrub protocol). The benchmark gram
+    // set broadcasts; the corpus side never shuffles for the probe.
+    "q67_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Decontamination.contaminated(
+          d.where(col("doc_id") % 17 =!= 0),
+          d.where(col("doc_id") % 17 === 0), ShingleN)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -230,6 +242,15 @@ object DedupQueries extends QueryPack {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
         |       MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_decontaminate" ->
+      s"""WITH $ShingleCtes,
+         |shd0 AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |bench AS (SELECT DISTINCT g FROM shd0 WHERE doc_id % 17 = 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM shd0 JOIN bench USING (g)
+         |WHERE doc_id % 17 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20_jaccard_pairs" ->
       s"""WITH $ShingleCtes,

@@ -168,6 +168,33 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T13: corpus n-gram document frequency — the top-50 most
+    // widespread 3-grams (boilerplate detection: a shingle in thousands
+    // of documents is template text, and this is the query that finds
+    // the cap for jaccardPairs' maxShingleDegree). Map-side partial agg
+    // + TakeOrdered; ties broken by the n-gram itself.
+    "q70_ngram_topk" -> ((s, dir) =>
+      shingleStream(docs(s, dir), 3).distinct()
+        .groupBy(col("sh").as("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram"))
+        .limit(50)),
+
+    // EXT-T14: sequence packing — non-overlapping 64-token chunks laid
+    // end to end per language and sliced every 256 tokens (concat-and-
+    // chunk accounting). The parallelism axis is the stratum; packing
+    // within one is inherently sequential.
+    "q72_pack_sequences" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val chunks = graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 64)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Chunking.packSequences(chunks, 256, "lang",
+          Seq("doc_id", "chunk_id"))
+        .select(col("lang"), col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("cum_before"), col("pack_id"), col("pack_offset"), col("straddles"))
+        .orderBy(col("lang"), col("doc_id"), col("chunk_id"))
+    }),
+
     "q36_term_similarity" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(tokensWs(col("text"))).as("tok"))
@@ -378,6 +405,40 @@ object TextQueries extends QueryPack {
          |FROM rk JOIN dict da ON rk.item_a = da.h JOIN dict db ON rk.item_b = db.h
          |WHERE rnk <= 3
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q70_ngram_topk" ->
+      s"""WITH $ToksCte,
+         |g3 AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(tk) < 3 THEN []
+         |              ELSE list_transform(range(1, len(tk) - 1),
+         |                     i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END))
+         |         AS ngram
+         |       FROM toks)
+         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM g3 GROUP BY 1
+         |ORDER BY n_docs DESC, ngram LIMIT 50""".stripMargin,
+
+    "q72_pack_sequences" ->
+      s"""WITH $ToksCte,
+         |starts AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk), 1), 64)) AS start
+         |           FROM toks),
+         |ch AS (SELECT doc_id,
+         |         CAST(start // 64 AS BIGINT) AS chunk_id,
+         |         CAST(LEAST(64, len(tk) - start) AS BIGINT) AS n_tokens
+         |       FROM starts WHERE start < len(tk)),
+         |cl AS (SELECT d.lang, ch.doc_id, ch.chunk_id, ch.n_tokens
+         |       FROM ch JOIN documents d USING (doc_id)),
+         |pk AS (SELECT lang, doc_id, chunk_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |           ORDER BY doc_id, chunk_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS cum_before
+         |       FROM cl)
+         |SELECT lang, doc_id, chunk_id, n_tokens, cum_before,
+         |  CAST(cum_before // 256 AS BIGINT) AS pack_id,
+         |  CAST(cum_before % 256 AS BIGINT) AS pack_offset,
+         |  (cum_before % 256) + n_tokens > 256 AS straddles
+         |FROM pk ORDER BY lang, doc_id, chunk_id""".stripMargin,
 
     "q36_term_similarity" ->
       s"""WITH $ToksCte,

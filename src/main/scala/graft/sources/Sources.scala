@@ -57,4 +57,13 @@ object Sources {
   /** JSONL sink (one JSON object per line, splittable by any consumer). */
   def saveJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC source/sink — the second columnar interchange format (Hive
+    * warehouses hand corpora over as ORC as often as parquet). Same
+    * pushdown/pruning contract as the parquet path. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def saveOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

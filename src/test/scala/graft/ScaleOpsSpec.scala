@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Decontamination, Joins}
+
+/** Witnesses for the scale-machinery operators: benchmark
+  * decontamination, bloom-pruned semi-join, sequence packing, and the
+  * ORC round-trip. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps"), // shares "quick brown fox" with bench
+    (2L, "totally unrelated words here"),
+    (3L, "quick brown fox quick brown fox runs"), // same shared gram, once distinct
+    (4L, "ab cd") // too short for a 3-gram
+  ).toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "a quick brown fox story")
+  ).toDF("doc_id", "text")
+
+  test("contaminated finds exactly the gram-sharing train docs") {
+    val hits = Decontamination.contaminated(train, bench, 3)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    hits shouldBe Array((1L, 1L), (3L, 1L))
+  }
+
+  test("scrub keeps the clean corpus") {
+    Decontamination.scrub(train, bench, 3)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+  }
+
+  test("bloomSemiJoin equals the plain semi-join (false positives removed)") {
+    val big = (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
+    val keys = Seq(3L, 17L, 400L, 999L).toDF("key") // 999 matches nothing
+    val got = Joins.bloomSemiJoin(big, keys, "k", "key", expectedKeys = 100L)
+      .orderBy("k").as[(Long, Long)].collect()
+    val want = big.join(keys.select(col("key").as("k")), Seq("k"), "left_semi")
+      .orderBy("k").as[(Long, Long)].collect()
+    got shouldBe want
+    got.map(_._1) shouldBe Array(3L, 17L, 400L)
+  }
+
+  test("bloomSemiJoin keeps null keys out") {
+    val big = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val keys = Seq(1L).toDF("key")
+    Joins.bloomSemiJoin(big, keys, "k", "key", expectedKeys = 10L)
+      .as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("packSequences hand-computed intervals, one stratum") {
+    // tokens 60, 64, 64, 12 laid end to end, budget 100:
+    // cum_before 0, 60, 124, 188 -> packs 0,0,1,1; offsets 0,60,24,88
+    val chunks = Seq(
+      ("en", 1L, 0L, 60L), ("en", 1L, 1L, 64L),
+      ("en", 2L, 0L, 64L), ("en", 2L, 1L, 12L)
+    ).toDF("lang", "doc_id", "chunk_id", "n_tokens")
+    val got = Chunking.packSequences(chunks, 100, "lang", Seq("doc_id", "chunk_id"))
+      .select("doc_id", "chunk_id", "cum_before", "pack_id", "pack_offset", "straddles")
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    got shouldBe Array(
+      (1L, 0L, 0L, 0L, 0L, false),
+      (1L, 1L, 60L, 0L, 60L, true),  // 60+64 > 100: straddles the boundary
+      (2L, 0L, 124L, 1L, 24L, false),
+      (2L, 1L, 188L, 1L, 88L, false))
+  }
+
+  test("packSequences strata pack independently and ignore input order") {
+    val chunks = Seq(
+      ("de", 5L, 0L, 30L), ("en", 1L, 0L, 30L), ("de", 6L, 0L, 30L),
+      ("en", 2L, 0L, 30L), ("en", 3L, 0L, 30L)
+    ).toDF("lang", "doc_id", "chunk_id", "n_tokens")
+    val packed = Chunking.packSequences(
+        chunks.orderBy(rand(7)), 50, "lang", Seq("doc_id", "chunk_id"))
+      .select("lang", "doc_id", "cum_before", "pack_id")
+      .orderBy("lang", "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+    packed shouldBe Array(
+      ("de", 5L, 0L, 0L), ("de", 6L, 30L, 0L),
+      ("en", 1L, 0L, 0L), ("en", 2L, 30L, 0L), ("en", 3L, 60L, 1L))
+  }
+
+  test("ORC round-trip is exact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    val d = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "s", "x")
+    graft.sources.Sources.saveOrc(d, out)
+    graft.sources.Sources.orc(spark, out).orderBy("id")
+      .as[(Long, String, Double)].collect() shouldBe
+      Array((1L, "a", 1.5), (2L, "b", -0.25))
+  }
+}
