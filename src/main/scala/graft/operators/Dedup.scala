@@ -376,4 +376,41 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .distinct()
   }
+
+  /**
+   * Span-level corpus dedup (the C4 protocol, deterministic splitter):
+   * documents are cut into NON-overlapping `spanTokens`-token spans
+   * (`Chunking.chunkDocuments` with stride = span), every span keeps only
+   * its FIRST corpus-wide occurrence — ordered by (id, span index), so
+   * the earliest document wins and within-document repeats drop too —
+   * and each document is reassembled from its surviving spans. Unlike
+   * document-level dedup this removes boilerplate STRETCHES shared
+   * between otherwise-distinct documents.
+   *
+   * Scale: two shuffles, both unavoidable for global span semantics —
+   * one on the span text (the keep-first decision; spans distribute
+   * uniformly, no hot keys) planned as a WindowGroupLimit top-1, one on
+   * the doc id for reassembly. The document body never moves whole: only
+   * its spans do, exactly once each. Output: (idCol, textCol) — every
+   * input document appears; one stripped of all spans keeps ''.
+   */
+  def spanDedup(docs: DataFrame, spanTokens: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Chunking.chunkDocuments(docs, spanTokens, spanTokens, idCol, textCol)
+    val wFirst = Window.partitionBy(col("chunk_text"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    val kept = spans
+      .withColumn("rnk", row_number().over(wFirst))
+      .where(col("rnk") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")),
+        " ").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

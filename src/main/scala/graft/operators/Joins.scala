@@ -38,4 +38,44 @@ object Joins {
     big.filter(mightContain(col(bigKey)))
       .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
+
+  /** Interval containment join: every (point, range) pair with
+    * `lo <= point < hi` — the IP-to-geo / timestamp-to-validity-window
+    * lookup class that Spark's planner can only express as a
+    * BroadcastNestedLoopJoin (a scan of EVERY range per point).
+    *
+    * Bucket decomposition turns it into an EQUI join: the number line is
+    * cut into `bucketWidth`-sized buckets, each range is exploded to the
+    * buckets it touches (⌈len/W⌉+1 rows), each point maps to exactly one
+    * bucket, and a plain hash join on the bucket id + an exact residual
+    * containment filter yields the identical pair set. Cost is
+    * |points| + Σ(range_len/W) join rows instead of |points|×|ranges|.
+    *
+    * At 100 TB: the point side shuffles ONCE on a uniformly-distributed
+    * integer key (or not at all — a lookup-table range side small enough
+    * to broadcast keeps the whole join map-side, which AQE picks
+    * automatically since the exploded range table is still tiny). Pick
+    * `bucketWidth` near the median range length: too small multiplies
+    * the range side, too large piles unrelated ranges into one bucket.
+    * Overlapping ranges are supported — a point matches each container.
+    *
+    * Keys must be integral; bucket arithmetic uses true floor division
+    * (`pmod`), so negative domains bucket correctly. Empty ranges
+    * (`hi <= lo`) match nothing, NULL bounds/points drop out (no bucket).
+    */
+  def intervalJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
+                   loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: String) =
+      expr(s"(($c - pmod($c, ${bucketWidth}L)) DIV ${bucketWidth}L)")
+    val rb = ranges
+      .where(col(hiCol) > col(loCol))
+      .withColumn("__gbkt",
+        explode(sequence(bucketOf(loCol), bucketOf(s"$hiCol - 1"))))
+    points
+      .withColumn("__gbkt", bucketOf(pointCol))
+      .join(rb, Seq("__gbkt"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__gbkt")
+  }
 }

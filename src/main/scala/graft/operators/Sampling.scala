@@ -63,4 +63,37 @@ object Sampling {
       .where(col("__rk") <= cap.cast("long"))
       .drop("__rk")
   }
+
+  /**
+   * Fractional-epoch domain mixing — the training-mixture primitive when
+   * targets are per-stratum sampling RATES (epochs), not counts: weight
+   * 2.25 replays every row twice and a deterministic 25% slice a third
+   * time; weight 0.5 keeps half the rows once; weight 0 drops the
+   * stratum. The fractional slice is the content-stable hash of the id
+   * (quantized to milli-epochs), so membership is layout/rerun-stable and
+   * raising a weight only ADDS copies — mixtures can be retuned without
+   * reshuffling what's already scheduled.
+   *
+   * Scale: map-only — a per-row copy count and an `explode(sequence)`;
+   * no shuffle, output size = Σ weights × stratum sizes, exactly what a
+   * mixture must materialize. Output: input columns + `epoch` (0-based
+   * replay index).
+   */
+  def mixEpochs(df: DataFrame, idCol: String, strataCol: String,
+                weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "mixture weights must be non-negative")
+    def milli(w: Double) = math.round(w * 1000)
+    val mw = weights.foldLeft(lit(milli(defaultWeight))) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(milli(w))).otherwise(acc)
+    }
+    df.withColumn("__mw", mw)
+      .withColumn("__copies",
+        floor(col("__mw") / 1000).cast("long") +
+          when(pmod(hash60(col(idCol).cast("string")), lit(1000L)) <
+               pmod(col("__mw"), lit(1000L)), 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__mw", "__copies")
+  }
 }

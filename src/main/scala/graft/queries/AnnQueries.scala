@@ -86,6 +86,54 @@ object AnnQueries extends QueryPack {
         .orderBy(col("method"), col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
     }),
 
+    // EXT-A9: incremental ANN index refresh — build the persisted index
+    // over a base corpus (vec_id % 5 ≠ 3), then APPEND the delta
+    // (vec_id % 5 = 3) assigned against the persisted planes/centroids;
+    // serving the refreshed index must hash-match an index built over
+    // base ∪ delta with the same centroid table. The ANN analogue of
+    // q57: an ingest batch costs one pass over the delta, never a
+    // corpus rebuild.
+    "q75_ann_store_refresh" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_annref").toString
+      val e = embs(s, dir)
+      val base = e.where(col("vec_id") % 5 =!= 3)
+      val delta = e.where(col("vec_id") % 5 === 3)
+      graft.store.AnnStore.writeSrp(base, planes, out)
+      graft.store.AnnStore.writeIvf(
+        base, SimilaritySearch.ivfCentroids(base, CentroidMod), out)
+      graft.store.AnnStore.appendSrp(delta, out)
+      graft.store.AnnStore.appendIvf(delta, out)
+      val srp = graft.store.AnnStore.srpTopK(s, out, querySet(s, dir), K)
+        .withColumn("method", lit("srp"))
+      val ivf = graft.store.AnnStore.ivfTopK(s, out, querySet(s, dir), NProbe, K)
+        .withColumn("method", lit("ivf"))
+      srp.unionByName(ivf)
+        .select(col("method"), col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("method"), col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
+    // EXT-A10: feature-wise embedding standardization — per-dimension
+    // corpus mean/std (ONE posexplode pass, 64-row stats table), then
+    // z-scores via a broadcast join; zero-variance dims map to 0. The
+    // normalize-before-index step of an embedding pipeline: the stats
+    // pass is a map-side-combinable agg keyed by dim, the apply pass is
+    // map-only. Output pinned on a deterministic vec subset.
+    "q78_embed_standardize" -> ((s, dir) => {
+      val dims = embs(s, dir).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      val stats = dims.groupBy(col("dim"))
+        .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+      dims.where(col("vec_id") % 25 === 0)
+        .join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          round(when(col("sd").isNull || col("sd") === 0.0, 0.0)
+            .otherwise((col("x") - col("mu")) / col("sd")), 6).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // EXT-A4: recall@k of the two approximate paths against the exact
     // brute-force ground truth, computed in-engine per query.
     "q41_ann_recall" -> ((s, dir) => {
@@ -269,6 +317,56 @@ object AnnQueries extends QueryPack {
          |SELECT 'ivf' AS method, query_id, vec_id, ROUND(cos, 6) AS cos
          |FROM irk WHERE rnk <= $K
          |ORDER BY 1, 2, 4 DESC NULLS LAST, 3""".stripMargin,
+
+    "q75_ann_store_refresh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0),
+         |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
+         |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
+         |lrk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM lscored),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings
+         |          WHERE vec_id % $CentroidMod = 1 AND vec_id % 5 <> 3),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |irk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM iscored)
+         |SELECT 'srp' AS method, query_id, vec_id, ROUND(cos, 6) AS cos
+         |FROM lrk WHERE rnk <= $K
+         |UNION ALL
+         |SELECT 'ivf' AS method, query_id, vec_id, ROUND(cos, 6) AS cos
+         |FROM irk WHERE rnk <= $K
+         |ORDER BY 1, 2, 4 DESC NULLS LAST, 3""".stripMargin,
+
+    "q78_embed_standardize" ->
+      """WITH dims AS (SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+        |                     embedding[t.i]::DOUBLE AS x
+        |              FROM embeddings,
+        |                   unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |st AS (SELECT dim, AVG(x) AS mu, STDDEV_SAMP(x) AS sd
+        |       FROM dims GROUP BY 1)
+        |SELECT d.vec_id, d.dim,
+        |  ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+        |             ELSE (x - mu) / sd END, 6) AS z
+        |FROM dims d JOIN st USING (dim)
+        |WHERE d.vec_id % 25 = 0
+        |ORDER BY 1, 2""".stripMargin,
 
     "q41_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -26,6 +26,7 @@ object DedupQueries extends QueryPack {
   private val Dim = 64
   private val BlockedCosineThreshold = 0.3
   private val CentroidMod = 37 // SemDeDup clustering seeds (AnnQueries' family)
+  private val SpanTokens = 16 // q74 span-dedup window
   private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
@@ -135,6 +136,15 @@ object DedupQueries extends QueryPack {
           d.where(col("doc_id") % 17 === 0), ShingleN)
         .orderBy(col("doc_id"))
     }),
+
+    // EXT-D13: span-level corpus dedup (C4 protocol) — every 16-token
+    // span keeps only its first corpus-wide occurrence and documents are
+    // reassembled from their surviving spans; removes boilerplate
+    // stretches shared between otherwise-distinct documents, which
+    // document-level dedup can't touch.
+    "q74_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(docs(s, dir), SpanTokens)
+        .orderBy(col("doc_id"))),
 
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
@@ -251,6 +261,29 @@ object DedupQueries extends QueryPack {
          |FROM shd0 JOIN bench USING (g)
          |WHERE doc_id % 17 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |starts AS (SELECT doc_id, tk,
+         |             unnest(range(0, GREATEST(len(tk), 1), $SpanTokens)) AS start
+         |           FROM toks),
+         |spans AS (SELECT doc_id, CAST(start // $SpanTokens AS BIGINT) AS chunk_id,
+         |            array_to_string(list_slice(tk, start + 1, start + $SpanTokens), ' ')
+         |              AS chunk_text
+         |          FROM starts WHERE start < len(tk)),
+         |kept AS (SELECT doc_id, chunk_id, chunk_text FROM (
+         |           SELECT doc_id, chunk_id, chunk_text,
+         |             ROW_NUMBER() OVER (PARTITION BY chunk_text
+         |                                ORDER BY doc_id, chunk_id) AS rnk
+         |           FROM spans) WHERE rnk = 1),
+         |reb AS (SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+         |        FROM kept GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.text, '') AS text
+         |FROM documents d LEFT JOIN reb r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q20_jaccard_pairs" ->
       s"""WITH $ShingleCtes,

@@ -16,6 +16,8 @@ import graft.functions.TextFunctions._
  */
 object TextQueries extends QueryPack {
 
+  private val VocabSize = 20 // q77 top-V vocabulary
+
   /** Documents spread across the session's parallelism: the per-document
     * scoring expressions are interpreted (HOF folds), so a corpus arriving
     * as few files would otherwise bottleneck on as many cores. At cluster
@@ -159,6 +161,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T15: fractional-epoch domain mixing — en×1.4, de×2.25, rest
+    // ×0.5: every row replays ⌊w⌋ times plus a content-stable hash slice
+    // once more. Map-only (explode of a per-row copy count), no shuffle.
+    "q76_mix_epochs" -> ((s, dir) =>
+      graft.operators.Sampling.mixEpochs(
+          Tables.read(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 1.4, "de" -> 2.25), defaultWeight = 0.5)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // EXT-T16: vocabulary build + coverage — the top-V corpus tokens by
+    // frequency (the vocab), then each language's token-occurrence
+    // coverage under that vocab (the OOV-rate planning query for
+    // tokenizer sizing). Vocab = map-side partial agg + TakeOrdered;
+    // coverage = broadcast vocab probe, one corpus pass.
+    "q77_vocab_coverage" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("lang"),
+        explode(tokensWs(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
+        .select(col("tok"))
+      toks.join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("iv"), lit(0L))).as("n_invocab"))
+        .select(col("lang"), col("n_tokens"), col("n_invocab"),
+          round(col("n_invocab").cast("double") / col("n_tokens"), 6)
+            .as("coverage"))
+        .orderBy(col("lang"))
+    }),
+
     // EXT-T11: per-stratum quota sampling — absolute per-language document
     // budgets (vs q49's per-mille rates). WindowGroupLimit prunes map-side.
     "q65_quota_sample" -> ((s, dir) =>
@@ -275,6 +308,30 @@ object TextQueries extends QueryPack {
          |    '$PhonePattern', '<PHONE>', 'g'),
          |    '$Ipv4Pattern', '<IP>', 'g') AS redacted
          |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q76_mix_epochs" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 1400 WHEN 'de' THEN 2250 ELSE 500 END AS mw,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hs
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        mw // 1000 + CASE WHEN hs < mw % 1000 THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, lang, CAST(t.epoch AS BIGINT) AS epoch
+        |FROM c, unnest(range(0, copies)) AS t(epoch)
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q77_vocab_coverage" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT lang, unnest(tk) AS tok FROM toks),
+         |vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT $VocabSize)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_invocab,
+         |  ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)::DOUBLE
+         |        / COUNT(*)::DOUBLE, 6) AS coverage
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q65_quota_sample" ->
       """WITH rk AS (SELECT doc_id, lang,

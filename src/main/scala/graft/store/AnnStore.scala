@@ -59,6 +59,38 @@ object AnnStore {
       .write.mode("overwrite").parquet(s"$storePath/$IvfLists")
   }
 
+  /** Append a delta corpus to the persisted SRP index. The delta is
+    * bucketed with the PERSISTED planes, so the refreshed bucket table is
+    * row-identical to rebuilding over base ∪ delta (bucketing is
+    * per-vector); appended files carry the same in-file bucket sort, so
+    * row-group pruning still holds per file. The incremental-maintenance
+    * path for the ANN tier: an ingest batch costs one pass over the
+    * DELTA, never a corpus rebuild. */
+  def appendSrp(delta: DataFrame, storePath: String): Unit = {
+    val spark = delta.sparkSession
+    SimilaritySearch.withBucket(delta.repartition(col("vec_id")),
+        readPlanes(spark, storePath))
+      .select(col("vec_id"), col("embedding"),
+        SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
+      .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
+      .write.mode("append").parquet(s"$storePath/$SrpBuckets")
+  }
+
+  /** Append a delta corpus to the persisted IVF index: delta vectors are
+    * assigned against the PERSISTED centroids (assignment is per-vector,
+    * so refreshed lists == lists rebuilt over base ∪ delta with the same
+    * centroid table) and appended to the list files. Centroids drift as
+    * deltas accumulate — recall-gate with the q41 machinery and re-train
+    * when it degrades; exactness of the SERVED result vs the current
+    * centroid table is unconditional. */
+  def appendIvf(delta: DataFrame, storePath: String): Unit = {
+    val spark = delta.sparkSession
+    SimilaritySearch.ivfLists(delta,
+        spark.read.parquet(s"$storePath/$IvfCentroids"))
+      .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
+      .write.mode("append").parquet(s"$storePath/$IvfLists")
+  }
+
   /** The persisted hyperplanes, reconstructed for query-side bucketing
     * (collect is bounded by L — the plane count, not the corpus). */
   def readPlanes(spark: SparkSession, storePath: String): Seq[Seq[Int]] =

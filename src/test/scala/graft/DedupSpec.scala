@@ -75,4 +75,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain((1L, 2L))
   }
+
+  test("spanDedup keeps first span occurrence, rebuilds docs, empties full dups") {
+    // 3-token spans: doc 1 = [a b c][d e f]; doc 2 repeats both spans
+    // (drops to '') plus a fresh tail span; doc 3 repeats ITS OWN first
+    // span — the within-doc repeat drops too.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i"),
+      (3L, "p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, 3).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    got shouldBe Array((1L, "a b c d e f"), (2L, "g h i"), (3L, "p q r"))
+  }
+
+  test("spanDedup is idempotent") {
+    val once = Dedup.spanDedup(docs, 3)
+    val twice = Dedup.spanDedup(once, 3).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    once.orderBy("doc_id").as[(Long, String)].collect() shouldBe twice
+  }
 }

@@ -107,4 +107,34 @@ class PipelineExtrasSpec extends SparkSpec {
       df.repartition(13), "doc_id", "lang", Map("en" -> 10), 7)
     repart.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe bigIds
   }
+
+  test("mixEpochs: integral weights replay exactly, fractions slice, 0 drops") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val mixed = Sampling.mixEpochs(df, "doc_id", "lang",
+      Map("en" -> 2.0, "de" -> 0.5), defaultWeight = 1.0)
+    // en: every doc exactly twice, epochs 0 and 1
+    mixed.where(col("lang") === "en").groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)) shouldBe Array(2L)
+    // de: roughly half the docs once (hash slice), each at epoch 0
+    val de = mixed.where(col("lang") === "de")
+    val deCount = de.count()
+    assert(deCount > 20 && deCount < 80, s"de kept $deCount of 100")
+    de.select("epoch").distinct().collect().map(_.getLong(0)) shouldBe Array(0L)
+    // raising a weight only ADDS copies: 0.5 kept set ⊆ 0.9 kept set
+    val more = Sampling.mixEpochs(df, "doc_id", "lang",
+      Map("en" -> 2.0, "de" -> 0.9), defaultWeight = 1.0)
+    val deIds = de.select("doc_id").collect().map(_.getLong(0)).toSet
+    val moreIds = more.where(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deIds.subsetOf(moreIds))
+    // weight 0 drops the stratum entirely
+    Sampling.mixEpochs(df, "doc_id", "lang", Map("en" -> 0.0), 1.0)
+      .where(col("lang") === "en").count() shouldBe 0L
+    // deterministic across reruns and layouts
+    val again = Sampling.mixEpochs(df.repartition(17), "doc_id", "lang",
+      Map("en" -> 2.0, "de" -> 0.5), defaultWeight = 1.0)
+    again.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      mixed.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
 }

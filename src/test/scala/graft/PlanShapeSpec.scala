@@ -95,4 +95,38 @@ class PlanShapeSpec extends SparkSpec {
     p.toLowerCase should include("vec_dot")
     p should not include "lambdafunction"
   }
+
+  test("intervalJoin plans an equi join on the bucket id, never a nested loop") {
+    val ranges = (1L to 200L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("range_id", "lo", "hi")
+    val points = (1L to 500L).map(i => (i, i * 4)).toDF("p_id", "v")
+    val p = planOf(graft.operators.Joins.intervalJoin(points, ranges, "v", "lo", "hi", 16L))
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi join on bucket id in:\n$p")
+    // the naive theta join is exactly the shape we refuse to plan
+    val naive = planOf(points.crossJoin(ranges)
+      .where(col("v") >= col("lo") && col("v") < col("hi")))
+    assert(naive.contains("NestedLoop") || naive.contains("CartesianProduct"))
+  }
+
+  test("spanDedup's keep-first plans a rank-limit window, not a full sort per span") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("doc_id", "text")
+    val p = planOf(graft.operators.Dedup.spanDedup(d, 3))
+    p should include("WindowGroupLimit")
+  }
+
+  test("q69's exact sides plan no Expand and no single-partition window") {
+    val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
+      .toDF("l_returnflag", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q69").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val q = queries.ScaleQueries.queries("q69_sketch_profile")(spark, dir)
+    val p = planOf(q)
+    // countDistinct+percentile fused in one agg would plan an Expand and
+    // drag every row into the group partitions — the 10.6s shape q69
+    // was rewritten away from.
+    p should not include "Expand"
+  }
 }

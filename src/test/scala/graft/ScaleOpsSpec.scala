@@ -81,6 +81,35 @@ class ScaleOpsSpec extends SparkSpec {
       ("en", 1L, 0L, 0L), ("en", 2L, 30L, 0L), ("en", 3L, 60L, 1L))
   }
 
+  test("intervalJoin equals the naive theta join on random data") {
+    val rnd = new scala.util.Random(11)
+    val ranges = (1L to 60L).map { i =>
+      val lo = rnd.nextInt(500).toLong - 100 // negative lows exercised too
+      (i, lo, lo + rnd.nextInt(90).toLong)   // empty when width = 0
+    }.toDF("range_id", "lo", "hi")
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(700).toLong - 200))
+      .toDF("p_id", "v")
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = Joins.intervalJoin(points, ranges, "v", "lo", "hi", w)
+        .select("p_id", "range_id").orderBy("p_id", "range_id")
+        .as[(Long, Long)].collect()
+      val want = points.crossJoin(ranges)
+        .where(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("p_id", "range_id").orderBy("p_id", "range_id")
+        .as[(Long, Long)].collect()
+      got shouldBe want
+    }
+  }
+
+  test("intervalJoin drops null points and null-bounded ranges") {
+    val ranges = Seq((1L, Some(0L), Some(10L)), (2L, None, Some(10L)))
+      .toDF("range_id", "lo", "hi")
+    val points = Seq((1L, Some(5L)), (2L, None)).toDF("p_id", "v")
+    Joins.intervalJoin(points, ranges, "v", "lo", "hi", 4L)
+      .select("p_id", "range_id").as[(Long, Long)].collect() shouldBe
+      Array((1L, 1L))
+  }
+
   test("ORC round-trip is exact") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "s", "x")

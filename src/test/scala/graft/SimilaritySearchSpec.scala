@@ -101,4 +101,33 @@ class SimilaritySearchSpec extends SparkSpec {
     // blocking by label parity separates 1 (odd) from 2 (even) → no pairs
     SimilaritySearch.nearDupPairs(withBlk, 0.9, Some("label")).count() shouldBe 0L
   }
+
+  test("ANN store refresh serves identically to a full rebuild") {
+    val rnd = new scala.util.Random(23)
+    val all = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") % 4 =!= 0)
+    val delta = all.where(col("vec_id") % 4 === 0)
+    val queries = all.where(col("vec_id") % 9 === 1)
+    val planes = SimilaritySearch.hyperplanes(6, 8)
+    val cents = SimilaritySearch.ivfCentroids(base, 7)
+
+    val refreshed = java.nio.file.Files.createTempDirectory("graft_annref_spec").toString
+    graft.store.AnnStore.writeSrp(base, planes, refreshed)
+    graft.store.AnnStore.writeIvf(base, cents, refreshed)
+    graft.store.AnnStore.appendSrp(delta, refreshed)
+    graft.store.AnnStore.appendIvf(delta, refreshed)
+
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_annreb_spec").toString
+    graft.store.AnnStore.writeSrp(all, planes, rebuilt)
+    graft.store.AnnStore.writeIvf(all, cents, rebuilt)
+
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("query_id", "cos", "vec_id").collect().toSeq
+    dump(graft.store.AnnStore.srpTopK(spark, refreshed, queries, 3)) shouldBe
+      dump(graft.store.AnnStore.srpTopK(spark, rebuilt, queries, 3))
+    dump(graft.store.AnnStore.ivfTopK(spark, refreshed, queries, 2, 3)) shouldBe
+      dump(graft.store.AnnStore.ivfTopK(spark, rebuilt, queries, 2, 3))
+  }
 }
