@@ -79,6 +79,59 @@ object Sampling {
    * mixture must materialize. Output: input columns + `epoch` (0-based
    * replay index).
    */
+  /**
+   * Deterministic global training shuffle — the write-side ordering
+   * primitive: every row gets a shard (content-stable hash mod N) and a
+   * dense 0-based position within its shard (hash order, id tie-break).
+   * The resulting (shard, pos) is a reproducible pseudo-random
+   * permutation of the corpus: independent of layout, partition count,
+   * or rerun — the property seed-based `orderBy(rand)` cannot give — so
+   * a training run can be resumed or exactly re-created from the data
+   * alone.
+   *
+   * Scale: ONE shuffle on the shard id (uniform by construction — no
+   * skew), per-shard `row_number` windows run on N-way parallel
+   * partitions; no global sort and no single-partition stage. Shard
+   * count is the parallelism floor — pick ≥ the writer parallelism.
+   */
+  def shardAssignment(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard", pmod(hash60(col(idCol).cast("string")), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /**
+   * Per-stratum TOKEN budgets — quota sampling in the unit that actually
+   * matters for a training mixture: keep documents in content-stable hash
+   * order until the stratum's cumulative token count reaches its budget;
+   * the first document CROSSING the budget is included (so every stratum
+   * with any data meets its budget). Same nesting property as
+   * `quotaPerStratum`: shrinking a budget keeps a prefix of the same
+   * hash order — a subset — never a resample.
+   *
+   * Scale: one shuffle on the stratum; the running sum is a partitioned
+   * window (no single-partition stage). Token counts arrive as a column
+   * (computed map-side), so the pass over text happens before the
+   * exchange and only (id, stratum, count) shuffles.
+   */
+  def tokenBudgetPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                            tokenCol: String, budgets: Map[String, Long],
+                            defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, n)) =>
+      when(col(strataCol) === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    df.withColumn("__cumb", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__cumb") < budget)
+      .drop("__cumb")
+  }
+
   def mixEpochs(df: DataFrame, idCol: String, strataCol: String,
                 weights: Map[String, Double], defaultWeight: Double): DataFrame = {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),

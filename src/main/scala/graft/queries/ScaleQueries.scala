@@ -103,6 +103,22 @@ object ScaleQueries extends QueryPack {
     // aggregate keeps the gate output compact while pinning every
     // containment decision (a wrong pair moves some range's count or
     // extrema).
+    // EXT-C12: corpus snapshot diff — the audit face of incremental
+    // ingest: classify every doc id across two snapshot derivations as
+    // added/removed/changed/unchanged by content digest. Bodies never
+    // shuffle — each side reduces to (id, md5) map-side, then ONE
+    // full-outer hash join on the id.
+    "q81_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val base = d.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("text"))
+      val current = d.where(col("doc_id") % 13 =!= 0)
+      graft.operators.Snapshots.diff(base, current)
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_interval_join" -> ((s, dir) => {
       val ranges = Tables.read(s, dir, "part").select(
         col("p_partkey").as("range_id"),
@@ -140,6 +156,20 @@ object ScaleQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' OLD' ELSE text END) AS bd
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |cur AS (SELECT doc_id, md5(text) AS cd
+        |        FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT COALESCE(base.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN bd IS NULL THEN 'added'
+        |       WHEN cd IS NULL THEN 'removed'
+        |       WHEN bd <> cd THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id
+        |ORDER BY 1""".stripMargin,
 
     "q73_interval_join" ->
       """WITH ranges AS (SELECT p_partkey AS range_id, p_partkey * 50 AS lo,

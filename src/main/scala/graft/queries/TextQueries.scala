@@ -192,6 +192,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // EXT-T17: deterministic global training shuffle — reproducible
+    // (shard, pos) permutation from content-stable hashes; one uniform
+    // shard shuffle, per-shard windows, no global sort.
+    "q79_train_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.shardAssignment(
+          Tables.read(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
+    // EXT-T18: per-stratum TOKEN budgets — the mixture quota in the unit
+    // that matters: documents kept in content-stable hash order until
+    // each language's cumulative whitespace-token count crosses its
+    // budget (crossing doc included).
+    "q80_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetPerStratum(
+          Tables.read(s, dir, "documents")
+            .withColumn("n_toks", tokenCountWs(col("text"))),
+          "doc_id", "lang", "n_toks",
+          Map("en" -> 3000L, "de" -> 1000L), defaultBudget = 500L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // EXT-T11: per-stratum quota sampling — absolute per-language document
     // budgets (vs q49's per-mille rates). WindowGroupLimit prunes map-side.
     "q65_quota_sample" -> ((s, dir) =>
@@ -332,6 +354,29 @@ object TextQueries extends QueryPack {
          |  ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)::DOUBLE
          |        / COUNT(*)::DOUBLE, 6) AS coverage
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_train_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "q80_token_budget" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT doc_id, lang, len(tk) AS nt,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM toks),
+         |c AS (SELECT doc_id, lang,
+         |  COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY hv, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM t)
+         |SELECT doc_id, lang FROM c
+         |WHERE cumb < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1000
+         |             ELSE 500 END
+         |ORDER BY doc_id""".stripMargin,
 
     "q65_quota_sample" ->
       """WITH rk AS (SELECT doc_id, lang,

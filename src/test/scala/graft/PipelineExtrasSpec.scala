@@ -108,6 +108,52 @@ class PipelineExtrasSpec extends SparkSpec {
     repart.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe bigIds
   }
 
+  test("shardAssignment: dense 0-based positions, uniform-ish shards, layout-stable") {
+    val df = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
+    val sh = Sampling.shardAssignment(df, "doc_id", 8)
+    sh.count() shouldBe 300L
+    // every shard's positions are exactly 0..n-1
+    sh.groupBy("shard").agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
+      .collect().foreach { r =>
+        r.getAs[Long]("mn") shouldBe 0L
+        r.getAs[Long]("mx") shouldBe r.getAs[Long]("n") - 1
+        r.getAs[Long]("nd") shouldBe r.getAs[Long]("n")
+      }
+    // deterministic under a different layout
+    val again = Sampling.shardAssignment(df.repartition(11), "doc_id", 8)
+    again.select("doc_id", "shard", "pos").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      sh.select("doc_id", "shard", "pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("tokenBudgetPerStratum: crossing doc included, budgets nest") {
+    val df = (1L to 50L).map(i => (i, "en", 10L)).toDF("doc_id", "lang", "nt")
+    // budget 35 with 10-token docs: cum_before 0,10,20,30 kept (4 docs)
+    val kept = Sampling.tokenBudgetPerStratum(df, "doc_id", "lang", "nt",
+      Map("en" -> 35L), 1L)
+    kept.count() shouldBe 4L
+    // a tighter budget keeps a SUBSET
+    val tight = Sampling.tokenBudgetPerStratum(df, "doc_id", "lang", "nt",
+      Map("en" -> 15L), 1L)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val tightIds = tight.select("doc_id").collect().map(_.getLong(0)).toSet
+    tightIds.size shouldBe 2
+    assert(tightIds.subsetOf(keptIds))
+    // every stratum with data meets its budget even when one doc exceeds it
+    Sampling.tokenBudgetPerStratum(df, "doc_id", "lang", "nt", Map.empty, 1L)
+      .count() shouldBe 1L
+  }
+
+  test("Snapshots.diff classifies added/removed/changed/unchanged") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    graft.operators.Snapshots.diff(base, cur).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+        (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added"))
+  }
+
   test("mixEpochs: integral weights replay exactly, fractions slice, 0 drops") {
     val df = (1L to 200L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
