@@ -104,6 +104,41 @@ object TextFunctions {
     greatest(lit(0.0), lenScore * 0.5 + stopScore * 0.5 - punctPen * 0.25)
   }
 
+  /**
+   * Deflate compression ratio (compressed/raw bytes) — the Gopher-family
+   * quality signal that catches what token statistics miss: machine-
+   * generated or template text compresses far below natural prose.
+   *
+   * Deliberately a Scala UDF, not a Catalyst expression: the kernel is
+   * the JVM's zlib Deflater — there is no SQL-expressible form to
+   * codegen, and the exact byte count varies across zlib builds, so no
+   * cross-engine oracle exists either. Spec-gated instead (ordering
+   * properties: repetitive < prose < ratio ≤ ~1, empty → 1.0,
+   * null-safe), and thresholds on it should be calibrated per
+   * deployment, not hard-coded. Map-only like the rest of the scoring
+   * tier — streams unchanged.
+   */
+  def compressionRatio(c: Column): Column = compressionRatioUdf(c)
+
+  private lazy val compressionRatioUdf =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
+        else {
+          val d = new java.util.zip.Deflater()
+          try {
+            d.setInput(bytes); d.finish()
+            val buf = new Array[Byte](8192)
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            java.lang.Double.valueOf(n.toDouble / bytes.length)
+          } finally d.end()
+        }
+      }
+    }
+
   /** Marker function-words per language for the n-gram/word language-ID
     * heuristic. Extend freely; langId is generic over the profile map. */
   val LangProfiles: Map[String, Seq[String]] = Map(

@@ -8,11 +8,13 @@ import graft.expressions.{RollingFingerprint, VecDot}
 /**
  * SparkSessionExtensions entry point: registers the engine's native
  * expressions with the Catalyst function registry so they are callable
- * from SQL as well as the Column API.
+ * from SQL as well as the Column API, and the engine's optimizer rules.
  *
  * Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
  * (all of this project's session builders do), then:
  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+ * and any `p >= lo AND p < hi` inner join plans as a bucket-decomposed
+ * equi join instead of a nested loop ([[IntervalJoinRewrite]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (children: Seq[Expression]) => RollingFingerprint(children.head)))
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
   }
 }

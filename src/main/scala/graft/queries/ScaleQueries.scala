@@ -119,6 +119,28 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-C13: the SAME interval join as q73 but written as declarative
+    // SQL — the IntervalJoinRewrite optimizer rule (injected via
+    // SparkSessionExtensions) turns the `p >= lo AND p < hi` theta join
+    // into the bucket-decomposed equi join automatically; the oracle
+    // gates that the rewritten plan computes the identical answer.
+    "q82_interval_sql" -> ((s, dir) => {
+      Tables.read(s, dir, "part").select(
+          col("p_partkey").as("range_id"),
+          (col("p_partkey") * 50L).as("lo"),
+          (col("p_partkey") * 50L + col("p_size") * 7L + lit(3L)).as("hi"))
+        .createOrReplaceTempView("g_ranges")
+      Tables.read(s, dir, "lineitem").select(
+          (col("l_partkey") * 50L +
+            pmod(col("l_orderkey") * 13L + col("l_linenumber") * 29L, lit(400L)))
+            .as("v"))
+        .createOrReplaceTempView("g_points")
+      s.sql("""SELECT range_id, COUNT(*) AS n_points,
+               |       MIN(v) AS v_min, MAX(v) AS v_max
+               |FROM g_points p JOIN g_ranges r ON p.v >= r.lo AND p.v < r.hi
+               |GROUP BY range_id ORDER BY range_id""".stripMargin)
+    }),
+
     "q73_interval_join" -> ((s, dir) => {
       val ranges = Tables.read(s, dir, "part").select(
         col("p_partkey").as("range_id"),
@@ -170,6 +192,17 @@ object ScaleQueries extends QueryPack {
         |       ELSE 'unchanged' END AS status
         |FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id
         |ORDER BY 1""".stripMargin,
+
+    "q82_interval_sql" ->
+      """WITH ranges AS (SELECT p_partkey AS range_id, p_partkey * 50 AS lo,
+        |                       p_partkey * 50 + p_size * 7 + 3 AS hi FROM part),
+        |points AS (SELECT l_partkey * 50 +
+        |             (l_orderkey * 13 + l_linenumber * 29) % 400 AS v
+        |           FROM lineitem)
+        |SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |       MIN(p.v) AS v_min, MAX(p.v) AS v_max
+        |FROM points p JOIN ranges r ON p.v >= r.lo AND p.v < r.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_interval_join" ->
       """WITH ranges AS (SELECT p_partkey AS range_id, p_partkey * 50 AS lo,

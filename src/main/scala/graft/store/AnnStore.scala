@@ -100,12 +100,18 @@ object AnnStore {
       .map(_.getSeq[Float](1).map(_.toInt).toSeq)
       .toSeq
 
+  /** Bucket/list tables may hold flat files (batch writes/appends) plus
+    * `batch=<id>` subdirectories (streaming ingest, `AnnIngest`) — read
+    * the whole tree as one table, skipping partition inference. */
+  private def readTree(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
   /** SRP top-k served from the persisted index: queries are bucketed with
     * the stored planes and hash-joined against the bucket table. */
   def srpTopK(spark: SparkSession, storePath: String, queries: DataFrame,
               k: Int): DataFrame =
     SimilaritySearch.srpServe(
-      spark.read.parquet(s"$storePath/$SrpBuckets"),
+      readTree(spark, s"$storePath/$SrpBuckets"),
       queries, readPlanes(spark, storePath), k)
 
   /** IVF top-k served from the persisted index: queries rank against the
@@ -113,7 +119,7 @@ object AnnStore {
   def ivfTopK(spark: SparkSession, storePath: String, queries: DataFrame,
               nprobe: Int, k: Int): DataFrame =
     SimilaritySearch.ivfServe(
-      spark.read.parquet(s"$storePath/$IvfLists"),
+      readTree(spark, s"$storePath/$IvfLists"),
       spark.read.parquet(s"$storePath/$IvfCentroids"),
       queries, nprobe, k)
 }

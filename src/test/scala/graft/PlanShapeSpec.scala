@@ -117,6 +117,37 @@ class PlanShapeSpec extends SparkSpec {
     p should include("WindowGroupLimit")
   }
 
+  test("IntervalJoinRewrite: declarative range join plans an equi join and matches the nested loop") {
+    val rnd = new scala.util.Random(31)
+    val ranges = (1L to 80L).map { i =>
+      val lo = rnd.nextInt(400).toLong - 50
+      (i, lo, lo + rnd.nextInt(60).toLong) }.toDF("range_id", "lo", "hi")
+    val points = (1L to 200L).map(i => (i, rnd.nextInt(500).toLong - 100))
+      .toDF("p_id", "v")
+    ranges.createOrReplaceTempView("ijr_ranges")
+    points.createOrReplaceTempView("ijr_points")
+    val sql = """SELECT p_id, range_id FROM ijr_points p JOIN ijr_ranges r
+                 ON p.v >= r.lo AND p.v < r.hi"""
+    def run() = spark.sql(sql)
+    val p = planOf(run())
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+    val got = run().orderBy("p_id", "range_id").as[(Long, Long)].collect()
+    // the same query with the rule off IS the nested loop — the ground truth
+    spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
+    try {
+      val off = planOf(run())
+      assert(off.contains("NestedLoop") || off.contains("CartesianProduct"))
+      got shouldBe run().orderBy("p_id", "range_id").as[(Long, Long)].collect()
+    } finally spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+    // a look-alike whose upper bound references BOTH sides must NOT fire
+    // (an event-time window join is this shape)
+    val looks = planOf(spark.sql(
+      """SELECT p_id, range_id FROM ijr_points p JOIN ijr_ranges r
+         ON p.v >= r.lo AND p.v < r.hi + p.p_id"""))
+    looks should not include "__gbkt"
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")

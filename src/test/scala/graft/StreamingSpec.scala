@@ -178,4 +178,34 @@ class StreamingSpec extends SparkSpec {
       batchKept shouldBe kept
     } finally sq.stop()
   }
+
+  test("the curation tier (quality/langId/tokens/PII) streams unchanged — map-only transforms") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions._
+    // the SAME transform serves batch backfill and the online path — the
+    // payoff of keeping per-document scoring as pure Column expressions
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      langId(col("text")).as("lang"),
+      round(qualityScore(col("text")), 6).as("quality"),
+      tokenCountWs(col("text")).as("n_tokens"),
+      redactPii(col("text")).as("redacted"))
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "der hund und die katze sind nicht hier aber das ist gut"),
+      (3L, "contact me at someone@example.com right away"),
+      (4L, ""))
+    val batchRows = curate(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val sq = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      sq.processAllAvailable()
+      spark.table("curation_test").collect().map(_.toSeq).toSet shouldBe batchRows
+      batchRows.size shouldBe 4
+    } finally sq.stop()
+  }
 }

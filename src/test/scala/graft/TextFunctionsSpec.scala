@@ -103,4 +103,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hp >= 0L)
     one[Long](hashPerm(col("t"), 3), "hello world") shouldBe hp
   }
+
+  test("compressionRatio orders repetitive < prose, is null-safe, empty -> 1.0") {
+    val repetitive = "spam spam spam spam spam spam spam spam spam spam " * 20
+    val prose = "A rather more varied sentence, with digits 427 and mixed " +
+      "punctuation; entropy stays comparatively high throughout this text. " +
+      "Further clauses introduce fresh vocabulary: zephyr, quixotic, jumble."
+    val rRep = one[Double](compressionRatio(col("t")), repetitive)
+    val rProse = one[Double](compressionRatio(col("t")), prose)
+    assert(rRep < rProse, s"repetitive $rRep !< prose $rProse")
+    assert(rRep > 0.0 && rProse < 1.1)
+    one[Double](compressionRatio(col("t")), "") shouldBe 1.0
+    // null-safe and deterministic across evaluations
+    Seq(Option.empty[String]).toDF("t")
+      .select(compressionRatio(col("t"))).collect().head.isNullAt(0) shouldBe true
+    one[Double](compressionRatio(col("t")), prose) shouldBe rProse
+  }
 }
