@@ -328,6 +328,26 @@ object Dedup {
     docs.join(broadcast(dropped), Seq(idCol), "left_anti")
   }
 
+  /**
+   * `dedupCorpus` on the SimHash tier: banded Hamming candidate pairs →
+   * components → quality survivors → kept corpus. The cheapest near-dup
+   * gate per candidate (one 64-bit XOR/popcount vs a shingle-set
+   * intersection) — the right tier when the duplication mode is light
+   * token-level edits; pigeonhole-sound for maxDist < bands.
+   */
+  def dedupCorpusSimHash(docs: DataFrame, maxDist: Int, bands: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = simHashPairs(simHashes(docs, idCol, textCol), maxDist, bands)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = connectedComponents(pairs)
+    val qual = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val dropped = comps
+      .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
     * whitespace tokens: bit j is set iff the majority of token hashes have
     * bit j set. Built RELATIONALLY (explode token hashes once, 60 codegen'd

@@ -137,6 +137,15 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-D14: one-call corpus dedup on the SimHash tier — banded
+    // Hamming pairs → components → quality survivors → kept corpus; the
+    // cheapest per-candidate gate (XOR/popcount), completing the dedup
+    // matrix alongside q58 (exact Jaccard) and q61 (LSH + refine).
+    "q83_dedup_corpus_simhash" -> ((s, dir) =>
+      Dedup.dedupCorpusSimHash(docs(s, dir), SimHashMaxDist)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // EXT-D13: span-level corpus dedup (C4 protocol) — every 16-token
     // span keeps only its first corpus-wide occurrence and documents are
     // reassembled from their surviving spans; removes boilerplate
@@ -435,6 +444,42 @@ object DedupQueries extends QueryPack {
         |           (a2, h) -> a2 + ((h >> j) & 1) * 2 - 1) > 0
         |    THEN (1::BIGINT << j) ELSE 0 END) AS sh
         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "q83_dedup_corpus_simhash" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE list_distinct(regexp_split_to_array(trim(text), '\\s+')) END AS tk
+         |         FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk,
+         |         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS ghs FROM toks),
+         |sh AS (SELECT doc_id, list_reduce(
+         |  list_prepend(0::BIGINT, list_transform(range(0, 60), x -> x::BIGINT)),
+         |  (acc, j) -> acc + CASE
+         |    WHEN list_reduce(list_prepend(0::BIGINT, ghs),
+         |           (a2, h) -> a2 + ((h >> j) & 1) * 2 - 1) > 0
+         |    THEN (1::BIGINT << j) ELSE 0 END) AS sh FROM hs),
+         |bl AS (SELECT doc_id, b, (sh >> (12 * b)) & 4095 AS bk
+         |       FROM sh, unnest(range(0, 5)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bl a JOIN bl b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_a, doc_b FROM cand
+         |          JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |          WHERE bit_count(xor(sa.sh, sb.sh)) <= $SimHashMaxDist),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM truth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM truth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |$QualityCtes,
+         |jq AS (SELECT c.id, c.component, q.q FROM comp c JOIN tq q ON c.id = q.doc_id),
+         |rk AS (SELECT id, component, q,
+         |         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, id) AS rnk
+         |       FROM jq),
+         |dropped AS (SELECT id FROM rk WHERE rnk > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q23_simhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

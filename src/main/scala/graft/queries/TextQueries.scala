@@ -214,6 +214,26 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T20: relative quality filter — keep each language's top
+    // quartile by quality score. RANK-based (not a percentile-value
+    // threshold), so the kept set is exact and engine-independent:
+    // ranking on the 6-decimal-rounded score with id tie-break makes
+    // boundary membership deterministic. One stratum shuffle.
+    "q84_quality_quartile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wAll = Window.partitionBy(col("lang"))
+      scored
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .where(col("rnk") <= ceil(col("n") * 0.25))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-T11: per-stratum quota sampling — absolute per-language document
     // budgets (vs q49's per-mille rates). WindowGroupLimit prunes map-side.
     "q65_quota_sample" -> ((s, dir) =>
@@ -354,6 +374,25 @@ object TextQueries extends QueryPack {
          |  ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)::DOUBLE
          |        / COUNT(*)::DOUBLE, 6) AS coverage
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_quality_quartile" ->
+      s"""WITH $ToksCte,
+         |st AS (SELECT doc_id, lang,
+         |  ROUND(GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+         |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END) * 4.0) * 0.5
+         |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |             / length(text)::DOUBLE END) * 10.0) * 0.25), 6) AS quality
+         |  FROM toks),
+         |rk AS (SELECT doc_id, lang, quality,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |                            ORDER BY quality DESC, doc_id) AS rnk,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n
+         |       FROM st)
+         |SELECT doc_id, lang, quality FROM rk
+         |WHERE rnk <= CEIL(n * 0.25)
+         |ORDER BY doc_id""".stripMargin,
 
     "q79_train_shuffle" ->
       """WITH h AS (SELECT doc_id,
