@@ -103,6 +103,106 @@ object ScaleQueries extends QueryPack {
     // aggregate keeps the gate output compact while pinning every
     // containment decision (a wrong pair moves some range's count or
     // extrema).
+    // EXT-X2: exact grouped quantiles from the value histogram — the
+    // q69 rewrite generalized into an operator: every full-data pass is
+    // a map-side hash agg on (group, value); rank/interpolation windows
+    // run over the tiny histogram. The EXACT path that stays cheap when
+    // value cardinality allows (l_quantity: ~50 distinct values).
+    "q86_exact_quantiles" -> ((s, dir) =>
+      graft.operators.Profiling.histQuantiles(
+          Tables.read(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("l_returnflag"), round(col("p"), 2).as("p"),
+          round(col("q"), 6).as("q"))
+        .orderBy(col("l_returnflag"), col("p"))),
+
+    // EXT-C14: star-schema analytical join — revenue per nation over
+    // lineitem ⋈ orders ⋈ customer ⋈ nation. The declarative plan lets
+    // Catalyst order the joins and AQE broadcast every dimension side;
+    // only the fact table streams. Money is quantized to integer cents
+    // BEFORE the sum (floor of the identical stored double is
+    // engine-deterministic; a 240k-term double sum rounded afterwards is
+    // not), so the aggregate is exact integer arithmetic: revenue in
+    // 10^-4 currency units.
+    "q90_star_join" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .join(Tables.read(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.read(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("revenue_c4"))
+        .orderBy(col("n_name"))),
+
+    // EXT-X4: count-min-sketch heavy hitters with an in-engine accuracy
+    // gate — exact top-10 part keys by row count, each CMS estimate
+    // checked against the sketch's (ε, δ) contract: estimate ≥ exact and
+    // estimate ≤ exact + ε·N. One distributed pass builds the sketch
+    // (fixed-size state, the 100 TB shape); the oracle pins the exact
+    // counts and expects the gate to hold (literal TRUE, like q69/q41).
+    "q91_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.read(s, dir, "lineitem")
+      val eps = 0.001
+      val cms = li.stat.countMinSketch(col("l_partkey"), eps, 0.99, 42)
+      val total = li.count()
+      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("n_rows").desc, col("l_partkey")).limit(10)
+        .as[(Long, Long)].collect()
+      top.map { case (k, n) =>
+        val est = cms.estimateCount(k)
+        (k, n, est >= n && est <= n + (eps * total).toLong)
+      }.toSeq.toDF("l_partkey", "n_rows", "cms_ok")
+        .orderBy(col("n_rows").desc, col("l_partkey"))
+    }),
+
+    // EXT-X3: IQR outlier fences — Tukey fences per group from the exact
+    // histogram quantiles (EXT-X2 composed), then one map-side pass
+    // counting rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR]; a deterministic
+    // slice of inflated quantities plants real outliers the oracle
+    // replicates. The numeric-hygiene filter of a data pipeline.
+    "q88_outlier_fences" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select(col("l_returnflag"),
+        when(col("l_orderkey") % 997 === 0, col("l_quantity") * 10)
+          .otherwise(col("l_quantity")).as("qv"))
+      val qs = graft.operators.Profiling.histQuantiles(
+          li, "l_returnflag", "qv", Seq(0.25, 0.75))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("p") === 0.25, col("q"))).as("q1"),
+          min(when(col("p") === 0.75, col("q"))).as("q3"))
+        .select(col("l_returnflag"), col("q1"), col("q3"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(qs), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+          count(when(col("qv") < col("lo") || col("qv") > col("hi"), 1))
+            .as("n_outliers"))
+        .select(col("l_returnflag"), round(col("q1"), 6).as("q1"),
+          round(col("q3"), 6).as("q3"), col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // EXT-J3: partitioned dataset write + pruned scan — write documents
+    // hive-partitioned by language, read back ONE partition; the filter
+    // must resolve at PLANNING time (PartitionFilters, guarded in
+    // PlanShapeSpec) so a 100 TB corpus scan touches only the requested
+    // language's files.
+    "q89_partitioned_scan" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.read(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-C12: corpus snapshot diff — the audit face of incremental
     // ingest: classify every doc id across two snapshot derivations as
     // added/removed/changed/unchanged by content digest. Bodies never
@@ -178,6 +278,56 @@ object ScaleQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q90_star_join" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_c4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_heavy_hitters" ->
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
+
+    "q88_outlier_fences" ->
+      """WITH li AS (SELECT l_returnflag,
+        |  CASE WHEN l_orderkey % 997 = 0 THEN l_quantity * 10
+        |       ELSE l_quantity END AS qv FROM lineitem),
+        |qs AS (SELECT l_returnflag,
+        |         quantile_cont(qv, 0.25) AS q1,
+        |         quantile_cont(qv, 0.75) AS q3
+        |       FROM li GROUP BY 1)
+        |SELECT li.l_returnflag, ROUND(q1, 6) AS q1, ROUND(q3, 6) AS q3,
+        |  CAST(SUM(CASE WHEN qv < q1 - (q3 - q1) * 1.5
+        |                  OR qv > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM li JOIN qs USING (l_returnflag)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q89_partitioned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "q86_exact_quantiles" ->
+      """SELECT l_returnflag, 0.25::DOUBLE AS p,
+        |       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, 0.5::DOUBLE, ROUND(quantile_cont(l_quantity, 0.5), 6)
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, 0.75::DOUBLE, ROUND(quantile_cont(l_quantity, 0.75), 6)
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, 0.9::DOUBLE, ROUND(quantile_cont(l_quantity, 0.9), 6)
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
 
     "q81_snapshot_diff" ->
       """WITH base AS (SELECT doc_id,

@@ -41,6 +41,30 @@ object StreamingQueries extends QueryPack {
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // EXT-S11: weekly cohort retention — users grouped by first-seen
+    // epoch-week, distinct-user counts at each week offset since the
+    // cohort. Week arithmetic is floor-division on epoch seconds, so it
+    // is timezone-free and engine-identical. Two aggregates over the
+    // same user_id partitioning + one broadcast-size join (cohort table
+    // = one row per user).
+    "q87_cohort_retention" -> ((s, dir) => {
+      val wk = expr("CAST(ts AS LONG) DIV 604800")
+      val weeks = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
+      val cohorts = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      weeks.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
+    // EXT-S10: event debouncing — keep the leading edge of each
+    // (user, event_type) burst (gap > 5 min), the double-fire/retry
+    // guard; one key shuffle + partition sort.
+    "q85_debounce" -> ((s, dir) =>
+      EventStreams.debounce(events(s, dir), Seq("user_id", "event_type"), 300L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
     // EXT-S8: as-of join — each click attributed to the most recent view
     // at-or-before it per user (point-in-time lookup). Union-merge shape:
     // one shuffle on user_id, one partition sort, no range probe.
@@ -69,6 +93,25 @@ object StreamingQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q87_cohort_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |                 floor(epoch(ts))::BIGINT // 604800 AS wk FROM events),
+        |cohorts AS (SELECT user_id, MIN(wk) AS cohort FROM weeks GROUP BY 1)
+        |SELECT c.cohort, w.wk - c.cohort AS offset,
+        |       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM weeks w JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q85_debounce" ->
+      """WITH d AS (SELECT event_id, user_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |                ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM d
+        |WHERE prev IS NULL
+        |   OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 300
+        |ORDER BY event_id""".stripMargin,
+
     "q31_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value

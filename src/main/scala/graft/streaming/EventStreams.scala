@@ -94,6 +94,31 @@ object EventStreams {
   }
 
   /**
+   * Event debouncing — keep only the LEADING EDGE of each burst: an
+   * event survives iff the previous event of the same key is more than
+   * `debounceSec` behind (or absent). Equivalent to keeping each
+   * gap-session's first event per key, so it composes with
+   * `sessionizeBatch`'s session definition; the standard guard against
+   * double-fire/retry storms before event-level aggregation.
+   *
+   * Scale: one key shuffle + partition sort (the lag window), map-only
+   * otherwise; keys include the event type, so partitions are finer
+   * than per-user. Gap compares floor-second epochs — engine-identical
+   * and oracle-expressible.
+   */
+  def debounce(events: DataFrame, keyCols: Seq[String], debounceSec: Long,
+               tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .withColumn("__prev_ts", prev)
+      .where(col("__prev_ts").isNull ||
+        col(tsCol).cast("long") - col("__prev_ts").cast("long") > debounceSec)
+      .drop("__prev_ts")
+  }
+
+  /**
    * Gap-based sessionization, streaming path: per-user state holds the
    * open session; an event-time timeout at (session end + gap) closes and
    * emits it. Late events inside the gap extend the session. State is one

@@ -148,6 +148,20 @@ class PlanShapeSpec extends SparkSpec {
     looks should not include "__gbkt"
   }
 
+  test("partitioned write + filtered read prunes at planning time (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partscan").toString
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val p = planOf(q)
+    "PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(p) should not be empty
+    // the language predicate must NOT survive as a post-scan data filter
+    "PushedFilters: [^\\n]*".r.findFirstIn(p).foreach(_ should not include "lang")
+    q.count() shouldBe 2L
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")

@@ -110,6 +110,21 @@ class ScaleOpsSpec extends SparkSpec {
       Array((1L, 1L))
   }
 
+  test("histQuantiles matches Spark's exact percentile on random grouped data") {
+    val rnd = new scala.util.Random(19)
+    val df = (1 to 2000).map(i =>
+      (if (i % 3 == 0) "a" else "b", rnd.nextInt(40).toDouble)).toDF("g", "x")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.operators.Profiling.histQuantiles(df, "g", "x", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = df.groupBy("g")
+      .agg(percentile(col("x"), lit(ps.toArray)).as("qs"))
+      .collect().flatMap(r => ps.zip(r.getSeq[Double](1)).map {
+        case (p, q) => (r.getString(0), p) -> q }).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-9 }
+  }
+
   test("ORC round-trip is exact") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "s", "x")

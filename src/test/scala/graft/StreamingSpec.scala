@@ -179,6 +179,24 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("debounce keeps the leading edge of each per-key burst") {
+    val ev = Seq(
+      Event(1L, ts(0), 1L, "click", 1.0),  // leading edge
+      Event(2L, ts(2), 1L, "click", 1.0),  // within 5 min of #1 → dropped
+      Event(3L, ts(9), 1L, "click", 1.0),  // >5 min after #2 → kept
+      Event(4L, ts(1), 1L, "view", 1.0),   // different type → own burst
+      Event(5L, ts(3), 2L, "click", 1.0))  // different user → own burst
+    val kept = EventStreams.debounce(
+        ev.toDF(EventCols: _*), Seq("user_id", "event_type"), 300L)
+      .select("event_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 4L, 5L)
+    // debounced survivors == first event of each gap-session on the key
+    val bySession = EventStreams.sessionizeBatch(
+      ev.toDF(EventCols: _*).where(col("event_type") === "click")
+        .where(col("user_id") === 1L), 300L).count()
+    bySession shouldBe 2L // two bursts → two debounce survivors for that key
+  }
+
   test("the curation tier (quality/langId/tokens/PII) streams unchanged — map-only transforms") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.TextFunctions._
