@@ -57,6 +57,31 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("cohort"), col("offset"))
     }),
 
+    // EXT-S12: session conversion rate — sessions (q33's gap definition)
+    // containing a view, and among those the ones with a click at or
+    // after the first view; one summary row. The same single user_id
+    // shuffle serves the session numbering and the per-session
+    // aggregate; the rate is one division of exact counts.
+    "q93_funnel_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      val isNew = when(prev.isNull ||
+        col("ts").cast("long") - prev.cast("long") > SessionGapSec, 1L).otherwise(0L)
+      events(s, dir)
+        .withColumn("sess", sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          max(when(col("event_type") === "click", col("ts"))).as("lc"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("fv")).as("n_view_sessions"),
+          count(when(col("lc") >= col("fv"), 1)).as("n_converted"))
+        .select(col("n_sessions"), col("n_view_sessions"), col("n_converted"),
+          round(col("n_converted").cast("double") /
+            col("n_view_sessions"), 6).as("conv_rate"))
+    }),
+
     // EXT-S10: event debouncing — keep the leading edge of each
     // (user, event_type) burst (gap > 5 min), the double-fire/retry
     // guard; one key shuffle + partition sort.
@@ -93,6 +118,30 @@ object StreamingQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q93_funnel_rate" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+         |              > $SessionGapSec
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT user_id, ts, event_type,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM flagged),
+         |ps AS (SELECT user_id, sess,
+         |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         |         MAX(CASE WHEN event_type = 'click' THEN ts END) AS lc
+         |       FROM numbered GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(COUNT(fv) AS BIGINT) AS n_view_sessions,
+         |  CAST(SUM(CASE WHEN lc >= fv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+         |  ROUND(SUM(CASE WHEN lc >= fv THEN 1 ELSE 0 END)::DOUBLE
+         |        / COUNT(fv)::DOUBLE, 6) AS conv_rate
+         |FROM ps""".stripMargin,
+
     "q87_cohort_retention" ->
       """WITH weeks AS (SELECT DISTINCT user_id,
         |                 floor(epoch(ts))::BIGINT // 604800 AS wk FROM events),

@@ -214,6 +214,35 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T21: bigram collocations by lift — c(ab)·10⁶ / (c(a)·c(b))
+    // over all token occurrences, min-support 5, top-30. The score is a
+    // SINGLE division of exact integer counts (all < 2⁵³), so it is
+    // bit-identical across engines — the FP-safe stand-in for PMI
+    // (monotone in it at fixed corpus size). Phrase mining / tokenizer
+    // merge-candidate discovery.
+    "q92_collocations" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uc = d.select(explode(tokensWs(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val bc = shingleStream(d, 2).groupBy(col("sh"))
+        .agg(count(lit(1)).as("c_ab")).where(col("c_ab") >= 5)
+      // get(), not getItem(): Catalyst pushes the join keys'
+      // isnotnull(split(sh)[i]) below the aggregate and below
+      // shingleStream's tail-stub filter, where single-token rows still
+      // exist — ANSI getItem throws there; get() yields NULL and the
+      // null key simply never joins.
+      bc
+        .withColumn("tok_a", get(split(col("sh"), " "), lit(0)))
+        .withColumn("tok_b", get(split(col("sh"), " "), lit(1)))
+        .join(uc.select(col("tok").as("tok_a"), col("c").as("c_a")), Seq("tok_a"))
+        .join(uc.select(col("tok").as("tok_b"), col("c").as("c_b")), Seq("tok_b"))
+        .select(col("sh").as("bigram"), col("c_ab"),
+          round(col("c_ab").cast("double") * 1000000.0 /
+            (col("c_a") * col("c_b")).cast("double"), 6).as("lift6"))
+        .orderBy(col("lift6").desc, col("bigram"))
+        .limit(30)
+    }),
+
     // EXT-T20: relative quality filter — keep each language's top
     // quartile by quality score. RANK-based (not a percentile-value
     // threshold), so the kept set is exact and engine-independent:
@@ -374,6 +403,23 @@ object TextQueries extends QueryPack {
          |  ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)::DOUBLE
          |        / COUNT(*)::DOUBLE, 6) AS coverage
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_collocations" ->
+      s"""WITH $ToksCte,
+         |uni AS (SELECT unnest(tk) AS tok FROM toks),
+         |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+         |bi AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN []
+         |         ELSE list_transform(range(1, len(tk)),
+         |                i -> array_to_string(list_slice(tk, i, i + 1), ' ')) END) AS sh
+         |       FROM toks),
+         |bc AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi
+         |       GROUP BY 1 HAVING COUNT(*) >= 5),
+         |sp AS (SELECT sh, c_ab, string_split(sh, ' ')[1] AS a,
+         |              string_split(sh, ' ')[2] AS b FROM bc)
+         |SELECT sh AS bigram, c_ab,
+         |  ROUND(c_ab * 1000000.0 / (ca.c * cb.c), 6) AS lift6
+         |FROM sp JOIN uc ca ON sp.a = ca.tok JOIN uc cb ON sp.b = cb.tok
+         |ORDER BY 3 DESC, 1 LIMIT 30""".stripMargin,
 
     "q84_quality_quartile" ->
       s"""WITH $ToksCte,
