@@ -52,6 +52,16 @@ object Multimodal {
         (col("n_chars") % 2 * 22050 + 22050).cast("int").as("sampleRate"),
         (col("n_chars") % 10000 + 1000).cast("int").as("durationMs")).as("meta"))
 
+  /** Exact payload dedup per modality: one row per distinct (kind,
+    * payload digest), canonical id = min(media_id). The digest is
+    * computed MAP-SIDE, so only (kind, 16-byte md5, id) ever shuffles —
+    * at 100 TB the payloads (the overwhelming mass) stay in the scan
+    * stage; the binary-column twin of `Dedup.exactGroups`. */
+  def dedupPayloads(media: DataFrame): DataFrame =
+    media.groupBy(col("kind"), md5(col("data")).as("digest"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+
   /** Metadata projection without touching payload bytes (column pruning
     * keeps `data` out of the scan entirely when this is all you ask for). */
   def describe(media: DataFrame): DataFrame =

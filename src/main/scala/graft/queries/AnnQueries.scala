@@ -134,6 +134,22 @@ object AnnQueries extends QueryPack {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // EXT-A11: int8-quantized serving recall — top-k over the
+    // quantize→dequantize corpus (what an int8 index serves, 4× less
+    // memory/IO) measured per query against the exact ground truth;
+    // the q41 pattern for the quantization tier.
+    "q94_ann_quantized" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
+      val qt = ids(SimilaritySearch.bruteForceTopK(
+        querySet(s, dir), SimilaritySearch.int8Roundtrip(embs(s, dir)), K))
+      bt.join(qt.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6)
+          .as("recall_q8"))
+        .orderBy(col("query_id"))
+    }),
+
     // EXT-A4: recall@k of the two approximate paths against the exact
     // brute-force ground truth, computed in-engine per query.
     "q41_ann_recall" -> ((s, dir) => {
@@ -367,6 +383,40 @@ object AnnQueries extends QueryPack {
         |FROM dims d JOIN st USING (dim)
         |WHERE d.vec_id % 25 = 0
         |ORDER BY 1, 2""".stripMargin,
+
+    "q94_ann_quantized" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |sc AS (SELECT vec_id, embedding,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(embedding, e -> abs(e::DOUBLE))),
+         |           (a, b) -> GREATEST(a, b)) AS s
+         |       FROM embeddings),
+         |dq AS (SELECT vec_id,
+         |         CASE WHEN s = 0 THEN embedding
+         |              ELSE list_transform(embedding,
+         |                e -> (floor(e::DOUBLE / s * 127 + 0.5) * s / 127)::REAL)
+         |         END AS embedding
+         |       FROM sc),
+         |qscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM dq c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |qt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM qscored) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_q8
+         |FROM bt b LEFT JOIN qt t
+         |  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -26,6 +26,12 @@ object MultimodalQueries extends QueryPack {
       Multimodal.describe(media(s, dir))
         .orderBy(col("media_id"))),
 
+    // EXT-M5: exact payload dedup per modality — digests computed
+    // map-side, payload bytes never shuffle.
+    "q95_media_dedup" -> ((s, dir) =>
+      Multimodal.dedupPayloads(media(s, dir))
+        .orderBy(col("kind"), col("digest"))),
+
     // EXT-M2: frame sampling from duration metadata (videos only).
     "q28_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(media(s, dir), Fps)
@@ -67,6 +73,12 @@ object MultimodalQueries extends QueryPack {
          |SELECT media_id, kind, octet_length(encode(text))::BIGINT AS n_bytes,
          |       width, height, sample_rate, duration_ms
          |FROM media ORDER BY media_id""".stripMargin,
+
+    "q95_media_dedup" ->
+      s"""WITH $MediaCte
+         |SELECT kind, md5(text) AS digest, MIN(media_id) AS canonical_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM media GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q28_frame_sample" ->
       s"""WITH $MediaCte

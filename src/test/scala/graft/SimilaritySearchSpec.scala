@@ -102,6 +102,24 @@ class SimilaritySearchSpec extends SparkSpec {
     SimilaritySearch.nearDupPairs(withBlk, 0.9, Some("label")).count() shouldBe 0L
   }
 
+  test("int8Roundtrip: bounded error, zero vectors pass through, idempotent") {
+    val rt = SimilaritySearch.int8Roundtrip(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = embs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // error per element bounded by half a quantization step (s/127/2 + float eps)
+    orig.foreach { case (id, v) =>
+      val s = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      v.zip(rt(id)).foreach { case (x, q) =>
+        math.abs(x.toDouble - q.toDouble) should be <=
+          (if (s == 0) 0.0 else s / 127 / 2 + 1e-6) }
+    }
+    rt(5L) shouldBe orig(5L) // the zero vector is unchanged
+    // a second round-trip is a fixed point (codes re-quantize to themselves)
+    val twice = SimilaritySearch.int8Roundtrip(SimilaritySearch.int8Roundtrip(embs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    twice shouldBe rt
+  }
+
   test("ANN store refresh serves identically to a full rebuild") {
     val rnd = new scala.util.Random(23)
     val all = (1L to 40L).map(i =>
