@@ -214,6 +214,18 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T22: language-ID confusion matrix — predicted langId vs the
+    // fixture's ground-truth label, one count per (truth, predicted)
+    // cell. The in-engine quality gate for the langId tier (the q41
+    // pattern applied to classification): a profile change that degrades
+    // accuracy moves counts between cells and fails the gate.
+    "q96_langid_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang").as("truth"), langId(col("text")).as("predicted"))
+        .groupBy(col("truth"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("truth"), col("predicted"))),
+
     // EXT-T21: bigram collocations by lift — c(ab)·10⁶ / (c(a)·c(b))
     // over all token occurrences, min-support 5, top-30. The score is a
     // SINGLE division of exact integer counts (all < 2⁵³), so it is
@@ -543,6 +555,22 @@ object TextQueries extends QueryPack {
          |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
          |       ELSE 'fr' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q96_langid_confusion" ->
+      s"""WITH $ToksCte,
+         |sc AS (SELECT doc_id, lang,
+         |  ${hits(LangProfiles("de"))} AS s_de, ${hits(LangProfiles("en"))} AS s_en,
+         |  ${hits(LangProfiles("es"))} AS s_es, ${hits(LangProfiles("fr"))} AS s_fr
+         |  FROM toks),
+         |pred AS (SELECT lang AS truth,
+         |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS predicted
+         |  FROM sc)
+         |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q18_fingerprint" ->
       s"""WITH $ToksCte
