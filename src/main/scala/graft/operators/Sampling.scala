@@ -115,7 +115,11 @@ object Sampling {
    * Scale: one shuffle on the stratum; the running sum is a partitioned
    * window (no single-partition stage). Token counts arrive as a column
    * (computed map-side), so the pass over text happens before the
-   * exchange and only (id, stratum, count) shuffles.
+   * exchange and only (id, stratum, count) shuffles. Like
+   * `Chunking.packSequences`, the parallelism axis is the STRATUM — a
+   * running sum is inherently sequential within one. With few, huge
+   * strata, sub-shard first (stratum × hash-bucket with per-bucket
+   * budgets) — the nesting property keeps sub-shard unions exact.
    */
   def tokenBudgetPerStratum(df: DataFrame, idCol: String, strataCol: String,
                             tokenCol: String, budgets: Map[String, Long],

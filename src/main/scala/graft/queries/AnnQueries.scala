@@ -150,6 +150,17 @@ object AnnQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // EXT-A12: int8-quantized IVF — the realistic serving deployment:
+    // inverted lists built over the quantize→dequantize corpus (what an
+    // int8-backed index stores), probed and re-ranked entirely in the
+    // quantized domain. Composes EXT-A11 × EXT-A3 under one oracle.
+    "q97_ann_ivf_quantized" -> ((s, dir) => {
+      val dq = SimilaritySearch.int8Roundtrip(embs(s, dir))
+      SimilaritySearch.ivfTopK(querySet(s, dir), dq, CentroidMod, NProbe, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
     // EXT-A4: recall@k of the two approximate paths against the exact
     // brute-force ground truth, computed in-engine per query.
     "q41_ann_recall" -> ((s, dir) => {
@@ -383,6 +394,45 @@ object AnnQueries extends QueryPack {
         |FROM dims d JOIN st USING (dim)
         |WHERE d.vec_id % 25 = 0
         |ORDER BY 1, 2""".stripMargin,
+
+    "q97_ann_ivf_quantized" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |sc AS (SELECT vec_id, embedding,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(embedding, e -> abs(e::DOUBLE))),
+         |           (a, b) -> GREATEST(a, b)) AS s
+         |       FROM embeddings),
+         |dq AS (SELECT vec_id,
+         |         CASE WHEN s = 0 THEN embedding
+         |              ELSE list_transform(embedding,
+         |                e -> (floor(e::DOUBLE / s * 127 + 0.5) * s / 127)::REAL)
+         |         END AS embedding
+         |       FROM sc),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM dq WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM dq e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |qr AS (SELECT q.query_id, q.q_emb, c.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosSql("q.q_emb", "c.cent_emb")} DESC NULLS LAST,
+         |                    c.cent_id) AS crnk
+         |       FROM q CROSS JOIN cents c),
+         |probes AS (SELECT query_id, q_emb, cent_id FROM qr WHERE crnk <= $NProbe),
+         |iscored AS (SELECT p.query_id, l.vec_id,
+         |              ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |irk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM iscored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM irk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q94_ann_quantized" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

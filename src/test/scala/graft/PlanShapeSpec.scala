@@ -162,6 +162,33 @@ class PlanShapeSpec extends SparkSpec {
     q.count() shouldBe 2L
   }
 
+  test("IntervalJoinRewrite fuzz: equivalence across widths; extra conjuncts never fire") {
+    val rnd = new scala.util.Random(47)
+    val ranges = (1L to 50L).map { i =>
+      val lo = rnd.nextInt(300).toLong - 80
+      (i, lo, lo + rnd.nextInt(70).toLong) }.toDF("range_id", "lo", "hi")
+    val points = (1L to 150L).map(i => (i, rnd.nextInt(400).toLong - 120))
+      .toDF("p_id", "v")
+    ranges.createOrReplaceTempView("ijf_ranges")
+    points.createOrReplaceTempView("ijf_points")
+    val sql = """SELECT p_id, range_id FROM ijf_points p JOIN ijf_ranges r
+                 ON p.v >= r.lo AND p.v < r.hi"""
+    def run() = spark.sql(sql).orderBy("p_id", "range_id").as[(Long, Long)].collect()
+    spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
+    val truth = try run() finally
+      spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+    for (w <- Seq("1", "13", "64", "5000")) {
+      spark.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, w)
+      try run() shouldBe truth
+      finally spark.conf.unset(graft.plans.IntervalJoinRewrite.WidthConf)
+    }
+    // extra conjunct in the condition → exact-shape trigger must not fire
+    val extra = planOf(spark.sql(
+      """SELECT p_id, range_id FROM ijf_points p JOIN ijf_ranges r
+         ON p.v >= r.lo AND p.v < r.hi AND p.p_id <> r.range_id"""))
+    extra should not include "__gbkt"
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")
