@@ -154,6 +154,32 @@ class PipelineExtrasSpec extends SparkSpec {
         (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added"))
   }
 
+  test("Snapshots.diff laws: self-diff is all-unchanged; statuses partition both id sets") {
+    val rnd = new scala.util.Random(53)
+    val base = (1L to 120L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, s"text-$i-${rnd.nextInt(3)}")).toDF("doc_id", "text")
+    val cur = (1L to 120L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, s"text-$i-${rnd.nextInt(3)}")).toDF("doc_id", "text")
+    // self-diff: every id unchanged
+    graft.operators.Snapshots.diff(base, base)
+      .select("status").distinct().collect().map(_.getString(0)) shouldBe
+      Array("unchanged")
+    val d = graft.operators.Snapshots.diff(base, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val curIds = cur.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly the union of both id sets, one status each
+    d.keySet shouldBe (baseIds ++ curIds)
+    d.foreach { case (id, st) =>
+      st match {
+        case "added"     => assert(!baseIds(id) && curIds(id))
+        case "removed"   => assert(baseIds(id) && !curIds(id))
+        case "changed" | "unchanged" => assert(baseIds(id) && curIds(id))
+        case other => fail(s"unexpected status $other")
+      }
+    }
+  }
+
   test("mixEpochs: integral weights replay exactly, fractions slice, 0 drops") {
     val df = (1L to 200L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
