@@ -255,6 +255,26 @@ object Dedup {
         col(scoreCol).as("best_quality"), col("n_members"))
   }
 
+  /** Dropped-id counts up to this are force-broadcast in the one-call
+    * keep filters. The near-dup graph's node set is usually orders of
+    * magnitude below the corpus, but "usually" is not a plan invariant:
+    * at a realistic 30-50% dup rate over a 100 TB corpus the dropped set
+    * is billions of ids — past the broadcast hard cap, where an
+    * unconditional hint kills the job. Above the gate the anti-join runs
+    * un-hinted (AQE still picks a broadcast when runtime stats allow). */
+  val BroadcastDroppedThreshold: Long = 10L * 1000 * 1000
+
+  /** Keep-filter shared by the one-call corpus dedups: anti-join `docs`
+    * against the dropped ids, force-broadcast only below
+    * `BroadcastDroppedThreshold`. `nodeCount` is the component-node count
+    * — a cheap upper bound on |dropped| read off the already-cached label
+    * table, so the gate never executes the survivor pipeline twice. */
+  private[graft] def keepCorpus(docs: DataFrame, dropped: DataFrame,
+                                idCol: String, nodeCount: Long): DataFrame =
+    if (nodeCount <= BroadcastDroppedThreshold)
+      docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+    else docs.join(dropped, Seq(idCol), "left_anti")
+
   /**
    * End-to-end corpus dedup — the one-call composition of the tiers:
    * n-gram Jaccard near-dup pairs → connected components → argmax-quality
@@ -265,7 +285,8 @@ object Dedup {
    *
    * Scale: the pair graph and its node set are orders of magnitude
    * smaller than the corpus, so the final keep-filter is one anti-join of
-   * the corpus against the (small, broadcastable) dropped-id set — the
+   * the corpus against the dropped-id set — broadcast below
+   * `BroadcastDroppedThreshold`, shuffled (AQE's call) above it — and the
    * corpus body never shuffles.
    */
   def dedupCorpus(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
@@ -279,7 +300,7 @@ object Dedup {
     val dropped = comps
       .join(surv.select(col("survivor_id").as("id")), Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+    keepCorpus(docs, dropped, idCol, comps.count())
   }
 
   /**
@@ -325,7 +346,7 @@ object Dedup {
     val dropped = comps
       .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+    keepCorpus(docs, dropped, idCol, comps.count())
   }
 
   /**
@@ -345,7 +366,7 @@ object Dedup {
     val dropped = comps
       .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-    docs.join(broadcast(dropped), Seq(idCol), "left_anti")
+    keepCorpus(docs, dropped, idCol, comps.count())
   }
 
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /**
  * Join-side pruning structures for fact tables too large to shuffle
@@ -13,10 +17,11 @@ import org.apache.spark.sql.functions._
  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) only injects when
  * its creation-side heuristics fire inside a single query. This operator
  * is the explicit surface: build the bloom ONCE (one aggregate over the
- * key side — a few MB regardless of key count), broadcast it, and
- * pre-filter the fact side BELOW its shuffle, so rows that cannot match
- * never leave the scan stage. The exact semi-join afterwards removes the
- * false positives, so results are EXACT — the bloom only prunes.
+ * key side — a few MB regardless of key count), embed it as a literal in
+ * the probe, and pre-filter the fact side BELOW its shuffle, so rows that
+ * cannot match never leave the scan stage. The exact semi-join afterwards
+ * removes the false positives, so results are EXACT — the bloom only
+ * prunes.
  *
  * At 100 TB: a 1% fpp bloom over 10^8 keys is ~120 MB of bitset versus
  * shuffling the full fact table; the pruned exchange carries only the
@@ -24,19 +29,38 @@ import org.apache.spark.sql.functions._
  */
 object Joins {
 
-  /** Exact left-semi join of `big` against `keys`, with a broadcast
-    * bloom filter pruning `big` before its shuffle. `expectedKeys`/`fpp`
-    * size the bitset (see `BloomFilter.create`). Key columns must be
-    * integral (LONG-compatible) — the hot path for surrogate keys. */
+  /** Exact left-semi join of `big` against `keys`, with a bloom filter
+    * pruning `big` before its shuffle. `expectedKeys`/`fpp` size the
+    * bitset (see `BloomFilter.optimalNumOfBits`). Key columns must be
+    * integral (LONG-compatible) — the hot path for surrogate keys.
+    *
+    * Build and probe are the NATIVE Catalyst expressions
+    * (`bloom_filter_agg` / `might_contain` over `xxhash64`), so the probe
+    * stays inside whole-stage codegen on the fact-table scan — the one
+    * stage this operator exists to keep cheap; a Scala UDF there would
+    * break codegen for the whole stage. The aggregate enforces
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 8 MB) — raise those confs for
+    * larger key sides. NULL fact keys may pass the bloom (xxhash64 of
+    * NULL is the seed) but never survive the exact semi-join. */
   def bloomSemiJoin(big: DataFrame, keys: DataFrame,
                     bigKey: String, keyCol: String,
                     expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((v: java.lang.Long) =>
-      v != null && bc.value.mightContainLong(v))
-    big.filter(mightContain(col(bigKey)))
-      .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
+    val numBits = BloomFilter.optimalNumOfBits(expectedKeys, fpp)
+    val buildHash = new XxHash64(Seq(GraftColumnBridge.expression(col(keyCol))))
+    val agg = GraftColumnBridge.column(
+      new BloomFilterAggregate(buildHash, Literal(expectedKeys), Literal(numBits))
+        .toAggregateExpression())
+    // One bounded driver action: the serialized bitset (numBits/8 bytes,
+    // independent of key count), embedded as a foldable literal so the
+    // probe expression codegens against a constant.
+    val bytes = keys.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
+    val pruned =
+      if (bytes == null) big.where(lit(false)) // empty key side: nothing can match
+      else big.where(GraftColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        new XxHash64(Seq(GraftColumnBridge.expression(col(bigKey)))))))
+    pruned.join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
   /** Interval containment join: every (point, range) pair with

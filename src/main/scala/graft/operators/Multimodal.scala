@@ -83,16 +83,22 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame at `fps`, from the duration
-    * metadata. Pure expression — (media_id, frame_idx, ts_ms) rows. */
+    * metadata. Pure expression — (media_id, frame_idx, ts_ms) rows.
+    * Timestamps use exact rational arithmetic — frame i at ⌊i·1000/fps⌋ ms,
+    * last frame index ⌊durationMs·fps/1000⌋ — so non-divisor rates do not
+    * drift (fps=3 ticks 0,333,666,1000,…, not 0,333,666,999,…) and
+    * fps>1000 is well-defined (an integer per-frame millisecond step
+    * floors to 0 there and divides by zero). All intermediates stay below
+    * 2^53, so the double division is exact. */
   def sampleFrames(media: DataFrame, fps: Int): DataFrame = {
-    val stepMs = 1000 / fps
+    require(fps > 0, "fps must be positive")
     media
       .where(col("kind") === "video")
       .select(col("media_id"),
-        explode(sequence(lit(0),
-          (col("meta.durationMs") / stepMs).cast("int"))).as("frame_idx"))
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        (col("frame_idx") * stepMs).cast("long").as("ts_ms"))
+        explode(sequence(lit(0L),
+          floor(col("meta.durationMs") * fps / 1000).cast("long"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        floor(col("frame_idx") * 1000 / fps).cast("long").as("ts_ms"))
   }
 
   /** The number of fake feature dimensions produced by the stub decoder. */

@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
  */
 object Profiling {
 
-  /** (groupCol, p, q) for every group × requested quantile. */
+  /** (groupCol, p, q) for every group × requested quantile. NULL values of
+    * `valCol` are ignored — `percentile` / `quantile_cont` semantics; a
+    * NULL histogram row would inflate the rank denominator and shift every
+    * cumulative count. A group whose values are all NULL emits no rows. */
   def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
                     ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantiles must be within [0, 1]")
-    val hist = df.groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     hist

@@ -343,9 +343,10 @@ object SimilaritySearch {
    *
    * Scale: assignment is a broadcast-centroids map pass; the in-cluster
    * self-join shuffles on cent_id; the component graph is the tiny
-   * near-dup subset; the kept filter broadcasts the dropped-id set —
-   * corpus embeddings shuffle once (assignment) and never again.
-   * Output: the KEPT rows of `embs`, schema-preserving.
+   * near-dup subset; the kept filter broadcasts the dropped-id set only
+   * below `Dedup.BroadcastDroppedThreshold` (above it the anti-join runs
+   * un-hinted) — corpus embeddings shuffle once (assignment) and never
+   * again. Output: the KEPT rows of `embs`, schema-preserving.
    */
   def semanticDedup(embs: DataFrame, centroidMod: Int, threshold: Double): DataFrame = {
     val lists = graft.core.Caches.cacheOnce(
@@ -361,6 +362,6 @@ object SimilaritySearch {
     val comps = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
     val dropped = comps.where(col("id") =!= col("component"))
       .select(col("id").as("vec_id"))
-    embs.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+    Dedup.keepCorpus(embs, dropped, "vec_id", comps.count())
   }
 }

@@ -145,6 +145,12 @@ object ScaleQueries extends QueryPack {
     // estimate ≤ exact + ε·N. One distributed pass builds the sketch
     // (fixed-size state, the 100 TB shape); the oracle pins the exact
     // counts and expects the gate to hold (literal TRUE, like q69/q41).
+    // CAVEAT on the TRUE pin: the upper bound holds per key only with
+    // probability ≥ δ = 0.99 — the gate is deterministic for seed 42 on
+    // the CURRENT fixture (verified at every SF the driver runs), but a
+    // fixture or scale change can legitimately flip a key without any
+    // code bug; if that happens, loosen the gate to a bounded miss count
+    // rather than chasing a phantom regression.
     "q91_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.read(s, dir, "lineitem")
@@ -290,6 +296,9 @@ object ScaleQueries extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // cms_ok TRUE is a ≥ 0.99-probability contract pinned for seed 42 on
+    // this fixture — see the q91 query comment before treating a flip as
+    // an engine bug.
     "q91_heavy_hitters" ->
       """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS cms_ok
         |FROM lineitem GROUP BY 1

@@ -46,6 +46,26 @@ class MultimodalSpec extends SparkSpec {
     fr.toSeq.sorted shouldBe Seq((2L, 0L, 0L), (2L, 1L, 500L), (2L, 2L, 1000L))
   }
 
+  test("sampleFrames rational timestamps: fps=3 does not drift, fps=24 lands exactly, fps>1000 is defined") {
+    def media(durationMs: Long) =
+      Seq((1L, "video", durationMs)).toDF("media_id", "kind", "durationMs")
+        .withColumn("meta", struct(col("durationMs").as("durationMs")))
+    // fps=3 over 1 s: frames at 0,333,666,1000 — an integer 333 ms step
+    // would drift to 999 and emit a phantom frame index
+    Multimodal.sampleFrames(media(1000L), 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted shouldBe
+      Seq((0L, 0L), (1L, 333L), (2L, 666L), (3L, 1000L))
+    // fps=24 over 1 s: 25 frames, last exactly at 1000 ms
+    val f24 = Multimodal.sampleFrames(media(1000L), 24).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    f24.size shouldBe 25
+    f24.last shouldBe (24L, 1000L)
+    // fps>1000: the old 1000/fps step floored to zero — now well-defined
+    Multimodal.sampleFrames(media(10L), 1001).count() shouldBe 11L
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.sampleFrames(media(10L), 0)
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val m = Multimodal.synthesize(docs)
     val r = Multimodal.resizeMeta(m, 256, 256)

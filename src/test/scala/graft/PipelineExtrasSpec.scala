@@ -154,6 +154,20 @@ class PipelineExtrasSpec extends SparkSpec {
         (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added"))
   }
 
+  test("Snapshots.diff: NULL text is presence, not absence") {
+    val base = Seq((1L, null: String), (2L, null: String), (3L, "c"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, null: String), (2L, "b2"), (3L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    graft.operators.Snapshots.diff(base, cur).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+        (1L, "unchanged"), // NULL → NULL: same (absent) content
+        (2L, "changed"),   // NULL → text
+        (3L, "changed"),   // text → NULL
+        (4L, "added"),     // absent → present-with-NULL
+        (5L, "removed"))   // present-with-NULL → absent
+  }
+
   test("Snapshots.diff laws: self-diff is all-unchanged; statuses partition both id sets") {
     val rnd = new scala.util.Random(53)
     val base = (1L to 120L).filter(_ => rnd.nextBoolean())

@@ -189,6 +189,46 @@ class PlanShapeSpec extends SparkSpec {
     extra should not include "__gbkt"
   }
 
+  test("bloomSemiJoin probes with the native might_contain, never a ScalaUDF on the scan") {
+    // parquet-backed fact side: over a LocalRelation the optimizer would
+    // evaluate the probe at plan time and hide the filter entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (1L to 100L).map(i => (i, i % 7)).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val keys = Seq(1L, 2L, 3L).toDF("key")
+    val j = graft.operators.Joins.bloomSemiJoin(big, keys, "k", "key", expectedKeys = 100L)
+    val p = planOf(j)
+    p should not include "ScalaUDF"
+    p.toLowerCase should include("might_contain")
+    j.agg(sum("k")).head.getLong(0) shouldBe 6L
+    // empty key side → exact empty result, no crash
+    graft.operators.Joins.bloomSemiJoin(
+      big, keys.where(col("key") < 0), "k", "key", expectedKeys = 100L).count() shouldBe 0L
+  }
+
+  test("one-call dedup keep-filter broadcasts below the dropped-set gate, not above") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val dropped = Seq(Tuple1(2L)).toDF("doc_id")
+    planOf(graft.operators.Dedup.keepCorpus(docs, dropped, "doc_id", nodeCount = 1L)) should
+      include("BroadcastHashJoin")
+    // above the gate: no forced hint — with auto-broadcast off (what a
+    // beyond-threshold dropped set means at scale) the anti-join shuffles
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val above = planOf(graft.operators.Dedup.keepCorpus(docs, dropped, "doc_id",
+        nodeCount = graft.operators.Dedup.BroadcastDroppedThreshold + 1))
+      above should not include "BroadcastHashJoin"
+      assert(above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // both branches produce the identical kept corpus
+    graft.operators.Dedup.keepCorpus(docs, dropped, "doc_id", 1L)
+      .orderBy("doc_id").collect() shouldBe
+      graft.operators.Dedup.keepCorpus(docs, dropped, "doc_id",
+        graft.operators.Dedup.BroadcastDroppedThreshold + 1)
+        .orderBy("doc_id").collect()
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")

@@ -125,6 +125,14 @@ class ScaleOpsSpec extends SparkSpec {
     got.foreach { case (k, v) => v shouldBe want(k) +- 1e-9 }
   }
 
+  test("histQuantiles ignores NULL values (percentile semantics)") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None)).toDF("g", "x")
+    val got = graft.operators.Profiling.histQuantiles(df, "g", "x", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got shouldBe Map("a" -> 2.0) // NULLs neither count nor rank; all-NULL group emits nothing
+  }
+
   test("ORC round-trip is exact") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "s", "x")
