@@ -247,6 +247,29 @@ object ScaleQueries extends QueryPack {
                |GROUP BY range_id ORDER BY range_id""".stripMargin)
     }),
 
+    // EXT-C13 closed-bound face: the same declarative interval join
+    // written as BETWEEN — real SQL writes closed bounds constantly, and
+    // round 3's rule only fired on the half-open `>= lo AND < hi` shape.
+    // The widened trigger (any orientation, strict or closed bounds)
+    // decomposes this too; the oracle gates the identical answer.
+    "q100_interval_between" -> ((s, dir) => {
+      Tables.read(s, dir, "part").select(
+          col("p_partkey").as("range_id"),
+          (col("p_partkey") * 50L).as("lo"),
+          (col("p_partkey") * 50L + col("p_size") * 7L + lit(3L)).as("hi"))
+        .createOrReplaceTempView("g_ranges_cl")
+      Tables.read(s, dir, "lineitem").select(
+          (col("l_partkey") * 50L +
+            pmod(col("l_orderkey") * 13L + col("l_linenumber") * 29L, lit(400L)))
+            .as("v"))
+        .createOrReplaceTempView("g_points_cl")
+      s.sql("""SELECT range_id, COUNT(*) AS n_points,
+               |       MIN(v) AS v_min, MAX(v) AS v_max
+               |FROM g_points_cl p JOIN g_ranges_cl r
+               |  ON p.v BETWEEN r.lo AND r.hi
+               |GROUP BY range_id ORDER BY range_id""".stripMargin)
+    }),
+
     "q73_interval_join" -> ((s, dir) => {
       val ranges = Tables.read(s, dir, "part").select(
         col("p_partkey").as("range_id"),
@@ -361,6 +384,17 @@ object ScaleQueries extends QueryPack {
         |SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |       MIN(p.v) AS v_min, MAX(p.v) AS v_max
         |FROM points p JOIN ranges r ON p.v >= r.lo AND p.v < r.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q100_interval_between" ->
+      """WITH ranges AS (SELECT p_partkey AS range_id, p_partkey * 50 AS lo,
+        |                       p_partkey * 50 + p_size * 7 + 3 AS hi FROM part),
+        |points AS (SELECT l_partkey * 50 +
+        |             (l_orderkey * 13 + l_linenumber * 29) % 400 AS v
+        |           FROM lineitem)
+        |SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |       MIN(p.v) AS v_min, MAX(p.v) AS v_max
+        |FROM points p JOIN ranges r ON p.v BETWEEN r.lo AND r.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_interval_join" ->

@@ -229,6 +229,58 @@ class PlanShapeSpec extends SparkSpec {
         .orderBy("doc_id").collect()
   }
 
+  test("IntervalJoinRewrite explosion guard: a wide range falls back, narrow rows still decompose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ijwide").toString
+    // 30 narrow ranges + one 3e12-wide one: decomposed at width 64 that row
+    // is ~4.7e10 sequence elements — the pre-guard rule threw Spark's
+    // max-array-length error at runtime; now it rides the fallback branch
+    val ranges = (1L to 30L).map(i => (i, i * 10, i * 10 + 25)) :+ ((99L, 0L, 3000000000000L))
+    ranges.toDF("range_id", "lo", "hi").write.mode("overwrite").parquet(s"$dir/r")
+    (1L to 200L).map(i => (i, i * 3)).toDF("p_id", "v")
+      .write.mode("overwrite").parquet(s"$dir/p")
+    spark.read.parquet(s"$dir/r").createOrReplaceTempView("ijw_ranges")
+    spark.read.parquet(s"$dir/p").createOrReplaceTempView("ijw_points")
+    val sql = """SELECT p_id, range_id FROM ijw_points p JOIN ijw_ranges r
+                 ON p.v >= r.lo AND p.v < r.hi"""
+    def run() = spark.sql(sql)
+    val p = planOf(run())
+    p should include("__gbkt") // narrow branch: the bucket equi join
+    p should include("Union")  // wide branch: original theta join, span-filtered
+    val got = run().orderBy("p_id", "range_id").as[(Long, Long)].collect()
+    got.count(_._2 == 99L) shouldBe 200 // every point inside the wide range
+    spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
+    try got shouldBe run().orderBy("p_id", "range_id").as[(Long, Long)].collect()
+    finally spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+  }
+
+  test("IntervalJoinRewrite fires on closed/BETWEEN bounds in every orientation") {
+    val rnd = new scala.util.Random(61)
+    val ranges = (1L to 60L).map { i =>
+      val lo = rnd.nextInt(300).toLong - 60
+      (i, lo, lo + rnd.nextInt(50).toLong) }.toDF("range_id", "lo", "hi")
+    val points = (1L to 150L).map(i => (i, rnd.nextInt(380).toLong - 90))
+      .toDF("p_id", "v")
+    ranges.createOrReplaceTempView("ijb_ranges")
+    points.createOrReplaceTempView("ijb_points")
+    for (cond <- Seq(
+      "p.v >= r.lo AND p.v <= r.hi",      // closed, point-first
+      "r.lo <= p.v AND p.v <= r.hi",      // closed, bound-first
+      "p.v BETWEEN r.lo AND r.hi",        // BETWEEN sugar
+      "r.hi >= p.v AND r.lo <= p.v",      // closed, fully flipped
+      "p.v > r.lo AND p.v <= r.hi",       // strict lower
+      "r.hi > p.v AND p.v >= r.lo")) {    // strict upper, flipped
+      val sql = s"SELECT p_id, range_id FROM ijb_points p JOIN ijb_ranges r ON $cond"
+      def run() = spark.sql(sql).orderBy("p_id", "range_id").as[(Long, Long)].collect()
+      withClue(s"condition: $cond\n") {
+        spark.sql(sql).queryExecution.optimizedPlan.toString should include("__gbkt")
+        val got = run()
+        spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
+        try got shouldBe run()
+        finally spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+      }
+    }
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")
