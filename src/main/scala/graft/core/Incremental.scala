@@ -75,7 +75,34 @@ object Incremental {
   def update(base: Stats, deltaOcc: DataFrame): Stats =
     updateCells(base, Crosstab.build(deltaOcc))
 
-  /** Apply a delta CELL table (a crosstab of the new occurrences only). */
+  /** Retract an occurrence log from a base snapshot — the
+    * deletion/correction path (the GDPR request every operational store
+    * eventually serves): the result is BIT-identical to a full rebuild
+    * over (history − removedOcc), at delta cost (gated by q98 against
+    * exactly that oracle, and by the randomized add/remove battery in
+    * `IncrementalSpec`). Input contract: every removed occurrence must
+    * exist in the folded history — cell counts never go negative; a
+    * retraction of something never ingested produces undefined
+    * statistics (garbage in, garbage out, like any ledger). */
+  def retract(base: Stats, removedOcc: DataFrame): Stats =
+    updateCells(base, Crosstab.build(removedOcc)
+      .withColumn("cnt", -col("cnt")))
+
+  /** Apply a delta CELL table — a crosstab of the new occurrences, with
+    * SIGNED counts: positive cells append (the `update` face), negative
+    * cells retract (the `retract` face); one batch may mix both. The
+    * inclusion-exclusion fold below is linear in the cell values, so the
+    * same plan serves both signs; the sign-specific work is pruning —
+    * cells, item rows, and pair co-moments that a retraction drives to
+    * exactly zero must LEAVE their summaries (the integer arithmetic is
+    * exact in binary64, so the zero test is exact), and the context
+    * count must drop for contexts whose last cell disappears.
+    *
+    * Operational note: `save` the snapshot between batches (or fold via
+    * `streaming.IncrementalIngest`, which does). Each in-session fold
+    * references the previous snapshot's plans several times, so chaining
+    * MANY folds without persisting grows the logical plan
+    * multiplicatively — the driver, not the data, becomes the limit. */
   def updateCells(base: Stats, deltaCells0: DataFrame): Stats = {
     val deltaCells = Caches.cacheOnce(deltaCells0)
     val dctx = deltaCells.select("ctx").distinct()
@@ -84,19 +111,29 @@ object Incremental {
     // recomputation below ever reads.
     val touched = Caches.cacheOnce(
       base.cells.join(dctx, Seq("ctx"), "left_semi"))
-    val merged = Caches.cacheOnce(Crosstab.merge(touched, deltaCells))
+    // Zero-pruned: a cell whose count a retraction cancels exactly must
+    // not survive as a (item, ctx, 0) row — it would re-enter the next
+    // update's touched set and (worse) the crosstab no longer equals the
+    // crosstab of the remaining history.
+    val merged = Caches.cacheOnce(
+      Crosstab.merge(touched, deltaCells).where(col("cnt") =!= 0))
 
     // Item stats: sxx is NOT additive across overlapping cells
     // ((c₁+c₂)² ≠ c₁²+c₂²), so recompute the touched contribution and fold
     // base + add − sub. Three integer-valued rows per item — exact.
     val addI = Correlation.itemStats(merged)
     val subI = Correlation.itemStats(touched)
+    // Fully-retracted items (all cells gone) fold to sx = sxx = 0 — prune
+    // them so the summary matches a rebuild over the remaining history
+    // (surviving cells are positive counts, so sxx > 0 iff any remain;
+    // the sums are exact integers in binary64, so the test is exact).
     val items = base.items
       .unionByName(addI)
       .unionByName(subI.select(col("item"),
         (-col("sx")).as("sx"), (-col("sxx")).as("sxx")))
       .groupBy("item")
       .agg(sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
+      .where(col("sxx") =!= 0.0)
 
     // Pair co-moments. Naive add − sub would self-join `merged` and
     // `touched` — two joins QUADRATIC in the touched contexts' degree.
@@ -108,11 +145,16 @@ object Incremental {
     // (m = merged cell). The delta×merged join emits d·m for every
     // orientation with the delta on one side — items absent from the
     // delta contribute exactly the missing orientation (d = 0) — and the
-    // delta×delta join removes the double-counted d·d term. Cost:
-    // |delta cells| × context degree, never |touched|². All terms are
-    // integer products summed exactly in binary64, so the fold equals the
-    // full rebuild bit-for-bit; net weights are strictly positive (counts
-    // are positive), so no spurious zero rows can appear.
+    // delta×delta join removes the double-counted d·d term. The identity
+    // is LINEAR in the signed cell values, so retraction rides the same
+    // plan; merged's zero-pruning only removes m = 0 factors, whose terms
+    // are zero anyway. Cost: |delta cells| × context degree, never
+    // |touched|². All terms are integer products summed exactly in
+    // binary64, so the fold equals the full rebuild bit-for-bit. A pair
+    // whose shared contexts are all retracted folds to sxy = 0 exactly
+    // (and a surviving shared context keeps sxy > 0), so the zero-prune
+    // below restores the sparse invariant: a co-moment row exists iff the
+    // pair still co-occurs.
     val dm = deltaCells.select(col("item").as("d_item"), col("ctx"), col("cnt").as("d_cnt"))
       .join(merged.select(col("item").as("m_item"), col("ctx"), col("cnt").as("m_cnt")),
         Seq("ctx"))
@@ -132,15 +174,24 @@ object Incremental {
       .unionByName(diff)
       .groupBy("item_a", "item_b")
       .agg(sum(col("sxy")).as("sxy"))
+      .where(col("sxy") =!= 0.0)
 
-    // Context count: + contexts the corpus has never seen. Cached like
-    // the other summaries: the 1-row result hides an anti-join over the
-    // cell summary that every consuming broadcast would otherwise re-run.
+    // Context count: + contexts the corpus has never seen (that survive
+    // the merge — a batch netting to zero introduces nothing), − touched
+    // contexts whose last cell a retraction removed. Cached like the
+    // other summaries: the 1-row result hides joins over the cell
+    // summary that every consuming broadcast would otherwise re-run.
+    val afterCtx = merged.select("ctx").distinct()
     val freshCtx = dctx
       .join(base.cells.select("ctx").distinct(), Seq("ctx"), "left_anti")
+      .join(afterCtx, Seq("ctx"), "left_semi")
       .agg(count(lit(1)).cast("double").as("dn"))
+    val goneCtx = touched.select("ctx").distinct()
+      .join(afterCtx, Seq("ctx"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("gn"))
     val n = Caches.cacheOnce(
-      base.n.crossJoin(freshCtx).select((col("n") + col("dn")).as("n")))
+      base.n.crossJoin(freshCtx).crossJoin(goneCtx)
+        .select((col("n") + col("dn") - col("gn")).as("n")))
 
     // New cell summary for the NEXT update: untouched base cells + merged.
     // Lazy — consumers that only read `pairs` never execute this branch.

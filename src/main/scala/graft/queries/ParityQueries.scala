@@ -31,8 +31,9 @@ object ParityQueries extends QueryPack {
   /** occ → crosstab → n, per-item stats, co-occurring pair co-moments
     * (upper triangle) and their symmetric closure. Mirrors
     * Crosstab.build + Correlation.{nContexts,itemStats,sparseCoMoments}. */
-  private val BaseCtes =
-    """WITH occ AS (SELECT l_partkey AS item, l_orderkey AS ctx FROM lineitem),
+  private def baseCtes(occWhere: String): String =
+    s"""WITH occ AS (SELECT l_partkey AS item, l_orderkey AS ctx FROM lineitem
+      |             WHERE $occWhere),
       |ct AS (SELECT item, ctx, CAST(COUNT(*) AS DOUBLE) AS cnt FROM occ GROUP BY 1, 2),
       |nn AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n FROM ct),
       |st AS (SELECT item, SUM(cnt) AS sx, SUM(cnt*cnt) AS sxx FROM ct GROUP BY 1),
@@ -40,6 +41,12 @@ object ParityQueries extends QueryPack {
       |       FROM ct a JOIN ct b ON a.ctx = b.ctx AND a.item < b.item GROUP BY 1, 2),
       |cosym AS (SELECT item_a, item_b, sxy FROM co
       |          UNION ALL SELECT item_b AS item_a, item_a AS item_b, sxy FROM co)""".stripMargin
+
+  private val BaseCtes = baseCtes("TRUE")
+
+  /** q98's deletion slice: whole contexts (every 7th order) AND partial
+    * cells (line 1 of every other order) — both retraction paths. */
+  private val RetractWhere = "l_orderkey % 7 = 3 OR l_linenumber = 1"
 
   /** Sparse correlations (co-occurring pairs only), unrounded. */
   private val SparseCte =
@@ -112,6 +119,24 @@ object ParityQueries extends QueryPack {
         .groupBy("item")
         .agg(count(lit(1)).as("n_ctx"), sum("cnt").cast("long").as("total"))
         .orderBy(col("item"))
+    }),
+
+    // EP-1 RETRACTION (Incremental.retract): the inverse ingest — build
+    // over the FULL log, retract a deletion slice (whole contexts via
+    // every 7th order plus partial cells via line 1 elsewhere), and the
+    // folded statistics must hash-match a full rebuild over
+    // (history − deletions). The deletion/correction path no
+    // rebuild-from-scratch engine offers at delta cost.
+    "q98_incremental_retract" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      def occ(p: org.apache.spark.sql.Column) = li.where(p)
+        .select(col("l_partkey").as("item_id"), col("l_orderkey").as("reference_id"))
+      val base = graft.core.Incremental.fromOccurrences(occ(lit(true)))
+      val after = graft.core.Incremental.retract(base,
+        occ(col("l_orderkey") % 7 === 3 || col("l_linenumber") === 1))
+      graft.core.Incremental.pairs(after)
+        .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))
     }),
 
     // OP-19 (scale path): Pearson over co-occurring pairs, symmetric.
@@ -351,6 +376,13 @@ object ParityQueries extends QueryPack {
 
     "q53_incremental_corr" ->
       s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    // Full rebuild over the SURVIVING history — what the retraction fold
+    // must equal bit-for-bit.
+    "q98_incremental_retract" ->
+      s"""${baseCtes(s"NOT ($RetractWhere)")},
          |$SparseCte
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
 
