@@ -246,14 +246,16 @@ object SimilaritySearch {
   }
 
   /**
-   * Trained IVF centroids: one deterministic Lloyd refinement of the
-   * sampled seeds — assign every corpus vector to its nearest seed
-   * (cosine, tie-break on cent_id), then replace each centroid with the
-   * MEAN of its assigned vectors. The mean is an ORDERED fold (vectors
-   * sorted by vec_id, summed left-to-right in binary64, divided, then
-   * rounded to float32), so any engine reproduces the centroids
-   * bit-for-bit — that is what makes trained-IVF oracle-checkable, not
-   * just spec-checkable. Empty clusters drop out, like k-means.
+   * Trained IVF centroids: `iters` deterministic Lloyd refinements of the
+   * sampled seeds — each round assigns every corpus vector to its nearest
+   * current centroid (cosine, tie-break on cent_id), then replaces each
+   * centroid with the MEAN of its assigned vectors. The mean is an
+   * ORDERED fold (vectors sorted by vec_id, summed left-to-right in
+   * binary64, divided, then rounded to float32), so any engine reproduces
+   * the centroids bit-for-bit AT EVERY ROUND — that is what makes
+   * trained-IVF oracle-checkable at iters=1 (q40) and iters=3 (q101),
+   * not just spec-checkable. Empty clusters drop out, like k-means;
+   * centroid ids stay the seed ids throughout.
    *
    * The fold is a STREAMING per-partition pass (hash-partition by
    * centroid, in-partition sort by (cent_id, vec_id), one O(dim)
@@ -264,14 +266,28 @@ object SimilaritySearch {
    * module: an ordered left-fold is genuinely per-partition imperative
    * logic — no built-in aggregate guarantees input order.
    *
-   * At 100 TB: assignment is the same broadcast-centroids map pass the
-   * probe step uses; the update is one shuffle keyed on nlist centroids.
+   * At 100 TB: each round is the same broadcast-centroids map pass the
+   * probe step uses plus one shuffle keyed on nlist centroids — cost is
+   * iters × one corpus pass, the classic k-means loop. The per-round
+   * centroid table (nlist rows) is cached so round r+1's assignment
+   * broadcast does not replay rounds 1..r.
    */
-  def trainedCentroids(corpus: DataFrame, centroidMod: Int, dim: Int): DataFrame = {
+  def trainedCentroids(corpus: DataFrame, centroidMod: Int, dim: Int,
+                       iters: Int = 1): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val corpusR = corpus.repartition(col("vec_id"))
+    var cents = ivfCentroids(corpus, centroidMod)
+    for (_ <- 1 to iters)
+      cents = graft.core.Caches.cacheOnce(lloydRound(corpusR, cents, dim))
+    cents
+  }
+
+  /** One Lloyd round: assign `corpus` against `cents`, fold each cluster
+    * to its ordered-mean centroid (see `trainedCentroids`). */
+  private def lloydRound(corpus: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seeds = ivfCentroids(corpus, centroidMod)
-    val assigned = centroidRanks(corpus.repartition(col("vec_id")), seeds, 1)
+    val assigned = centroidRanks(corpus, cents, 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"))
     val folded = assigned
       .repartition(col("cent_id"))
@@ -301,6 +317,76 @@ object SimilaritySearch {
       }
     folded.toDF("cent_id", "cent_emb")
       .withColumn("cent_nrm", l2Norm(col("cent_emb")))
+  }
+
+  /**
+   * Product-quantization codebooks — the natural next compression step
+   * after scalar int8 (q94/q97): the embedding splits into `m` contiguous
+   * subvectors and each subspace gets its own codebook, here the
+   * DETERMINISTIC corpus sample (vec_id ≡ 1 mod `codeMod`, sliced per
+   * subspace; code_id = the sampled vec_id) — reproducible in plain SQL,
+   * same design stance as `ivfCentroids`: swap in k-means-trained
+   * codebooks without touching the dataflow.
+   * Output: (sub_id, code_id, code_emb), dim must divide by m.
+   */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, codeMod: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sd = dim / m
+    corpus.where(col("vec_id") % codeMod === 1)
+      .select(col("vec_id").as("code_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub_id"),
+            slice(col("embedding"), j * sd + 1, sd).as("code_emb"))): _*)).as("s"))
+      .select(col("s.sub_id").as("sub_id"), col("code_id"), col("s.code_emb").as("code_emb"))
+  }
+
+  /** PQ codes: each corpus vector's per-subspace nearest codeword by
+    * squared L2 (binary64 via the `vec_dot` kernel, tie-break on
+    * code_id). ONE broadcast-codebook join — m·|codebook| candidate rows
+    * per vector, map-side; the WindowGroupLimit rank-1 filter keeps the
+    * argmin. This m-bytes-per-vector table (plus the codebooks) IS the
+    * persisted PQ index at scale. Output: (vec_id, sub_id, code_id). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sd = dim / m
+    val subs = corpus.repartition(col("vec_id"))
+      .select(col("vec_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub_id"),
+            slice(col("embedding"), j * sd + 1, sd).as("sub_emb"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sub_emb").as("sub_emb"))
+    val d2 = dot(col("sub_emb"), col("sub_emb")) -
+      lit(2.0) * dot(col("sub_emb"), col("code_emb")) +
+      dot(col("code_emb"), col("code_emb"))
+    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+      .orderBy(d2.asc, col("code_id").asc)
+    subs.join(broadcast(codebooks), Seq("sub_id"))
+      .withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("sub_id"), col("code_id"))
+  }
+
+  /**
+   * PQ quantize→decode round-trip of the corpus: encode against the
+   * deterministic codebooks, then reconstruct each vector as the
+   * concatenation of its codewords — the corpus exactly as a PQ index
+   * SERVES it. Scoring the reconstruction with the ordered `vec_dot`
+   * fold IS asymmetric-distance (ADC) scoring: dot(q, recon) =
+   * Σ_j dot(q_j, codeword_j) in ascending index order — the per-subspace
+   * LUT formulation computes the identical sum, but summing m LUT hits
+   * with a float aggregate would lose the fixed fold order (and with it
+   * the oracle), while the reconstruction keeps the whole score inside
+   * the codegen'd kernel. Recall cost is measured per query (q99, the
+   * q94 pattern), never assumed. Compression at scale: m codes + shared
+   * codebooks ≈ m bytes/vector vs 4·dim.
+   */
+  def pqRoundtrip(corpus: DataFrame, m: Int, dim: Int, codeMod: Int): DataFrame = {
+    val books = graft.core.Caches.cacheOnce(pqCodebooks(corpus, m, dim, codeMod))
+    val codes = pqEncode(corpus, books, m, dim)
+    codes.join(broadcast(books), Seq("sub_id", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_emb")))),
+        x => x.getField("code_emb"))).as("embedding"))
   }
 
   /**

@@ -19,6 +19,9 @@ object AnnQueries extends QueryPack {
   private val QueryMod = 50 // query set: vec_id % 50 == 0
   private val CentroidMod = 37 // IVF centroids: vec_id % 37 == 1
   private val NProbe = 2
+  private val LloydIters = 3 // q101: refinement rounds
+  private val PqM = 8 // PQ subspaces (64-dim → 8 × 8)
+  private val PqCodeMod = 23 // PQ codewords: vec_id % 23 == 1
 
   private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
 
@@ -56,6 +59,34 @@ object AnnQueries extends QueryPack {
           querySet(s, dir), embs(s, dir), NProbe, K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A3c: multi-iteration Lloyd — the q40 training step looped to 3
+    // refinement rounds under the same ordered-fold determinism; every
+    // round's centroids are bit-reproducible, so the oracle replays the
+    // whole loop. Spec gates that centroid movement shrinks per round.
+    "q101_ann_lloyd3" -> ((s, dir) =>
+      SimilaritySearch.ivfTopKFrom(
+          SimilaritySearch.trainedCentroids(embs(s, dir), CentroidMod, Dim, LloydIters),
+          querySet(s, dir), embs(s, dir), NProbe, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A13: product-quantization serving — the corpus as an m-subspace
+    // PQ index reconstructs it (deterministic sampled codebooks, nearest
+    // codeword per subspace by squared L2), scored against exact queries;
+    // recall@k per query vs the exact ground truth, the q94 pattern one
+    // compression tier further (m bytes/vector vs 4·dim).
+    "q99_ann_pq" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
+      val pt = ids(SimilaritySearch.bruteForceTopK(
+        querySet(s, dir), SimilaritySearch.pqRoundtrip(embs(s, dir), PqM, Dim, PqCodeMod), K))
+      bt.join(pt.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6)
+          .as("recall_pq"))
+        .orderBy(col("query_id"))
+    }),
 
     // EXT-A8: multi-probe SRP top-k — each query also probes its L
     // Hamming-1 neighbor buckets (one flipped hyperplane), the standard
@@ -201,25 +232,38 @@ object AnnQueries extends QueryPack {
        |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
        |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
 
-  /** One deterministic Lloyd refinement of the sampled seeds (mirrors
-    * SimilaritySearch.trainedCentroids): assignment by cosine rank, then
-    * ordered fold-mean per cluster, float32-rounded. Ends with CTE `tc`. */
-  private lazy val TrainedCentsCtes =
-    s"""seeds AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-       |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
-       |ar AS (SELECT e.vec_id, e.embedding, c.cent_id,
-       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |           ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
-       |                    c.cent_id) AS crnk
-       |       FROM embeddings e CROSS JOIN seeds c),
-       |asg AS (SELECT cent_id, vec_id, embedding FROM ar WHERE crnk = 1),
-       |tc0 AS (SELECT cent_id, list(embedding ORDER BY vec_id) AS vs, COUNT(*) AS n
-       |        FROM asg GROUP BY 1),
-       |tc AS (SELECT cent_id, list_transform(
-       |         list_reduce(
-       |           list_prepend(list_transform(range(1, ${Dim + 1}), i -> 0.0), vs),
-       |           (acc, v) -> list_transform(range(1, ${Dim + 1}), i -> acc[i] + v[i]::DOUBLE)),
-       |         x -> (x / n)::REAL) AS cent_emb FROM tc0)""".stripMargin
+  /** `rounds` deterministic Lloyd refinements of the sampled seeds
+    * (mirrors SimilaritySearch.trainedCentroids): per round, assignment
+    * by cosine rank against the previous round's centroids, then ordered
+    * fold-mean per cluster, float32-rounded. Ends with CTE `tc`. */
+  private def trainedCentsCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""seeds AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings WHERE vec_id % $CentroidMod = 1)""".stripMargin)
+    var prev = "seeds"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         |ar$r AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                    c.cent_id) AS crnk
+         |       FROM embeddings e CROSS JOIN $prev c),
+         |asg$r AS (SELECT cent_id, vec_id, embedding FROM ar$r WHERE crnk = 1),
+         |tcs$r AS (SELECT cent_id, list(embedding ORDER BY vec_id) AS vs, COUNT(*) AS n
+         |        FROM asg$r GROUP BY 1),
+         |tcm$r AS (SELECT cent_id, list_transform(
+         |         list_reduce(
+         |           list_prepend(list_transform(range(1, ${Dim + 1}), i -> 0.0), vs),
+         |           (acc, v) -> list_transform(range(1, ${Dim + 1}), i -> acc[i] + v[i]::DOUBLE)),
+         |         x -> (x / n)::REAL) AS cent_emb FROM tcs$r)""".stripMargin
+      prev = s"tcm$r"
+    }
+    sb ++= s""",
+       |tc AS (SELECT cent_id, cent_emb FROM $prev)""".stripMargin
+    sb.toString
+  }
+
+  private lazy val TrainedCentsCtes = trainedCentsCtes(1)
 
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
@@ -290,6 +334,77 @@ object AnnQueries extends QueryPack {
          |       FROM scored)
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q101_ann_lloyd3" ->
+      s"""WITH ${trainedCentsCtes(LloydIters)},
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN tc c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |scored AS (SELECT p.query_id, l.vec_id,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q99_ann_pq" -> {
+      val sd = Dim / PqM
+      def d2Sql(a: String, b: String) = {
+        def fold(x: String, y: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1),
+             |    i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin
+        s"(${fold(a, a)} - 2 * ${fold(a, b)} + ${fold(b, b)})"
+      }
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
+         |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
+         |                        i -> s.embedding[i]) AS code_emb
+         |       FROM embeddings s, unnest(range(0, $PqM)) AS t(j)
+         |       WHERE s.vec_id % $PqCodeMod = 1),
+         |cs AS (SELECT e.vec_id, t.j AS sub_id,
+         |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
+         |                        i -> e.embedding[i]) AS sub_emb
+         |       FROM embeddings e, unnest(range(0, $PqM)) AS t(j)),
+         |enc AS (SELECT vec_id, sub_id, code_id FROM (
+         |          SELECT cs.vec_id, cs.sub_id, cw.code_id,
+         |            ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.sub_id
+         |              ORDER BY ${d2Sql("cs.sub_emb", "cw.code_emb")} ASC,
+         |                       cw.code_id) AS crnk
+         |          FROM cs JOIN cw ON cs.sub_id = cw.sub_id) WHERE crnk = 1),
+         |rec AS (SELECT enc.vec_id,
+         |          flatten(list(cw.code_emb ORDER BY enc.sub_id)) AS embedding
+         |        FROM enc JOIN cw ON enc.sub_id = cw.sub_id AND enc.code_id = cw.code_id
+         |        GROUP BY 1),
+         |pscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM rec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |pt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM pscored) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq
+         |FROM bt b LEFT JOIN pt t
+         |  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q59_ann_multiprobe" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket

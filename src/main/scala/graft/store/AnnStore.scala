@@ -106,6 +106,44 @@ object AnnStore {
   private def readTree(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
 
+  /** Compact the SRP bucket table: fold every append file and streaming
+    * `batch=<id>` subdirectory into one freshly-partitioned flat layout.
+    * High batch counts hit the small-files wall — `readTree`'s recursive
+    * listing and one parquet footer per tiny file dominate serving cost
+    * long before data size does; compaction restores the single
+    * bucket-partitioned, in-file-sorted layout `writeSrp` produces, so
+    * row-group pruning covers the whole corpus again. Served top-k is
+    * IDENTICAL before and after (same rows, same layout contract —
+    * spec-gated). Run OFFLINE: the swap is not atomic for concurrent
+    * readers (a serving query between the two renames fails and is
+    * retried); on a real deployment the swap would be a metastore /
+    * table-format pointer flip instead. */
+  def compactSrp(spark: SparkSession, storePath: String): Unit =
+    compactTable(spark, s"$storePath/$SrpBuckets", "bucket")
+
+  /** Compact the IVF inverted-list table (see `compactSrp`). */
+  def compactIvf(spark: SparkSession, storePath: String): Unit =
+    compactTable(spark, s"$storePath/$IvfLists", "cent_id")
+
+  private def compactTable(spark: SparkSession, path: String, key: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact")
+    val old = new Path(path + "__old")
+    // Materialize the rewrite fully BEFORE touching the live tree.
+    readTree(spark, path)
+      .repartition(col(key)).sortWithinPartitions(key, "vec_id")
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the original tree before failing
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** SRP top-k served from the persisted index: queries are bucketed with
     * the stored planes and hash-joined against the bucket table. */
   def srpTopK(spark: SparkSession, storePath: String, queries: DataFrame,

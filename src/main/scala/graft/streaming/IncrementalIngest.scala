@@ -47,10 +47,14 @@ object IncrementalIngest {
     latestVersion(spark, statePath).map(v => Incremental.load(spark, s"$statePath/v$v"))
 
   /** Apply one occurrence micro-batch: fold into the latest snapshot,
-    * persist the result as version `batchId`, then advance the marker.
-    * Exposed for direct use (e.g. a nightly batch job shares the exact
-    * code path the stream runs). */
-  def applyBatch(batch: DataFrame, batchId: Long, statePath: String): Unit = {
+    * persist the result as version `batchId`, advance the marker, then
+    * (optionally) prune superseded snapshots. Exposed for direct use
+    * (e.g. a nightly batch job shares the exact code path the stream
+    * runs). `keepLast = Some(k)` bounds on-disk state to the k newest
+    * durable snapshots — without it a long-running ingest grows
+    * `v{batchId}` directories without bound. */
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
+                 keepLast: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     // Exactly-once across crash/redelivery: the checkpoint may replay the
     // last uncommitted batch after the marker already advanced — a batch
@@ -70,14 +74,46 @@ object IncrementalIngest {
     val out = fs.create(p, true)
     try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    keepLast.foreach(k => pruneSnapshots(spark, statePath, k))
+  }
+
+  /** Retention: delete all but the newest `keepLast` DURABLE snapshot
+    * versions (those at or below the marker — the marker version itself
+    * is always among the kept). Versions ABOVE the marker are in-flight
+    * crash leftovers awaiting redelivery and are left alone. Safe to run
+    * any time, including while the ingest is live: the fold only ever
+    * reads the marker version. Returns the versions deleted. */
+  def pruneSnapshots(spark: SparkSession, statePath: String,
+                     keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be at least 1")
+    val dir = new Path(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestVersion(spark, statePath) match {
+      case None => Nil
+      case Some(latest) =>
+        if (!fs.exists(dir)) Nil
+        else {
+          val durable = fs.listStatus(dir).toSeq
+            .filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+              s.drop(1).toLong }
+            .filter(_ <= latest)
+            .sorted
+          val drop = durable.dropRight(keepLast)
+          drop.foreach(v => fs.delete(new Path(s"$statePath/v$v"), true))
+          drop
+        }
+    }
   }
 
   /** Start the ingest: `occurrences` is a STREAMING DataFrame with the
-    * canonical (item_id, reference_id) columns. */
+    * canonical (item_id, reference_id) columns. `keepLast` as in
+    * `applyBatch` — pass Some(k) for bounded on-disk snapshot state. */
   def start(occurrences: DataFrame, statePath: String,
-            checkpointPath: String): StreamingQuery = {
+            checkpointPath: String, keepLast: Option[Int] = None): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit =
-      (batch, id) => applyBatch(batch, id, statePath)
+      (batch, id) => applyBatch(batch, id, statePath, keepLast)
     occurrences.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch(fn)

@@ -46,6 +46,31 @@ class IncrementalIngestSpec extends SparkSpec {
     IncrementalIngest.latestVersion(spark, s"$dir/state") shouldBe Some(1L)
   }
 
+  test("snapshot retention keeps the newest K durable versions; serving unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest3").toString
+    val batches = Seq(
+      Seq((1L, 10L), (2L, 10L)), Seq((1L, 11L), (3L, 11L)),
+      Seq((2L, 12L), (3L, 12L)), Seq((4L, 13L), (1L, 13L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalIngest.applyBatch(
+        b.toDF("item_id", "reference_id"), i.toLong, s"$dir/state", keepLast = Some(2)) }
+    def versionsOnDisk = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    versionsOnDisk shouldBe Seq("v2", "v3") // 0 and 1 pruned as each batch landed
+    IncrementalIngest.latestVersion(spark, s"$dir/state") shouldBe Some(3L)
+    // the retained latest serves the full folded history
+    pairMap(Incremental.pairs(IncrementalIngest.loadLatest(spark, s"$dir/state").get)) shouldBe
+      pairMap(Correlation.sparsePairs(
+        Crosstab.build(batches.flatten.toDF("item_id", "reference_id"))))
+    // explicit prune call: keepLast=1 leaves only the marker version
+    IncrementalIngest.pruneSnapshots(spark, s"$dir/state", 1) shouldBe Seq(2L)
+    versionsOnDisk shouldBe Seq("v3")
+    // in-flight versions above the marker are never touched
+    Incremental.save(IncrementalIngest.loadLatest(spark, s"$dir/state").get, s"$dir/state/v9")
+    IncrementalIngest.pruneSnapshots(spark, s"$dir/state", 1) shouldBe Seq.empty
+    versionsOnDisk shouldBe Seq("v3", "v9")
+  }
+
   test("streaming ANN ingest converges to the full-rebuild index; redelivery is idempotent") {
     import org.apache.spark.sql.functions.{col, round}
     implicit val sqlCtx = spark.sqlContext
@@ -90,5 +115,25 @@ class IncrementalIngestSpec extends SparkSpec {
     graft.streaming.AnnIngest.applyIvfBatch(
       deltas.head.toDF("vec_id", "embedding"), 0L, streamed)
     dump(graft.store.AnnStore.ivfTopK(spark, streamed, queries, 2, 3)) shouldBe servedBefore
+
+    // compaction: fold the batch=<id> subtrees into one flat layout —
+    // served top-k identical, streaming subdirectories gone, fewer files
+    def treeFiles(sub: String) = {
+      val root = java.nio.file.Paths.get(streamed, sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toSeq
+    }
+    val srpFilesBefore = treeFiles(graft.store.AnnStore.SrpBuckets).size
+    val srpServedBefore = dump(graft.store.AnnStore.srpTopK(spark, streamed, queries, 3))
+    graft.store.AnnStore.compactSrp(spark, streamed)
+    graft.store.AnnStore.compactIvf(spark, streamed)
+    dump(graft.store.AnnStore.srpTopK(spark, streamed, queries, 3)) shouldBe srpServedBefore
+    dump(graft.store.AnnStore.ivfTopK(spark, streamed, queries, 2, 3)) shouldBe servedBefore
+    for (sub <- Seq(graft.store.AnnStore.SrpBuckets, graft.store.AnnStore.IvfLists)) {
+      val dirs = new java.io.File(s"$streamed/$sub").listFiles().filter(_.isDirectory)
+      assert(dirs.isEmpty, s"$sub still holds subdirectories: ${dirs.mkString(",")}")
+    }
+    assert(treeFiles(graft.store.AnnStore.SrpBuckets).size <= srpFilesBefore)
   }
 }

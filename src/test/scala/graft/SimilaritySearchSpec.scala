@@ -93,6 +93,73 @@ class SimilaritySearchSpec extends SparkSpec {
     got(4L) shouldBe mean(Seq(Seq(0.0f, 1.0f), Seq(0.2f, 0.8f), Seq(0.1f, 0.9f)))
   }
 
+  test("multi-iteration Lloyd: centroid movement shrinks per round; iters=1 unchanged") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (1L to 80L).map { i =>
+      // three loose direction clusters + noise
+      val base = (i % 3).toInt match {
+        case 0 => Seq(1.0f, 0.1f, 0.0f, 0.1f)
+        case 1 => Seq(0.0f, 1.0f, 0.1f, 0.0f)
+        case _ => Seq(0.1f, 0.0f, 1.0f, 0.1f)
+      }
+      (i, base.map(x => x + rnd.nextFloat() * 0.4f - 0.2f))
+    }.toDF("vec_id", "embedding")
+    def cents(iters: Int) =
+      SimilaritySearch.trainedCentroids(corpus, 7, 4, iters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val seeds = SimilaritySearch.ivfCentroids(corpus, 7).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val byIter = (1 to 3).map(cents)
+    byIter.head shouldBe cents(1) // deterministic, and iters defaults compose
+    def movement(a: Map[Long, collection.Seq[Float]],
+                 b: Map[Long, collection.Seq[Float]]): Double = {
+      val shared = a.keySet intersect b.keySet
+      shared.toSeq.map { id =>
+        math.sqrt(a(id).zip(b(id)).map { case (x, y) =>
+          (x - y).toDouble * (x - y) }.sum)
+      }.sum / shared.size
+    }
+    val m1 = movement(seeds, byIter(0))
+    val m2 = movement(byIter(0), byIter(1))
+    val m3 = movement(byIter(1), byIter(2))
+    assert(m1 > 0.0, "first refinement must move the sampled seeds")
+    assert(m2 <= m1, s"movement grew: round2 $m2 > round1 $m1")
+    assert(m3 <= m2, s"movement grew: round3 $m3 > round2 $m2")
+  }
+
+  test("pqRoundtrip: reconstruction is codebook rows, bounded distortion, codes well-formed") {
+    val rnd = new scala.util.Random(43)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val m = 4
+    val books = SimilaritySearch.pqCodebooks(corpus, m, 8, 11)
+    // every (sub_id, code_id) slice matches the sampled source vector
+    val src = corpus.where(col("vec_id") % 11 === 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    books.collect().foreach { r =>
+      val (sub, code, emb) = (r.getInt(0), r.getLong(1), r.getSeq[Float](2))
+      emb shouldBe src(code).slice(sub * 2, sub * 2 + 2)
+    }
+    val codes = SimilaritySearch.pqEncode(corpus, books, m, 8)
+    codes.count() shouldBe 60L * m // one code per (vec, sub)
+    // a sampled codebook vector reconstructs to itself exactly
+    val rt = SimilaritySearch.pqRoundtrip(corpus, m, 8, 11).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    src.foreach { case (id, v) => rt(id) shouldBe v }
+    // every reconstruction has full dimension and finite values
+    rt.values.foreach { v => v.size shouldBe 8; v.foreach(x => assert(!x.isNaN)) }
+    // reconstruction error is bounded by the worst in-sample distance
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def d2(a: collection.Seq[Float], b: collection.Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    all.foreach { case (id, v) =>
+      val nearestPerSub = (0 until m).map { j =>
+        src.values.map(s => d2(v.slice(j * 2, j * 2 + 2), s.slice(j * 2, j * 2 + 2))).min
+      }.sum
+      d2(v, rt(id)) shouldBe nearestPerSub +- 1e-9
+    }
+  }
+
   test("nearDupPairs respects threshold and optional blocking") {
     val withBlk = embs.withColumn("label", (col("vec_id") % 2).cast("int"))
     val all = SimilaritySearch.nearDupPairs(withBlk, 0.9).collect()
