@@ -140,12 +140,35 @@ object TextFunctions {
     }
 
   /** Marker function-words per language for the n-gram/word language-ID
-    * heuristic. Extend freely; langId is generic over the profile map. */
+    * heuristic — the highest-frequency closed-class words of each
+    * language, which a marker-count classifier leans on. Extend freely;
+    * langId is generic over the profile map, and q96's confusion-matrix
+    * gate pins accuracy whenever this table changes. Words shared across
+    * languages (es/fr "la", es/pt "de") are fine: argmax decides, and
+    * exact ties break to the alphabetically-first language. */
   val LangProfiles: Map[String, Seq[String]] = Map(
-    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
-    "en" -> Seq("the", "and", "of", "is", "to", "that"),
-    "es" -> Seq("el", "la", "de", "que", "los", "una"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "une"))
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das", "ein", "eine",
+      "mit", "von", "auf", "sich", "dem", "den", "zu", "auch"),
+    "en" -> Seq("the", "and", "of", "is", "to", "that", "a", "in", "it",
+      "for", "with", "was", "are", "this", "not", "have"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "en", "se", "por",
+      "con", "para", "las", "del", "como", "más", "pero"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "dans", "pour",
+      "qui", "sur", "pas", "par", "au", "est", "plus", "avec"),
+    "it" -> Seq("il", "di", "che", "non", "per", "con", "sono", "del",
+      "si", "gli", "anche", "come", "alla", "della"),
+    "nl" -> Seq("het", "een", "van", "niet", "aan", "ook", "voor", "naar",
+      "zijn", "maar", "bij", "dat", "met", "hij"),
+    "pl" -> Seq("nie", "się", "jest", "oraz", "ale", "czy", "tak", "jako",
+      "przez", "tylko", "być", "już", "tym", "które"),
+    "pt" -> Seq("não", "uma", "os", "das", "dos", "são", "como", "mais",
+      "foi", "pelo", "pela", "você", "está", "também"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för",
+      "till", "inte", "med", "han", "om", "ett"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "gibi",
+      "daha", "çok", "ama", "kadar", "sonra", "var", "ben"),
+    "vi" -> Seq("của", "và", "là", "có", "không", "được", "trong", "cho",
+      "người", "những", "một", "các", "đã", "này"))
 
   /**
    * Language ID: argmax of per-language marker-token hits; ties break to

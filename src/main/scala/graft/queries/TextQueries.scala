@@ -337,6 +337,24 @@ object TextQueries extends QueryPack {
   private def hits(words: Seq[String]) =
     s"len(list_filter(tk, t -> lower(t) IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Per-language marker-hit columns + the argmax CASE, generated from
+    * `LangProfiles` so the oracle tracks any profile change (the Spark
+    * side and the SQL share one source of truth). Tie semantics mirror
+    * langId: zero hits everywhere → 'und', ties → alphabetically-first
+    * language (the CASE tests languages in sorted order). */
+  private lazy val langScoreCols: String =
+    LangProfiles.toSeq.sortBy(_._1)
+      .map { case (l, ms) => s"${hits(ms)} AS s_$l" }.mkString(",\n  ")
+
+  private lazy val langArgmaxCase: String = {
+    val langs = LangProfiles.keys.toSeq.sorted
+    val g = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val whens = langs.init.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n       ")
+    s"""CASE WHEN $g = 0 THEN 'und'
+       |       $whens
+       |       ELSE '${langs.last}' END""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
@@ -545,29 +563,19 @@ object TextQueries extends QueryPack {
     "q17_lang_id" ->
       s"""WITH $ToksCte,
          |sc AS (SELECT doc_id, lang,
-         |  ${hits(LangProfiles("de"))} AS s_de, ${hits(LangProfiles("en"))} AS s_en,
-         |  ${hits(LangProfiles("es"))} AS s_es, ${hits(LangProfiles("fr"))} AS s_fr
+         |  $langScoreCols
          |  FROM toks)
          |SELECT doc_id, lang,
-         |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
-         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
-         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
-         |       ELSE 'fr' END AS lang_pred
+         |  $langArgmaxCase AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q96_langid_confusion" ->
       s"""WITH $ToksCte,
          |sc AS (SELECT doc_id, lang,
-         |  ${hits(LangProfiles("de"))} AS s_de, ${hits(LangProfiles("en"))} AS s_en,
-         |  ${hits(LangProfiles("es"))} AS s_es, ${hits(LangProfiles("fr"))} AS s_fr
+         |  $langScoreCols
          |  FROM toks),
          |pred AS (SELECT lang AS truth,
-         |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
-         |       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
-         |       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
-         |       ELSE 'fr' END AS predicted
+         |  $langArgmaxCase AS predicted
          |  FROM sc)
          |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

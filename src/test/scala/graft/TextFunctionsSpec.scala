@@ -53,6 +53,32 @@ class TextFunctionsSpec extends SparkSpec {
     one[String](langId(col("t")), "The cat AND the dog") shouldBe "en"
   }
 
+  test("widened profiles identify 11 languages; diagonal never below the legacy 4-language map") {
+    val legacy = Map(
+      "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+      "en" -> Seq("the", "and", "of", "is", "to", "that"),
+      "es" -> Seq("el", "la", "de", "que", "los", "una"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "une"))
+    val samples = Seq(
+      ("de", "der hund ist nicht auf dem tisch und die katze schläft"),
+      ("en", "the cat is on the table and it was not a problem"),
+      ("es", "el gato está en la mesa y no es un problema para los niños"),
+      ("fr", "le chat est sur la table et les enfants ne sont pas dans la maison"),
+      ("it", "il gatto non sono sulla tavola anche per gli amici della casa"),
+      ("nl", "het huis van een man is niet ook voor zijn vrienden maar bij hem"),
+      ("pl", "nie jest tak ale tylko przez tym się oraz czy dom"),
+      ("pt", "não é uma casa dos amigos mas também está pela rua"),
+      ("sv", "det är ett hus som inte för han och att med om till"),
+      ("tr", "bu bir ev için ve daha çok ama gibi sonra var"),
+      ("vi", "của và là có không được trong cho người những"))
+    val df = samples.toDF("truth", "text")
+    def diagonal(profiles: Map[String, Seq[String]]): Long =
+      df.select(col("truth"), langId(col("text"), profiles).as("p"))
+        .where(col("truth") === col("p")).count()
+    diagonal(LangProfiles) shouldBe samples.size.toLong // every language correct
+    assert(diagonal(LangProfiles) >= diagonal(legacy))
+  }
+
   test("fingerprint is order-sensitive and matches the fold definition") {
     def poly(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
     for (t <- Seq("abc", "cba", "hello world", ""))
