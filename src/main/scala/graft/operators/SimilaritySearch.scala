@@ -343,9 +343,15 @@ object SimilaritySearch {
   /** PQ codes: each corpus vector's per-subspace nearest codeword by
     * squared L2 (binary64 via the `vec_dot` kernel, tie-break on
     * code_id). ONE broadcast-codebook join — m·|codebook| candidate rows
-    * per vector, map-side; the WindowGroupLimit rank-1 filter keeps the
-    * argmin. This m-bytes-per-vector table (plus the codebooks) IS the
-    * persisted PQ index at scale. Output: (vec_id, sub_id, code_id). */
+    * per vector stay MAP-SIDE: the argmin is `min(struct(d2, code_id))`,
+    * a hash aggregate whose partial (map-side) combine reduces each
+    * (vec, sub) group to one row before the exchange, so the shuffle
+    * carries m rows per vector, never the candidate cross product (a
+    * rank-1 window here would sort-shuffle all m·|codebook| candidates;
+    * plan-guarded). struct ordering is lexicographic and d2 is
+    * bit-deterministic, so the tie-break is exact. This
+    * m-bytes-per-vector table (plus the codebooks) IS the persisted PQ
+    * index at scale. Output: (vec_id, sub_id, code_id). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     val sd = dim / m
     val subs = corpus.repartition(col("vec_id"))
@@ -357,12 +363,10 @@ object SimilaritySearch {
     val d2 = dot(col("sub_emb"), col("sub_emb")) -
       lit(2.0) * dot(col("sub_emb"), col("code_emb")) +
       dot(col("code_emb"), col("code_emb"))
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(d2.asc, col("code_id").asc)
     subs.join(broadcast(codebooks), Seq("sub_id"))
-      .withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("sub_id"), col("code_id"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(d2.as("d2"), col("code_id").as("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub_id"), col("best.code_id").as("code_id"))
   }
 
   /**

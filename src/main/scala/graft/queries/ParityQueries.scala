@@ -303,6 +303,23 @@ object ParityQueries extends QueryPack {
         .agg(count(lit(1)).as("n_missing"))
     }),
 
+    // OP-04+05 (.npy face): the reference's ACTUAL matrix format
+    // (`similarity.py:173-186` np.save / `:199-206` np.load) — densify a
+    // sampled correlation sub-matrix to float32 .npy via the migration
+    // codec, read it back, and hash-match the pairs after the SAME f4
+    // truncation in the oracle (corr::REAL). Sampled (both endpoints %
+    // 50 = 0) because .npy is a bounded driver-side interchange format,
+    // never a scale path — the guard enforces exactly that.
+    "q102_npy_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_npy_rt").toString
+      val pairs = Correlation.sparsePairs(ct(s, dir))
+        .where(col("item_a") % SampleMod === 0 && col("item_b") % SampleMod === 0)
+      val ids = graft.sources.Sources.saveNpyMatrix(pairs, s"$out/sim.npy")
+      graft.sources.Sources.loadNpyMatrix(s, s"$out/sim.npy", ids)
+        .select(col("item_a"), col("item_b"), round(col("value"), 6).as("corr"))
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // OP-04+05: matrix sink/source round-trip — persist the correlation
     // pair table as headered CSV, read it back with the declared schema.
     // Double round-trip is exact (Java shortest-repr formatting parses
@@ -352,6 +369,20 @@ object ParityQueries extends QueryPack {
       s"""$BaseCtes,
          |$SparseCte
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM sp ORDER BY 1, 2""".stripMargin,
+
+    // The same sparse correlations through the reference's float32 .npy
+    // dump: the oracle applies the identical f4 truncation (corr::REAL);
+    // NULL (zero-variance) and exact-zero cells cannot survive a dense
+    // 0.0-filled matrix and are excluded on both sides.
+    "q102_npy_roundtrip" ->
+      s"""$BaseCtes,
+         |$SparseCte
+         |SELECT item_a, item_b,
+         |       ROUND(CAST(CAST(corr AS REAL) AS DOUBLE), 6) AS corr
+         |FROM sp
+         |WHERE item_a % $SampleMod = 0 AND item_b % $SampleMod = 0
+         |  AND corr IS NOT NULL AND CAST(corr AS REAL) <> 0
+         |ORDER BY 1, 2""".stripMargin,
 
     "q42_corr_capped" ->
       s"""$BaseCtes,

@@ -66,4 +66,55 @@ object Sources {
 
   def saveOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** `.npy` similarity-matrix sink — the MIGRATION utility for the
+    * reference's matrix dumps (`similarity.py:173-186`): densify a
+    * (item_a, item_b, valueCol) pair table into the row-major float32
+    * square matrix numpy would have saved, ids sorted ascending as the
+    * row/col order (returned for the caller's id↔index map). Explicitly
+    * a one-off converter, NOT a scale path: it materializes the I×I
+    * dense matrix driver-side and is guarded by `maxItems` exactly like
+    * `SimilarityModel.wideMatrix`. Absent pairs densify to 0.0, the
+    * diagonal to `diag` (the reference's self-correlation 1.0). */
+  def saveNpyMatrix(pairs: DataFrame, path: String, valueCol: String = "corr",
+                    diag: Float = 1.0f, maxItems: Int = 20000): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val ids = pairs.select(col("item_a")).unionByName(
+        pairs.select(col("item_b")).withColumnRenamed("item_b", "item_a"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    require(ids.size <= maxItems,
+      s"${ids.size} items exceed maxItems=$maxItems — .npy is a dense driver-side " +
+        "format; use the parquet store for matrices at scale")
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.size
+    val dense = new Array[Float](n * n)
+    var i = 0
+    while (i < n) { dense(i * n + i) = diag; i += 1 }
+    pairs.select(col("item_a"), col("item_b"), col(valueCol).cast("double"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(2))
+          dense(idx(r.getLong(0)) * n + idx(r.getLong(1))) = r.getDouble(2).toFloat
+      }
+    Npy.write(pairs.sparkSession, path, n, n, dense)
+    ids
+  }
+
+  /** `.npy` matrix source — reads a reference-era dump back into the
+    * engine's long-form pair table (item_a, item_b, value), off-diagonal
+    * non-zero cells only (the sparse invariant of `sparsePairs`). `ids`
+    * maps row/col indices to item ids — the order `saveNpyMatrix`
+    * returned, or the id list the reference's dictionary implies. */
+  def loadNpyMatrix(spark: SparkSession, path: String, ids: Seq[Long]): DataFrame = {
+    val (rows, cols, values) = Npy.read(spark, path)
+    require(rows == ids.size && cols == ids.size,
+      s"matrix is $rows x $cols but ${ids.size} ids were supplied")
+    val cells = for {
+      r <- 0 until rows
+      c <- 0 until cols
+      v = values(r * cols + c)
+      if r != c && v != 0.0
+    } yield (ids(r), ids(c), v)
+    import spark.implicits._
+    cells.toDF("item_a", "item_b", "value")
+  }
 }

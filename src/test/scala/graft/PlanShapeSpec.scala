@@ -281,6 +281,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode argmin partial-aggregates map-side, not a candidate-set sort window") {
+    val embs = (1L to 30L).map(i => (i, Seq.fill(8)(i.toFloat / 30f)))
+      .toDF("vec_id", "embedding")
+    val books = graft.operators.SimilaritySearch.pqCodebooks(embs, 4, 8, 7)
+    val p = planOf(graft.operators.SimilaritySearch.pqEncode(embs, books, 4, 8))
+    // a rank-1 window would shuffle every m·|codebook| candidate row;
+    // the min(struct) aggregate reduces each (vec, sub) group to one row
+    // BEFORE the exchange (partial_min below, final min above it)
+    p should not include "Window"
+    p should include("partial_min")
+  }
+
   test("q69's exact sides plan no Expand and no single-partition window") {
     val li = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("R", 1L, 30.0))
       .toDF("l_returnflag", "l_partkey", "l_quantity")

@@ -133,6 +133,42 @@ class ScaleOpsSpec extends SparkSpec {
     got shouldBe Map("a" -> 2.0) // NULLs neither count nor rank; all-NULL group emits nothing
   }
 
+  test(".npy matrix round-trip; reads a numpy-written file byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_npy").toString
+    // pair table → dense float32 .npy → back to the long form
+    val pairs = Seq((1L, 5L, 0.75), (5L, 1L, 0.75), (1L, 9L, -0.25), (9L, 5L, 0.5))
+      .toDF("item_a", "item_b", "corr")
+    val ids = graft.sources.Sources.saveNpyMatrix(pairs, s"$dir/m.npy")
+    ids shouldBe Seq(1L, 5L, 9L)
+    val back = graft.sources.Sources.loadNpyMatrix(spark, s"$dir/m.npy", ids)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    back shouldBe Seq((1L, 5L, 0.75), (1L, 9L, -0.25), (5L, 1L, 0.75), (9L, 5L, 0.5))
+    // the maxItems guard refuses a driver-side densify beyond bound
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.Sources.saveNpyMatrix(pairs, s"$dir/m2.npy", maxItems = 2)
+
+    // interop: this fixture was written by numpy itself
+    // (np.save of [[1,.25,-.5],[.25,1,.125],[-.5,.125,1]], dtype <f4>)
+    val numpyBytes: Array[Byte] = Array[Int](
+      -109, 78, 85, 77, 80, 89, 1, 0, 118, 0, 123, 39, 100, 101, 115, 99, 114, 39,
+      58, 32, 39, 60, 102, 52, 39, 44, 32, 39, 102, 111, 114, 116, 114, 97, 110,
+      95, 111, 114, 100, 101, 114, 39, 58, 32, 70, 97, 108, 115, 101, 44, 32, 39,
+      115, 104, 97, 112, 101, 39, 58, 32, 40, 51, 44, 32, 51, 41, 44, 32, 125, 32,
+      32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32,
+      32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32,
+      32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32,
+      10, 0, 0, -128, 63, 0, 0, -128, 62, 0, 0, 0, -65, 0, 0, -128, 62, 0, 0, -128,
+      63, 0, 0, 0, 62, 0, 0, 0, -65, 0, 0, 0, 62, 0, 0, -128, 63).map(_.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/numpy.npy"), numpyBytes)
+    val (r, c, vals) = graft.sources.Npy.read(spark, s"$dir/numpy.npy")
+    (r, c) shouldBe ((3, 3))
+    vals.toSeq shouldBe Seq(1.0, 0.25, -0.5, 0.25, 1.0, 0.125, -0.5, 0.125, 1.0)
+    // and our writer's output parses back identically (same header scheme)
+    graft.sources.Npy.write(spark, s"$dir/ours.npy", 3, 3, vals.map(_.toFloat))
+    graft.sources.Npy.read(spark, s"$dir/ours.npy")._3.toSeq shouldBe vals.toSeq
+  }
+
   test("ORC round-trip is exact") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "s", "x")
