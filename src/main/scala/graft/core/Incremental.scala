@@ -178,20 +178,23 @@ object Incremental {
 
     // Context count: + contexts the corpus has never seen (that survive
     // the merge — a batch netting to zero introduces nothing), − touched
-    // contexts whose last cell a retraction removed. Cached like the
-    // other summaries: the 1-row result hides joins over the cell
-    // summary that every consuming broadcast would otherwise re-run.
-    val afterCtx = merged.select("ctx").distinct()
-    val freshCtx = dctx
-      .join(base.cells.select("ctx").distinct(), Seq("ctx"), "left_anti")
-      .join(afterCtx, Seq("ctx"), "left_semi")
-      .agg(count(lit(1)).cast("double").as("dn"))
-    val goneCtx = touched.select("ctx").distinct()
-      .join(afterCtx, Seq("ctx"), "left_anti")
-      .agg(count(lit(1)).cast("double").as("gn"))
+    // contexts whose last cell a retraction removed. Both signs fold in
+    // ONE aggregate over the delta's context set: within dctx,
+    // ctx ∈ base ⟺ ctx ∈ touched (touched IS base ∩ dctx), so the
+    // membership flags come from the two small cached tables — the full
+    // base cell summary is never scanned here. Cached like the other
+    // summaries: every consuming broadcast would otherwise re-run it.
+    val delta_n = dctx
+      .join(touched.select("ctx").distinct().withColumn("__in_base", lit(true)),
+        Seq("ctx"), "left")
+      .join(merged.select("ctx").distinct().withColumn("__after", lit(true)),
+        Seq("ctx"), "left")
+      .agg(coalesce(sum(
+        when(col("__in_base").isNull && col("__after").isNotNull, 1.0)
+          .when(col("__in_base").isNotNull && col("__after").isNull, -1.0)
+          .otherwise(0.0)), lit(0.0)).as("dn"))
     val n = Caches.cacheOnce(
-      base.n.crossJoin(freshCtx).crossJoin(goneCtx)
-        .select((col("n") + col("dn") - col("gn")).as("n")))
+      base.n.crossJoin(delta_n).select((col("n") + col("dn")).as("n")))
 
     // New cell summary for the NEXT update: untouched base cells + merged.
     // Lazy — consumers that only read `pairs` never execute this branch.
