@@ -41,6 +41,16 @@ object SimilarityModel {
     (fromStats(next), next)
   }
 
+  /** The inverse ingest step: retract an occurrence log (deletions /
+    * corrections — `graft.core.Incremental.retract`); the refreshed
+    * model is bit-identical to one rebuilt over the surviving history
+    * (q98-gated). Removed occurrences must exist in the folded history. */
+  def retracted(stats: graft.core.Incremental.Stats,
+                removedOccurrences: DataFrame): (SimilarityModel, graft.core.Incremental.Stats) = {
+    val next = graft.core.Incremental.retract(stats, removedOccurrences)
+    (fromStats(next), next)
+  }
+
   /** Serving handle over a persisted store (EP-3). */
   final case class Store(spark: SparkSession, path: String) {
     private lazy val sim = SimilarityStore.readSimilarItems(spark, path)

@@ -44,6 +44,18 @@ class ApiSurfaceSpec extends SparkSpec {
     pairMap(SimilarityModel.fromStats(nextStats).pairs) shouldBe pairMap(model.pairs)
   }
 
+  test("retracted: the inverse ingest step equals a model over the surviving history") {
+    val removed = Seq((1L, 11L), (3L, 13L))
+    val surviving = occ.diff(removed)
+    val snapshot = graft.core.Incremental.fromOccurrences(occ.toDF("item_id", "reference_id"))
+    val (retModel, nextStats) =
+      SimilarityModel.retracted(snapshot, removed.toDF("item_id", "reference_id"))
+    val rebuilt = SimilarityModel.fit(surviving.toDF("item_id", "reference_id"))
+    pairMap(retModel.pairs) shouldBe pairMap(rebuilt.pairs)
+    // the returned snapshot resumes the next ingest step
+    pairMap(SimilarityModel.fromStats(nextStats).pairs) shouldBe pairMap(rebuilt.pairs)
+  }
+
   test("legacy ModelStorer writes the same store as storeAllIn") {
     val p1 = java.nio.file.Files.createTempDirectory("graft-legacy").toString
     val p2 = java.nio.file.Files.createTempDirectory("graft-direct").toString

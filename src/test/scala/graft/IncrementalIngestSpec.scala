@@ -15,7 +15,7 @@ class IncrementalIngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val mem = MemoryStream[(Long, Long)]
     val occ = mem.toDF().toDF("item_id", "reference_id")
-    val sq = IncrementalIngest.start(occ, s"$dir/state", s"$dir/ckpt")
+    val sq = IncrementalIngest.start(occ, s"$dir/state", s"$dir/ckpt", keepLast = Some(1))
     val rnd = new scala.util.Random(13)
     val batches = Seq.fill(3)(
       Seq.fill(120)((rnd.nextInt(10).toLong, rnd.nextInt(15).toLong)))
@@ -28,6 +28,9 @@ class IncrementalIngestSpec extends SparkSpec {
       Crosstab.build(batches.flatten.toDF("item_id", "reference_id")))
     pairMap(Incremental.pairs(got)) shouldBe pairMap(want)
     IncrementalIngest.latestVersion(spark, s"$dir/state") shouldBe Some(2L)
+    // retention rode along with the stream: only the marker version remains
+    new java.io.File(s"$dir/state").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq shouldBe Seq("v2")
   }
 
   test("a redelivered batch (id at or below the marker) is skipped, not re-folded") {

@@ -177,10 +177,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
     val truth = try run() finally
       spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
-    for (w <- Seq("1", "13", "64", "5000")) {
+    // widths × bucket caps (1 = everything wide → pure fallback; 0 = no
+    // cap): the narrow/wide split must be exact at every combination
+    for (w <- Seq("1", "13", "64", "5000"); cap <- Seq("1", "3", "0")) {
       spark.conf.set(graft.plans.IntervalJoinRewrite.WidthConf, w)
-      try run() shouldBe truth
-      finally spark.conf.unset(graft.plans.IntervalJoinRewrite.WidthConf)
+      spark.conf.set(graft.plans.IntervalJoinRewrite.MaxBucketsConf, cap)
+      try withClue(s"width=$w maxBuckets=$cap: ") { run() shouldBe truth }
+      finally {
+        spark.conf.unset(graft.plans.IntervalJoinRewrite.WidthConf)
+        spark.conf.unset(graft.plans.IntervalJoinRewrite.MaxBucketsConf)
+      }
     }
     // extra conjunct in the condition → exact-shape trigger must not fire
     val extra = planOf(spark.sql(
