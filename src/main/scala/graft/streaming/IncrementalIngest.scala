@@ -54,16 +54,40 @@ object IncrementalIngest {
     * durable snapshots — without it a long-running ingest grows
     * `v{batchId}` directories without bound. */
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
-                 keepLast: Option[Int] = None): Unit = {
-    val spark = batch.sparkSession
+                 keepLast: Option[Int] = None): Unit =
+    applyCells(Crosstab.build(batch), batchId, statePath, keepLast)
+
+  /** CDC face of the ingest: each occurrence row carries a signed `opCol`
+    * (+1 insert, −1 delete/correction); one batch may mix both. Cells
+    * aggregate the signed ops, so the fold rides `updateCells`' signed
+    * path (EXT-C15) — the stream that keeps a model in sync with a
+    * mutable upstream store, deletions included. Deletes must refer to
+    * occurrences actually in the folded history (the `retract`
+    * contract); on the very FIRST batch — no history at all — net
+    * negative cells are dropped rather than folded into nonsense. */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    keepLast: Option[Int] = None, opCol: String = "op"): Unit = {
+    import org.apache.spark.sql.functions._
+    val cells = batch
+      .select(col("item_id").cast("long").as("item"),
+        col("reference_id").cast("long").as("ctx"),
+        col(opCol).cast("long").as("op"))
+      .groupBy("item", "ctx")
+      .agg(sum(col("op")).as("cnt"))
+      .where(col("cnt") =!= 0)
+    applyCells(cells, batchId, statePath, keepLast)
+  }
+
+  private def applyCells(cells: DataFrame, batchId: Long, statePath: String,
+                         keepLast: Option[Int]): Unit = {
+    val spark = cells.sparkSession
     // Exactly-once across crash/redelivery: the checkpoint may replay the
     // last uncommitted batch after the marker already advanced — a batch
     // at or below the marker is already folded in, so skip it.
     if (latestVersion(spark, statePath).exists(_ >= batchId)) return
-    val cells = Crosstab.build(batch)
     val next = loadLatest(spark, statePath) match {
       case Some(prev) => Incremental.updateCells(prev, cells)
-      case None => Incremental.fromCells(cells)
+      case None => Incremental.fromCells(cells.where(org.apache.spark.sql.functions.col("cnt") > 0))
     }
     Incremental.save(next, s"$statePath/v$batchId")
     // Snapshot is durable — drop the fold's cached subplans so a
@@ -114,6 +138,19 @@ object IncrementalIngest {
             checkpointPath: String, keepLast: Option[Int] = None): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit =
       (batch, id) => applyBatch(batch, id, statePath, keepLast)
+    occurrences.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** Start the CDC ingest: rows are (item_id, reference_id, op) with
+    * op ∈ {+1, −1} (see `applyCdcBatch`). */
+  def startCdc(occurrences: DataFrame, statePath: String,
+               checkpointPath: String, keepLast: Option[Int] = None,
+               opCol: String = "op"): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, id) => applyCdcBatch(batch, id, statePath, keepLast, opCol)
     occurrences.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch(fn)

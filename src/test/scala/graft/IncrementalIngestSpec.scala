@@ -49,6 +49,36 @@ class IncrementalIngestSpec extends SparkSpec {
     IncrementalIngest.latestVersion(spark, s"$dir/state") shouldBe Some(1L)
   }
 
+  test("CDC ingest (signed ops) converges to the surviving multiset; redelivery idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val mem = MemoryStream[(Long, Long, Int)]
+    val occ = mem.toDF().toDF("item_id", "reference_id", "op")
+    val sq = IncrementalIngest.startCdc(occ, s"$dir/state", s"$dir/ckpt", keepLast = Some(2))
+    // batch 0: inserts only; batch 1: inserts + deletes of batch-0 rows;
+    // batch 2: a delete and an insert of the SAME cell net to a move
+    val b0 = Seq((1L, 10L, 1), (2L, 10L, 1), (1L, 11L, 1), (3L, 11L, 1), (1L, 10L, 1))
+    val b1 = Seq((4L, 12L, 1), (1L, 10L, -1), (3L, 11L, -1), (2L, 12L, 1))
+    val b2 = Seq((1L, 11L, -1), (1L, 12L, 1))
+    try {
+      Seq(b0, b1, b2).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+    // surviving multiset after all ops
+    val surviving = Seq((1L, 10L), (2L, 10L), (3L, 11L), (1L, 11L), (4L, 12L), (2L, 12L))
+      .diff(Seq((1L, 10L), (3L, 11L), (1L, 11L))) ++ Seq((1L, 10L), (1L, 12L))
+    // (b0 had (1,10) twice: one delete leaves one copy — spelled out above)
+    val got = IncrementalIngest.loadLatest(spark, s"$dir/state").get
+    pairMap(Incremental.pairs(got)) shouldBe
+      pairMap(Correlation.sparsePairs(Crosstab.build(
+        surviving.toDF("item_id", "reference_id"))))
+    // redelivered CDC batch at the marker: a no-op
+    IncrementalIngest.applyCdcBatch(b2.toDF("item_id", "reference_id", "op"),
+      2L, s"$dir/state")
+    pairMap(Incremental.pairs(IncrementalIngest.loadLatest(spark, s"$dir/state").get)) shouldBe
+      pairMap(Correlation.sparsePairs(Crosstab.build(
+        surviving.toDF("item_id", "reference_id"))))
+  }
+
   test("snapshot retention keeps the newest K durable versions; serving unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest3").toString
     val batches = Seq(
