@@ -133,6 +133,12 @@ object Dedup {
         md5(concat_ws(":", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
           .as("bk"))
 
+  /** Estimated Jaccard of two equal-length MinHash signatures: the
+    * fraction of agreeing positions (the standard unbiased estimator). */
+  def estSim(sigA: Column, sigB: Column, numPerms: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / numPerms
+
   /**
    * MinHash-LSH candidate pairs with estimated similarity (fraction of
    * agreeing signature positions). Pairs must share ≥1 band bucket.
@@ -153,8 +159,7 @@ object Dedup {
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numPerms).as("est_sim"))
+        estSim(col("sig_a"), col("sig_b"), numPerms).as("est_sim"))
   }
 
   /**

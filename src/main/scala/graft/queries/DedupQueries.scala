@@ -18,6 +18,7 @@ object DedupQueries extends QueryPack {
   private val NumPerms = 16
   private val Bands = 4 // × 4 rows/band
   private val SimHashMaxDist = 2
+  private val EstSimThreshold = 0.5 // q103 keep-first signature-agreement cutoff
   private val CosineThreshold = 0.4
   // SRP-blocked variant: 8 seeded ±1 hyperplanes over dim 64 (the same
   // family AnnQueries uses); lower threshold so the blocked pair set stays
@@ -125,6 +126,26 @@ object DedupQueries extends QueryPack {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))),
 
+    // EXT-D15: incremental corpus dedup — the crawl-increment protocol:
+    // a signature store is built over the base corpus (doc_id % 4 ≠ 1),
+    // then the delta (% 4 = 1) dedups against it keep-first — dup-of-
+    // store drops, intra-delta components keep min id — with ONE pass
+    // over the delta; base TEXT is never rescanned (plan-guarded in
+    // DedupStoreSpec). Output: the kept delta ids; the oracle replays
+    // signatures, band joins, and the keep-first rule over the same
+    // partition.
+    "q103_dedup_delta" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dedup_store").toString
+      val d = docs(s, dir)
+      graft.store.DedupStore.write(
+        d.where(col("doc_id") % 4 =!= 1), ShingleN, NumPerms, out)
+      graft.store.DedupStore.dedupDelta(
+          d.where(col("doc_id") % 4 === 1), out, ShingleN, NumPerms, Bands,
+          EstSimThreshold)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-T12: benchmark decontamination — every 17th document plays the
     // held-out benchmark set; report train documents sharing any 3-gram
     // with it (the n-gram-collision scrub protocol). The benchmark gram
@@ -210,20 +231,30 @@ object DedupQueries extends QueryPack {
        |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
        |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
 
-  /** MinHash signatures → LSH band buckets → candidate pairs (ends with
-    * CTEs `sig` and `cand`; assumes `shs` from ShingleCtes). */
-  private lazy val LshCandCtes = {
+  /** MinHash signatures + LSH band buckets (ends with CTEs `sig` and
+    * `bands`; assumes `shs` from ShingleCtes). */
+  private lazy val SigBandCtes = {
     val r = NumPerms / Bands
     s"""sig AS (SELECT doc_id, list_transform(range(0, $NumPerms), i ->
        |          list_min(list_transform(gs, g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
        |        FROM shs WHERE len(gs) > 0),
        |bands AS (SELECT doc_id, b,
        |            md5(array_to_string(list_slice(sg, b * $r + 1, b * $r + $r), ':')) AS bk
-       |          FROM sig, unnest(range(0, $Bands)) AS t(b)),
+       |          FROM sig, unnest(range(0, $Bands)) AS t(b))""".stripMargin
+  }
+
+  /** SigBandCtes + the same-table candidate pairs (adds CTE `cand`). */
+  private lazy val LshCandCtes =
+    s"""$SigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
        |           AND a.doc_id < b.doc_id)""".stripMargin
-  }
+
+  /** Signature-agreement similarity estimate (mirrors Dedup.estSim);
+    * `a`/`b` are `sig`-CTE aliases exposing `sg`. */
+  private def estSimSql(a: String, b: String) =
+    s"""len(list_filter(list_transform(range(1, ${NumPerms + 1}),
+       |      i -> $a.sg[i] = $b.sg[i]), x -> x))::DOUBLE / $NumPerms.0""".stripMargin
 
   /** Quality-score CTEs (mirrors TextFunctions.qualityScore with the
     * lowercased stopword hit — q16's formula): ends with `tq(doc_id, q)`. */
@@ -314,6 +345,41 @@ object DedupQueries extends QueryPack {
          |    i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE / $NumPerms.0, 6) AS est_sim
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
          |ORDER BY 1, 2""".stripMargin,
+
+    // Keep-first incremental dedup: dup-of-base via cross-partition band
+    // collisions + signature agreement; intra-delta components keep min
+    // id (a component whose min id lost to the base loses every member
+    // to one of the two rules).
+    "q103_dedup_delta" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |$SigBandCtes,
+         |dvb AS (SELECT DISTINCT d.doc_id
+         |        FROM bands d JOIN bands b
+         |          ON d.b = b.b AND d.bk = b.bk
+         |          AND d.doc_id % 4 = 1 AND b.doc_id % 4 <> 1
+         |        JOIN sig sa ON sa.doc_id = d.doc_id
+         |        JOIN sig sb ON sb.doc_id = b.doc_id
+         |        WHERE ${estSimSql("sa", "sb")} >= $EstSimThreshold),
+         |ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |           FROM bands a JOIN bands b
+         |             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |             AND a.doc_id % 4 = 1 AND b.doc_id % 4 = 1),
+         |itruth AS (SELECT doc_a, doc_b FROM ipairs
+         |           JOIN sig sa ON doc_a = sa.doc_id
+         |           JOIN sig sb ON doc_b = sb.doc_id
+         |           WHERE ${estSimSql("sa", "sb")} >= $EstSimThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM itruth
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM itruth),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT a AS id, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS id, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+         |dropped AS (SELECT doc_id FROM dvb
+         |            UNION SELECT id AS doc_id FROM comp WHERE id <> component)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 4 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q51_neardup_clusters" ->
       s"""WITH RECURSIVE $ShingleCtes,
