@@ -125,24 +125,11 @@ object AnnStore {
   def compactIvf(spark: SparkSession, storePath: String): Unit =
     compactTable(spark, s"$storePath/$IvfLists", "cent_id")
 
-  private def compactTable(spark: SparkSession, path: String, key: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "__compact")
-    val old = new Path(path + "__old")
-    // Materialize the rewrite fully BEFORE touching the live tree.
-    readTree(spark, path)
-      .repartition(col(key)).sortWithinPartitions(key, "vec_id")
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(p, old)) throw new java.io.IOException(s"compact: cannot move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // restore the original tree before failing
-      throw new java.io.IOException(s"compact: cannot promote $tmp")
+  private def compactTable(spark: SparkSession, path: String, key: String): Unit =
+    Compaction.rewriteInPlace(path) {
+      readTree(spark, path)
+        .repartition(col(key)).sortWithinPartitions(key, "vec_id")
     }
-    fs.delete(old, true)
-  }
 
   /** SRP top-k served from the persisted index: queries are bucketed with
     * the stored planes and hash-joined against the bucket table. */

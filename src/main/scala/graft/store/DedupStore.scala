@@ -47,6 +47,16 @@ object DedupStore {
   def signatures(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(s"$storePath/$Signatures")
 
+  /** Compact the signature table: every `dedupDelta` appends a few part
+    * files, and a long-lived store accumulates them until listing + one
+    * footer per tiny file dominates the band join's scan. One
+    * id-partitioned rewrite restores the bulk layout; dedup decisions
+    * are unaffected (same rows). Run OFFLINE (see `Compaction`). */
+  def compact(spark: SparkSession, storePath: String): Unit =
+    Compaction.rewriteInPlace(s"$storePath/$Signatures") {
+      signatures(spark, storePath).repartition(col("id"))
+    }
+
   /** The signature table pinned to the files present NOW: appends write
     * new part files, so a frame built over this enumeration stays stable
     * however often it re-evaluates. `dedupDelta` reads through this —

@@ -49,6 +49,17 @@ class DedupStoreSpec extends SparkSpec {
       .toDF("doc_id", "text")
     DedupStore.dedupDelta(d2, s"$dir/store", N, Perms, Bds, T)
       .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(33L)
+    // compaction folds the appended part files; dedup state unchanged
+    def sigIds = DedupStore.signatures(spark, s"$dir/store")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = sigIds
+    DedupStore.compact(spark, s"$dir/store")
+    sigIds shouldBe before
+    // a post-compaction delta still dedups against everything kept so far
+    DedupStore.dedupDelta(
+      Seq((41L, "completely fresh content nine ten eleven twelve words"))
+        .toDF("doc_id", "text"),
+      s"$dir/store", N, Perms, Bds, T).count() shouldBe 0L
   }
 
   test("delta plan reads the signature store, never the base corpus text") {
