@@ -54,7 +54,7 @@ object Joins {
     // One bounded driver action: the serialized bitset (numBits/8 bytes,
     // independent of key count), embedded as a foldable literal so the
     // probe expression codegens against a constant.
-    val bytes = keys.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
+    val bytes = keys.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
     val pruned =
       if (bytes == null) big.where(lit(false)) // empty key side: nothing can match
       else big.where(GraftColumnBridge.column(BloomFilterMightContain(
