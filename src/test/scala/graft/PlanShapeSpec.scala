@@ -275,14 +275,18 @@ class PlanShapeSpec extends SparkSpec {
       "r.hi >= p.v AND r.lo <= p.v",      // closed, fully flipped
       "p.v > r.lo AND p.v <= r.hi",       // strict lower
       "r.hi > p.v AND p.v >= r.lo")) {    // strict upper, flipped
-      val sql = s"SELECT p_id, range_id FROM ijb_points p JOIN ijb_ranges r ON $cond"
-      def run() = spark.sql(sql).orderBy("p_id", "range_id").as[(Long, Long)].collect()
-      withClue(s"condition: $cond\n") {
-        spark.sql(sql).queryExecution.optimizedPlan.toString should include("__gbkt")
-        val got = run()
-        spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
-        try got shouldBe run()
-        finally spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+      // both table orders: the point expression on the join's left AND
+      // right side (the pointIsRight branch flips the rewrite's sides)
+      for (from <- Seq("ijb_points p JOIN ijb_ranges r", "ijb_ranges r JOIN ijb_points p")) {
+        val sql = s"SELECT p_id, range_id FROM $from ON $cond"
+        def run() = spark.sql(sql).orderBy("p_id", "range_id").as[(Long, Long)].collect()
+        withClue(s"condition: $cond, from: $from\n") {
+          spark.sql(sql).queryExecution.optimizedPlan.toString should include("__gbkt")
+          val got = run()
+          spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "false")
+          try got shouldBe run()
+          finally spark.conf.set(graft.plans.IntervalJoinRewrite.RewriteConf, "true")
+        }
       }
     }
   }
