@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /**
@@ -47,7 +47,13 @@ object Joins {
                     bigKey: String, keyCol: String,
                     expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val numBits = BloomFilter.optimalNumOfBits(expectedKeys, fpp)
-    val buildHash = new XxHash64(Seq(GraftColumnBridge.expression(col(keyCol))))
+    // XxHash64 hashes INT and LONG inputs DIFFERENTLY, so a 32-bit key
+    // side probed by a 64-bit fact key (both within the documented
+    // integral contract) would silently prune every matching row. Cast
+    // both sides to LONG so build and probe hash the same bit pattern.
+    def longHash(c: String, df: DataFrame) =
+      new XxHash64(Seq(Cast(GraftColumnBridge.expression(df(c)), LongType)))
+    val buildHash = longHash(keyCol, keys)
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(buildHash, Literal(expectedKeys), Literal(numBits))
         .toAggregateExpression())
@@ -59,7 +65,7 @@ object Joins {
       if (bytes == null) big.where(lit(false)) // empty key side: nothing can match
       else big.where(GraftColumnBridge.column(BloomFilterMightContain(
         Literal(bytes, BinaryType),
-        new XxHash64(Seq(GraftColumnBridge.expression(col(bigKey)))))))
+        longHash(bigKey, big))))
     pruned.join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 

@@ -144,7 +144,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
             // containment predicate could never match.
             val okRange = GreaterThanOrEqual(hiSeq, asLong(lo))
             // Per-row bucket count (minus one); wide rows would explode.
-            val spanPred = LessThanOrEqual(Subtract(hiB, loB), Literal(maxB - 1))
+            // okRange + monotone bucketOf guarantee hiB >= loB, so a true
+            // span is always >= 0 — a NEGATIVE Subtract result can only be
+            // long wraparound (bounds straddling the far ends of the long
+            // domain at small widths), which would otherwise slip under
+            // `<= maxB-1` and Sequence-explode in the narrow branch. The
+            // `>= 0` conjunct routes exactly those rows to the wide branch.
+            val span = Subtract(hiB, loB)
+            val spanPred = And(GreaterThanOrEqual(span, Literal(0L)),
+              LessThanOrEqual(span, Literal(maxB - 1)))
             val narrowRanges = Filter(And(okRange, spanPred), rangePlan)
             // Sequence is TimeZoneAwareExpression — without an explicit
             // zone it is unresolved, which the optimizer's plan-integrity
