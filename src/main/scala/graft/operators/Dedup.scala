@@ -70,8 +70,9 @@ object Dedup {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // spread documents across the cluster BEFORE the md5-heavy shingle
     // hashing — a corpus that arrives as few large files would otherwise
-    // run the whole hash pipeline on as many cores as there are files
-    shingleStream(docs.repartition(col(idCol)), n, idCol, textCol)
+    // run the whole hash pipeline on as many cores as there are files;
+    // gated on input width so a pre-split 100 TB corpus pays no body shuffle
+    shingleStream(graft.core.Spread.byKey(docs, col(idCol)), n, idCol, textCol)
       .select(col(idCol).as("id"), (hash60(col("sh")) % HashPermMod).as("g"))
       .distinct()
 
@@ -139,18 +140,43 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / numPerms
 
+  /** Drop band buckets whose member count exceeds `d` — the hot-bucket
+    * guard shared by the LSH and SimHash candidate joins. A band bucket
+    * holding thousands of documents is a boilerplate mega-cluster (the
+    * same argument as `maxShingleDegree`: past any sane cap the contents
+    * are template spam, not signal), and its self-join contributes d²
+    * candidate rows on ONE skewed join key — the quadratic cliff of a
+    * template-heavy crawl at 100 TB. The degree count is a hash aggregate
+    * on the band key, so the count partial-aggregates map-side
+    * (plan-guarded in `PlanShapeSpec`); run the exact-dup collapse first
+    * (`dedupCorpusLsh` does) so capped buckets cost only redundant
+    * evidence, never a genuinely novel pair. */
+  private def capBandDegree(keyed: DataFrame, d: Int): DataFrame = {
+    val deg = keyed.groupBy("band", "bk").agg(count(lit(1)).as("deg"))
+    keyed.join(deg.where(col("deg") <= d).select("band", "bk"),
+      Seq("band", "bk"), "left_semi")
+  }
+
   /**
    * MinHash-LSH candidate pairs with estimated similarity (fraction of
    * agreeing signature positions). Pairs must share ≥1 band bucket.
+   * `maxBandDegree` (default off) drops band buckets holding more members
+   * — see `capBandDegree` for why that is the scale guard, not a recall
+   * loss worth measuring at sane caps.
    * Output: (doc_a, doc_b, est_sim), a < b.
    */
-  def lshCandidates(sig0: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sig0: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBandDegree: Option[Int] = None): DataFrame = {
     val numPerms = bands * rowsPerBand
     // 4 plan references (two band sides, two signature re-joins): persist
     // the signature table — numPerms longs per doc — so the MinHash
     // pipeline runs once (see jaccardPairs note).
     val sig = graft.core.Caches.cacheOnce(sig0)
-    val bd = lshBands(sig, bands, rowsPerBand)
+    val bd0 = lshBands(sig, bands, rowsPerBand)
+    val bd = maxBandDegree match {
+      case Some(d) => graft.core.Caches.cacheOnce(capBandDegree(bd0, d))
+      case None => bd0
+    }
     val cand = bd.select(col("id").as("doc_a"), col("band"), col("bk"))
       .join(bd.select(col("id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
       .where(col("doc_a") < col("doc_b"))
@@ -281,31 +307,81 @@ object Dedup {
     else docs.join(dropped, Seq(idCol), "left_anti")
 
   /**
+   * Exact-duplicate COPIES among the docs a signature tier would process:
+   * every id that shares its text with a lower id (the lower id is the
+   * canonical representative). `minTokens = Some(n)` restricts the
+   * collapse to docs long enough to shingle — shorter docs never enter
+   * the near-dup tiers (no shingles → no pairs → always kept), so
+   * collapsing them would CHANGE one-call results; `None` covers tiers
+   * where every doc carries a signature (SimHash).
+   *
+   * This is the exact-dedup-first step of the one-call dedups: exact
+   * mega-clusters (the most common hot-band-bucket source — a template
+   * crawled a million times) collapse to one representative BEFORE any
+   * signature is computed or band self-joined, so the candidate stage
+   * never sees them. Provably result-preserving: copies share their
+   * representative's signature, quality (text-determined) and pairs, and
+   * the survivor tie-break (quality desc, id asc) always elects the
+   * minimum-id copy of the winning text — exactly the representative.
+   * One shuffle on the 16-byte digest, never the body.
+   */
+  private[graft] def exactDroppedIds(docs: DataFrame, minTokens: Option[Int],
+                                     idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eligible = minTokens match {
+      case Some(n) => docs.where(size(tokensWs(col(textCol))) >= n)
+      case None => docs
+    }
+    val keyed = eligible.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val w = Window.partitionBy(col("digest")).orderBy(col("id").asc)
+    keyed.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") > 1).select(col("id"))
+  }
+
+  /** Shared tail of the one-call dedups: components → argmax-quality
+    * survivors → kept corpus, with the exact-dup copies unioned into the
+    * dropped set. `nExact` rides the broadcast gate with the node count. */
+  private def keepFromPairs(docs: DataFrame, pairs: DataFrame,
+                            exactDropped: DataFrame, nExact: Long,
+                            idCol: String, textCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val qual = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val surv = survivors(comps, qual)
+    // dropped = clustered members that are not their cluster's survivor,
+    // plus the exact copies collapsed before the pair stage
+    val dropped = comps
+      .join(surv.select(col("survivor_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+      .unionByName(exactDropped)
+    keepCorpus(docs, dropped, idCol, comps.count() + nExact)
+  }
+
+  /**
    * End-to-end corpus dedup — the one-call composition of the tiers:
-   * n-gram Jaccard near-dup pairs → connected components → argmax-quality
-   * survivors → the KEPT corpus (every unclustered document plus each
-   * cluster's best member). This is the operator a training-data pipeline
-   * actually runs; the pieces stay public for custom pipelines (swap the
-   * pair source for MinHash-LSH candidates at extreme scale).
+   * exact-dup collapse → n-gram Jaccard near-dup pairs over the
+   * representatives → connected components → argmax-quality survivors →
+   * the KEPT corpus (every unclustered document plus each cluster's best
+   * member). This is the operator a training-data pipeline actually runs;
+   * the pieces stay public for custom pipelines (swap the pair source for
+   * MinHash-LSH candidates at extreme scale).
    *
    * Scale: the pair graph and its node set are orders of magnitude
    * smaller than the corpus, so the final keep-filter is one anti-join of
    * the corpus against the dropped-id set — broadcast below
    * `BroadcastDroppedThreshold`, shuffled (AQE's call) above it — and the
-   * corpus body never shuffles.
+   * corpus body never shuffles. The exact collapse runs FIRST
+   * (`exactDroppedIds`): a template duplicated d times costs one digest
+   * row, not d shingle sets and d² inverted-index hits.
    */
   def dedupCorpus(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = jaccardPairs(shingleSets(docs, n, idCol, textCol), threshold)
-    val comps = connectedComponents(pairs)
-    val qual = docs.select(col(idCol).as("id"),
-      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
-    val surv = survivors(comps, qual)
-    // dropped = clustered members that are not their cluster's survivor
-    val dropped = comps
-      .join(surv.select(col("survivor_id").as("id")), Seq("id"), "left_anti")
-      .select(col("id").as(idCol))
-    keepCorpus(docs, dropped, idCol, comps.count())
+    val exactDropped = graft.core.Caches.cacheOnce(
+      exactDroppedIds(docs, Some(n), idCol, textCol).withColumnRenamed("id", idCol))
+    val nExact = exactDropped.count()
+    val reps = keepCorpus(docs, exactDropped, idCol, nExact)
+    val pairs = jaccardPairs(shingleSets(reps, n, idCol, textCol), threshold)
+    keepFromPairs(docs, pairs, exactDropped, nExact, idCol, textCol)
   }
 
   /**
@@ -341,17 +417,16 @@ object Dedup {
    */
   def dedupCorpusLsh(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
                      bands: Int = 4, threshold: Double = 0.5,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cand = lshCandidates(minHashSignatures(docs, n, numPerms, idCol, textCol),
-      bands, numPerms / bands).select("doc_a", "doc_b")
-    val pairs = refineJaccard(cand, shingleSets(docs, n, idCol, textCol), threshold)
-    val comps = connectedComponents(pairs)
-    val qual = docs.select(col(idCol).as("id"),
-      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
-    val dropped = comps
-      .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
-      .select(col("id").as(idCol))
-    keepCorpus(docs, dropped, idCol, comps.count())
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBandDegree: Option[Int] = None): DataFrame = {
+    val exactDropped = graft.core.Caches.cacheOnce(
+      exactDroppedIds(docs, Some(n), idCol, textCol).withColumnRenamed("id", idCol))
+    val nExact = exactDropped.count()
+    val reps = keepCorpus(docs, exactDropped, idCol, nExact)
+    val cand = lshCandidates(minHashSignatures(reps, n, numPerms, idCol, textCol),
+      bands, numPerms / bands, maxBandDegree).select("doc_a", "doc_b")
+    val pairs = refineJaccard(cand, shingleSets(reps, n, idCol, textCol), threshold)
+    keepFromPairs(docs, pairs, exactDropped, nExact, idCol, textCol)
   }
 
   /**
@@ -362,16 +437,17 @@ object Dedup {
    * token-level edits; pigeonhole-sound for maxDist < bands.
    */
   def dedupCorpusSimHash(docs: DataFrame, maxDist: Int, bands: Int = 5,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = simHashPairs(simHashes(docs, idCol, textCol), maxDist, bands)
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxBandDegree: Option[Int] = None): DataFrame = {
+    // every doc carries a SimHash (tokenless → 0), so the exact collapse
+    // is unrestricted (minTokens = None): copies always pair at dist 0
+    val exactDropped = graft.core.Caches.cacheOnce(
+      exactDroppedIds(docs, None, idCol, textCol).withColumnRenamed("id", idCol))
+    val nExact = exactDropped.count()
+    val reps = keepCorpus(docs, exactDropped, idCol, nExact)
+    val pairs = simHashPairs(simHashes(reps, idCol, textCol), maxDist, bands, maxBandDegree)
       .select(col("doc_a"), col("doc_b"))
-    val comps = connectedComponents(pairs)
-    val qual = docs.select(col(idCol).as("id"),
-      graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
-    val dropped = comps
-      .join(survivors(comps, qual).select(col("survivor_id").as("id")), Seq("id"), "left_anti")
-      .select(col("id").as(idCol))
-    keepCorpus(docs, dropped, idCol, comps.count())
+    keepFromPairs(docs, pairs, exactDropped, nExact, idCol, textCol)
   }
 
   /** SimHash table: (id, sh) — 60-bit SimHash over the document's DISTINCT
@@ -383,7 +459,7 @@ object Dedup {
     * docs get signature 0 (the majority-vote of nothing), matching the
     * fold semantics. */
   def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.repartition(col(idCol)) // parallelize beyond input file count
+    val hashed = graft.core.Spread.byKey(docs, col(idCol)) // spread gated on input width
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(tokensWs(col(textCol)), t => hash60(t)))).as("h"))
     val bitCols = (0 until 60).map(j =>
@@ -403,16 +479,31 @@ object Dedup {
    * SimHash near-dup pairs within Hamming distance `maxDist`, found by
    * banded blocking over `bands` 12-bit bands (sound for
    * maxDist ≤ bands−1 by pigeonhole). Output: (doc_a, doc_b, dist), a < b.
+   *
+   * SCALE CEILING: a 12-bit band key admits only 4096 buckets per band,
+   * so past ~10⁷ docs every bucket fills by pigeonhole and the band join
+   * trends to N²/4096 per band REGARDLESS of content — widening the key
+   * is not available (60 bits / 5 bands is what makes the pigeonhole
+   * guarantee). This tier is for corpora (or blocked partitions) under
+   * that ceiling; beyond it use the MinHash-LSH tier, whose 60-bit md5
+   * band keys scale with content. `maxBandDegree` (default off) drops
+   * over-full buckets (`capBandDegree`) — the guard against template
+   * mega-clusters well BELOW the ceiling.
    */
-  def simHashPairs(sh0: DataFrame, maxDist: Int, bands: Int = 5): DataFrame = {
+  def simHashPairs(sh0: DataFrame, maxDist: Int, bands: Int = 5,
+                   maxBandDegree: Option[Int] = None): DataFrame = {
     // The signature is ONE long, so the band self-join carries it directly
     // — no candidate-distinct + signature re-join round trip (that shape
     // pays off only when signatures are wide, as in lshCandidates). The
     // Hamming filter runs before the dedup, so the distinct sees only
     // near-dup rows (dist is a function of the pair — dedup is safe).
     val sh = graft.core.Caches.cacheOnce(sh0)
-    val keyed = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+    val keyed0 = sh.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
       .withColumn("bk", expr("(sh >> (12 * band)) & 4095"))
+    val keyed = maxBandDegree match {
+      case Some(d) => graft.core.Caches.cacheOnce(capBandDegree(keyed0, d))
+      case None => keyed0
+    }
     keyed.select(col("id").as("doc_a"), col("band"), col("bk"), col("sh").as("sh_a"))
       .join(keyed.select(col("id").as("doc_b"), col("band"), col("bk"), col("sh").as("sh_b")),
         Seq("band", "bk"))

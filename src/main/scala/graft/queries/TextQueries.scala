@@ -20,11 +20,11 @@ object TextQueries extends QueryPack {
 
   /** Documents spread across the session's parallelism: the per-document
     * scoring expressions are interpreted (HOF folds), so a corpus arriving
-    * as few files would otherwise bottleneck on as many cores. At cluster
-    * scale the input arrives pre-split and this shuffle is a no-op cost
-    * next to the scoring pass. */
+    * as few files would otherwise bottleneck on as many cores. Gated on
+    * input width (`Spread.byKey`): a cluster-scale corpus arrives pre-split
+    * past the parallelism and must NOT pay a body shuffle here. */
   private def docs(s: SparkSession, dir: String) =
-    Tables.read(s, dir, "documents").repartition(col("doc_id"))
+    graft.core.Spread.byKey(Tables.read(s, dir, "documents"), col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXT-T1: token counts (whitespace + BPE-ish), punctuation, ratios, quality.

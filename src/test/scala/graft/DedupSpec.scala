@@ -95,4 +95,67 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect()
     once.orderBy("doc_id").as[(Long, String)].collect() shouldBe twice
   }
+
+  // a template crawled 20× (the hot-band-bucket source), genuine near-dups,
+  // distinct content, and short exact dups (below the shingle floor)
+  private val planted = (Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "x"), (6L, "x")) ++ // short exact dups: no shingles, no signature
+    (100L to 119L).map(i => (i, "spam template boilerplate lorem ipsum dolor sit amet")))
+    .toDF("doc_id", "text")
+
+  test("exact-first: one-call dedups collapse the planted mega-cluster; laws preserved") {
+    val kept = Dedup.dedupCorpus(planted, 3, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // mega-cluster → its min id only; short docs both pass (no shingles =
+    // no evidence at this tier); exactly one of the near-dup pair survives
+    kept.filter(_ >= 100L) shouldBe Seq(100L)
+    kept should contain allOf (4L, 5L, 6L)
+    kept.count(Set(1L, 3L)) shouldBe 1
+
+    val keptLsh = Dedup.dedupCorpusLsh(planted, 3, 16, 4, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    keptLsh.filter(_ >= 100L) shouldBe Seq(100L)
+    keptLsh should contain allOf (4L, 5L, 6L)
+
+    // SimHash tier: every doc carries a signature, so the short exact
+    // dups collapse too (5 beats 6) — same answer the dist-0 pair gave
+    val keptSh = Dedup.dedupCorpusSimHash(planted, 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    keptSh.filter(_ >= 100L) shouldBe Seq(100L)
+    keptSh should contain(5L)
+    keptSh should not contain 6L
+  }
+
+  test("maxBandDegree: capped and uncapped one-call dedups agree once exact dups collapse first") {
+    val uncapped = Dedup.dedupCorpusLsh(planted, 3, 16, 4, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cap of 2 would have dismembered the 20-doc template cluster's
+    // buckets — after the exact collapse it only ever sees singletons
+    val capped = Dedup.dedupCorpusLsh(planted, 3, 16, 4, 0.5,
+      maxBandDegree = Some(2))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    capped shouldBe uncapped
+    val uncappedSh = Dedup.dedupCorpusSimHash(planted, 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val cappedSh = Dedup.dedupCorpusSimHash(planted, 1, maxBandDegree = Some(2))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    cappedSh shouldBe uncappedSh
+  }
+
+  test("exact-first shrinks the candidate stage: rep signatures generate far fewer pairs") {
+    val allCand = Dedup.lshCandidates(
+      Dedup.minHashSignatures(planted, 3, 16), 4, 4).count()
+    val reps = planted.join(
+      Dedup.exactDroppedIds(planted, Some(3), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    val repCand = Dedup.lshCandidates(
+      Dedup.minHashSignatures(reps, 3, 16), 4, 4).count()
+    // 20 identical docs alone contribute C(20,2) = 190 candidate pairs
+    assert(allCand >= 190L, s"expected the planted cluster to dominate, got $allCand")
+    assert(repCand <= allCand - 190L, s"rep candidates $repCand vs all $allCand")
+  }
 }

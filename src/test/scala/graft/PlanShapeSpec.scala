@@ -315,4 +315,40 @@ class PlanShapeSpec extends SparkSpec {
     // was rewritten away from.
     p should not include "Expand"
   }
+
+  test("band-degree cap: the bucket degree count partial-aggregates map-side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-banddeg").toString
+    // parquet-backed (LocalRelation would be folded away at optimize time)
+    (1L to 40L).map(i => (i, s"token$i alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val sig = graft.operators.Dedup.minHashSignatures(spark.read.parquet(dir), 3, 16)
+    val p = planOf(graft.operators.Dedup.lshCandidates(sig, 4, 4, maxBandDegree = Some(8)))
+    p should include("partial_count") // degree count combines before its exchange
+    p should include("LeftSemi")      // capped buckets filter via a semi join
+  }
+
+  test("corpus-body spread is gated on input width (and the conf overrides it)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    val vecs = (1L to 64L).map(i => (i, Seq.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    vecs.repartition(8).write.mode("overwrite").parquet(s"$dir/wide") // 8 files >= 4 cores
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$dir/narrow")  // 1 file < 4 cores
+    val wide = spark.read.parquet(s"$dir/wide")
+    val narrow = spark.read.parquet(s"$dir/narrow")
+    val q = vecs.where(col("vec_id") === 1L)
+    // wide input: byKey is the IDENTITY — the scoring pass has no body
+    // Exchange (the only shuffle left is the per-query top-k window)
+    assert(graft.core.Spread.byKey(wide, col("vec_id")) eq wide)
+    planOf(graft.operators.SimilaritySearch.bruteForceTopK(q, wide, 3)) should
+      not include "hashpartitioning(vec_id"
+    // narrow input: the spread is intact
+    planOf(graft.operators.SimilaritySearch.bruteForceTopK(q, narrow, 3)) should
+      include("hashpartitioning(vec_id")
+    // conf overrides beat the heuristic both ways
+    spark.conf.set(graft.core.Spread.Conf, "never")
+    try assert(graft.core.Spread.byKey(narrow, col("vec_id")) eq narrow)
+    finally spark.conf.set(graft.core.Spread.Conf, "auto")
+    spark.conf.set(graft.core.Spread.Conf, "always")
+    try planOf(graft.core.Spread.byKey(wide, col("vec_id"))) should include("hashpartitioning(vec_id")
+    finally spark.conf.set(graft.core.Spread.Conf, "auto")
+  }
 }
