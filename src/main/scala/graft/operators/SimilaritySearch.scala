@@ -93,8 +93,7 @@ object SimilaritySearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm")))
-    val scored = corpus
-      .repartition(col("vec_id")) // parallelize scoring beyond the input file count
+    val scored = graft.core.Spread.byKey(corpus, col("vec_id")) // spread gated on input width
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
@@ -128,7 +127,7 @@ object SimilaritySearch {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Int]], k: Int): DataFrame =
     srpServe(
-      withBucket(corpus.repartition(col("vec_id")), planes)
+      withBucket(graft.core.Spread.byKey(corpus, col("vec_id")), planes)
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
           col("bucket")),
       queries, planes, k)
@@ -168,7 +167,7 @@ object SimilaritySearch {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         l2Norm(col("embedding")).as("q_nrm"),
         explode(probeSet).as("bucket")))
-    val cb = withBucket(corpus.repartition(col("vec_id")), planes)
+    val cb = withBucket(graft.core.Spread.byKey(corpus, col("vec_id")), planes)
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
         col("bucket"))
     val scored = cb.join(qb, Seq("bucket"))
@@ -225,7 +224,7 @@ object SimilaritySearch {
   /** Inverted lists: every corpus vector filed under its nearest centroid,
     * with its precomputed norm — the table `store.AnnStore` persists. */
   def ivfLists(corpus: DataFrame, cents: DataFrame): DataFrame =
-    centroidRanks(corpus.repartition(col("vec_id")), cents, 1)
+    centroidRanks(graft.core.Spread.byKey(corpus, col("vec_id")), cents, 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
 
   /** Serve IVF top-k from PREBUILT inverted lists (cent_id, vec_id,
@@ -275,7 +274,7 @@ object SimilaritySearch {
   def trainedCentroids(corpus: DataFrame, centroidMod: Int, dim: Int,
                        iters: Int = 1): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
-    val corpusR = corpus.repartition(col("vec_id"))
+    val corpusR = graft.core.Spread.byKey(corpus, col("vec_id"))
     var cents = ivfCentroids(corpus, centroidMod)
     for (_ <- 1 to iters)
       cents = graft.core.Caches.cacheOnce(lloydRound(corpusR, cents, dim))
@@ -353,8 +352,14 @@ object SimilaritySearch {
     * m-bytes-per-vector table (plus the codebooks) IS the persisted PQ
     * index at scale. Output: (vec_id, sub_id, code_id). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    // An empty codebook (no vec_id hit the sample predicate — small corpus
+    // or unlucky id space) would silently encode NOTHING; fail loudly like
+    // Npy.read does. One bounded driver probe (limit-1 scan).
+    require(!codebooks.isEmpty,
+      "PQ codebook is empty: no corpus vec_id satisfies the sample " +
+        "predicate (vec_id % codeMod == 1) — lower codeMod or train codebooks")
     val sd = dim / m
-    val subs = corpus.repartition(col("vec_id"))
+    val subs = graft.core.Spread.byKey(corpus, col("vec_id"))
       .select(col("vec_id"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("sub_id"),
@@ -394,6 +399,49 @@ object SimilaritySearch {
   }
 
   /**
+   * IVF-PQ serving — the composition of the coarse quantizer (IVF lists,
+   * q97) with product quantization (q99): the billion-vector deployment
+   * shape, where the index holds m CODES per vector (plus shared
+   * codebooks) instead of 4·dim bytes of floats. `codedLists` is
+   * (cent_id, vec_id, nrm, codes array<int>) with `nrm` the
+   * reconstruction's norm and lists assigned over the RECONSTRUCTED
+   * corpus (the vectors the index actually serves — the q97 stance);
+   * `books` is the `pqCodebooks` table.
+   *
+   * Scoring is ADC via reconstruction: candidates of the PROBED lists
+   * only are decoded (one broadcast-codebook join over m rows per probed
+   * vector, reassembled by sub_id), then scored with the codegen'd
+   * `vec_dot` fold against the raw query — identical numbers to the LUT
+   * formulation, with the fold order pinned for the oracle (see
+   * `pqRoundtrip`). Work tracks nprobe × list size, never the corpus;
+   * queries broadcast; the corpus shuffles only at index build.
+   * Output: (query_id, vec_id, cos).
+   */
+  def ivfPqServe(codedLists: DataFrame, books: DataFrame, cents: DataFrame,
+                 queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probes = broadcast(centroidRanks(queries, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id")))
+    // decode ONLY the probed lists — the candidate-bounded serving cost
+    val probed = codedLists
+      .join(probes.select(col("cent_id")).distinct(), Seq("cent_id"), "left_semi")
+    val recon = probed
+      .select(col("cent_id"), col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("sub_id", "code_id")))
+      .join(broadcast(books), Seq("sub_id", "code_id"))
+      .groupBy(col("cent_id"), col("vec_id"), col("nrm"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_emb")))),
+        x => x.getField("code_emb"))).as("embedding"))
+    val scored = recon.join(probes, Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: all (a < b) pairs with
    * cosine ≥ threshold, optionally restricted to pairs sharing `blockCol`
    * (metadata blocking — at 100 TB an unblocked all-pairs join is the I²
@@ -402,7 +450,7 @@ object SimilaritySearch {
    */
   def nearDupPairs(embs0: DataFrame, threshold: Double,
                    blockCol: Option[String] = None): DataFrame = {
-    val embs = embs0.repartition(col("vec_id")) // parallelize the pair scan side
+    val embs = graft.core.Spread.byKey(embs0, col("vec_id")) // spread gated on input width
     val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       l2Norm(col("embedding")).as("nrm_a"), blockCol.map(col).getOrElse(lit(0)).as("blk"))
     val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
