@@ -32,8 +32,14 @@ object AnnStore {
   val SrpBuckets = "srp_buckets"
   val IvfCentroids = "ivf_centroids"
   val IvfLists = "ivf_lists"
+  val PqCodebooks = "pq_codebooks"
+  val IvfPqCentroids = "ivf_pq_centroids"
+  val IvfPqLists = "ivf_pq_lists"
 
-  /** Build + persist the SRP index (planes table + bucketed corpus). */
+  /** Build + persist the SRP index (planes table + bucketed corpus). The
+    * bucket table is VERSIONED (`srp_buckets/v<k>` + `LATEST` marker, see
+    * `Compaction`) so compaction swaps are invisible to live readers; the
+    * plane table is tiny, immutable after init, and stays flat. */
   def writeSrp(corpus: DataFrame, planes: Seq[Seq[Int]], storePath: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -41,11 +47,13 @@ object AnnStore {
       .map { case (p, i) => (i, p.map(_.toFloat)) }
       .toDF("plane_id", "weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$storePath/$SrpPlanes")
-    SimilaritySearch.withBucket(corpus.repartition(col("vec_id")), planes)
+    val root = s"$storePath/$SrpBuckets"
+    SimilaritySearch.withBucket(graft.core.Spread.byKey(corpus, col("vec_id")), planes)
       .select(col("vec_id"), col("embedding"),
         SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
       .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
-      .write.mode("overwrite").parquet(s"$storePath/$SrpBuckets")
+      .write.mode("overwrite").parquet(Compaction.initDir(root))
+    Compaction.commit(spark, root, 0L)
   }
 
   /** Build + persist the IVF index (centroids + inverted lists). The
@@ -54,9 +62,11 @@ object AnnStore {
   def writeIvf(corpus: DataFrame, cents: DataFrame, storePath: String): Unit = {
     val c = graft.core.Caches.cacheOnce(cents) // feeds the write AND the lists build
     c.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$IvfCentroids")
+    val root = s"$storePath/$IvfLists"
     SimilaritySearch.ivfLists(corpus, c)
       .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$storePath/$IvfLists")
+      .write.mode("overwrite").parquet(Compaction.initDir(root))
+    Compaction.commit(corpus.sparkSession, root, 0L)
   }
 
   /** Append a delta corpus to the persisted SRP index. The delta is
@@ -68,12 +78,13 @@ object AnnStore {
     * DELTA, never a corpus rebuild. */
   def appendSrp(delta: DataFrame, storePath: String): Unit = {
     val spark = delta.sparkSession
-    SimilaritySearch.withBucket(delta.repartition(col("vec_id")),
+    SimilaritySearch.withBucket(graft.core.Spread.byKey(delta, col("vec_id")),
         readPlanes(spark, storePath))
       .select(col("vec_id"), col("embedding"),
         SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
       .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
-      .write.mode("append").parquet(s"$storePath/$SrpBuckets")
+      .write.mode("append")
+      .parquet(Compaction.currentDir(spark, s"$storePath/$SrpBuckets"))
   }
 
   /** Append a delta corpus to the persisted IVF index: delta vectors are
@@ -88,8 +99,64 @@ object AnnStore {
     SimilaritySearch.ivfLists(delta,
         spark.read.parquet(s"$storePath/$IvfCentroids"))
       .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
-      .write.mode("append").parquet(s"$storePath/$IvfLists")
+      .write.mode("append")
+      .parquet(Compaction.currentDir(spark, s"$storePath/$IvfLists"))
   }
+
+  /** Build + persist the IVF-PQ index — the billion-vector deployment
+    * shape (SimilaritySearch.ivfPqServe): deterministic PQ codebooks,
+    * the corpus PQ-encoded, inverted lists assigned over the
+    * RECONSTRUCTED vectors (what the index serves, mirroring the int8-IVF
+    * stance of q97), each list row carrying the m codes + the
+    * reconstruction norm — m bytes/vector at scale instead of 4·dim.
+    * Centroids are the deterministic sample of the reconstruction. The
+    * list table is versioned like the other index tables. */
+  def writeIvfPq(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
+                 centroidMod: Int, storePath: String): Unit = {
+    val spark = corpus.sparkSession
+    val books = graft.core.Caches.cacheOnce(
+      SimilaritySearch.pqCodebooks(corpus, m, dim, codeMod))
+    books.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$PqCodebooks")
+    val codes = SimilaritySearch.pqEncode(corpus, books, m, dim)
+    // one shuffle keyed on vec_id packs codes AND reassembles the served
+    // reconstruction (needed once here for assignment + stored norm)
+    val packed = graft.core.Caches.cacheOnce(codes
+      .join(broadcast(books), Seq("sub_id", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(
+        struct(col("sub_id"), col("code_id"), col("code_emb")))).as("scl"))
+      .select(col("vec_id"),
+        transform(col("scl"), x => x.getField("code_id")).as("codes"),
+        flatten(transform(col("scl"), x => x.getField("code_emb"))).as("embedding")))
+    val cents = graft.core.Caches.cacheOnce(
+      SimilaritySearch.ivfCentroids(packed.select(col("vec_id"), col("embedding")), centroidMod))
+    // own centroid table — an IVF-PQ index can share a store path with a
+    // plain IVF index (whose centroids sample the RAW corpus, not the
+    // reconstruction) without the two clobbering each other
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$IvfPqCentroids")
+    val root = s"$storePath/$IvfPqLists"
+    SimilaritySearch.ivfLists(packed.select(col("vec_id"), col("embedding")), cents)
+      .select(col("cent_id"), col("vec_id"), col("nrm"))
+      .join(packed.select(col("vec_id"), col("codes")), Seq("vec_id"))
+      .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
+      .write.mode("overwrite").parquet(Compaction.initDir(root))
+    Compaction.commit(spark, root, 0L)
+  }
+
+  /** IVF-PQ top-k served from the persisted index: queries rank against
+    * the stored centroids, probed lists decode against the stored
+    * codebooks, ADC scoring via the reconstruction (`ivfPqServe`). */
+  def ivfPqTopK(spark: SparkSession, storePath: String, queries: DataFrame,
+                nprobe: Int, k: Int): DataFrame =
+    SimilaritySearch.ivfPqServe(
+      readTree(spark, s"$storePath/$IvfPqLists"),
+      spark.read.parquet(s"$storePath/$PqCodebooks"),
+      spark.read.parquet(s"$storePath/$IvfPqCentroids"),
+      queries, nprobe, k)
+
+  /** Compact the IVF-PQ coded-list table (see `compactSrp`). */
+  def compactIvfPq(spark: SparkSession, storePath: String): Unit =
+    compactTable(spark, s"$storePath/$IvfPqLists", "cent_id")
 
   /** The persisted hyperplanes, reconstructed for query-side bucketing
     * (collect is bounded by L — the plane count, not the corpus). */
@@ -100,11 +167,16 @@ object AnnStore {
       .map(_.getSeq[Float](1).map(_.toInt).toSeq)
       .toSeq
 
-  /** Bucket/list tables may hold flat files (batch writes/appends) plus
-    * `batch=<id>` subdirectories (streaming ingest, `AnnIngest`) — read
-    * the whole tree as one table, skipping partition inference. */
+  /** A versioned table's SERVED version may hold flat files (batch
+    * writes/appends) plus `batch=<id>` subdirectories (streaming ingest,
+    * `AnnIngest`) — read the whole version tree as one table, skipping
+    * partition inference. The marker resolves ONCE here, so a frame built
+    * over this stays on its version however often it re-evaluates, even
+    * across a concurrent compaction (the previous version is retained —
+    * `Compaction`'s reader guarantee). */
   private def readTree(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(path)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(Compaction.currentDir(spark, path))
 
   /** Compact the SRP bucket table: fold every append file and streaming
     * `batch=<id>` subdirectory into one freshly-partitioned flat layout.
@@ -114,10 +186,10 @@ object AnnStore {
     * bucket-partitioned, in-file-sorted layout `writeSrp` produces, so
     * row-group pruning covers the whole corpus again. Served top-k is
     * IDENTICAL before and after (same rows, same layout contract —
-    * spec-gated). Run OFFLINE: the swap is not atomic for concurrent
-    * readers (a serving query between the two renames fails and is
-    * retried); on a real deployment the swap would be a metastore /
-    * table-format pointer flip instead. */
+    * spec-gated). The swap is the versioned marker-last protocol
+    * (`Compaction`): concurrent READERS are safe — open frames keep their
+    * resolved version, new frames see old-or-new, never a half tree;
+    * only concurrent APPENDS must pause around the compaction. */
   def compactSrp(spark: SparkSession, storePath: String): Unit =
     compactTable(spark, s"$storePath/$SrpBuckets", "bucket")
 
@@ -126,8 +198,8 @@ object AnnStore {
     compactTable(spark, s"$storePath/$IvfLists", "cent_id")
 
   private def compactTable(spark: SparkSession, path: String, key: String): Unit =
-    Compaction.rewriteInPlace(path) {
-      readTree(spark, path)
+    Compaction.compact(spark, path) { cur =>
+      spark.read.option("recursiveFileLookup", "true").parquet(cur)
         .repartition(col(key)).sortWithinPartitions(key, "vec_id")
     }
 

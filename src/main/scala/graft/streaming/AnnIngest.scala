@@ -21,6 +21,11 @@ import graft.store.AnnStore
  * `recursiveFileLookup`), so base files and batch subdirectories serve
  * through the same path, and results stay identical to an index built
  * over everything at once (per-vector assignment — q75's contract).
+ *
+ * Batch directories land INSIDE the currently-served version of the
+ * versioned table (`Compaction.currentDir`); like all appends, the ingest
+ * must PAUSE around an offline compaction (the rewrite is a point-in-time
+ * copy — a batch racing the swap would land in the superseded version).
  */
 object AnnIngest {
 
@@ -28,24 +33,27 @@ object AnnIngest {
     * and land it as `batch=<id>`. Shares the exact serving layout
     * (cent_id-partitioned, in-file sorted). */
   def applyIvfBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
-    val cents = batch.sparkSession.read
-      .parquet(s"$storePath/${AnnStore.IvfCentroids}")
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$storePath/${AnnStore.IvfCentroids}")
+    val cur = graft.store.Compaction.currentDir(spark, s"$storePath/${AnnStore.IvfLists}")
     SimilaritySearch.ivfLists(batch, cents)
       .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
       .write.mode("overwrite")
-      .parquet(s"$storePath/${AnnStore.IvfLists}/batch=$batchId")
+      .parquet(s"$cur/batch=$batchId")
   }
 
   /** Bucket one vector micro-batch with the persisted SRP planes and
     * land it as `batch=<id>`. */
   def applySrpBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
-    val planes = AnnStore.readPlanes(batch.sparkSession, storePath)
-    SimilaritySearch.withBucket(batch.repartition(col("vec_id")), planes)
+    val spark = batch.sparkSession
+    val planes = AnnStore.readPlanes(spark, storePath)
+    val cur = graft.store.Compaction.currentDir(spark, s"$storePath/${AnnStore.SrpBuckets}")
+    SimilaritySearch.withBucket(graft.core.Spread.byKey(batch, col("vec_id")), planes)
       .select(col("vec_id"), col("embedding"),
         SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
       .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
       .write.mode("overwrite")
-      .parquet(s"$storePath/${AnnStore.SrpBuckets}/batch=$batchId")
+      .parquet(s"$cur/batch=$batchId")
   }
 
   /** Start continuous IVF ingest: `vectors` is a STREAMING DataFrame with

@@ -149,12 +149,13 @@ class IncrementalIngestSpec extends SparkSpec {
       deltas.head.toDF("vec_id", "embedding"), 0L, streamed)
     dump(graft.store.AnnStore.ivfTopK(spark, streamed, queries, 2, 3)) shouldBe servedBefore
 
-    // compaction: fold the batch=<id> subtrees into one flat layout —
-    // served top-k identical, streaming subdirectories gone, fewer files
+    // compaction: fold the batch=<id> subtrees into the NEXT VERSION's
+    // flat layout (marker-last swap) — served top-k identical, streaming
+    // subdirectories gone from the served version, fewer files
+    def curDir(sub: String) = graft.store.Compaction.currentDir(spark, s"$streamed/$sub")
     def treeFiles(sub: String) = {
-      val root = java.nio.file.Paths.get(streamed, sub)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
+      java.nio.file.Files.walk(java.nio.file.Paths.get(curDir(sub))).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet")).toSeq
     }
     val srpFilesBefore = treeFiles(graft.store.AnnStore.SrpBuckets).size
@@ -164,8 +165,9 @@ class IncrementalIngestSpec extends SparkSpec {
     dump(graft.store.AnnStore.srpTopK(spark, streamed, queries, 3)) shouldBe srpServedBefore
     dump(graft.store.AnnStore.ivfTopK(spark, streamed, queries, 2, 3)) shouldBe servedBefore
     for (sub <- Seq(graft.store.AnnStore.SrpBuckets, graft.store.AnnStore.IvfLists)) {
-      val dirs = new java.io.File(s"$streamed/$sub").listFiles().filter(_.isDirectory)
-      assert(dirs.isEmpty, s"$sub still holds subdirectories: ${dirs.mkString(",")}")
+      graft.store.Compaction.currentVersion(spark, s"$streamed/$sub") shouldBe Some(1L)
+      val dirs = new java.io.File(curDir(sub)).listFiles().filter(_.isDirectory)
+      assert(dirs.isEmpty, s"$sub served version still holds subdirectories: ${dirs.mkString(",")}")
     }
     assert(treeFiles(graft.store.AnnStore.SrpBuckets).size <= srpFilesBefore)
   }
