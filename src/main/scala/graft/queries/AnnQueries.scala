@@ -88,6 +88,22 @@ object AnnQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // EXT-A14: IVF-PQ composed persisted serving — the billion-vector
+    // deployment shape: the persisted index holds m CODES per vector plus
+    // shared codebooks (q99's compression) under inverted lists assigned
+    // over the reconstruction (q97's stance: index what you serve);
+    // queries rank against the stored centroids, only PROBED lists
+    // decode, ADC scoring via the reconstruction. Served from the
+    // versioned on-disk layout (`AnnStore.writeIvfPq`/`ivfPqTopK`) — the
+    // full build → persist → serve round trip under one oracle.
+    "q104_ann_ivf_pq" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      graft.store.AnnStore.writeIvfPq(embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, out)
+      graft.store.AnnStore.ivfPqTopK(s, out, querySet(s, dir), NProbe, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
     // EXT-A8: multi-probe SRP top-k — each query also probes its L
     // Hamming-1 neighbor buckets (one flipped hyperplane), the standard
     // LSH recall lever: near neighbors one unlucky plane away are
@@ -265,6 +281,39 @@ object AnnQueries extends QueryPack {
 
   private lazy val TrainedCentsCtes = trainedCentsCtes(1)
 
+  /** Shared PQ CTE chain (mirrors pqCodebooks → pqEncode → pqRoundtrip):
+    * sampled codewords `cw`, per-vector subspace slices `cs`, nearest-
+    * codeword encodings `enc` (squared L2, tie on code_id), and the
+    * reconstructed corpus `rec`. Used by q99 (PQ recall) and q104
+    * (IVF-PQ serving). */
+  private lazy val PqRecCtes: String = {
+    val sd = Dim / PqM
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1),
+         |    i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin
+    def d2Sql(a: String, b: String) =
+      s"(${fold(a, a)} - 2 * ${fold(a, b)} + ${fold(b, b)})"
+    s"""cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
+       |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
+       |                        i -> s.embedding[i]) AS code_emb
+       |       FROM embeddings s, unnest(range(0, $PqM)) AS t(j)
+       |       WHERE s.vec_id % $PqCodeMod = 1),
+       |cs AS (SELECT e.vec_id, t.j AS sub_id,
+       |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
+       |                        i -> e.embedding[i]) AS sub_emb
+       |       FROM embeddings e, unnest(range(0, $PqM)) AS t(j)),
+       |enc AS (SELECT vec_id, sub_id, code_id FROM (
+       |          SELECT cs.vec_id, cs.sub_id, cw.code_id,
+       |            ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.sub_id
+       |              ORDER BY ${d2Sql("cs.sub_emb", "cw.code_emb")} ASC,
+       |                       cw.code_id) AS crnk
+       |          FROM cs JOIN cw ON cs.sub_id = cw.sub_id) WHERE crnk = 1),
+       |rec AS (SELECT enc.vec_id,
+       |          flatten(list(cw.code_emb ORDER BY enc.sub_id)) AS embedding
+       |        FROM enc JOIN cw ON enc.sub_id = cw.sub_id AND enc.code_id = cw.code_id
+       |        GROUP BY 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
@@ -356,14 +405,7 @@ object AnnQueries extends QueryPack {
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
-    "q99_ann_pq" -> {
-      val sd = Dim / PqM
-      def d2Sql(a: String, b: String) = {
-        def fold(x: String, y: String) =
-          s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1),
-             |    i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin
-        s"(${fold(a, a)} - 2 * ${fold(a, b)} + ${fold(b, b)})"
-      }
+    "q99_ann_pq" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
          |           WHERE vec_id % $QueryMod = 0),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
@@ -373,25 +415,7 @@ object AnnQueries extends QueryPack {
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |         FROM bscored) WHERE rnk <= $K),
-         |cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
-         |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
-         |                        i -> s.embedding[i]) AS code_emb
-         |       FROM embeddings s, unnest(range(0, $PqM)) AS t(j)
-         |       WHERE s.vec_id % $PqCodeMod = 1),
-         |cs AS (SELECT e.vec_id, t.j AS sub_id,
-         |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
-         |                        i -> e.embedding[i]) AS sub_emb
-         |       FROM embeddings e, unnest(range(0, $PqM)) AS t(j)),
-         |enc AS (SELECT vec_id, sub_id, code_id FROM (
-         |          SELECT cs.vec_id, cs.sub_id, cw.code_id,
-         |            ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.sub_id
-         |              ORDER BY ${d2Sql("cs.sub_emb", "cw.code_emb")} ASC,
-         |                       cw.code_id) AS crnk
-         |          FROM cs JOIN cw ON cs.sub_id = cw.sub_id) WHERE crnk = 1),
-         |rec AS (SELECT enc.vec_id,
-         |          flatten(list(cw.code_emb ORDER BY enc.sub_id)) AS embedding
-         |        FROM enc JOIN cw ON enc.sub_id = cw.sub_id AND enc.code_id = cw.code_id
-         |        GROUP BY 1),
+         |$PqRecCtes,
          |pscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM rec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |pt AS (SELECT query_id, vec_id FROM (
@@ -403,8 +427,35 @@ object AnnQueries extends QueryPack {
          |  ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq
          |FROM bt b LEFT JOIN pt t
          |  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q104_ann_ivf_pq" ->
+      s"""WITH $PqRecCtes,
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM rec
+         |          WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT r.vec_id, r.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |              ORDER BY ${cosSql("r.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM rec r CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT query_id, q_emb, cent_id FROM (
+         |             SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+         |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY ${cosSql("q.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                          c.cent_id) AS crnk
+         |             FROM embeddings q CROSS JOIN cents c
+         |             WHERE q.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |scored AS (SELECT p.query_id, l.vec_id,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q59_ann_multiprobe" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket

@@ -215,4 +215,35 @@ class SimilaritySearchSpec extends SparkSpec {
     dump(graft.store.AnnStore.ivfTopK(spark, refreshed, queries, 2, 3)) shouldBe
       dump(graft.store.AnnStore.ivfTopK(spark, rebuilt, queries, 2, 3))
   }
+
+  test("IVF-PQ store round-trip: persisted serving == in-memory compose; compaction preserves it") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") % 9 === 1)
+    val (m, dim, codeMod, centMod) = (4, 8, 11, 7)
+    val store = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    graft.store.AnnStore.writeIvfPq(corpus, m, dim, codeMod, centMod, store)
+
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("query_id", "cos", "vec_id").collect().toSeq
+
+    // reference: IVF over the PQ reconstruction with centroids sampled
+    // from the reconstruction — exactly what the persisted index encodes
+    val rec = SimilaritySearch.pqRoundtrip(corpus, m, dim, codeMod)
+    val expected = dump(SimilaritySearch.ivfTopKFrom(
+      SimilaritySearch.ivfCentroids(rec, centMod), queries, rec, 2, 3))
+    expected should not be empty
+    val served = dump(graft.store.AnnStore.ivfPqTopK(spark, store, queries, 2, 3))
+    served shouldBe expected
+
+    // compaction: version advances, serving identical, open reader survives
+    val root = s"$store/${graft.store.AnnStore.IvfPqLists}"
+    val openedBefore = graft.store.AnnStore.ivfPqTopK(spark, store, queries, 2, 3)
+    graft.store.AnnStore.compactIvfPq(spark, store)
+    graft.store.Compaction.currentVersion(spark, root) shouldBe Some(1L)
+    dump(graft.store.AnnStore.ivfPqTopK(spark, store, queries, 2, 3)) shouldBe expected
+    dump(openedBefore) shouldBe expected // pinned to its resolved version
+  }
 }
