@@ -27,7 +27,11 @@ object Bench {
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q08_store_pipeline,q38_store_all_items isolates
+    // queries for memory/scale triage without touching the full protocol
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = mutable.Map.empty[String, mutable.Buffer[Double]]
     val errors = mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {

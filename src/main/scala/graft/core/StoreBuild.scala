@@ -78,12 +78,9 @@ object StoreBuild {
    *    shuffled stats joins instead of broadcasts.
    */
   def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0,
-                      largeCatalog: Option[Boolean] = None): DataFrame = {
-    val ct = Caches.cacheOnce(crosstab0)
-    fromSufficientStats(Correlation.itemStats(ct),
-      Caches.cacheOnce(Correlation.sparseCoMoments(ct)),
-      Correlation.nContexts(ct), k, largeCatalog)
-  }
+                      largeCatalog: Option[Boolean] = None,
+                      itemPredicate: Option[Column] = None): DataFrame =
+    fromCrosstab(crosstab0, k, largeCatalog, itemPredicate).neighbors
 
   /** All-items store build from a SUFFICIENT-STATISTICS snapshot
     * (`Incremental.Stats`) — the incremental-ingest composition: after a
@@ -92,12 +89,49 @@ object StoreBuild {
     * (gated by q57 against the same full-rebuild oracle as q38). */
   def scaledNeighborsFromStats(stats: Incremental.Stats, k: Double = 2.0,
                                largeCatalog: Option[Boolean] = None): DataFrame =
-    fromSufficientStats(stats.items, stats.co, stats.n, k, largeCatalog)
+    new Build(stats.items, stats.co, stats.n, k, largeCatalog, None).neighbors
+
+  /** OP-20 at scale: per-item mean/σ of the COMPLETE correlation vector
+    * (NULL-skipping, sample σ — exactly `avg`/`stddev_samp` over
+    * `fullPairs`' dense vectors), computed from the same closed-form
+    * decomposition as the store build — |selection| × avg-degree work,
+    * never the |selection| × |catalog| dense table. Degenerate items
+    * (den = 0: NULL correlation everywhere) keep their row with NULL
+    * moments, matching the windowed pipeline's aggregate-over-all-NULLs.
+    * Output: (item_a, mean_corr, std_corr). */
+  def vectorMoments(crosstab0: DataFrame,
+                    itemPredicate: Option[Column] = None,
+                    largeCatalog: Option[Boolean] = None): DataFrame =
+    fromCrosstab(crosstab0, 2.0, largeCatalog, itemPredicate).moments
+
+  private def fromCrosstab(crosstab0: DataFrame, k: Double,
+                           largeCatalog: Option[Boolean],
+                           itemPredicate: Option[Column]): Build = {
+    val ct = Caches.cacheOnce(crosstab0)
+    new Build(Correlation.itemStats(ct),
+      Caches.cacheOnce(Correlation.sparseCoMoments(ct)),
+      Correlation.nContexts(ct), k, largeCatalog, itemPredicate)
+  }
 
   /** The shared build: per-item stats (item, sx, sxx), upper-triangle
-    * co-moments (item_a, item_b, sxy), 1-row context count. */
-  private def fromSufficientStats(itemSt: DataFrame, co0: DataFrame, n0: DataFrame,
-                                  k: Double, largeCatalog: Option[Boolean]): DataFrame = {
+    * co-moments (item_a, item_b, sxy), 1-row context count.
+    *
+    * `itemPredicate` (over column `item`, like `Correlation.fullPairs`)
+    * restricts the item_a SIDE ONLY — each selected item still scales and
+    * thresholds against its COMPLETE vector (all items as partners), so
+    * output rows equal `fullPairs(ct, pred) |> scaledStdDevThreshold`
+    * filtered to the selection (spec: `StoreBuildSpec`). The pushdown
+    * keeps the per-item_a stats shuffle and both emission branches at
+    * |selection| × avg-degree instead of catalog × avg-degree, and —
+    * unlike the fullPairs parity path — never materializes the
+    * |selection| × |catalog| dense vector table, which is what OOM'd the
+    * sf1 probe (800M cached rows for a 1/50 sample of a 200k catalog).
+    * Partner stats, globals (ΣU/ΣV/|D|), and the zero-partner u-ranking
+    * remain catalog-wide: they are what the closed form needs to stand in
+    * for the absent dense vectors. */
+  private final class Build(itemSt: DataFrame, co0: DataFrame, n0: DataFrame,
+                            k: Double, largeCatalog: Option[Boolean],
+                            itemPredicate: Option[Column]) {
     val n1 = n0 // 1 row
 
     // Per-item stats with den/u; D = non-degenerate items (den > 0).
@@ -106,6 +140,10 @@ object StoreBuild {
         .withColumn("den", sqrt(col("n") * col("sxx") - col("sx") * col("sx")))
         .where(col("den") > 0.0)
         .withColumn("u", col("sx") / col("den")))
+
+    // item_a-side selection (complete-vector stats are per-item_a, so the
+    // b-side/globals/ranking must stay catalog-wide regardless).
+    val dSel = itemPredicate.map(d.where(_)).getOrElse(d)
 
     // One global row: ΣU, ΣV, |D|, min/max u.
     val globals = broadcast(d.agg(
@@ -141,7 +179,18 @@ object StoreBuild {
     val co = co0
     val sym = co.unionByName(
       co.select(col("item_b").as("item_a"), col("item_a").as("item_b"), col("sxy")))
-    def sp = sym.join(bcCat(da), Seq("item_a"))
+    // The symmetric closure restricted to selected item_a (semi-join on the
+    // small selection — the whole point of the pushdown: every downstream
+    // shuffle carries |selection| × avg-degree rows). The zero-partner
+    // anti-join below deliberately keeps the UNRESTRICTED sym: its left
+    // side is already selection-only, and the full table is the correct
+    // co-occurrence ledger either way.
+    val symA = itemPredicate match {
+      case None    => sym
+      case Some(_) =>
+        sym.join(bcCat(dSel.select(col("item").as("item_a"))), Seq("item_a"), "left_semi")
+    }
+    def sp = symA.join(bcCat(da), Seq("item_a"))
       .join(bcCat(db), Seq("item_b"))
       .crossJoin(broadcast(n1))
       .select(col("item_a"), col("item_b"), col("u_b"),
@@ -198,7 +247,7 @@ object StoreBuild {
     // so Catalyst plans a single exchange. Self rows (corr = NULL) give
     // every D item a group and put its own rank into the gap scan.
     val withSelf = sp
-      .unionByName(d.select(col("item").as("item_a"), col("item").as("item_b"),
+      .unionByName(dSel.select(col("item").as("item_a"), col("item").as("item_b"),
         lit(null).cast("double").as("u_b"), lit(null).cast("double").as("corr")))
       .join(rk.select(col("item").as("item_b"), col("r")), Seq("item_b"))
       .crossJoin(globals)
@@ -268,7 +317,24 @@ object StoreBuild {
             (col("mean") - col("mn")) / (col("mx") - col("mn")) +
               col("sigma") / (col("mx") - col("mn")) * lit(k)))
         .select(col("item_a"), col("sx_a"), col("sxx_a"), col("u_a"), col("n"),
-          col("mn"), col("mx"), col("thr"), col("isConst"), col("uming")))
+          col("mn"), col("mx"), col("thr"), col("isConst"), col("uming"),
+          col("mean"), col("sigma")))
+
+    /** Closed-form OP-20 moments (see `vectorMoments`). Non-degenerate
+      * items read off the cached perItem table; degenerate selected items
+      * (dropped from D) are restored with NULL moments — the windowed
+      * pipeline aggregates their all-NULL vectors to NULL, not absence. */
+    def moments: DataFrame = {
+      val degenerate = itemSt.crossJoin(broadcast(n1))
+        .where(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0)
+      val degSel = itemPredicate.map(degenerate.where(_)).getOrElse(degenerate)
+        .select(col("item").as("item_a"),
+          lit(null).cast("double").as("mean_corr"),
+          lit(null).cast("double").as("std_corr"))
+      perItem.select(col("item_a"), col("mean").as("mean_corr"),
+          col("sigma").as("std_corr"))
+        .unionByName(degSel)
+    }
 
     def scaledScore: Column =
       when(col("isConst"), lit(0.0))
@@ -279,36 +345,41 @@ object StoreBuild {
       col("isConst") || (s >= col("thr"))
     }
 
-    // (a) Sparse emissions: per-row scaled score vs per-item threshold.
-    val sparseOut = sp
-      .join(bcCat(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming")), Seq("item_a"))
-      .where(passes)
-      .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
-        scaledScore.as("scaled_score"))
-
-    // (b) Zero-partner emissions. Candidate a-items: threshold at or below
-    // the best zero-pair score (loose by a relative epsilon so the exact
-    // per-row filter below makes the boundary call). Typically EMPTY —
-    // and provably the seed of every zero-pair row, so one cheap probe on
-    // the CACHED perItem table skips the whole branch (its theta join AND
-    // the co-occurrence anti-join shuffle) in the common case. At any
-    // threshold a real store uses, the build is exactly the sparse
-    // pipeline; the probe is one filter over catalog-sized cached rows.
-    val rawThr = col("mn") + col("thr") * (col("mx") - col("mn"))
-    val aCand = perItem.where(col("isConst") ||
-      (-col("u_a") * col("uming") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12)))
-    if (aCand.isEmpty) sparseOut
-    else {
-      val zeroOut = db
-        .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
-          (col("isConst") ||
-            (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
-        .join(sym.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
-        .withColumn("corr", corrCol(lit(0.0)))
+    /** The store table itself: sparse emissions + (usually-empty)
+      * zero-partner emissions, both gated by the per-item threshold. */
+    def neighbors: DataFrame = {
+      // (a) Sparse emissions: per-row scaled score vs per-item threshold.
+      val sparseOut = sp
+        .join(bcCat(perItem.drop("sx_a", "sxx_a", "u_a", "n", "uming",
+          "mean", "sigma")), Seq("item_a"))
         .where(passes)
         .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
           scaledScore.as("scaled_score"))
-      sparseOut.unionByName(zeroOut)
+
+      // (b) Zero-partner emissions. Candidate a-items: threshold at or below
+      // the best zero-pair score (loose by a relative epsilon so the exact
+      // per-row filter below makes the boundary call). Typically EMPTY —
+      // and provably the seed of every zero-pair row, so one cheap probe on
+      // the CACHED perItem table skips the whole branch (its theta join AND
+      // the co-occurrence anti-join shuffle) in the common case. At any
+      // threshold a real store uses, the build is exactly the sparse
+      // pipeline; the probe is one filter over catalog-sized cached rows.
+      val rawThr = col("mn") + col("thr") * (col("mx") - col("mn"))
+      val aCand = perItem.where(col("isConst") ||
+        (-col("u_a") * col("uming") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12)))
+      if (aCand.isEmpty) sparseOut
+      else {
+        val zeroOut = db
+          .join(broadcast(aCand), col("item_a") =!= col("item_b") &&
+            (col("isConst") ||
+              (-col("u_a") * col("u_b") >= rawThr - abs(rawThr) * 1e-9 - lit(1e-12))))
+          .join(sym.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"), "left_anti")
+          .withColumn("corr", corrCol(lit(0.0)))
+          .where(passes)
+          .select(col("item_a").as("item_a_id"), col("item_b").as("item_b_id"),
+            scaledScore.as("scaled_score"))
+        sparseOut.unionByName(zeroOut)
+      }
     }
   }
 }

@@ -90,6 +90,16 @@ object ParityQueries extends QueryPack {
   private def storePairs(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column) =
     Neighbors.scaledStdDevThreshold(Correlation.fullPairs(ct(s, dir), pred), 2.0)
 
+  // The SAMPLED store build (q08/q13): same output as `storePairs`, but via
+  // the closed-form build with the item predicate pushed down — the
+  // windowed parity path materializes |selection| × |catalog| dense vectors
+  // (800M cached rows at sf1: 413 s/48 GB measured), the pushdown never
+  // does (equivalence spec'd in StoreBuildSpec; q10 keeps the windowed
+  // path oracle-covered on its single-item probe, where it is linear).
+  private def storePairsScaled(s: SparkSession, dir: String,
+                               pred: org.apache.spark.sql.Column) =
+    graft.core.StoreBuild.scaledNeighbors(ct(s, dir), 2.0, itemPredicate = Some(pred))
+
   // ---- queries -------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,7 +220,7 @@ object ParityQueries extends QueryPack {
 
     // EP-2 store pipeline: min-max scale + scaled mean+2σ (OP-21/11/24/28).
     "q08_store_pipeline" -> ((s, dir) =>
-      storePairs(s, dir, col("item") % SampleMod === 0)
+      storePairsScaled(s, dir, col("item") % SampleMod === 0)
         .select(col("item_a_id"), col("item_b_id"),
           round(col("scaled_score"), 6).as("scaled_score"))
         .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))),
@@ -284,15 +294,16 @@ object ParityQueries extends QueryPack {
     // OP-22/23/31: store stats (counts + avg neighbors, round 2, 0-default).
     "q13_db_stats" -> ((s, dir) =>
       Serving.databaseStats(
-        storePairs(s, dir, col("item") % SampleMod === 0),
+        storePairsScaled(s, dir, col("item") % SampleMod === 0),
         Tables.dictionary(s, dir))),
 
-    // OP-20: per-item scalar moments over the full correlation vector.
+    // OP-20: per-item scalar moments over the full correlation vector —
+    // closed-form (StoreBuild.vectorMoments), no dense-vector table.
     "q14_moments" -> ((s, dir) =>
-      fullSample(s, dir)
-        .groupBy(col("item_a"))
-        .agg(round(avg(col("corr")), 6).as("mean_corr"),
-          round(stddev_samp(col("corr")), 6).as("std_corr"))
+      graft.core.StoreBuild.vectorMoments(
+          ct(s, dir), Some(col("item") % SampleMod === 0))
+        .select(col("item_a"), round(col("mean_corr"), 6).as("mean_corr"),
+          round(col("std_corr"), 6).as("std_corr"))
         .orderBy(col("item_a"))),
 
     // OP-12: existence check via anti join (items without dictionary rows).

@@ -119,6 +119,59 @@ class StoreBuildSpec extends SparkSpec {
     unpartitionedWindows(small.queryExecution.executedPlan) should not be empty
   }
 
+  test("item predicate pushdown equals the windowed pipeline on the selection") {
+    // q08/q13's shape: a modulo sample of the catalog, each selected item
+    // scaled+thresholded against its COMPLETE vector. The pushdown build
+    // must agree row-for-row with fullPairs(pred) → scale → threshold —
+    // including zero-co-occurrence admissions (k = -3 branch) — on both
+    // catalog plans.
+    val rnd = new scala.util.Random(57)
+    val occ = Seq.fill(400)((rnd.nextInt(20).toLong + 1, rnd.nextInt(30).toLong + 1))
+    val ct = Crosstab.build(occ.toDF("item_id", "reference_id"))
+    val pred = col("item") % 3 === 0
+    for (k <- Seq(2.0, -3.0); large <- Seq(Some(false), Some(true))) {
+      val got = asMap(StoreBuild.scaledNeighbors(ct, k, large, Some(pred)))
+      val want = asMap(
+        Neighbors.scaledStdDevThreshold(Correlation.fullPairs(ct, pred), k))
+      withClue(s"k=$k large=$large: ") {
+        got.keySet shouldBe want.keySet
+        got.foreach { case (key, s) =>
+          assert(approx(s, want(key), 1e-9), s"$key: pushdown=$s windowed=${want(key)}")
+        }
+      }
+    }
+  }
+
+  test("vectorMoments equals avg/stddev_samp over the dense fullPairs vectors") {
+    // q14's shape — including a planted degenerate item (constant count in
+    // every context), whose all-NULL vector must aggregate to a ROW with
+    // NULL moments, not to absence.
+    val rnd = new scala.util.Random(77)
+    val base = Seq.fill(300)((rnd.nextInt(12).toLong + 1, rnd.nextInt(20).toLong + 1))
+    val occ = base ++ base.map(_._2).distinct.map(c => (99L, c))
+    val ct = Crosstab.build(occ.toDF("item_id", "reference_id"))
+    for (pred <- Seq(lit(true), col("item") % 3 === 0)) {
+      val got = StoreBuild.vectorMoments(ct, Some(pred)).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      val want = Correlation.fullPairs(ct, pred)
+        .groupBy(col("item_a"))
+        .agg(avg(col("corr")).as("m"), stddev_samp(col("corr")).as("s"))
+        .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      withClue(s"pred=$pred: ") {
+        got.keySet shouldBe want.keySet
+        got.foreach { case (item, (m, s)) =>
+          val (wm, ws) = want(item)
+          m.isDefined shouldBe wm.isDefined
+          s.isDefined shouldBe ws.isDefined
+          m.zip(wm).foreach { case (a, b) =>
+            assert(approx(a.asInstanceOf[Double], b.asInstanceOf[Double], 1e-9), s"mean $item") }
+          s.zip(ws).foreach { case (a, b) =>
+            assert(approx(a.asInstanceOf[Double], b.asInstanceOf[Double], 1e-9), s"std $item") }
+        }
+      }
+    }
+  }
+
   test("randomized battery: shapes × thresholds all match the windowed pipeline") {
     // Deterministic fuzz over catalog size, context density, duplicate
     // rates, and threshold multipliers — the closed form has to agree
