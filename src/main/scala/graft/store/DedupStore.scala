@@ -65,12 +65,15 @@ object DedupStore {
   def write(docs: DataFrame, n: Int, numPerms: Int, storePath: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val r = root(storePath)
-    val vdir = Compaction.initDir(r)
-    Dedup.minHashSignatures(docs, n, numPerms, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$vdir/batch_base")
-    touch(Compaction.fs(spark, r), s"$vdir/_committed_base")
-    Compaction.commit(spark, r, 0L)
+    Compaction.withLease(spark, storePath, "dedup:write") {
+      val r = root(storePath)
+      Compaction.clearRoot(spark, r) // re-init must not keep stale batches
+      val vdir = Compaction.initDir(r)
+      Dedup.minHashSignatures(docs, n, numPerms, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$vdir/batch_base")
+      touch(Compaction.fs(spark, r), s"$vdir/_committed_base")
+      Compaction.commit(spark, r, 0L)
+    }
   }
 
   private def touch(f: FileSystem, path: String): Unit =
@@ -129,13 +132,15 @@ object DedupStore {
               retractId: Option[String] = None,
               idCol: String = "doc_id"): Unit = {
     val spark = ids.sparkSession
-    val r = root(storePath)
-    val vdir = Compaction.currentDir(spark, r)
     val name = retractId.getOrElse(freshName())
     requireName(name)
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("overwrite").parquet(s"$vdir/tomb_$name")
-    touch(Compaction.fs(spark, r), s"$vdir/_retracted_$name")
+    Compaction.withLease(spark, storePath, s"dedup:retract:$name") {
+      val r = root(storePath)
+      val vdir = Compaction.currentDir(spark, r)
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("overwrite").parquet(s"$vdir/tomb_$name")
+      touch(Compaction.fs(spark, r), s"$vdir/_retracted_$name")
+    }
   }
 
   private def freshName(): String =
@@ -148,19 +153,22 @@ object DedupStore {
     * batches minus tombstones into the next VERSION's base batch and
     * advances the marker (`Compaction`'s reader guarantees apply); dedup
     * decisions are unaffected (same live rows). Writers (deltas /
-    * retractions) must pause around it. */
-  def compact(spark: SparkSession, storePath: String): Unit = {
-    val r = root(storePath)
-    val cur = Compaction.currentVersion(spark, r).getOrElse(
-      throw new java.io.FileNotFoundException(s"no LATEST marker under $r"))
-    val next = cur + 1
-    val vdir = s"$r/v$next"
-    viewOf(spark, s"$r/v$cur", None).repartition(col("id"))
-      .write.mode("overwrite").parquet(s"$vdir/batch_base")
-    touch(Compaction.fs(spark, r), s"$vdir/_committed_base")
-    Compaction.commit(spark, r, next)
-    Compaction.pruneBelow(spark, r, cur)
-  }
+    * retractions) are excluded by the store lease — a delta racing the
+    * point-in-time copy would land in the superseded version, so it now
+    * fails loudly instead. */
+  def compact(spark: SparkSession, storePath: String): Unit =
+    Compaction.withLease(spark, storePath, "dedup:compact") {
+      val r = root(storePath)
+      val cur = Compaction.currentVersion(spark, r).getOrElse(
+        throw new java.io.FileNotFoundException(s"no LATEST marker under $r"))
+      val next = cur + 1
+      val vdir = s"$r/v$next"
+      viewOf(spark, s"$r/v$cur", None).repartition(col("id"))
+        .write.mode("overwrite").parquet(s"$vdir/batch_base")
+      touch(Compaction.fs(spark, r), s"$vdir/_committed_base")
+      Compaction.commit(spark, r, next)
+      Compaction.pruneBelow(spark, r, cur)
+    }
 
   /**
    * Dedup one DELTA against the store, append the survivors' signatures
@@ -182,49 +190,54 @@ object DedupStore {
     val spark = delta.sparkSession
     val r = numPerms / bands
     val rt = root(storePath)
-    val vdir = Compaction.currentDir(spark, rt)
     val name = deltaId.getOrElse(freshName())
     requireName(name)
-    // Exact-first: copies of shingleable delta docs collapse to their
-    // minimum id before any signature or band join exists — the template
-    // mega-cluster never reaches the candidate stage.
-    val exactDropped = Caches.cacheOnce(
-      Dedup.exactDroppedIds(delta, Some(n), idCol, textCol)
-        .withColumnRenamed("id", idCol))
-    val nExact = exactDropped.count()
-    val reps = Dedup.keepCorpus(delta, exactDropped, idCol, nExact)
-    val dsig = Caches.cacheOnce(
-      Dedup.minHashSignatures(reps, n, numPerms, idCol, textCol))
-    val bsig = viewOf(spark, vdir, exclude = Some(name))
-    val dBands = Dedup.lshBands(dsig, bands, r)
-    val bBands = Dedup.lshBands(bsig, bands, r)
-    // Delta docs whose signature near-matches ANY stored doc: first
-    // arrival wins, the delta copy drops.
-    val dupOfStore = dBands
-      .join(bBands.select(col("id").as("bid"), col("band"), col("bk")), Seq("band", "bk"))
-      .select(col("id"), col("bid")).distinct()
-      .join(dsig.select(col("id"), col("sig").as("dsg")), Seq("id"))
-      .join(bsig.select(col("id").as("bid"), col("sig").as("bsg")), Seq("bid"))
-      .where(Dedup.estSim(col("dsg"), col("bsg"), numPerms) >= estThreshold)
-      .select(col("id")).distinct()
-    // Intra-delta components: min-id survivor (keep-first has no quality
-    // tier — arrival order, then id, is the rule).
-    val pairs = Dedup.lshCandidates(dsig, bands, r, maxBandDegree)
-      .where(col("est_sim") >= estThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val comps = Dedup.connectedComponents(pairs)
-    val intraDropped = comps.where(col("id") =!= col("component")).select(col("id"))
-    val dropped = Caches.cacheOnce(
-      dupOfStore.unionByName(intraDropped).distinct()
-        .withColumnRenamed("id", idCol)
-        .unionByName(exactDropped))
-    val kept = Dedup.keepCorpus(delta, dropped, idCol, dropped.count())
-    // Ingest: survivors' signatures join the store for the NEXT delta —
-    // batch dir first (overwrite: a crashed attempt's partials vanish),
-    // commit marker LAST.
-    dsig.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$vdir/batch_$name")
-    touch(Compaction.fs(spark, rt), s"$vdir/_committed_$name")
-    kept
+    // The lease covers view resolution THROUGH the append: a compaction
+    // sliding in between would strand the survivors' batch in a
+    // superseded version.
+    Compaction.withLease(spark, storePath, s"dedup:delta:$name") {
+      val vdir = Compaction.currentDir(spark, rt)
+      // Exact-first: copies of shingleable delta docs collapse to their
+      // minimum id before any signature or band join exists — the template
+      // mega-cluster never reaches the candidate stage.
+      val exactDropped = Caches.cacheOnce(
+        Dedup.exactDroppedIds(delta, Some(n), idCol, textCol)
+          .withColumnRenamed("id", idCol))
+      val nExact = exactDropped.count()
+      val reps = Dedup.keepCorpus(delta, exactDropped, idCol, nExact)
+      val dsig = Caches.cacheOnce(
+        Dedup.minHashSignatures(reps, n, numPerms, idCol, textCol))
+      val bsig = viewOf(spark, vdir, exclude = Some(name))
+      val dBands = Dedup.lshBands(dsig, bands, r)
+      val bBands = Dedup.lshBands(bsig, bands, r)
+      // Delta docs whose signature near-matches ANY stored doc: first
+      // arrival wins, the delta copy drops.
+      val dupOfStore = dBands
+        .join(bBands.select(col("id").as("bid"), col("band"), col("bk")), Seq("band", "bk"))
+        .select(col("id"), col("bid")).distinct()
+        .join(dsig.select(col("id"), col("sig").as("dsg")), Seq("id"))
+        .join(bsig.select(col("id").as("bid"), col("sig").as("bsg")), Seq("bid"))
+        .where(Dedup.estSim(col("dsg"), col("bsg"), numPerms) >= estThreshold)
+        .select(col("id")).distinct()
+      // Intra-delta components: min-id survivor (keep-first has no quality
+      // tier — arrival order, then id, is the rule).
+      val pairs = Dedup.lshCandidates(dsig, bands, r, maxBandDegree)
+        .where(col("est_sim") >= estThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = Dedup.connectedComponents(pairs)
+      val intraDropped = comps.where(col("id") =!= col("component")).select(col("id"))
+      val dropped = Caches.cacheOnce(
+        dupOfStore.unionByName(intraDropped).distinct()
+          .withColumnRenamed("id", idCol)
+          .unionByName(exactDropped))
+      val kept = Dedup.keepCorpus(delta, dropped, idCol, dropped.count())
+      // Ingest: survivors' signatures join the store for the NEXT delta —
+      // batch dir first (overwrite: a crashed attempt's partials vanish),
+      // commit marker LAST.
+      dsig.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$vdir/batch_$name")
+      touch(Compaction.fs(spark, rt), s"$vdir/_committed_$name")
+      kept
+    }
   }
 }

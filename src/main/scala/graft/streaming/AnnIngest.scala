@@ -1,9 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.SimilaritySearch
 import graft.store.AnnStore
 
 /**
@@ -11,50 +9,34 @@ import graft.store.AnnStore
  * `AnnStore.appendSrp/appendIvf` (EXT-A9): fold a micro-batched vector
  * stream into the persisted index with `foreachBatch`. Each batch is
  * bucketed/assigned against the PERSISTED planes/centroids (one pass
- * over the batch, the corpus is never rebuilt) and lands in its own
- * `batch=<id>` subdirectory written in OVERWRITE mode — so a redelivered
- * batch after a crash rewrites the same directory with identical content
- * instead of double-appending. No marker file is needed: the write
- * itself is idempotent.
+ * over the batch, the corpus is never rebuilt) and lands through the
+ * store's marker-committed batch protocol under the name
+ * `stream_<batchId>` — a redelivered batch after a crash is a no-op
+ * once its `_committed_` marker exists (assignment is deterministic per
+ * vector, so the committed content IS what the retry would write), and
+ * a batch that crashed BEFORE the marker is invisible to readers and
+ * cleanly overwritten by the retry.
  *
- * Serving reads the index tree recursively (`AnnStore` sets
- * `recursiveFileLookup`), so base files and batch subdirectories serve
- * through the same path, and results stay identical to an index built
- * over everything at once (per-vector assignment — q75's contract).
- *
- * Batch directories land INSIDE the currently-served version of the
- * versioned table (`Compaction.currentDir`); like all appends, the ingest
- * must PAUSE around an offline compaction (the rewrite is a point-in-time
- * copy — a batch racing the swap would land in the superseded version).
+ * Serving (`AnnStore.readTree`) reads exactly the committed batch
+ * directories of the served version, so base files and streamed batches
+ * serve through the same path, and results stay identical to an index
+ * built over everything at once (per-vector assignment — q75's
+ * contract). Each batch takes the store writer lease for its duration —
+ * an ingest racing an offline compaction now fails loudly instead of
+ * landing rows in a superseded version.
  */
 object AnnIngest {
 
   /** Assign one vector micro-batch against the persisted IVF centroids
-    * and land it as `batch=<id>`. Shares the exact serving layout
-    * (cent_id-partitioned, in-file sorted). */
-  def applyIvfBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
-    val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$storePath/${AnnStore.IvfCentroids}")
-    val cur = graft.store.Compaction.currentDir(spark, s"$storePath/${AnnStore.IvfLists}")
-    SimilaritySearch.ivfLists(batch, cents)
-      .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
-      .write.mode("overwrite")
-      .parquet(s"$cur/batch=$batchId")
-  }
+    * and land it as the committed batch `stream_<id>`. Shares the exact
+    * serving layout (cent_id-partitioned, in-file sorted). */
+  def applyIvfBatch(batch: DataFrame, batchId: Long, storePath: String): Unit =
+    AnnStore.appendIvf(batch, storePath, batchName = Some(s"stream_$batchId"))
 
   /** Bucket one vector micro-batch with the persisted SRP planes and
-    * land it as `batch=<id>`. */
-  def applySrpBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
-    val spark = batch.sparkSession
-    val planes = AnnStore.readPlanes(spark, storePath)
-    val cur = graft.store.Compaction.currentDir(spark, s"$storePath/${AnnStore.SrpBuckets}")
-    SimilaritySearch.withBucket(graft.core.Spread.byKey(batch, col("vec_id")), planes)
-      .select(col("vec_id"), col("embedding"),
-        SimilaritySearch.l2Norm(col("embedding")).as("nrm"), col("bucket"))
-      .repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
-      .write.mode("overwrite")
-      .parquet(s"$cur/batch=$batchId")
-  }
+    * land it as the committed batch `stream_<id>`. */
+  def applySrpBatch(batch: DataFrame, batchId: Long, storePath: String): Unit =
+    AnnStore.appendSrp(batch, storePath, batchName = Some(s"stream_$batchId"))
 
   /** Start continuous IVF ingest: `vectors` is a STREAMING DataFrame with
     * (vec_id, embedding) columns; the store must already hold a centroid

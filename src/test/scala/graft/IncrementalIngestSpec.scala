@@ -149,9 +149,10 @@ class IncrementalIngestSpec extends SparkSpec {
       deltas.head.toDF("vec_id", "embedding"), 0L, streamed)
     dump(graft.store.AnnStore.ivfTopK(spark, streamed, queries, 2, 3)) shouldBe servedBefore
 
-    // compaction: fold the batch=<id> subtrees into the NEXT VERSION's
-    // flat layout (marker-last swap) — served top-k identical, streaming
-    // subdirectories gone from the served version, fewer files
+    // compaction: fold the committed stream batches into the NEXT
+    // VERSION's single base batch (marker-last swap) — served top-k
+    // identical, per-batch directories gone from the served version,
+    // fewer files
     def curDir(sub: String) = graft.store.Compaction.currentDir(spark, s"$streamed/$sub")
     def treeFiles(sub: String) = {
       import scala.jdk.CollectionConverters._
@@ -167,7 +168,9 @@ class IncrementalIngestSpec extends SparkSpec {
     for (sub <- Seq(graft.store.AnnStore.SrpBuckets, graft.store.AnnStore.IvfLists)) {
       graft.store.Compaction.currentVersion(spark, s"$streamed/$sub") shouldBe Some(1L)
       val dirs = new java.io.File(curDir(sub)).listFiles().filter(_.isDirectory)
-      assert(dirs.isEmpty, s"$sub served version still holds subdirectories: ${dirs.mkString(",")}")
+        .map(_.getName).sorted.toSeq
+      assert(dirs == Seq("batch_base"),
+        s"$sub served version should hold ONLY the compacted base batch, got: ${dirs.mkString(",")}")
     }
     assert(treeFiles(graft.store.AnnStore.SrpBuckets).size <= srpFilesBefore)
   }

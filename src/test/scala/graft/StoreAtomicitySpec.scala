@@ -1,10 +1,12 @@
 package graft
 
-import graft.store.{Compaction, DedupStore}
+import org.apache.spark.sql.functions._
+import graft.store.{AnnStore, Compaction, DedupStore}
 
-/** The versioned marker-last swap (`Compaction`) and the dedup store's
-  * faces built on it: reader atomicity across compaction, the crash
-  * window, retraction, and crash/redelivery-idempotent delta ingest. */
+/** The versioned marker-last swap (`Compaction`) and the store faces
+  * built on it: reader atomicity across compaction, the crash window,
+  * retraction, crash/redelivery-idempotent delta ingest, the ANN batch
+  * append protocol, and writer-lease exclusion. */
 class StoreAtomicitySpec extends SparkSpec {
   import spark.implicits._
 
@@ -173,5 +175,117 @@ class StoreAtomicitySpec extends SparkSpec {
       streamed, s"$dir/kept", N, Perms, Bds, T)
     sigIds(streamed) shouldBe before
     keptBatch(0) shouldBe k0
+  }
+
+  // ---- ANN batch-append protocol (the AnnStore faces) ----
+
+  private def annCorpus(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1L to n.toLong).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+  }
+
+  private def dumpTopK(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy("query_id", "cos", "vec_id").collect().toSeq
+
+  private def batchDirsOf(root: String): Seq[String] = {
+    val vdir = Compaction.currentDir(spark, root)
+    new java.io.File(vdir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_")).sorted.toSeq
+  }
+
+  test("ANN append: crashed partial batch (no marker) is invisible; the retry lands cleanly") {
+    val all = annCorpus(31, 40)
+    val base = all.where(col("vec_id") % 4 =!= 0)
+    val delta = all.where(col("vec_id") % 4 === 0)
+    val queries = all.where(col("vec_id") % 9 === 1)
+    val planes = graft.operators.SimilaritySearch.hyperplanes(6, 8)
+
+    val store = java.nio.file.Files.createTempDirectory("graft_annatom1").toString
+    AnnStore.writeSrp(base, planes, store)
+    val baseline = dumpTopK(AnnStore.srpTopK(spark, store, queries, 3))
+
+    // crash mid-append: partial parquet under batch_d1, no _committed_d1
+    val vdir = Compaction.currentDir(spark, s"$store/${AnnStore.SrpBuckets}")
+    annCorpus(99, 3).withColumn("nrm", lit(1.0f)).withColumn("bucket", lit(0))
+      .write.mode("overwrite").parquet(s"$vdir/batch_d1")
+    dumpTopK(AnnStore.srpTopK(spark, store, queries, 3)) shouldBe baseline
+
+    // the retry under the same batch name overwrites the ghost and commits
+    AnnStore.appendSrp(delta, store, batchName = Some("d1"))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_annatom1r").toString
+    AnnStore.writeSrp(all, planes, rebuilt)
+    dumpTopK(AnnStore.srpTopK(spark, store, queries, 3)) shouldBe
+      dumpTopK(AnnStore.srpTopK(spark, rebuilt, queries, 3))
+  }
+
+  test("ANN append: redelivery under the same batch name is a no-op; re-init clears stale batches") {
+    val all = annCorpus(47, 40)
+    val base = all.where(col("vec_id") % 4 =!= 0)
+    val delta = all.where(col("vec_id") % 4 === 0)
+    val queries = all.where(col("vec_id") % 9 === 1)
+    val cents = graft.operators.SimilaritySearch.ivfCentroids(base, 7)
+
+    val store = java.nio.file.Files.createTempDirectory("graft_annatom2").toString
+    AnnStore.writeIvf(base, cents, store)
+    AnnStore.appendIvf(delta, store, batchName = Some("d1"))
+    val afterFirst = dumpTopK(AnnStore.ivfTopK(spark, store, queries, 2, 3))
+    val root = s"$store/${AnnStore.IvfLists}"
+    batchDirsOf(root) shouldBe Seq("batch_base", "batch_d1")
+
+    // redelivery: marker exists → no write, no duplicate rows
+    AnnStore.appendIvf(delta, store, batchName = Some("d1"))
+    batchDirsOf(root) shouldBe Seq("batch_base", "batch_d1")
+    dumpTopK(AnnStore.ivfTopK(spark, store, queries, 2, 3)) shouldBe afterFirst
+
+    // re-init over the appended store: only the fresh base batch survives
+    AnnStore.writeIvf(base, cents, store)
+    batchDirsOf(root) shouldBe Seq("batch_base")
+    dumpTopK(AnnStore.ivfTopK(spark, store, queries, 2, 3)) shouldBe
+      dumpTopK(AnnStore.ivfTopK(spark,
+        { val r = java.nio.file.Files.createTempDirectory("graft_annatom2r").toString
+          AnnStore.writeIvf(base, cents, r); r }, queries, 2, 3))
+  }
+
+  test("writer lease: a second writer fails loudly naming the holder; breakLease recovers") {
+    val all = annCorpus(53, 24)
+    val planes = graft.operators.SimilaritySearch.hyperplanes(4, 8)
+    val store = java.nio.file.Files.createTempDirectory("graft_annatom3").toString
+    AnnStore.writeSrp(all, planes, store)
+
+    // a concurrent writer holds the lease (e.g. a live compaction)
+    Compaction.acquireLease(spark, store, "compact:srp_buckets")
+    val ex = intercept[IllegalStateException] {
+      AnnStore.appendSrp(all.limit(2), store, batchName = Some("d9"))
+    }
+    ex.getMessage should include("compact:srp_buckets")
+    // the blocked append left nothing behind
+    batchDirsOf(s"$store/${AnnStore.SrpBuckets}") shouldBe Seq("batch_base")
+
+    // holder crashed → operator breaks the lease; the retry lands
+    Compaction.breakLease(spark, store)
+    AnnStore.appendSrp(all.limit(2), store, batchName = Some("d9"))
+    batchDirsOf(s"$store/${AnnStore.SrpBuckets}") shouldBe Seq("batch_base", "batch_d9")
+    Compaction.leaseHolder(spark, store) shouldBe None // released on exit
+  }
+
+  test("writer lease: dedupDelta and compact exclude each other on the dedup store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annatom4").toString
+    val store = s"$dir/store"
+    DedupStore.write(baseDocs, N, Perms, store)
+    Compaction.acquireLease(spark, store, "dedup:compact")
+    intercept[IllegalStateException] {
+      DedupStore.dedupDelta(
+        Seq((11L, "red green blue cyan magenta yellow black white")).toDF("doc_id", "text"),
+        store, N, Perms, Bds, T)
+    }.getMessage should include("dedup:compact")
+    intercept[IllegalStateException] {
+      DedupStore.compact(spark, store)
+    }
+    sigIds(store) shouldBe Seq(2L, 4L) // store untouched by the blocked writers
+    Compaction.breakLease(spark, store)
+    DedupStore.compact(spark, store) // and the retry proceeds
+    sigIds(store) shouldBe Seq(2L, 4L)
   }
 }
