@@ -388,14 +388,157 @@ object SimilaritySearch {
    * q94 pattern), never assumed. Compression at scale: m codes + shared
    * codebooks ≈ m bytes/vector vs 4·dim.
    */
-  def pqRoundtrip(corpus: DataFrame, m: Int, dim: Int, codeMod: Int): DataFrame = {
-    val books = graft.core.Caches.cacheOnce(pqCodebooks(corpus, m, dim, codeMod))
-    val codes = pqEncode(corpus, books, m, dim)
+  def pqRoundtrip(corpus: DataFrame, m: Int, dim: Int, codeMod: Int): DataFrame =
+    pqRoundtripFrom(corpus,
+      graft.core.Caches.cacheOnce(pqCodebooks(corpus, m, dim, codeMod)), m, dim)
+
+  /** PQ decode against an explicit codebook table: each encoded vector
+    * reassembled as the concatenation of its codewords in sub_id order.
+    * Output: (vec_id, embedding). */
+  private def pqDecode(codes: DataFrame, books: DataFrame): DataFrame =
     codes.join(broadcast(books), Seq("sub_id", "code_id"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub_id"), col("code_emb")))),
         x => x.getField("code_emb"))).as("embedding"))
+
+  /** PQ round-trip against an EXPLICIT codebook table (sampled or
+    * trained — the dataflow is identical, the `ivfCentroids` stance). */
+  def pqRoundtripFrom(corpus: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    pqDecode(pqEncode(corpus, books, m, dim), books)
+
+  /**
+   * Lloyd-trained PQ codebooks: `iters` deterministic refinements of the
+   * sampled seeds, independently PER SUBSPACE — the `trainedCentroids`
+   * machinery applied under a composite (sub_id, code_id) key. Each round
+   * assigns every subvector to its nearest current codeword (squared L2
+   * in binary64, tie-break on code_id — `pqEncode`'s criterion), then
+   * replaces each codeword with the ORDERED fold-mean of its assigned
+   * subvectors (sorted by vec_id, summed left-to-right in binary64,
+   * float32-rounded) — bit-reproducible in any engine, so trained-PQ is
+   * oracle-checkable (q106), not just spec-checkable. Empty codewords
+   * drop out; code ids stay the seed ids.
+   *
+   * Scale: each round is one broadcast-codebook map pass over the m
+   * subvectors per corpus row plus one shuffle keyed on (sub_id,
+   * code_id) — m·|codebook| total groups; the per-round codebook table is
+   * tiny and cached so round r+1 does not replay rounds 1..r.
+   */
+  def trainedPqCodebooks(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
+                         iters: Int = 1): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val sd = dim / m
+    val subs = graft.core.Caches.cacheOnce(
+      graft.core.Spread.byKey(corpus, col("vec_id"))
+        .select(col("vec_id"),
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("sub_id"),
+              slice(col("embedding"), j * sd + 1, sd).as("sub_emb"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sub_emb").as("sub_emb")))
+    var books = pqCodebooks(corpus, m, dim, codeMod)
+    // same loud-failure stance as pqEncode: empty seeds would train to an
+    // empty codebook silently (the rounds bypass pqEncode's guard)
+    require(!books.isEmpty,
+      "PQ codebook seeds are empty: no corpus vec_id satisfies the sample " +
+        "predicate (vec_id % codeMod == 1) — lower codeMod")
+    for (_ <- 1 to iters)
+      books = graft.core.Caches.cacheOnce(pqLloydRound(subs, books, sd))
+    books
+  }
+
+  /** One per-subspace Lloyd round: assign every subvector to its nearest
+    * codeword of ITS subspace, fold each (sub_id, code_id) group to its
+    * ordered-mean codeword (see `trainedPqCodebooks`). */
+  private def pqLloydRound(subs: DataFrame, books: DataFrame, sd: Int): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val d2 = dot(col("sub_emb"), col("sub_emb")) -
+      lit(2.0) * dot(col("sub_emb"), col("code_emb")) +
+      dot(col("code_emb"), col("code_emb"))
+    // the argmin is the same map-side-combining min(struct) as pqEncode;
+    // sub_emb rides along via first() (functionally determined by the key)
+    val assigned = subs.join(broadcast(books), Seq("sub_id"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(d2.as("d2"), col("code_id").as("code_id"))).as("best"),
+        first(col("sub_emb")).as("sub_emb"))
+      .select(col("sub_id"), col("best.code_id").as("code_id"),
+        col("vec_id"), col("sub_emb"))
+    val folded = assigned
+      .repartition(col("sub_id"), col("code_id"))
+      .sortWithinPartitions(col("sub_id"), col("code_id"), col("vec_id"))
+      .select(col("sub_id").cast("int"), col("code_id").cast("long"),
+        col("sub_emb"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Int, Long, Array[Float])] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Int, Long, Array[Float]) = {
+            val (sid, cid, _) = it.head
+            val acc = new Array[Double](sd)
+            var n = 0L
+            while (it.hasNext && it.head._1 == sid && it.head._2 == cid) {
+              val emb = it.next()._3
+              var i = 0
+              while (i < sd) { acc(i) += emb(i).toDouble; i += 1 }
+              n += 1
+            }
+            val out = new Array[Float](sd)
+            var i = 0
+            while (i < sd) { out(i) = (acc(i) / n).toFloat; i += 1 }
+            (sid, cid, out)
+          }
+        }
+      }
+    folded.toDF("sub_id", "code_id", "code_emb")
+  }
+
+  /**
+   * Residual IVF-PQ top-k — the standard IVF-ADC composition: corpus
+   * vectors are assigned to their nearest RAW-sampled centroid over the
+   * RAW vector (the inverted-list key never moves), and PQ encodes the
+   * RESIDUAL x − c(x) rather than x itself. Residuals are centered near
+   * zero, so the shared codebooks spend their codewords on the local
+   * displacement instead of re-describing the coarse structure the
+   * centroid already carries — the recall win q105 measures against the
+   * raw-encoding form (q104) at equal m/nprobe.
+   *
+   * Every float step (subtract, add back) is computed in binary64 and
+   * rounded to float32 — for a single IEEE op that double-rounding is
+   * exact (53 ≥ 2·24+2), so any engine reproduces the residuals and
+   * reconstructions bit-for-bit. Serving decodes a candidate as
+   * c(x) + decode(codes) and scores with the codegen'd `vec_dot` fold
+   * (ADC via reconstruction, the `ivfPqServe` stance).
+   *
+   * Scale shape: one broadcast-centroid assignment pass, one
+   * broadcast-codebook encode pass, lists shuffle once on cent_id;
+   * queries broadcast and probe nprobe lists — identical dataflow to the
+   * raw form, the residual subtract/add are map-only.
+   */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int,
+                        dim: Int, codeMod: Int, centroidMod: Int,
+                        nprobe: Int, k: Int): DataFrame = {
+    val cents = graft.core.Caches.cacheOnce(ivfCentroids(corpus, centroidMod))
+    val assigned = graft.core.Caches.cacheOnce(
+      centroidRanks(graft.core.Spread.byKey(corpus, col("vec_id")), cents, 1)
+        .select(col("cent_id"), col("vec_id"), col("embedding")))
+    val fsub = (x: Column, c: Column) =>
+      (x.cast("double") - c.cast("double")).cast("float")
+    val fadd = (x: Column, c: Column) =>
+      (x.cast("double") + c.cast("double")).cast("float")
+    val resid = assigned
+      .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cent_emb"), fsub).as("embedding"))
+    val books = graft.core.Caches.cacheOnce(pqCodebooks(resid, m, dim, codeMod))
+    val lists = assigned.select(col("cent_id"), col("vec_id"))
+      .join(pqDecode(pqEncode(resid, books, m, dim), books)
+        .withColumnRenamed("embedding", "remb"), Seq("vec_id"))
+      .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"),
+        zip_with(col("remb"), col("cent_emb"), fadd).as("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    ivfServe(lists, cents, queries, nprobe, k)
   }
 
   /**

@@ -104,6 +104,54 @@ object AnnQueries extends QueryPack {
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
     }),
 
+    // EXT-A15: residual IVF-PQ vs raw IVF-PQ — the standard IVF-ADC
+    // refinement: lists keyed by the RAW vector's nearest raw-sampled
+    // centroid, PQ encoding the residual x − c(x) (codewords describe the
+    // local displacement, not the coarse structure). Per-query recall@k
+    // of both forms against the exact ground truth at equal m/nprobe —
+    // the q41 pattern deciding whether the refinement pays.
+    "q105_ann_pq_residual" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
+      val rec = SimilaritySearch.pqRoundtrip(embs(s, dir), PqM, Dim, PqCodeMod)
+      val raw = ids(SimilaritySearch.ivfTopKFrom(
+        SimilaritySearch.ivfCentroids(rec, CentroidMod), querySet(s, dir), rec,
+        NProbe, K))
+      val res = ids(SimilaritySearch.ivfPqResidualTopK(querySet(s, dir),
+        embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, NProbe, K))
+      def recallOf(ann: DataFrame, name: String) = bt
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6).as(name))
+      recallOf(raw, "recall_pq_raw")
+        .join(recallOf(res, "recall_pq_res"), Seq("query_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // EXT-A16: Lloyd-trained PQ codebooks — one deterministic per-subspace
+    // refinement round of the sampled codewords (ordered fold-means under
+    // a (sub_id, code_id) key — the q40 training step applied inside each
+    // subspace), measured as per-query recall@k against the sampled-
+    // codebook form (q99's metric) under one oracle that replays the
+    // refinement.
+    "q106_ann_pq_trained" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
+      val sampled = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir),
+        SimilaritySearch.pqRoundtrip(embs(s, dir), PqM, Dim, PqCodeMod), K))
+      val trained = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir),
+        SimilaritySearch.pqRoundtripFrom(embs(s, dir),
+          SimilaritySearch.trainedPqCodebooks(embs(s, dir), PqM, Dim, PqCodeMod),
+          PqM, Dim), K))
+      def recallOf(ann: DataFrame, name: String) = bt
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6).as(name))
+      recallOf(sampled, "recall_pq")
+        .join(recallOf(trained, "recall_pq_trained"), Seq("query_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // EXT-A8: multi-probe SRP top-k — each query also probes its L
     // Hamming-1 neighbor buckets (one flipped hyperplane), the standard
     // LSH recall lever: near neighbors one unlucky plane away are
@@ -281,38 +329,43 @@ object AnnQueries extends QueryPack {
 
   private lazy val TrainedCentsCtes = trainedCentsCtes(1)
 
-  /** Shared PQ CTE chain (mirrors pqCodebooks → pqEncode → pqRoundtrip):
-    * sampled codewords `cw`, per-vector subspace slices `cs`, nearest-
-    * codeword encodings `enc` (squared L2, tie on code_id), and the
-    * reconstructed corpus `rec`. Used by q99 (PQ recall) and q104
-    * (IVF-PQ serving). */
-  private lazy val PqRecCtes: String = {
+  private def foldDotSql(x: String, y: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1),
+       |    i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin
+  private def d2Sql(a: String, b: String) =
+    s"(${foldDotSql(a, a)} - 2 * ${foldDotSql(a, b)} + ${foldDotSql(b, b)})"
+
+  /** PQ CTE chain (mirrors pqCodebooks → pqEncode → pqRoundtrip) over
+    * source CTE/table `src`, names prefixed `p`: sampled codewords
+    * `<p>cw`, per-vector subspace slices `<p>cs`, nearest-codeword
+    * encodings `<p>enc` (squared L2, tie on code_id), and the
+    * reconstructed corpus `<p>rec`. Used by q99/q104 (over `embeddings`)
+    * and q105 (over the residual corpus). */
+  private def pqCtesFrom(src: String, p: String): String = {
     val sd = Dim / PqM
-    def fold(x: String, y: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1),
-         |    i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin
-    def d2Sql(a: String, b: String) =
-      s"(${fold(a, a)} - 2 * ${fold(a, b)} + ${fold(b, b)})"
-    s"""cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
+    s"""${p}cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
        |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
        |                        i -> s.embedding[i]) AS code_emb
-       |       FROM embeddings s, unnest(range(0, $PqM)) AS t(j)
+       |       FROM $src s, unnest(range(0, $PqM)) AS t(j)
        |       WHERE s.vec_id % $PqCodeMod = 1),
-       |cs AS (SELECT e.vec_id, t.j AS sub_id,
+       |${p}cs AS (SELECT e.vec_id, t.j AS sub_id,
        |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
        |                        i -> e.embedding[i]) AS sub_emb
-       |       FROM embeddings e, unnest(range(0, $PqM)) AS t(j)),
-       |enc AS (SELECT vec_id, sub_id, code_id FROM (
-       |          SELECT cs.vec_id, cs.sub_id, cw.code_id,
-       |            ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.sub_id
-       |              ORDER BY ${d2Sql("cs.sub_emb", "cw.code_emb")} ASC,
-       |                       cw.code_id) AS crnk
-       |          FROM cs JOIN cw ON cs.sub_id = cw.sub_id) WHERE crnk = 1),
-       |rec AS (SELECT enc.vec_id,
-       |          flatten(list(cw.code_emb ORDER BY enc.sub_id)) AS embedding
-       |        FROM enc JOIN cw ON enc.sub_id = cw.sub_id AND enc.code_id = cw.code_id
+       |       FROM $src e, unnest(range(0, $PqM)) AS t(j)),
+       |${p}enc AS (SELECT vec_id, sub_id, code_id FROM (
+       |          SELECT c.vec_id, c.sub_id, w.code_id,
+       |            ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.sub_id
+       |              ORDER BY ${d2Sql("c.sub_emb", "w.code_emb")} ASC,
+       |                       w.code_id) AS crnk
+       |          FROM ${p}cs c JOIN ${p}cw w ON c.sub_id = w.sub_id) WHERE crnk = 1),
+       |${p}rec AS (SELECT e.vec_id,
+       |          flatten(list(w.code_emb ORDER BY e.sub_id)) AS embedding
+       |        FROM ${p}enc e JOIN ${p}cw w
+       |          ON e.sub_id = w.sub_id AND e.code_id = w.code_id
        |        GROUP BY 1)""".stripMargin
   }
+
+  private lazy val PqRecCtes: String = pqCtesFrom("embeddings", "")
 
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
@@ -456,6 +509,141 @@ object AnnQueries extends QueryPack {
          |       FROM scored)
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q105_ann_pq_residual" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |$PqRecCtes,
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM rec
+         |          WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT r.vec_id, r.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |              ORDER BY ${cosSql("r.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM rec r CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT query_id, q_emb, cent_id FROM (
+         |             SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+         |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY ${cosSql("q.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                          c.cent_id) AS crnk
+         |             FROM embeddings q CROSS JOIN cents c
+         |             WHERE q.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |scored AS (SELECT p.query_id, l.vec_id,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
+         |rawt AS (SELECT query_id, vec_id FROM (
+         |           SELECT query_id, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |           FROM scored) WHERE rnk <= $K),
+         |rcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |rranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                        c.cent_id) AS crnk
+         |           FROM embeddings e CROSS JOIN rcents c),
+         |rasg AS (SELECT cent_id, vec_id, embedding FROM rranks WHERE crnk = 1),
+         |resid AS (SELECT a.vec_id,
+         |            list_transform(range(1, ${Dim + 1}),
+         |              i -> (a.embedding[i]::DOUBLE - c.cent_emb[i]::DOUBLE)::REAL)
+         |              AS embedding
+         |          FROM rasg a JOIN rcents c ON a.cent_id = c.cent_id),
+         |${pqCtesFrom("resid", "r")},
+         |serve AS (SELECT a.cent_id, r.vec_id,
+         |            list_transform(range(1, ${Dim + 1}),
+         |              i -> (r.embedding[i]::DOUBLE + c.cent_emb[i]::DOUBLE)::REAL)
+         |              AS embedding
+         |          FROM rrec r JOIN rasg a ON r.vec_id = a.vec_id
+         |          JOIN rcents c ON a.cent_id = c.cent_id),
+         |rqprobes AS (SELECT query_id, q_emb, cent_id FROM (
+         |               SELECT q2.vec_id AS query_id, q2.embedding AS q_emb, c.cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+         |                   ORDER BY ${cosSql("q2.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                            c.cent_id) AS crnk
+         |               FROM embeddings q2 CROSS JOIN rcents c
+         |               WHERE q2.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |rscored AS (SELECT p.query_id, l.vec_id,
+         |              ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM serve l JOIN rqprobes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |rest AS (SELECT query_id, vec_id FROM (
+         |           SELECT query_id, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |           FROM rscored) WHERE rnk <= $K),
+         |rr1 AS (SELECT b.query_id, ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq_raw
+         |        FROM bt b LEFT JOIN rawt t
+         |          ON b.query_id = t.query_id AND b.vec_id = t.vec_id GROUP BY 1),
+         |rr2 AS (SELECT b.query_id, ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq_res
+         |        FROM bt b LEFT JOIN rest t
+         |          ON b.query_id = t.query_id AND b.vec_id = t.vec_id GROUP BY 1)
+         |SELECT rr1.query_id, rr1.recall_pq_raw, rr2.recall_pq_res
+         |FROM rr1 JOIN rr2 ON rr1.query_id = rr2.query_id ORDER BY 1""".stripMargin,
+
+    "q106_ann_pq_trained" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |$PqRecCtes,
+         |sscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM rec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |st AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM sscored) WHERE rnk <= $K),
+         |tps AS (SELECT e.sub_id, e.code_id,
+         |          list(c.sub_emb ORDER BY c.vec_id) AS vs, COUNT(*) AS n
+         |        FROM enc e JOIN cs c ON e.vec_id = c.vec_id AND e.sub_id = c.sub_id
+         |        GROUP BY 1, 2),
+         |tcw AS (SELECT sub_id, code_id, list_transform(
+         |          list_reduce(
+         |            list_prepend(list_transform(range(1, ${Dim / PqM + 1}), i -> 0.0), vs),
+         |            (acc, v) -> list_transform(range(1, ${Dim / PqM + 1}),
+         |                                       i -> acc[i] + v[i]::DOUBLE)),
+         |          x -> (x / n)::REAL) AS code_emb FROM tps),
+         |tenc AS (SELECT vec_id, sub_id, code_id FROM (
+         |           SELECT c.vec_id, c.sub_id, w.code_id,
+         |             ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.sub_id
+         |               ORDER BY ${d2Sql("c.sub_emb", "w.code_emb")} ASC,
+         |                        w.code_id) AS crnk
+         |           FROM cs c JOIN tcw w ON c.sub_id = w.sub_id) WHERE crnk = 1),
+         |trec AS (SELECT e.vec_id,
+         |           flatten(list(w.code_emb ORDER BY e.sub_id)) AS embedding
+         |         FROM tenc e JOIN tcw w
+         |           ON e.sub_id = w.sub_id AND e.code_id = w.code_id
+         |         GROUP BY 1),
+         |tscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM trec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |tt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM tscored) WHERE rnk <= $K),
+         |rr1 AS (SELECT b.query_id, ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq
+         |        FROM bt b LEFT JOIN st t
+         |          ON b.query_id = t.query_id AND b.vec_id = t.vec_id GROUP BY 1),
+         |rr2 AS (SELECT b.query_id, ROUND(COUNT(t.vec_id)::DOUBLE / $K, 6) AS recall_pq_trained
+         |        FROM bt b LEFT JOIN tt t
+         |          ON b.query_id = t.query_id AND b.vec_id = t.vec_id GROUP BY 1)
+         |SELECT rr1.query_id, rr1.recall_pq, rr2.recall_pq_trained
+         |FROM rr1 JOIN rr2 ON rr1.query_id = rr2.query_id ORDER BY 1""".stripMargin,
 
     "q59_ann_multiprobe" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket

@@ -216,6 +216,55 @@ class SimilaritySearchSpec extends SparkSpec {
       dump(graft.store.AnnStore.ivfTopK(spark, rebuilt, queries, 2, 3))
   }
 
+  test("trainedPqCodebooks: per-subspace Lloyd monotonically lowers the quantization objective") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val (m, dim, codeMod) = (4, 8, 9)
+    // Σ ||x − decode(encode(x))||² — the k-means objective summed over
+    // subspaces; each Lloyd round (assign, then mean) cannot increase it
+    def sse(books: org.apache.spark.sql.DataFrame): Double = {
+      val rec = SimilaritySearch.pqRoundtripFrom(corpus, books, m, dim)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      corpus.collect().map { r =>
+        val x = r.getSeq[Float](1); val y = rec(r.getLong(0))
+        x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      }.sum
+    }
+    val sampled = SimilaritySearch.pqCodebooks(corpus, m, dim, codeMod)
+    val t1 = SimilaritySearch.trainedPqCodebooks(corpus, m, dim, codeMod, 1)
+    val t2 = SimilaritySearch.trainedPqCodebooks(corpus, m, dim, codeMod, 2)
+    val (s0, s1, s2) = (sse(sampled), sse(t1), sse(t2))
+    assert(s1 <= s0, s"one Lloyd round should not raise the objective: $s1 > $s0")
+    assert(s2 <= s1, s"round 2 should not raise the objective: $s2 > $s1")
+    // codeword ids remain seed ids; every subspace keeps >= 1 codeword
+    val subIds = t1.select("sub_id").distinct().collect().map(_.getInt(0)).sorted
+    subIds.toSeq shouldBe (0 until m)
+    val seedIds = sampled.select("code_id").distinct().collect().map(_.getLong(0)).toSet
+    t1.select("code_id").distinct().collect().map(_.getLong(0))
+      .foreach(id => assert(seedIds.contains(id)))
+  }
+
+  test("ivfPqResidualTopK: exact when every vector is its own codeword; residual decode adds back the centroid") {
+    val rnd = new scala.util.Random(13)
+    // odd ids only → vec_id % 2 == 1 samples EVERY vector: each residual
+    // subvector is its own codeword, decode is exact, so residual IVF-PQ
+    // must equal plain exact IVF on the same centroids/probes
+    val corpus = (1L to 60L).filter(_ % 2 == 1).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") % 9 === 1)
+    val (m, dim, codeMod, centMod) = (4, 8, 2, 7)
+    // fl(fl(x−c)+c) reconstructs x up to one rounding step per element,
+    // not bit-exactly — compare membership and 4-decimal scores
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "vec_id").collect().toSeq
+    val res = dump(SimilaritySearch.ivfPqResidualTopK(
+      queries, corpus, m, dim, codeMod, centMod, 2, 3))
+    val exact = dump(SimilaritySearch.ivfTopK(queries, corpus, centMod, 2, 3))
+    res shouldBe exact
+  }
+
   test("IVF-PQ store round-trip: persisted serving == in-memory compose; compaction preserves it") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 60L).map(i =>
