@@ -16,16 +16,26 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table with its nanosecond parquet timestamp normalized to
-    * a microsecond TimestampType column. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
-    * builder in this project): Spark 4 has no native NANOS timestamp, so
-    * the column arrives as a long and is floor-divided to µs — exactly
-    * how DuckDB truncates the same file. */
+  /** The events table with its parquet timestamp normalized to a
+    * microsecond TimestampType column, whatever the file encodes:
+    *
+    *  - NANOS (older fixtures): Spark 4 has no native nanos timestamp, so
+    *    under `spark.sql.legacy.parquet.nanosAsLong=true` (set by every
+    *    session builder in this project) the column arrives as a long and
+    *    is floor-divided to µs — exactly how DuckDB truncates that file;
+    *  - MICROS, isAdjustedToUTC=false (current fixtures): arrives as
+    *    TIMESTAMP_NTZ; the wall clock is interpreted as UTC (sessions pin
+    *    `spark.sql.session.timeZone=UTC`), the same instants DuckDB reads;
+    *  - MICROS, adjusted: already TimestampType — as-is. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    read(spark, dir, "events").withColumn("ts",
-      expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Occurrence-log derivation "orders-basket" (FIXTURES.md §B): items
