@@ -425,7 +425,16 @@ object SimilaritySearch {
    * tiny and cached so round r+1 does not replay rounds 1..r.
    */
   def trainedPqCodebooks(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
-                         iters: Int = 1): DataFrame = {
+                         iters: Int = 1): DataFrame =
+    trainedPqCodebooksFrom(corpus, pqCodebooks(corpus, m, dim, codeMod),
+      m, dim, iters)
+
+  /** Per-subspace Lloyd training from an EXPLICIT seed codebook table —
+    * the `ivfTopKFrom` stance: at scale the seed count is a FIXED index
+    * parameter (a 256-entry codebook), not a corpus fraction, so the
+    * per-round assignment cost stays linear in the corpus. */
+  def trainedPqCodebooksFrom(corpus: DataFrame, seeds: DataFrame, m: Int,
+                             dim: Int, iters: Int = 1): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val sd = dim / m
     val subs = graft.core.Caches.cacheOnce(
@@ -435,7 +444,7 @@ object SimilaritySearch {
             struct(lit(j).as("sub_id"),
               slice(col("embedding"), j * sd + 1, sd).as("sub_emb"))): _*)).as("s"))
         .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sub_emb").as("sub_emb")))
-    var books = pqCodebooks(corpus, m, dim, codeMod)
+    var books = seeds
     // same loud-failure stance as pqEncode: empty seeds would train to an
     // empty codebook silently (the rounds bypass pqEncode's guard)
     require(!books.isEmpty,
@@ -515,10 +524,18 @@ object SimilaritySearch {
    * queries broadcast and probe nprobe lists — identical dataflow to the
    * raw form, the residual subtract/add are map-only.
    */
+  /** `sampleFilter` bounds the rows the centroid and codebook SAMPLES
+    * are drawn from (assignment/encode/serving still cover the whole
+    * corpus): index parameters — nlist, codebook entries — are fixed
+    * index knobs at scale, not corpus fractions, or the encode pass
+    * goes quadratic as the corpus grows. Default keeps the whole corpus
+    * eligible. */
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int,
                         dim: Int, codeMod: Int, centroidMod: Int,
-                        nprobe: Int, k: Int): DataFrame = {
-    val cents = graft.core.Caches.cacheOnce(ivfCentroids(corpus, centroidMod))
+                        nprobe: Int, k: Int,
+                        sampleFilter: Column = lit(true)): DataFrame = {
+    val cents = graft.core.Caches.cacheOnce(
+      ivfCentroids(corpus.where(sampleFilter), centroidMod))
     val assigned = graft.core.Caches.cacheOnce(
       centroidRanks(graft.core.Spread.byKey(corpus, col("vec_id")), cents, 1)
         .select(col("cent_id"), col("vec_id"), col("embedding")))
@@ -530,7 +547,8 @@ object SimilaritySearch {
       .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("cent_emb"), fsub).as("embedding"))
-    val books = graft.core.Caches.cacheOnce(pqCodebooks(resid, m, dim, codeMod))
+    val books = graft.core.Caches.cacheOnce(
+      pqCodebooks(resid.where(sampleFilter), m, dim, codeMod))
     val lists = assigned.select(col("cent_id"), col("vec_id"))
       .join(pqDecode(pqEncode(resid, books, m, dim), books)
         .withColumnRenamed("embedding", "remb"), Seq("vec_id"))

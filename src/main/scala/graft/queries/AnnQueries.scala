@@ -17,6 +17,13 @@ object AnnQueries extends QueryPack {
   private val Planes = 8
   private val Dim = 64
   private val QueryMod = 50 // query set: vec_id % 50 == 0
+  // Scale-invariant query panel: fixture scale-ups replicate the id space
+  // in 10M-key strides (tools.ScaleData.Stride), so capping the panel
+  // inside the first stride keeps the measured QUERY SET constant as the
+  // corpus grows — recall/serving harnesses then scale with the corpus
+  // only, not quadratically with corpus × panel (sf1 probe: q105's
+  // ground-truth pass was 100 s cold uncapped). No-op at sf ≤ 0.1.
+  private val QueryCap = 1000000L
   private val CentroidMod = 37 // IVF centroids: vec_id % 37 == 1
   private val NProbe = 2
   private val LloydIters = 3 // q101: refinement rounds
@@ -27,7 +34,7 @@ object AnnQueries extends QueryPack {
 
   private def embs(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
   private def querySet(s: SparkSession, dir: String) =
-    embs(s, dir).where(col("vec_id") % QueryMod === 0)
+    embs(s, dir).where(col("vec_id") % QueryMod === 0 && col("vec_id") < QueryCap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXT-A1: exact brute-force cosine top-k per query vector.
@@ -112,13 +119,19 @@ object AnnQueries extends QueryPack {
     // the q41 pattern deciding whether the refinement pays.
     "q105_ann_pq_residual" -> ((s, dir) => {
       def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      // index samples (codebooks, centroids) are bounded like the query
+      // panel: fixed index parameters, not corpus fractions (no-op ≤ sf0.1)
+      val capped = col("vec_id") < QueryCap
       val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
-      val rec = SimilaritySearch.pqRoundtrip(embs(s, dir), PqM, Dim, PqCodeMod)
+      val rec = SimilaritySearch.pqRoundtripFrom(embs(s, dir),
+        SimilaritySearch.pqCodebooks(embs(s, dir).where(capped), PqM, Dim, PqCodeMod),
+        PqM, Dim)
       val raw = ids(SimilaritySearch.ivfTopKFrom(
-        SimilaritySearch.ivfCentroids(rec, CentroidMod), querySet(s, dir), rec,
-        NProbe, K))
+        SimilaritySearch.ivfCentroids(rec.where(capped), CentroidMod),
+        querySet(s, dir), rec, NProbe, K))
       val res = ids(SimilaritySearch.ivfPqResidualTopK(querySet(s, dir),
-        embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, NProbe, K))
+        embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, NProbe, K,
+        sampleFilter = capped))
       def recallOf(ann: DataFrame, name: String) = bt
         .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
@@ -136,12 +149,16 @@ object AnnQueries extends QueryPack {
     // refinement.
     "q106_ann_pq_trained" -> ((s, dir) => {
       def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      // seed codebooks bounded like the query panel (no-op ≤ sf0.1):
+      // training assignment stays linear in the corpus
+      val seeds = SimilaritySearch.pqCodebooks(
+        embs(s, dir).where(col("vec_id") < QueryCap), PqM, Dim, PqCodeMod)
       val bt = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K))
       val sampled = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir),
-        SimilaritySearch.pqRoundtrip(embs(s, dir), PqM, Dim, PqCodeMod), K))
+        SimilaritySearch.pqRoundtripFrom(embs(s, dir), seeds, PqM, Dim), K))
       val trained = ids(SimilaritySearch.bruteForceTopK(querySet(s, dir),
         SimilaritySearch.pqRoundtripFrom(embs(s, dir),
-          SimilaritySearch.trainedPqCodebooks(embs(s, dir), PqM, Dim, PqCodeMod),
+          SimilaritySearch.trainedPqCodebooksFrom(embs(s, dir), seeds, PqM, Dim),
           PqM, Dim), K))
       def recallOf(ann: DataFrame, name: String) = bt
         .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
@@ -341,13 +358,15 @@ object AnnQueries extends QueryPack {
     * encodings `<p>enc` (squared L2, tie on code_id), and the
     * reconstructed corpus `<p>rec`. Used by q99/q104 (over `embeddings`)
     * and q105 (over the residual corpus). */
-  private def pqCtesFrom(src: String, p: String): String = {
+  private def pqCtesFrom(src: String, p: String,
+                         cwCap: Option[Long] = None): String = {
     val sd = Dim / PqM
+    val capSql = cwCap.map(c => s" AND s.vec_id < $c").getOrElse("")
     s"""${p}cw AS (SELECT t.j AS sub_id, s.vec_id AS code_id,
        |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
        |                        i -> s.embedding[i]) AS code_emb
        |       FROM $src s, unnest(range(0, $PqM)) AS t(j)
-       |       WHERE s.vec_id % $PqCodeMod = 1),
+       |       WHERE s.vec_id % $PqCodeMod = 1$capSql),
        |${p}cs AS (SELECT e.vec_id, t.j AS sub_id,
        |         list_transform(range(t.j * $sd + 1, t.j * $sd + ${sd + 1}),
        |                        i -> e.embedding[i]) AS sub_emb
@@ -370,7 +389,7 @@ object AnnQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |rk AS (SELECT query_id, vec_id, cos,
@@ -390,7 +409,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN cents c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |scored AS (SELECT p.query_id, l.vec_id,
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
@@ -406,7 +425,7 @@ object AnnQueries extends QueryPack {
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |      WHERE vec_id % $QueryMod = 0),
+         |      WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |           FROM bk c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
          |rk AS (SELECT query_id, vec_id, cos,
@@ -425,7 +444,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN tc c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |scored AS (SELECT p.query_id, l.vec_id,
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
@@ -446,7 +465,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN tc c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |scored AS (SELECT p.query_id, l.vec_id,
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
@@ -460,7 +479,7 @@ object AnnQueries extends QueryPack {
 
     "q99_ann_pq" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |bt AS (SELECT query_id, vec_id FROM (
@@ -498,7 +517,7 @@ object AnnQueries extends QueryPack {
          |                 ORDER BY ${cosSql("q.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                          c.cent_id) AS crnk
          |             FROM embeddings q CROSS JOIN cents c
-         |             WHERE q.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |             WHERE q.vec_id % $QueryMod = 0 AND q.vec_id < $QueryCap) WHERE crnk <= $NProbe),
          |scored AS (SELECT p.query_id, l.vec_id,
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
@@ -512,7 +531,7 @@ object AnnQueries extends QueryPack {
 
     "q105_ann_pq_residual" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |bt AS (SELECT query_id, vec_id FROM (
@@ -520,9 +539,9 @@ object AnnQueries extends QueryPack {
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |         FROM bscored) WHERE rnk <= $K),
-         |$PqRecCtes,
+         |${pqCtesFrom("embeddings", "", Some(QueryCap))},
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM rec
-         |          WHERE vec_id % $CentroidMod = 1),
+         |          WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
          |ranks AS (SELECT r.vec_id, r.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY r.vec_id
          |              ORDER BY ${cosSql("r.embedding", "c.cent_emb")} DESC NULLS LAST,
@@ -535,7 +554,7 @@ object AnnQueries extends QueryPack {
          |                 ORDER BY ${cosSql("q.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                          c.cent_id) AS crnk
          |             FROM embeddings q CROSS JOIN cents c
-         |             WHERE q.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |             WHERE q.vec_id % $QueryMod = 0 AND q.vec_id < $QueryCap) WHERE crnk <= $NProbe),
          |scored AS (SELECT p.query_id, l.vec_id,
          |             ${cosSql("p.q_emb", "l.embedding")} AS cos
          |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
@@ -546,7 +565,8 @@ object AnnQueries extends QueryPack {
          |                                ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |           FROM scored) WHERE rnk <= $K),
          |rcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |           FROM embeddings
+         |           WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
          |rranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
          |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |               ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
@@ -558,7 +578,7 @@ object AnnQueries extends QueryPack {
          |              i -> (a.embedding[i]::DOUBLE - c.cent_emb[i]::DOUBLE)::REAL)
          |              AS embedding
          |          FROM rasg a JOIN rcents c ON a.cent_id = c.cent_id),
-         |${pqCtesFrom("resid", "r")},
+         |${pqCtesFrom("resid", "r", Some(QueryCap))},
          |serve AS (SELECT a.cent_id, r.vec_id,
          |            list_transform(range(1, ${Dim + 1}),
          |              i -> (r.embedding[i]::DOUBLE + c.cent_emb[i]::DOUBLE)::REAL)
@@ -571,7 +591,7 @@ object AnnQueries extends QueryPack {
          |                   ORDER BY ${cosSql("q2.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                            c.cent_id) AS crnk
          |               FROM embeddings q2 CROSS JOIN rcents c
-         |               WHERE q2.vec_id % $QueryMod = 0) WHERE crnk <= $NProbe),
+         |               WHERE q2.vec_id % $QueryMod = 0 AND q2.vec_id < $QueryCap) WHERE crnk <= $NProbe),
          |rscored AS (SELECT p.query_id, l.vec_id,
          |              ${cosSql("p.q_emb", "l.embedding")} AS cos
          |            FROM serve l JOIN rqprobes p ON l.cent_id = p.cent_id
@@ -592,7 +612,7 @@ object AnnQueries extends QueryPack {
 
     "q106_ann_pq_trained" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |bt AS (SELECT query_id, vec_id FROM (
@@ -600,7 +620,7 @@ object AnnQueries extends QueryPack {
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |         FROM bscored) WHERE rnk <= $K),
-         |$PqRecCtes,
+         |${pqCtesFrom("embeddings", "", Some(QueryCap))},
          |sscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM rec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |st AS (SELECT query_id, vec_id FROM (
@@ -649,7 +669,7 @@ object AnnQueries extends QueryPack {
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |       WHERE vec_id % $QueryMod = 0),
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |probes AS (SELECT query_id, q_emb,
          |             CASE WHEN t.j = -1 THEN bucket
          |                  ELSE xor(bucket, 1::BIGINT << t.j) END AS bucket
@@ -668,7 +688,7 @@ object AnnQueries extends QueryPack {
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |       WHERE vec_id % $QueryMod = 0),
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
          |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
          |lrk AS (SELECT query_id, vec_id, cos,
@@ -684,7 +704,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN cents c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
          |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
          |            WHERE l.vec_id <> p.query_id),
@@ -703,7 +723,7 @@ object AnnQueries extends QueryPack {
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |       WHERE vec_id % $QueryMod = 0),
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
          |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
          |lrk AS (SELECT query_id, vec_id, cos,
@@ -720,7 +740,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN cents c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
          |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
          |            WHERE l.vec_id <> p.query_id),
@@ -751,7 +771,7 @@ object AnnQueries extends QueryPack {
 
     "q97_ann_ivf_quantized" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |sc AS (SELECT vec_id, embedding,
          |         list_reduce(list_prepend(0.0,
          |           list_transform(embedding, e -> abs(e::DOUBLE))),
@@ -790,7 +810,7 @@ object AnnQueries extends QueryPack {
 
     "q94_ann_quantized" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |bt AS (SELECT query_id, vec_id FROM (
@@ -824,7 +844,7 @@ object AnnQueries extends QueryPack {
 
     "q41_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0),
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
          |bt AS (SELECT query_id, vec_id FROM (
@@ -835,7 +855,7 @@ object AnnQueries extends QueryPack {
          |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |       FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |       WHERE vec_id % $QueryMod = 0),
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
          |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
          |lt AS (SELECT query_id, vec_id FROM (
@@ -852,7 +872,7 @@ object AnnQueries extends QueryPack {
          |          FROM embeddings e CROSS JOIN cents c),
          |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND crnk <= $NProbe),
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
          |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
          |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
          |            WHERE l.vec_id <> p.query_id),

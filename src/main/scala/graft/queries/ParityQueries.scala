@@ -84,8 +84,19 @@ object ParityQueries extends QueryPack {
   private def ct(s: SparkSession, dir: String) =
     Crosstab.build(Tables.occOrders(s, dir))
 
+  /** Scale-invariant sample bound: the fixture scale-ups replicate the
+    * id space in 10M-key strides (`tools.ScaleData.Stride`), so capping
+    * the mod-sample inside the first stride keeps the sampled ITEM SET
+    * constant as the corpus grows — the parity face's |sample|×|catalog|
+    * dense vectors then scale linearly with the catalog, not
+    * quadratically (the sf1 probe measured the uncapped face at 609 s
+    * cold, 100× sf0.1). No-op at sf ≤ 0.1, where every id is below the
+    * cap. */
+  private val SampleCap = 1000000L
+
   private def fullSample(s: SparkSession, dir: String) =
-    Correlation.fullPairs(ct(s, dir), col("item") % SampleMod === 0)
+    Correlation.fullPairs(ct(s, dir),
+      col("item") % SampleMod === 0 && col("item") < SampleCap)
 
   private def storePairs(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column) =
     Neighbors.scaledStdDevThreshold(Correlation.fullPairs(ct(s, dir), pred), 2.0)
@@ -430,7 +441,7 @@ object ParityQueries extends QueryPack {
 
     "q06_corr_full_sample" ->
       s"""$BaseCtes,
-         |${fullCte(s"sa.item % $SampleMod = 0")}
+         |${fullCte(s"sa.item % $SampleMod = 0 AND sa.item < $SampleCap")}
          |SELECT item_a, item_b, ROUND(corr, 6) AS corr FROM fp ORDER BY 1, 2""".stripMargin,
 
     "q07_similar_items_raw" ->
