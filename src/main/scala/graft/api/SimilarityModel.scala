@@ -101,6 +101,15 @@ final class SimilarityModel private (
     SimilarityStore.writeSimilarItems(thresholded, path)
   }
 
+  /** `storeIn` with a JDBC destination instead of the parquet layout —
+    * the reference's literal SQLite sink shape (`data.py:44-87` tables +
+    * unique indexes), for a consumer already reading that database. */
+  def storeInJdbc(url: String, dictionary: DataFrame,
+                  itemPredicate: Column = lit(true), k: Double = 2.0,
+                  props: java.util.Properties = new java.util.Properties): Unit =
+    graft.store.JdbcStore.storeIn(dictionary,
+      Neighbors.scaledStdDevThreshold(fullPairs(itemPredicate), k), url, props)
+
   /** All-items EP-2 (`populate_similar_items` over the FULL catalog,
     * `data.py:116-149`) via the closed-form zero-pair decomposition —
     * identical output to `storeIn(path, dict, lit(true))` but never

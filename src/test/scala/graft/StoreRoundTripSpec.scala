@@ -43,6 +43,33 @@ class StoreRoundTripSpec extends SparkSpec {
     st.getAs[Long]("similar_items") shouldBe expected.size.toLong
   }
 
+  test("JDBC store face: DDL + unique indexes + bulk append round-trip on embedded Derby") {
+    import graft.store.JdbcStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val dict = Seq((1L, "apple"), (2L, "banana"), (3L, "cherry")).toDF("id", "key")
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.4), (2L, 3L, 0.7))
+      .toDF("item_a_id", "item_b_id", "scaled_score")
+    JdbcStore.storeIn(dict, pairs, url)
+    // read-back equals what was written; human_label rides along NULL
+    val items = JdbcStore.readCorrelatedItems(spark, url).orderBy("id").collect()
+    items.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "apple"), (2L, "banana"), (3L, "cherry"))
+    items.foreach(r => assert(r.isNullAt(2)))
+    JdbcStore.readSimilarItems(spark, url).orderBy("item_a_id", "item_b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, 2L, 0.9), (1L, 3L, 0.4), (2L, 3L, 0.7))
+    // the unique index keeps the reference's contract: a duplicate pair
+    // append fails loudly instead of double-serving
+    intercept[Exception] {
+      pairs.limit(1).write.mode("append")
+        .jdbc(url, JdbcStore.SimilarItems, new java.util.Properties)
+    }
+    // re-store is a full refresh (drop + recreate), not an accumulation
+    JdbcStore.storeIn(dict, pairs, url)
+    JdbcStore.readSimilarItems(spark, url).count() shouldBe 3L
+  }
+
   test("Crosstab.build is stream-capable: the same transform runs under readStream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
