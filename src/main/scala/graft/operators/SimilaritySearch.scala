@@ -524,39 +524,96 @@ object SimilaritySearch {
    * queries broadcast and probe nprobe lists — identical dataflow to the
    * raw form, the residual subtract/add are map-only.
    */
-  /** `sampleFilter` bounds the rows the centroid and codebook SAMPLES
+  /** Single-op float arithmetic computed in binary64 then rounded to
+    * float32 — exact double rounding (53 ≥ 2·24+2), so any engine
+    * reproduces the residual subtract / add-back bit-for-bit. */
+  private def fsub(x: Column, c: Column): Column =
+    (x.cast("double") - c.cast("double")).cast("float")
+  private def fadd(x: Column, c: Column): Column =
+    (x.cast("double") + c.cast("double")).cast("float")
+
+  /** Build the residual IVF-PQ index tables: raw-sampled centroids, PQ
+    * codebooks over the residuals x − c(x), and coded inverted lists
+    * (cent_id, vec_id, nrm, codes) where `nrm` is the norm of the SERVED
+    * reconstruction c(x) + decode(codes) — m codes/vector at rest, the
+    * raw-assignment list key, the stored-norm serving contract.
+    * `sampleFilter` bounds the rows the centroid and codebook SAMPLES
     * are drawn from (assignment/encode/serving still cover the whole
     * corpus): index parameters — nlist, codebook entries — are fixed
-    * index knobs at scale, not corpus fractions, or the encode pass
-    * goes quadratic as the corpus grows. Default keeps the whole corpus
-    * eligible. */
-  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int,
-                        dim: Int, codeMod: Int, centroidMod: Int,
-                        nprobe: Int, k: Int,
-                        sampleFilter: Column = lit(true)): DataFrame = {
+    * index knobs at scale, not corpus fractions, or the encode pass goes
+    * quadratic as the corpus grows. */
+  def ivfPqResidualIndex(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
+                         centroidMod: Int, sampleFilter: Column = lit(true))
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = graft.core.Caches.cacheOnce(
       ivfCentroids(corpus.where(sampleFilter), centroidMod))
     val assigned = graft.core.Caches.cacheOnce(
       centroidRanks(graft.core.Spread.byKey(corpus, col("vec_id")), cents, 1)
         .select(col("cent_id"), col("vec_id"), col("embedding")))
-    val fsub = (x: Column, c: Column) =>
-      (x.cast("double") - c.cast("double")).cast("float")
-    val fadd = (x: Column, c: Column) =>
-      (x.cast("double") + c.cast("double")).cast("float")
     val resid = assigned
       .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("cent_emb"), fsub).as("embedding"))
     val books = graft.core.Caches.cacheOnce(
       pqCodebooks(resid.where(sampleFilter), m, dim, codeMod))
-    val lists = assigned.select(col("cent_id"), col("vec_id"))
-      .join(pqDecode(pqEncode(resid, books, m, dim), books)
-        .withColumnRenamed("embedding", "remb"), Seq("vec_id"))
+    val codes = pqEncode(resid, books, m, dim)
+    // one vec_id-keyed shuffle packs the codes AND carries the decoded
+    // residual for the stored reconstruction norm
+    val codedLists = assigned.select(col("cent_id"), col("vec_id"))
+      .join(codes.join(broadcast(books), Seq("sub_id", "code_id"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(
+          struct(col("sub_id"), col("code_id"), col("code_emb")))).as("scl"))
+        .select(col("vec_id"),
+          transform(col("scl"), x => x.getField("code_id")).as("codes"),
+          flatten(transform(col("scl"), x => x.getField("code_emb"))).as("remb")),
+        Seq("vec_id"))
       .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
-      .select(col("cent_id"), col("vec_id"),
+      .select(col("cent_id"), col("vec_id"), col("codes"),
+        l2Norm(zip_with(col("remb"), col("cent_emb"), fadd)).as("nrm"))
+    (cents, books, codedLists)
+  }
+
+  /** Serve residual IVF-PQ top-k: queries rank against the raw-sampled
+    * centroids, ONLY probed lists decode (broadcast-codebook join), each
+    * candidate reconstructs as c(x) + decode(codes), ADC-scored inside
+    * the codegen'd `vec_dot` fold against its stored norm. */
+  def ivfPqResidualServe(codedLists: DataFrame, books: DataFrame,
+                         cents: DataFrame, queries: DataFrame,
+                         nprobe: Int, k: Int): DataFrame = {
+    val probes = broadcast(centroidRanks(queries, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id")))
+    val probed = codedLists
+      .join(probes.select(col("cent_id")).distinct(), Seq("cent_id"), "left_semi")
+    val recon = probed
+      .select(col("cent_id"), col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("sub_id", "code_id")))
+      .join(broadcast(books), Seq("sub_id", "code_id"))
+      .groupBy(col("cent_id"), col("vec_id"), col("nrm"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_emb")))),
+        x => x.getField("code_emb"))).as("remb"))
+      .join(broadcast(cents.select(col("cent_id"), col("cent_emb"))), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), col("nrm"),
         zip_with(col("remb"), col("cent_emb"), fadd).as("embedding"))
-      .withColumn("nrm", l2Norm(col("embedding")))
-    ivfServe(lists, cents, queries, nprobe, k)
+    val scored = recon.join(probes, Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /** Residual IVF-PQ top-k, fresh build + serve in one call (see
+    * `ivfPqResidualIndex` for the construction and `sampleFilter`). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, m: Int,
+                        dim: Int, codeMod: Int, centroidMod: Int,
+                        nprobe: Int, k: Int,
+                        sampleFilter: Column = lit(true)): DataFrame = {
+    val (cents, books, codedLists) =
+      ivfPqResidualIndex(corpus, m, dim, codeMod, centroidMod, sampleFilter)
+    ivfPqResidualServe(codedLists, books, cents, queries, nprobe, k)
   }
 
   /**

@@ -146,6 +146,20 @@ object AnnQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // EXT-A17: residual IVF-PQ PERSISTED serving — EXT-A15's index in the
+    // versioned store layout (raw centroids + residual codebooks + coded
+    // lists carrying m codes and the reconstruction norm), the full
+    // build → persist → serve round trip under one oracle — the q104
+    // treatment for the residual form.
+    "q107_ann_pq_res_store" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpqres").toString
+      graft.store.AnnStore.writeIvfPqResidual(embs(s, dir), PqM, Dim, PqCodeMod,
+        CentroidMod, out, sampleFilter = col("vec_id") < QueryCap)
+      graft.store.AnnStore.ivfPqResidualTopK(s, out, querySet(s, dir), NProbe, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
     // EXT-A16: Lloyd-trained PQ codebooks — one deterministic per-subspace
     // refinement round of the sampled codewords (ordered fold-means under
     // a (sub_id, code_id) key — the q40 training step applied inside each
@@ -397,6 +411,47 @@ object AnnQueries extends QueryPack {
 
   private lazy val PqRecCtes: String = pqCtesFrom("embeddings", "")
 
+  /** Residual IVF-PQ serving chain (mirrors `ivfPqResidualIndex` /
+    * `ivfPqResidualServe` over the capped samples): raw-sampled
+    * centroids `rcents` → raw assignment `rasg` → residuals → PQ
+    * encode/decode (`rcw`..`rrec`) → reconstruction `serve` → probes →
+    * scored candidates `rscored`. Shared by q105 (recall form) and
+    * q107 (persisted-serving form). */
+  private lazy val ResidualServeCtes: String =
+    s"""rcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |           FROM embeddings
+         |           WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
+         |rranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                        c.cent_id) AS crnk
+         |           FROM embeddings e CROSS JOIN rcents c),
+         |rasg AS (SELECT cent_id, vec_id, embedding FROM rranks WHERE crnk = 1),
+         |resid AS (SELECT a.vec_id,
+         |            list_transform(range(1, ${Dim + 1}),
+         |              i -> (a.embedding[i]::DOUBLE - c.cent_emb[i]::DOUBLE)::REAL)
+         |              AS embedding
+         |          FROM rasg a JOIN rcents c ON a.cent_id = c.cent_id),
+         |${pqCtesFrom("resid", "r", Some(QueryCap))},
+         |serve AS (SELECT a.cent_id, r.vec_id,
+         |            list_transform(range(1, ${Dim + 1}),
+         |              i -> (r.embedding[i]::DOUBLE + c.cent_emb[i]::DOUBLE)::REAL)
+         |              AS embedding
+         |          FROM rrec r JOIN rasg a ON r.vec_id = a.vec_id
+         |          JOIN rcents c ON a.cent_id = c.cent_id),
+         |rqprobes AS (SELECT query_id, q_emb, cent_id FROM (
+         |               SELECT q2.vec_id AS query_id, q2.embedding AS q_emb, c.cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+         |                   ORDER BY ${cosSql("q2.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                            c.cent_id) AS crnk
+         |               FROM embeddings q2 CROSS JOIN rcents c
+         |               WHERE q2.vec_id % $QueryMod = 0 AND q2.vec_id < $QueryCap) WHERE crnk <= $NProbe),
+         |rscored AS (SELECT p.query_id, l.vec_id,
+         |              ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM serve l JOIN rqprobes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id)""".stripMargin
+
+
   val oracleSql: Map[String, String] = Map(
     "q25_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
@@ -575,38 +630,7 @@ object AnnQueries extends QueryPack {
          |             ROW_NUMBER() OVER (PARTITION BY query_id
          |                                ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |           FROM scored) WHERE rnk <= $K),
-         |rcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |           FROM embeddings
-         |           WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
-         |rranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
-         |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |               ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
-         |                        c.cent_id) AS crnk
-         |           FROM embeddings e CROSS JOIN rcents c),
-         |rasg AS (SELECT cent_id, vec_id, embedding FROM rranks WHERE crnk = 1),
-         |resid AS (SELECT a.vec_id,
-         |            list_transform(range(1, ${Dim + 1}),
-         |              i -> (a.embedding[i]::DOUBLE - c.cent_emb[i]::DOUBLE)::REAL)
-         |              AS embedding
-         |          FROM rasg a JOIN rcents c ON a.cent_id = c.cent_id),
-         |${pqCtesFrom("resid", "r", Some(QueryCap))},
-         |serve AS (SELECT a.cent_id, r.vec_id,
-         |            list_transform(range(1, ${Dim + 1}),
-         |              i -> (r.embedding[i]::DOUBLE + c.cent_emb[i]::DOUBLE)::REAL)
-         |              AS embedding
-         |          FROM rrec r JOIN rasg a ON r.vec_id = a.vec_id
-         |          JOIN rcents c ON a.cent_id = c.cent_id),
-         |rqprobes AS (SELECT query_id, q_emb, cent_id FROM (
-         |               SELECT q2.vec_id AS query_id, q2.embedding AS q_emb, c.cent_id,
-         |                 ROW_NUMBER() OVER (PARTITION BY q2.vec_id
-         |                   ORDER BY ${cosSql("q2.embedding", "c.cent_emb")} DESC NULLS LAST,
-         |                            c.cent_id) AS crnk
-         |               FROM embeddings q2 CROSS JOIN rcents c
-         |               WHERE q2.vec_id % $QueryMod = 0 AND q2.vec_id < $QueryCap) WHERE crnk <= $NProbe),
-         |rscored AS (SELECT p.query_id, l.vec_id,
-         |              ${cosSql("p.q_emb", "l.embedding")} AS cos
-         |            FROM serve l JOIN rqprobes p ON l.cent_id = p.cent_id
-         |            WHERE l.vec_id <> p.query_id),
+         |$ResidualServeCtes,
          |rest AS (SELECT query_id, vec_id FROM (
          |           SELECT query_id, vec_id,
          |             ROW_NUMBER() OVER (PARTITION BY query_id
@@ -620,6 +644,15 @@ object AnnQueries extends QueryPack {
          |          ON b.query_id = t.query_id AND b.vec_id = t.vec_id GROUP BY 1)
          |SELECT rr1.query_id, rr1.recall_pq_raw, rr2.recall_pq_res
          |FROM rr1 JOIN rr2 ON rr1.query_id = rr2.query_id ORDER BY 1""".stripMargin,
+
+    "q107_ann_pq_res_store" ->
+      s"""WITH $ResidualServeCtes,
+         |rrk AS (SELECT query_id, vec_id, cos,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM rscored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rrk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q106_ann_pq_trained" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

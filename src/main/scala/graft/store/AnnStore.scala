@@ -47,6 +47,9 @@ object AnnStore {
   val PqCodebooks = "pq_codebooks"
   val IvfPqCentroids = "ivf_pq_centroids"
   val IvfPqLists = "ivf_pq_lists"
+  val IvfPqResCentroids = "ivf_pqres_centroids"
+  val IvfPqResCodebooks = "ivf_pqres_codebooks"
+  val IvfPqResLists = "ivf_pqres_lists"
 
   private def touch(f: FileSystem, path: String): Unit =
     f.create(new Path(path), true).close()
@@ -226,6 +229,45 @@ object AnnStore {
   /** Compact the IVF-PQ coded-list table (see `compactSrp`). */
   def compactIvfPq(spark: SparkSession, storePath: String): Unit =
     compactTable(spark, storePath, IvfPqLists, "cent_id")
+
+  /** Build + persist the RESIDUAL IVF-PQ index (the standard IVF-ADC
+    * deployment shape — `SimilaritySearch.ivfPqResidualIndex`): raw-
+    * sampled centroids, codebooks trained on the residuals x − c(x),
+    * coded lists keyed by the raw assignment carrying m codes + the
+    * reconstruction norm. Layout/versioning identical to `writeIvfPq`;
+    * own table names, so both IVF-PQ forms can share a store path. */
+  def writeIvfPqResidual(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
+                         centroidMod: Int, storePath: String,
+                         sampleFilter: org.apache.spark.sql.Column = lit(true)): Unit =
+    Compaction.withLease(corpus.sparkSession, storePath, "writeIvfPqResidual") {
+      val spark = corpus.sparkSession
+      val (cents, books, codedLists) = SimilaritySearch.ivfPqResidualIndex(
+        corpus, m, dim, codeMod, centroidMod, sampleFilter)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$IvfPqResCentroids")
+      books.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$IvfPqResCodebooks")
+      val root = s"$storePath/$IvfPqResLists"
+      Compaction.clearRoot(spark, root) // re-init must not keep stale batches
+      commitBatch(
+        codedLists.repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id"),
+        Compaction.initDir(root), "base")
+      Compaction.commit(spark, root, 0L)
+    }
+
+  /** Residual IVF-PQ top-k served from the persisted index: queries rank
+    * against the stored raw centroids, probed lists decode against the
+    * stored residual codebooks, candidates reconstruct as c(x) +
+    * decode(codes) and ADC-score against their stored norms. */
+  def ivfPqResidualTopK(spark: SparkSession, storePath: String,
+                        queries: DataFrame, nprobe: Int, k: Int): DataFrame =
+    SimilaritySearch.ivfPqResidualServe(
+      readTree(spark, s"$storePath/$IvfPqResLists"),
+      spark.read.parquet(s"$storePath/$IvfPqResCodebooks"),
+      spark.read.parquet(s"$storePath/$IvfPqResCentroids"),
+      queries, nprobe, k)
+
+  /** Compact the residual IVF-PQ coded-list table (see `compactSrp`). */
+  def compactIvfPqResidual(spark: SparkSession, storePath: String): Unit =
+    compactTable(spark, storePath, IvfPqResLists, "cent_id")
 
   /** The persisted hyperplanes, reconstructed for query-side bucketing
     * (collect is bounded by L — the plane count, not the corpus). */

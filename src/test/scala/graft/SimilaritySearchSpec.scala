@@ -216,6 +216,33 @@ class SimilaritySearchSpec extends SparkSpec {
       dump(graft.store.AnnStore.ivfTopK(spark, rebuilt, queries, 2, 3))
   }
 
+  test("residual IVF-PQ store round-trip: persisted serving == in-memory compose; compaction preserves it") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") % 9 === 1)
+    val (m, dim, codeMod, centMod) = (4, 8, 11, 7)
+    val store = java.nio.file.Files.createTempDirectory("graft_ivfpqres_spec").toString
+    graft.store.AnnStore.writeIvfPqResidual(corpus, m, dim, codeMod, centMod, store)
+
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("query_id", "cos", "vec_id").collect().toSeq
+
+    val expected = dump(SimilaritySearch.ivfPqResidualTopK(
+      queries, corpus, m, dim, codeMod, centMod, 2, 3))
+    expected should not be empty
+    dump(graft.store.AnnStore.ivfPqResidualTopK(spark, store, queries, 2, 3)) shouldBe expected
+
+    // compaction: version advances, serving identical, open reader survives
+    val root = s"$store/${graft.store.AnnStore.IvfPqResLists}"
+    val openedBefore = graft.store.AnnStore.ivfPqResidualTopK(spark, store, queries, 2, 3)
+    graft.store.AnnStore.compactIvfPqResidual(spark, store)
+    graft.store.Compaction.currentVersion(spark, root) shouldBe Some(1L)
+    dump(graft.store.AnnStore.ivfPqResidualTopK(spark, store, queries, 2, 3)) shouldBe expected
+    dump(openedBefore) shouldBe expected // pinned to its resolved version
+  }
+
   test("trainedPqCodebooks: per-subspace Lloyd monotonically lowers the quantization objective") {
     val rnd = new scala.util.Random(11)
     val corpus = (1L to 80L).map(i =>
