@@ -190,11 +190,18 @@ object StoreBuild {
       case Some(_) =>
         sym.join(bcCat(dSel.select(col("item").as("item_a"))), Seq("item_a"), "left_semi")
     }
-    def sp = symA.join(bcCat(da), Seq("item_a"))
+    // CACHED: the correlation pipeline feeds BOTH the fused stats shuffle
+    // and the sparse-emission branch; as a `def` the symmetric closure +
+    // two stat joins + corr arithmetic ran once per consumer (the probe
+    // measured it as the dominant duplicated work in the q57 build —
+    // ~2× the crosstab path's final-stage task time). The table is
+    // (item_a, item_b, u_b, corr) — the same size class as the co-moment
+    // cache it derives from.
+    val sp = Caches.cacheOnce(symA.join(bcCat(da), Seq("item_a"))
       .join(bcCat(db), Seq("item_b"))
       .crossJoin(broadcast(n1))
       .select(col("item_a"), col("item_b"), col("u_b"),
-        corrCol(col("sxy")).as("corr"))
+        corrCol(col("sxy")).as("corr")))
 
     // Global u-ranking of D. r is descending in u; the ascending rank of
     // the same row is cntD+1−r, so ONE ranking serves both extrema.
@@ -252,10 +259,15 @@ object StoreBuild {
       .join(rk.select(col("item").as("item_b"), col("r")), Seq("item_b"))
       .crossJoin(globals)
     val wAsc = Window.partitionBy(col("item_a")).orderBy(col("r").asc)
-    val wDesc = Window.partitionBy(col("item_a")).orderBy(col("r").desc)
+    // The descending rank is DERIVED, not sorted for: within an item_a
+    // group of m rows, row_number over r desc = m + 1 − row_number over
+    // r asc (r is unique — a global ranking). The unordered count window
+    // shares wAsc's exchange and needs no sort, so the fused stage pays
+    // ONE partition sort instead of two.
+    val wPart = Window.partitionBy(col("item_a"))
     val fused = withSelf
       .withColumn("pos", row_number().over(wAsc))
-      .withColumn("pos2", row_number().over(wDesc))
+      .withColumn("pos2", count(lit(1)).over(wPart) + 1 - col("pos"))
       .groupBy("item_a")
       .agg(sum(col("corr")).as("sSp"),
            sum(col("corr") * col("corr")).as("qSp"),

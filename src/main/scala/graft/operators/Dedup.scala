@@ -140,6 +140,61 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / numPerms
 
+  /**
+   * GROUP-level shingle Jaccard (EXT-D19): pairwise similarity between
+   * document GROUPS (crawl sources, snapshots, language slices) over the
+   * union of their member shingle sets — the corpus-forensics view that
+   * answers "how much does source A overlap source B" before any
+   * doc-level dedup. Both the exact Jaccard and its MinHash estimate are
+   * computed, so the output doubles as a standing accuracy witness for
+   * the signature machinery at `numPerms` (the estimator's σ ≈
+   * √(J(1−J)/P)).
+   *
+   * Scale shape: the corpus collapses to distinct (group, shingle-hash)
+   * longs FIRST — one shuffle keyed on the hash, body never moves. The
+   * per-group signature uses the MinHash union property (min over the
+   * union = min of member minima), so it is ONE hash-aggregate over
+   * those longs, not a per-doc signature pass. Exact intersections
+   * self-join on the shingle hash — cost tracks shared shingles, and
+   * groups are few (the pair table is |G|², driver-small for any sane
+   * group count; this is a per-SOURCE report, not a per-doc one).
+   *
+   * Output: (group_a, group_b, j_exact, j_est), a < b, unrounded.
+   */
+  def groupShingleJaccard(docs: DataFrame, n: Int, numPerms: Int,
+                          groupCol: String = "source",
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    // distinct (grp, g): shingle hashes keyed to their doc, joined to the
+    // doc→group mapping on the id they were built under (co-keyed join;
+    // the mapping is 2 narrow columns of the corpus), then deduplicated.
+    val gs = graft.core.Caches.cacheOnce(
+      shingleSets(docs, n, idCol, textCol)
+        .join(docs.select(col(idCol).as("id"), col(groupCol).as("grp")), Seq("id"))
+        .select(col("grp"), col("g")).distinct())
+    val sizes = gs.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = gs.select(col("grp").as("group_a"), col("g"))
+      .join(gs.select(col("grp").as("group_b"), col("g")), Seq("g"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).as("inter"))
+    val exact = inter
+      .join(broadcast(sizes.select(col("grp").as("group_a"), col("sz").as("sz_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("grp").as("group_b"), col("sz").as("sz_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("j_exact"))
+    // Union-property signature: one aggregate pass over the (grp, g) longs.
+    val sig = gs.groupBy("grp")
+      .agg(array((0 until numPerms).map(i =>
+        min(hashPermOf(col("g"), lit(i)))): _*).as("sig"))
+    val est = sig.select(col("grp").as("group_a"), col("sig").as("sig_a"))
+      .join(broadcast(sig.select(col("grp").as("group_b"), col("sig").as("sig_b"))),
+        col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        estSim(col("sig_a"), col("sig_b"), numPerms).as("j_est"))
+    exact.join(est, Seq("group_a", "group_b"))
+  }
+
   /** Drop band buckets whose member count exceeds `d` — the hot-bucket
     * guard shared by the LSH and SimHash candidate joins. A band bucket
     * holding thousands of documents is a boilerplate mega-cluster (the

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokensWs
+
+/**
+ * Ranked keyword retrieval over a document corpus — the query-side face
+ * of a training-data pipeline (benchmark-overlap scoring, targeted
+ * curation pulls, "find me documents about X" corpus forensics). The
+ * reference has no retrieval operator; this extends its text surface
+ * (SURVEY §2.11 EXT-T23) with the standard BM25 ranking function
+ * [Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework"].
+ *
+ * Scale shape (the reason this is NOT "explode everything and join"):
+ *
+ *  - Document length and the corpus stats (N, avgdl) come from a
+ *    MAP-ONLY projection (`size(tokens)`) plus one tiny global
+ *    aggregate — the corpus body is never exploded for them.
+ *  - Only tokens matching the query terms are exploded and shuffled:
+ *    the `array_intersect`-style prefilter happens inside the same
+ *    codegen stage as the tokenizer, so the exchange after it carries
+ *    (doc, term) rows for matching docs only — at 100 TB with a
+ *    handful of query terms that is a vanishing fraction of the scan.
+ *  - Per-term document frequencies are an aggregate over that same
+ *    small exchange, broadcast back; the final score join keys on
+ *    doc_id against the map-side length projection, so Catalyst
+ *    broadcasts the (small) scored side.
+ *
+ * Scoring: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5));
+ * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+ */
+object Retrieval {
+
+  /** Exploded (id, term, tf) for tokens ∈ `terms` only — the filter sits
+    * below the aggregation exchange. */
+  private def termFreqs(docs: DataFrame, terms: Seq[String],
+                        idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(filter(tokensWs(col(textCol)), t => t.isInCollection(terms)))
+          .as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+
+  /** BM25 scores for every document matching ≥1 query term:
+    * (id, bm25), unordered and unrounded — callers own presentation.
+    * `terms` must be non-empty and is deduplicated. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val qTerms = terms.distinct
+    // Map-only per-doc length; one scalar aggregate for (N, avgdl).
+    val dl = docs.select(col(idCol).as("id"),
+      size(tokensWs(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = termFreqs(docs, qTerms, idCol, textCol)
+    val df = tf.groupBy("term")
+      .agg(countDistinct(col("id")).cast("double").as("df"))
+    // tf ⋈ df (broadcast: ≤|terms| rows) ⋈ dl (keyed on id; the tf side
+    // is the small one after the term prefilter) × stats (1 row).
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(sum(idf * norm).as("bm25"))
+      .select(col("id").as(idCol), col("bm25"))
+  }
+
+  /** Presentation face: top-`k` docs by BM25 desc (rounded 1e-6 BEFORE
+    * ranking so the order is engine-reproducible), doc id ascending on
+    * ties. Output: (idCol, bm25). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25(docs, terms, k1, b, idCol, textCol)
+      .select(col(idCol), round(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+}

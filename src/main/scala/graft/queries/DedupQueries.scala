@@ -204,7 +204,20 @@ object DedupQueries extends QueryPack {
           SimilaritySearch.withBucket(embs(s, dir), planes),
           BlockedCosineThreshold, blockCol = Some("bucket"))
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("vec_a"), col("vec_b")))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // EXT-D19: source-level shingle Jaccard — exact overlap between
+    // crawl sources plus the union-property MinHash estimate, the
+    // corpus-forensics report that sizes cross-source duplication before
+    // doc-level dedup (and a standing accuracy witness for the signature
+    // machinery: |j_est − j_exact| tracks √(J(1−J)/16)).
+    "q112_source_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.groupShingleJaccard(
+          Tables.read(s, dir, "documents"), ShingleN, NumPerms)
+        .select(col("group_a"), col("group_b"),
+          round(col("j_exact"), 6).as("j_exact"),
+          round(col("j_est"), 6).as("j_est"))
+        .orderBy(col("group_a"), col("group_b")))
   )
 
   // DuckDB mirrors -----------------------------------------------------------
@@ -283,6 +296,30 @@ object DedupQueries extends QueryPack {
        |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q112_source_jaccard" ->
+      s"""WITH $ShingleCtes,
+         |gs AS (SELECT DISTINCT d.source AS grp, g
+         |       FROM shs JOIN documents d USING (doc_id), unnest(shs.gs) AS t(g)),
+         |sizes AS (SELECT grp, count(*) AS sz FROM gs GROUP BY 1),
+         |inter AS (SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_inter
+         |          FROM gs a JOIN gs b ON a.g = b.g AND a.grp < b.grp
+         |          GROUP BY 1, 2),
+         |sig AS (SELECT grp, i,
+         |          min((g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647) AS h
+         |        FROM gs, unnest(range(0, $NumPerms)) AS t(i) GROUP BY 1, 2),
+         |est AS (SELECT a.grp AS group_a, b.grp AS group_b,
+         |          avg(CASE WHEN a.h = b.h THEN 1.0 ELSE 0.0 END) AS j_est
+         |        FROM sig a JOIN sig b ON a.i = b.i AND a.grp < b.grp
+         |        GROUP BY 1, 2)
+         |SELECT group_a, group_b,
+         |  ROUND(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS j_exact,
+         |  ROUND(j_est, 6) AS j_est
+         |FROM inter
+         |JOIN sizes sa ON sa.grp = group_a
+         |JOIN sizes sb ON sb.grp = group_b
+         |JOIN est USING (group_a, group_b)
+         |ORDER BY group_a, group_b""".stripMargin,
+
     "q19_exact_dedup" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_dups

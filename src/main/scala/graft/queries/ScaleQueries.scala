@@ -284,10 +284,59 @@ object ScaleQueries extends QueryPack {
         .agg(count(lit(1)).as("n_points"),
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
         .orderBy(col("range_id"))
-    })
+    }),
+
+    // EXT-C20: hierarchical ROLLUP — detail, per-flag subtotal, and
+    // grand total in ONE aggregation pass (Catalyst expands the grouping
+    // sets inside a single Expand + hash aggregate; three separate
+    // GROUP BYs would scan the fact table three times). The OLAP report
+    // face of the engine; `grouping_id` disambiguates NULL-keyed
+    // subtotal rows from genuine NULL keys.
+    "q109_rollup_report" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // EXT-T24: edit-distance similarity join over the part-name
+    // vocabulary — FastSS deletion-neighborhood blocking turns the
+    // naive all-pairs `levenshtein <= 1` theta join into an equi join
+    // (complete by the pigeonhole argument in FuzzyJoin's doc). The
+    // oracle runs the NAIVE all-pairs join, so this gate is also a
+    // machine-checked losslessness proof of the blocking.
+    "q110_fuzzy_names" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.levenshtein1Pairs(
+          Tables.read(s, dir, "part"), "p_name")
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("name_a"), col("name_b")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q109_rollup_report" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(SUM(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // The naive all-pairs join — deliberately NOT the blocked plan, so a
+    // pair the deletion-neighborhood join missed would fail this gate.
+    "q110_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
     "q68_orc_roundtrip" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_returnflag, l_linestatus

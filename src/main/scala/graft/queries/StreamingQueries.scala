@@ -114,10 +114,44 @@ object StreamingQueries extends QueryPack {
           ev.where(col("event_type") === "view"),
           ev.where(col("event_type") === "click"), FunnelWithinSec)
         .orderBy(col("user_id"), col("left_event_id"), col("right_event_id"))
-    })
+    }),
+
+    // EXT-S14: daily resample + forward fill — regularize the irregular
+    // event stream onto the global daily grid per user, carrying each
+    // day's closing value across gap days. One (user, day) reduction +
+    // a broadcast grid + one running-last window per user.
+    "q111_resample_ffill" -> ((s, dir) =>
+      EventStreams.resampleDailyFfill(events(s, dir))
+        .select(col("user_id"), col("day"), col("n_events"),
+          round(col("v_close"), 6).as("v_close"))
+        .orderBy(col("user_id"), col("day")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q111_resample_ffill" ->
+      """WITH ranked AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN value END) AS v_day
+        |  FROM ranked GROUP BY 1, 2),
+        |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |         FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM span),
+        |grid AS (SELECT user_id, day
+        |         FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN days)
+        |SELECT user_id, day, COALESCE(n_events, 0) AS n_events,
+        |  ROUND(last_value(v_day IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        6) AS v_close
+        |FROM grid LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
     "q93_funnel_rate" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, event_type,

@@ -323,8 +323,21 @@ object TextQueries extends QueryPack {
         .join(dict.select(col("h").as("item_b"), col("tok").as("term_b")), Seq("item_b"))
         .select(col("term_a"), col("term_b"), round(col("corr"), 6).as("corr"))
         .orderBy(col("term_a"), col("corr").desc_nulls_last, col("term_b"))
-    })
+    }),
+
+    // EXT-T23: BM25 ranked retrieval — top-15 documents for a 3-term
+    // keyword query. Only query-term tokens are exploded and shuffled
+    // (the filter sits inside the tokenizer's codegen stage); document
+    // length and corpus stats come from a map-only projection, so at
+    // 100 TB the exchange carries matching (doc, term) rows only.
+    // Ranking is on the ROUNDED score with doc_id tiebreak, so the
+    // boundary of the top-k is engine-reproducible.
+    "q108_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(
+        Tables.read(s, dir, "documents"), Bm25Terms, 15))
   )
+
+  private val Bm25Terms = Seq("spark", "vector", "stream")
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -356,6 +369,26 @@ object TextQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q108_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |  ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 15""".stripMargin,
+
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
 

@@ -203,4 +203,53 @@ object EventStreams {
       .where(col("side") === 1)
       .drop("side")
   }
+
+  /**
+   * Time-series resample + forward fill: regularize an irregular event
+   * stream onto a fixed daily grid per key — the gap-filling step before
+   * any per-period comparison (DAU panels, balance snapshots, feature
+   * backfills). Every key gets one row per day of the GLOBAL observed
+   * span; a day with no events carries the most recent prior day's
+   * closing value forward; days before the key's first event stay NULL.
+   *
+   * Scale shape: the daily closing value is a per-(key, day) reduction
+   * (row_number window — partitions are key×day, so no single fat
+   * partition), the grid is a broadcast cross join of the distinct-key
+   * projection against one driver-bounded day sequence (span/day rows —
+   * a decade is ~3.7k), and the fill is one running `last(ignoreNulls)`
+   * window per key over ≤span rows. The event body never shuffles twice.
+   *
+   * Output: (key, day DATE, n_events BIGINT — 0 on filled days,
+   * v_close DOUBLE — forward-filled, NULL before first event).
+   */
+  def resampleDailyFfill(events: DataFrame,
+                         keyCol: String = "user_id", tsCol: String = "ts",
+                         idCol: String = "event_id",
+                         valueCol: String = "value"): DataFrame = {
+    val day = to_date(col(tsCol))
+    // Closing value per (key, day): latest ts, event id breaking ties —
+    // deterministic by construction, not by fixture accident.
+    val wDay = Window.partitionBy(col(keyCol), col("day"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val daily = events
+      .select(col(keyCol), day.as("day"), col(tsCol), col(idCol),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(wDay))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("v"))).as("v_day"))
+    // One-row global span → exploded day sequence, cross-joined against
+    // the distinct keys (both sides broadcast-small next to the events).
+    val span = events.agg(to_date(min(col(tsCol))).as("d0"),
+      to_date(max(col(tsCol))).as("d1"))
+    val days = span.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val grid = events.select(col(keyCol)).distinct().crossJoin(broadcast(days))
+    val wFill = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v_day"), ignoreNulls = true).over(wFill).as("v_close"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{Dedup, FuzzyJoin, Retrieval}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Round-6 extension operators: BM25 retrieval (EXT-T23), the FastSS
+  * edit-distance join (EXT-T24), daily resample + forward fill
+  * (EXT-S14), and group-level shingle Jaccard (EXT-D19). */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- BM25 ----------------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "spark shuffles data fast"),
+    (2L, "spark spark spark"),
+    (3L, "slow tables and rows and columns and keys"),
+    (4L, "fast vector search")).toDF("doc_id", "text")
+
+  /** Textbook BM25 witness (second implementation, scalar). */
+  private def bm25Ref(terms: Seq[String], docs: Seq[(Long, String)],
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfs = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    docs.flatMap { case (id, _) =>
+      val score = terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0 || dfs(t) == 0) 0.0
+        else math.log(1 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5)) *
+          tf * (k1 + 1) / (tf + k1 * (1 - b + b * toks(id).size / avgdl))
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }.toMap
+  }
+
+  test("bm25 matches the textbook scalar witness") {
+    val got = Retrieval.bm25(corpus, Seq("spark", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = bm25Ref(Seq("spark", "vector"),
+      Seq((1L, "spark shuffles data fast"), (2L, "spark spark spark"),
+        (3L, "slow tables and rows and columns and keys"), (4L, "fast vector search")))
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, s) => assert(approx(s, want(id)), s"doc $id") }
+  }
+
+  test("bm25TopK ranks by rounded score desc with id tiebreak and caps at k") {
+    val top = Retrieval.bm25TopK(corpus, Seq("spark"), 2).collect()
+    top.length shouldBe 2
+    // doc 2 has the highest tf of 'spark' and the shortest length
+    top.head.getLong(0) shouldBe 2L
+    assert(top(0).getDouble(1) >= top(1).getDouble(1))
+  }
+
+  test("bm25 rejects an empty query") {
+    an[IllegalArgumentException] should be thrownBy Retrieval.bm25(corpus, Nil)
+  }
+
+  // --- FastSS levenshtein-1 join -------------------------------------------
+
+  test("levenshtein1Pairs finds substitution, deletion, and duplicate-free equal names") {
+    val names = Seq("gear", "bear", "ear", "gears", "pump", "jump", "stone")
+      .toDF("p_name")
+    val got = FuzzyJoin.levenshtein1Pairs(names, "p_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(
+      ("bear", "gear"), // substitution
+      ("ear", "gear"), ("bear", "ear"), // deletion
+      ("gear", "gears"), // insertion
+      ("jump", "pump")) // substitution
+  }
+
+  test("levenshtein1Pairs equals the naive all-pairs join on a random vocabulary") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 120).map(_ =>
+      (1 to (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for (a <- vocab; b <- vocab if a < b && lev(a, b) <= 1) yield (a, b)).toSet
+    val got = FuzzyJoin.levenshtein1Pairs(vocab.toDF("p_name"), "p_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe naive
+  }
+
+  test("levenshtein1Pairs excludes transpositions (distance 2)") {
+    val got = FuzzyJoin.levenshtein1Pairs(Seq("ab", "ba").toDF("p_name"), "p_name")
+      .collect()
+    got shouldBe empty
+  }
+
+  test("levenshtein1Pairs hot-variant cap drops boilerplate fragments") {
+    // every name shares the deletion variant "x" via 2-char names
+    val names = Seq("xa", "xb", "xc", "xd").toDF("p_name")
+    val uncapped = FuzzyJoin.levenshtein1Pairs(names, "p_name").count()
+    val capped = FuzzyJoin.levenshtein1Pairs(names, "p_name", maxVariantDegree = Some(3)).count()
+    assert(uncapped == 6) // all pairs are substitutions at position 2
+    assert(capped < uncapped)
+  }
+
+  // --- Daily resample + forward fill ---------------------------------------
+
+  private def ev(id: Long, user: Long, ts: String, v: Double) =
+    (id, java.sql.Timestamp.valueOf(ts), user, "e", v)
+
+  test("resampleDailyFfill fills gap days with the prior close and zero events") {
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", 5.0),
+      ev(2, 1, "2024-01-01 18:00:00", 7.0), // closing value of day 1
+      ev(3, 1, "2024-01-03 09:00:00", 9.0), // day 2 is a gap
+      ev(4, 2, "2024-01-02 12:00:00", 1.0)  // user 2 starts on day 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.resampleDailyFfill(events)
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    got shouldBe Array(
+      (1L, "2024-01-01", 2L, Some(7.0)),
+      (1L, "2024-01-02", 0L, Some(7.0)), // gap day carries the close
+      (1L, "2024-01-03", 1L, Some(9.0)),
+      (2L, "2024-01-01", 0L, None), // before user 2's first event
+      (2L, "2024-01-02", 1L, Some(1.0)),
+      (2L, "2024-01-03", 0L, Some(1.0)))
+  }
+
+  test("resampleDailyFfill breaks same-timestamp ties by event id") {
+    val t = "2024-01-01 10:00:00"
+    val events = Seq(ev(2, 1, t, 20.0), ev(1, 1, t, 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.resampleDailyFfill(events).collect()
+    got.length shouldBe 1
+    got.head.getDouble(3) shouldBe 20.0 // highest event_id wins
+  }
+
+  // --- Group-level shingle Jaccard -----------------------------------------
+
+  test("groupShingleJaccard: exact values match hand-computed set overlap") {
+    // 3-shingles: g1 = {a b c, b c d} ∪ {b c d, c d e}; g2 = {a b c, b c d}
+    val docs = Seq(
+      (1L, "a b c d", "g1"), (2L, "b c d e", "g1"),
+      (3L, "a b c d", "g2"), (4L, "x y z w", "g3")).toDF("doc_id", "text", "source")
+    val rows = Dedup.groupShingleJaccard(docs, 3, 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // g1 = {abc,bcd,cde}, g2 = {abc,bcd}: |∩| = 2, |∪| = 3
+    assert(approx(rows(("g1", "g2"))._1, 2.0 / 3.0))
+    // g3 shares nothing — absent from the pair table (zero intersection)
+    rows.keySet shouldBe Set(("g1", "g2"))
+    // the 16-perm estimate is a probability — bounded and sane
+    val est = rows(("g1", "g2"))._2
+    assert(est >= 0.0 && est <= 1.0)
+  }
+
+  test("groupShingleJaccard: identical groups estimate exactly 1") {
+    val docs = Seq(
+      (1L, "a b c d e", "g1"), (2L, "a b c d e", "g2")).toDF("doc_id", "text", "source")
+    val r = Dedup.groupShingleJaccard(docs, 3, 16).collect().head
+    r.getDouble(2) shouldBe 1.0 // exact
+    r.getDouble(3) shouldBe 1.0 // every permutation minimum agrees
+  }
+}
