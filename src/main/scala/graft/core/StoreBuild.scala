@@ -89,7 +89,26 @@ object StoreBuild {
     * (gated by q57 against the same full-rebuild oracle as q38). */
   def scaledNeighborsFromStats(stats: Incremental.Stats, k: Double = 2.0,
                                largeCatalog: Option[Boolean] = None): DataFrame =
-    new Build(stats.items, stats.co, stats.n, k, largeCatalog, None).neighbors
+    new Build(pinPlan(stats.items), pinPlan(stats.co), pinPlan(stats.n),
+      k, largeCatalog, None).neighbors
+
+  /** Cache a folded summary AND seal its lineage behind a leaf scan.
+    *
+    * An in-session `Incremental.update` produces summaries whose LOGICAL
+    * plans reference the base snapshot's plans several times over; a
+    * build that embeds those subtrees per consumer hands Catalyst a
+    * multi-megabyte tree to analyze on EVERY action (measured: the
+    * in-session q57 build planned 13k Exchange nodes / a 15.6 MB plan
+    * string where the same data loaded from a saved snapshot planned 95
+    * — the data was cached either way; the DRIVER was re-walking the
+    * fold's plan). The lazy local checkpoint truncates the lineage to
+    * the materialized partitions, so the build plans against three leaf
+    * scans, like the loaded-snapshot path. Local (non-reliable)
+    * checkpointing is the right tier: the summaries are cached
+    * MEMORY_AND_DISK anyway, and a lost executor re-runs the fold —
+    * durability across failures is `Incremental.save`'s job. */
+  private def pinPlan(df: DataFrame): DataFrame =
+    Caches.cacheOnce(df).localCheckpoint(eager = false)
 
   /** OP-20 at scale: per-item mean/σ of the COMPLETE correlation vector
     * (NULL-skipping, sample σ — exactly `avg`/`stddev_samp` over
