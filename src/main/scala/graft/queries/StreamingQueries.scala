@@ -124,10 +124,49 @@ object StreamingQueries extends QueryPack {
       EventStreams.resampleDailyFfill(events(s, dir))
         .select(col("user_id"), col("day"), col("n_events"),
           round(col("v_close"), 6).as("v_close"))
-        .orderBy(col("user_id"), col("day")))
+        .orderBy(col("user_id"), col("day"))),
+
+    // EXT-C21: CDC apply — collapse the event log to latest-wins state
+    // per user, honoring delete markers ('error' events are the
+    // deterministic tombstone of this fixture). One key shuffle.
+    "q113_cdc_snapshot" -> ((s, dir) =>
+      graft.operators.ChangeData.latestSnapshot(
+          events(s, dir), col("event_type") === "error")
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"))),
+
+    // EXT-C22: SCD type-2 history — interval-versioned rows per change
+    // (valid_from/valid_to/is_current); tombstones close the prior row
+    // and leave no current row, consistent with q113's snapshot.
+    "q114_scd2_history" -> ((s, dir) =>
+      graft.operators.ChangeData.scd2History(
+          events(s, dir), col("event_type") === "error")
+        .select(col("user_id"), round(col("value"), 6).as("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("value")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_cdc_snapshot" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, value, event_type = 'error' AS del,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, ROUND(value, 6) AS value
+        |FROM ranked WHERE rn = 1 AND NOT del
+        |ORDER BY user_id""".stripMargin,
+
+    "q114_scd2_history" ->
+      """WITH h AS (
+        |  SELECT user_id, ts, value, event_type = 'error' AS del,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, ROUND(value, 6) AS value, ts AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM h WHERE NOT del
+        |ORDER BY user_id, valid_from, value""".stripMargin,
+
     "q111_resample_ffill" ->
       """WITH ranked AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, value,

@@ -158,6 +158,37 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(est >= 0.0 && est <= 1.0)
   }
 
+  // --- CDC apply + SCD2 history --------------------------------------------
+
+  private lazy val cdcLog = Seq(
+    ev(1, 1, "2024-01-01 10:00:00", 1.0),
+    ev(2, 1, "2024-01-02 10:00:00", 2.0),
+    (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 1L, "error", 0.0), // tombstone
+    ev(4, 1, "2024-01-04 10:00:00", 4.0), // reopens after delete
+    ev(5, 2, "2024-01-01 10:00:00", 9.0),
+    (6L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2L, "error", 0.0)  // latest = delete
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("latestSnapshot: latest wins; a trailing tombstone removes the key") {
+    val got = graft.operators.ChangeData
+      .latestSnapshot(cdcLog, col("event_type") === "error")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got shouldBe Map(1L -> 4.0) // user 2's latest change is a delete
+  }
+
+  test("scd2History: intervals chain, tombstones close, current row matches snapshot") {
+    val rows = graft.operators.ChangeData
+      .scd2History(cdcLog, col("event_type") === "error")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4)))
+    rows shouldBe Array(
+      (1L, 1.0, Some("2024-01-02 10:00:00.0"), false),
+      (1L, 2.0, Some("2024-01-03 10:00:00.0"), false), // closed by the tombstone
+      (1L, 4.0, None, true), // reopened — the only current row
+      (2L, 9.0, Some("2024-01-02 10:00:00.0"), false)) // closed, never current
+  }
+
   test("groupShingleJaccard: identical groups estimate exactly 1") {
     val docs = Seq(
       (1L, "a b c d e", "g1"), (2L, "a b c d e", "g2")).toDF("doc_id", "text", "source")
