@@ -108,4 +108,42 @@ object Joins {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__gbkt")
   }
+
+  /** Skew-salted equi inner join: `facts ⋈ dim` on `key`, with the fact
+    * side's hot keys SPREAD across `salts` shuffle partitions instead of
+    * funneled into one task.
+    *
+    * A plain shuffle join hashes every row of a hot key to the same
+    * reducer — the classic 100 TB straggler (one task holds the whole
+    * key while 999 executors idle). Salting re-keys the join on
+    * (key, salt): each fact row gets a deterministic salt derived from a
+    * second column (spreading a hot key's rows uniformly), and the dim
+    * side is exploded ×`salts` so every (key, salt) bucket still finds
+    * its dim row. The join OUTPUT is provably identical to the unsalted
+    * join — each fact row meets exactly the one dim replica carrying its
+    * salt — which the oracle checks by running the NAIVE join (the gate
+    * doubles as a machine-checked losslessness proof, like the q110
+    * blocking gate). AQE's skew-join split covers sort-merge joins
+    * after the fact; explicit salting also covers hash joins, grace
+    * periods before AQE statistics exist, and aggregations downstream
+    * that inherit the salted partitioning.
+    *
+    * Replication cost: |dim| × `salts` extra build rows — pick `salts`
+    * near the ratio (hot-key rows / average-key rows). `saltSource`
+    * must be integral and reasonably spread per key (a line number, an
+    * event id, a timestamp); its value never affects the result, only
+    * the balance. */
+  def saltedEquiJoin(facts: DataFrame, dim: DataFrame, key: String,
+                     saltSource: org.apache.spark.sql.Column,
+                     salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    // Knuth multiplicative spread of the salt source, pre-reduced so the
+    // product stays far from Long overflow under ANSI arithmetic.
+    val salted = facts.withColumn("__salt",
+      pmod(pmod(saltSource.cast("long"), lit(1000003L)) * lit(2654435761L),
+        lit(salts.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -313,7 +313,60 @@ object ScaleQueries extends QueryPack {
       graft.operators.FuzzyJoin.levenshtein1Pairs(
           Tables.read(s, dir, "part"), "p_name")
         .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("name_a"), col("name_b")))
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // EXT-C23: Z-order layout — Morton-interleave (l_partkey, l_suppkey)
+    // into one clustering key and report each coarse Z-bucket's (x, y)
+    // bounding rectangle. The per-bucket min/max spans ARE the file-skip
+    // stats a clustered write would give every parquet footer: 64 buckets
+    // each covering a 128×128 rectangle of the 1024×1024 key space, so a
+    // predicate on EITHER dimension prunes ~7/8 of the files — the
+    // two-dimensional layout a lexicographic sort cannot provide. The
+    // Z-value is pure shift/mask arithmetic (codegen'd, no UDF); the
+    // oracle re-derives the interleave bit by bit.
+    "q115_zorder_layout" -> ((s, dir) => {
+      val x = pmod(col("l_partkey"), lit(1024L))
+      val y = pmod(col("l_suppkey"), lit(1024L))
+      Tables.read(s, dir, "lineitem")
+        .select(graft.operators.Layout.zValue(x, y, 10).as("zv"),
+          x.as("x"), y.as("y"))
+        .groupBy(shiftright(col("zv"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    }),
+
+    // EXT-C24: skew-salted equi join — lineitem ⋈ orders with the fact
+    // side's salt spreading every hot orderkey across 8 reducers and the
+    // dim side replicated ×8. The oracle runs the NAIVE unsalted join,
+    // so this gate is a machine-checked losslessness proof of the salting
+    // (the q110 pattern): same aggregate, row for row.
+    "q117_salted_join" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Joins.saltedEquiJoin(li, o, "l_orderkey",
+          col("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // EXT-C25: two-phase dense ID assignment — contiguous 0-based ids
+    // over documents in (source, doc_id) order with NO single-partition
+    // stage (range exchange + per-partition numbering + broadcast prefix
+    // sum; the `monotonically_increasing_id`/global-window trap is the
+    // thing this operator exists to avoid). The oracle is the flat
+    // row_number() definition — a shape DuckDB can afford at oracle SF.
+    "q118_dense_ids" -> ((s, dir) =>
+      graft.operators.Ids.denseIds(
+          Tables.read(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq(col("source"), col("doc_id")))
+        .select(col("uid"), col("doc_id"), col("source"))
+        .orderBy(col("uid")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -455,6 +508,39 @@ object ScaleQueries extends QueryPack {
         |SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |       MIN(p.v) AS v_min, MAX(p.v) AS v_max
         |FROM points p JOIN ranges r ON p.v >= r.lo AND p.v < r.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q115_zorder_layout" ->
+      s"""WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |            FROM lineitem)
+         |SELECT (${zSql("x", "y", 10)}) >> 14 AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Deliberately the NAIVE unsalted join — a fact row the salted plan
+    // dropped or duplicated would fail this gate.
+    "q117_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(SUM(l_quantity), 6) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The flat definition the distributed two-phase rank must equal.
+    "q118_dense_ids" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+        |         AS uid,
+        |       doc_id, source
+        |FROM documents ORDER BY uid""".stripMargin
   )
+
+  /** Morton-interleave of two `bits`-bit ints as portable SQL — the same
+    * shift/mask arithmetic `Layout.zValue` plans, re-derived so the
+    * oracle does not share code with the engine. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 }

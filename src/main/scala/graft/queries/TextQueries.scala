@@ -334,10 +334,48 @@ object TextQueries extends QueryPack {
     // boundary of the top-k is engine-reproducible.
     "q108_bm25_topk" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(
-        Tables.read(s, dir, "documents"), Bm25Terms, 15))
+        Tables.read(s, dir, "documents"), Bm25Terms, 15)),
+
+    // EXT-T25: distributed BPE merge training — the first five merges of
+    // a byte-pair-encoding tokenizer, trained corpus-side. The corpus
+    // collapses ONCE to the (word, freq) vocabulary table (which
+    // saturates as data grows — the 100 TB argument); each round is a
+    // map-only pair explode + one hash aggregate + a 1-row driver argmax
+    // (the Lloyd-round pattern) + a map-only rewrite. The oracle unrolls
+    // all five rounds as chained CTEs and replays the greedy
+    // left-to-right merge with the same delimiter-string encoding.
+    "q116_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.trainMerges(
+          s, Tables.read(s, dir, "documents"), BpeMerges,
+          maxWordLen = BpeMaxWordLen)
+        .orderBy(col("round"))),
+
+    // EXT-T26: temperature-balanced source mixing — the multilingual-/
+    // multi-source-corpus reweighting step (weight ∝ n^α, here α = 1/2
+    // via sqrt so the arithmetic is correctly-rounded IEEE in any
+    // engine): per-source sampling weight, a quota out of 1M examples,
+    // and the implied epochs over each source (quota / size — > 1 means
+    // upsampling). One source-level aggregate + a broadcast of the
+    // 1-row total; nothing here scales with rows.
+    "q119_source_mix" -> ((s, dir) => {
+      val srcs = Tables.read(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val w = sqrt(col("n_docs").cast("double"))
+      val tot = srcs.agg(sum(sqrt(col("n_docs").cast("double"))).as("wtot"))
+      srcs.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(w / col("wtot"), 6).as("weight"),
+          floor(w / col("wtot") * lit(1000000.0)).cast("long").as("quota"),
+          round(w / col("wtot") * lit(1000000.0) /
+            col("n_docs").cast("double"), 6).as("epochs"))
+        .orderBy(col("source"))
+    })
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
+  private val BpeMerges = 5
+  private val BpeMaxWordLen = 12
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -368,7 +406,59 @@ object TextQueries extends QueryPack {
        |       ELSE '${langs.last}' END""".stripMargin
   }
 
+  /** The q116 oracle: all `BpeMerges` rounds unrolled as chained CTEs.
+    * Round k reads w(k-1), counts adjacent pairs (list_transform over the
+    * filtered token list), picks the argmax with the same
+    * (cnt DESC, lhs, rhs) tiebreak, and rewrites via the same
+    * delimiter-string `replace` — both engines' `replace` scans left to
+    * right and continues AFTER the substituted text, which is exactly the
+    * greedy BPE merge. */
+  private lazy val bpeOracleSql: String = {
+    val base =
+      s"""w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |         ';' || regexp_replace(word, '(.)', '\\1;', 'g') AS enc
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(toks)),
+         |                 i -> {'l': toks[i], 'r': toks[i + 1]})) AS p
+         |        FROM (SELECT freq,
+         |                list_filter(string_split(enc, ';'), x -> x <> '') AS toks
+         |              FROM w${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$k AS (SELECT word, freq,
+         |          replace(enc, ';' || b.lhs || ';' || b.rhs || ';',
+         |                       ';' || b.lhs || b.rhs || ';') AS enc
+         |        FROM w${k - 1}, b$k b)""".stripMargin
+    }
+    val union = (1 to BpeMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n${rounds.mkString(",\n")}\n$union\nORDER BY round"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q116_bpe_merges" -> bpeOracleSql,
+
+    "q119_source_mix" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(sqrt(n_docs::DOUBLE)) AS wtot FROM s)
+        |SELECT source, n_docs, n_chars,
+        |  ROUND(sqrt(n_docs::DOUBLE) / wtot, 6) AS weight,
+        |  CAST(FLOOR(sqrt(n_docs::DOUBLE) / wtot * 1000000.0) AS BIGINT) AS quota,
+        |  ROUND(sqrt(n_docs::DOUBLE) / wtot * 1000000.0 / n_docs::DOUBLE, 6)
+        |    AS epochs
+        |FROM s, t ORDER BY source""".stripMargin,
+
     "q108_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN []
