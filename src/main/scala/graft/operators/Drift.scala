@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution drift between two corpus snapshots — the population
+ * stability index (PSI), the standard data-quality monitor that catches
+ * "the new crawl's documents are systematically shorter/longer" class
+ * regressions BEFORE they reach training.
+ *
+ * PSI = Σ_bins (q_i − p_i)·ln(q_i / p_i) over a fixed equi-width binning
+ * (p = baseline share, q = current share). Rule-of-thumb gates: < 0.1
+ * stable, 0.1–0.25 drifting, > 0.25 broken. Add-one (Laplace) smoothing
+ * keeps empty bins finite and is part of the published metric's standard
+ * practice.
+ *
+ * Scale shape: one map-side binning + hash aggregate PER SNAPSHOT (each
+ * emits ≤ nBins rows), a broadcast join on the bin spine, and scalar
+ * totals — cost is two scans, state is O(bins). Nothing here grows with
+ * corpus size.
+ */
+object Drift {
+
+  /** Per-bin PSI decomposition of `valueCol` between `base` and `cur`:
+    * (bin, n_base, n_cur, p, q, psi_contrib, psi_total), bins are
+    * [i·binWidth, (i+1)·binWidth) clamped to [0, nBins), shares are
+    * add-one smoothed: p_i = (n_i + 1) / (N + nBins). `psi_total` is
+    * repeated on every row (the headline number riding along with its
+    * decomposition). */
+  def psiBins(base: DataFrame, cur: DataFrame, valueCol: String,
+              binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "binWidth and nBins must be positive")
+    def binned(df: DataFrame, cntName: String): DataFrame =
+      df.select(least(lit(nBins - 1L),
+          greatest(lit(0L), floor(col(valueCol) / binWidth).cast("long")))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cntName))
+    val spine = base.sparkSession.range(nBins.toLong).select(col("id").as("bin"))
+    val b = binned(base, "n_base")
+    val c = binned(cur, "n_cur")
+    val nb = b.agg(sum(col("n_base")).as("tot_base"))
+    val nc = c.agg(sum(col("n_cur")).as("tot_cur"))
+    val joined = spine
+      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nc))
+    val p = (col("n_base") + 1.0) / (col("tot_base") + lit(nBins.toDouble))
+    val q = (col("n_cur") + 1.0) / (col("tot_cur") + lit(nBins.toDouble))
+    val contrib = (q - p) * log(q / p)
+    val perBin = joined.select(col("bin"), col("n_base"), col("n_cur"),
+      round(p, 6).as("p"), round(q, 6).as("q"),
+      round(contrib, 6).as("psi_contrib"), contrib.as("__c"))
+    val total = perBin.agg(sum(col("__c")).as("__t"))
+    perBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_base"), col("n_cur"), col("p"), col("q"),
+        col("psi_contrib"), round(col("__t"), 6).as("psi_total"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.shingleStream
+
+/**
+ * Sparse TF-IDF cosine similarity join over an inverted index — the
+ * weighted near-duplicate detector that complements the set-based
+ * families (MinHash Jaccard = unweighted overlap; SimHash = hashed
+ * projection): cosine over tf·idf-weighted word n-gram shingles
+ * DOWN-WEIGHTS boilerplate phrases instead of counting them, so
+ * template-heavy corpora pair on their distinctive content, and a
+ * repeated phrase inside one document counts once per occurrence (tf),
+ * which set semantics cannot express.
+ *
+ * The computation is the exact sparse matrix product via the inverted
+ * index: L2-normalized postings (shingle, doc, w) self-join on the
+ * shingle, one pair-key aggregate sums the per-term products — each
+ * pair's full dot product, no dense vectors anywhere. Cost is
+ * Σ_shingle df², which the document-frequency cap bounds: shingles in
+ * more than `maxDfFrac` of documents are corpus boilerplate with
+ * near-zero idf and are EXCLUDED FROM THE VECTORS (stopphrase removal —
+ * part of the metric's definition here, identically in the oracle, so
+ * the result is exact for the declared metric). At 100 TB that cap is
+ * the whole story: without it one boilerplate phrase's posting list is
+ * a df² mega-join; with it the join is bounded per shingle and the
+ * plan is two shuffles (shingle, then pair key).
+ */
+object SparseSim {
+
+  /** Document pairs with tf-idf shingle cosine ≥ `minCos` (threshold
+    * applied to the 1e-6-rounded score, so boundary membership is
+    * engine-stable): (doc_a, doc_b, cos), doc_a < doc_b.
+    * idf = ln(1 + N/df); weights L2-normalized per document; shingles
+    * with df > maxDfFrac·N dropped from the vectors. */
+  def tfidfCosinePairs(docs: DataFrame, shingleN: Int, minCos: Double,
+                       maxDfFrac: Double = 0.2,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    val sh = shingleStream(docs, shingleN, idCol, textCol)
+      .select(col(idCol).as("doc"), col("sh"))
+    val tf = sh.groupBy(col("doc"), col("sh")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df").cast("double") <= col("n_docs").cast("double") * maxDfFrac)
+    val w = tf.join(dft, Seq("sh"))
+      .select(col("doc"), col("sh"),
+        (col("tf").cast("double") *
+          log(lit(1.0) + col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+    val norms = w.groupBy(col("doc"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val p = w.join(norms, Seq("doc"))
+      .select(col("sh"), col("doc"), (col("w") / col("nrm")).as("wn"))
+    val a = p.select(col("sh"), col("doc").as("doc_a"), col("wn").as("wa"))
+    val b = p.select(col("sh"), col("doc").as("doc_b"), col("wn").as("wb"))
+    a.join(b, Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(sum(col("wa") * col("wb")), 6).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

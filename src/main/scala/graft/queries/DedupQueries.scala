@@ -217,8 +217,24 @@ object DedupQueries extends QueryPack {
         .select(col("group_a"), col("group_b"),
           round(col("j_exact"), 6).as("j_exact"),
           round(col("j_est"), 6).as("j_est"))
-        .orderBy(col("group_a"), col("group_b")))
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // EXT-D20: sparse TF-IDF cosine similarity join — the WEIGHTED
+    // near-dup face (MinHash/Jaccard is unweighted set overlap; SimHash
+    // a hashed projection): cosine over tf·idf 3-gram shingle vectors,
+    // computed as the exact sparse matrix product via an inverted-index
+    // self-join (posting lists bounded by the df cap — boilerplate
+    // phrases are excluded from the vectors by definition). The oracle
+    // replays tf, df, idf, L2 norms, and the pair dot products in SQL.
+    "q122_tfidf_cosine" -> ((s, dir) =>
+      graft.operators.SparseSim.tfidfCosinePairs(
+          Tables.read(s, dir, "documents"), shingleN = 3,
+          minCos = TfidfCosThreshold, maxDfFrac = TfidfMaxDfFrac)
+        .orderBy(col("doc_a"), col("doc_b")))
   )
+
+  private val TfidfCosThreshold = 0.3
+  private val TfidfMaxDfFrac = 0.2
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -296,6 +312,32 @@ object DedupQueries extends QueryPack {
        |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // tf (NOT distinct) 3-gram shingles → df-capped idf → L2 norms →
+    // pair dot products: the exact metric q122's inverted index computes.
+    "q122_tfidf_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents),
+         |sh AS (SELECT doc_id AS doc, unnest(CASE WHEN len(tk) < 3 THEN []
+         |         ELSE list_transform(range(1, len(tk) - 1),
+         |                i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END)
+         |         AS sh
+         |       FROM toks),
+         |tf AS (SELECT doc, sh, COUNT(*)::DOUBLE AS tf FROM sh GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         |dft AS (SELECT sh, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |dfc AS (SELECT sh, df FROM dft, nd WHERE df <= n_docs * $TfidfMaxDfFrac),
+         |w AS (SELECT doc, tf.sh, tf * ln(1.0 + n_docs / df) AS w
+         |      FROM tf JOIN dfc ON tf.sh = dfc.sh, nd),
+         |nrm AS (SELECT doc, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+         |p AS (SELECT w.sh, w.doc, w / nrm AS wn FROM w JOIN nrm USING (doc))
+         |SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |       ROUND(SUM(a.wn * b.wn), 6) AS cos
+         |FROM p a JOIN p b ON a.sh = b.sh AND a.doc < b.doc
+         |GROUP BY 1, 2
+         |HAVING ROUND(SUM(a.wn * b.wn), 6) >= $TfidfCosThreshold
+         |ORDER BY 1, 2""".stripMargin,
+
     "q112_source_jaccard" ->
       s"""WITH $ShingleCtes,
          |gs AS (SELECT DISTINCT d.source AS grp, g

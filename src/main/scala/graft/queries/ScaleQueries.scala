@@ -366,7 +366,22 @@ object ScaleQueries extends QueryPack {
           Tables.read(s, dir, "documents").select(col("doc_id"), col("source")),
           Seq(col("source"), col("doc_id")))
         .select(col("uid"), col("doc_id"), col("source"))
-        .orderBy(col("uid")))
+        .orderBy(col("uid"))),
+
+    // EXT-X6: distribution drift (population stability index) between
+    // two corpus snapshots — the q81 snapshot convention (base = id%11≠0,
+    // current = id%13≠0) over the document-length distribution, 10
+    // equi-width bins, add-one smoothing. Per-bin decomposition plus the
+    // headline PSI riding on every row. Two scans, O(bins) state —
+    // the standing data-quality monitor ahead of any training run.
+    "q121_psi_drift" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      graft.operators.Drift.psiBins(
+          d.where(pmod(col("doc_id"), lit(11L)) =!= 0L),
+          d.where(pmod(col("doc_id"), lit(13L)) =!= 0L),
+          "n_chars", binWidth = 60L, nBins = 10)
+        .orderBy(col("bin"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -527,6 +542,30 @@ object ScaleQueries extends QueryPack {
         |       ROUND(SUM(l_quantity), 6) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q121_psi_drift" ->
+      """WITH bins AS (SELECT unnest(range(0, 10))::BIGINT AS bin),
+        |b AS (SELECT LEAST(9, GREATEST(0, n_chars // 60))::BIGINT AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 11 <> 0 GROUP BY 1),
+        |c AS (SELECT LEAST(9, GREATEST(0, n_chars // 60))::BIGINT AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
+        |j AS (SELECT bins.bin, COALESCE(b.n, 0) AS n_base,
+        |             COALESCE(c.n, 0) AS n_cur
+        |      FROM bins LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)),
+        |tb AS (SELECT SUM(n_base)::DOUBLE AS tot_base FROM j),
+        |tc AS (SELECT SUM(n_cur)::DOUBLE AS tot_cur FROM j),
+        |e AS (SELECT bin, n_base, n_cur,
+        |        (n_base + 1.0) / (tot_base + 10.0) AS p0,
+        |        (n_cur + 1.0) / (tot_cur + 10.0) AS q0
+        |      FROM j, tb, tc),
+        |f AS (SELECT bin, n_base, n_cur, p0, q0,
+        |        (q0 - p0) * ln(q0 / p0) AS c0 FROM e),
+        |t AS (SELECT SUM(c0) AS pt FROM f)
+        |SELECT bin, n_base, n_cur, ROUND(p0, 6) AS p, ROUND(q0, 6) AS q,
+        |       ROUND(c0, 6) AS psi_contrib, ROUND(pt, 6) AS psi_total
+        |FROM f, t ORDER BY bin""".stripMargin,
 
     // The flat definition the distributed two-phase rank must equal.
     "q118_dense_ids" ->

@@ -370,7 +370,18 @@ object TextQueries extends QueryPack {
           round(w / col("wtot") * lit(1000000.0) /
             col("n_docs").cast("double"), 6).as("epochs"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // EXT-T27: corpus-trained unigram LM scoring — the CCNet-style
+    // perplexity proxy: avg −ln p(token) per document under the corpus's
+    // own unigram distribution; the standard unsupervised signal that
+    // tiers pre-training data into quality buckets. Vocabulary saturates
+    // with corpus growth; the scoring join broadcasts it (AQE) or rides
+    // the token exchange the tf aggregate already created.
+    "q120_unigram_nll" -> ((s, dir) =>
+      graft.operators.LanguageModel.unigramNegLogProb(
+          Tables.read(s, dir, "documents"))
+        .orderBy(col("doc_id")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -446,6 +457,17 @@ object TextQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+
+    "q120_unigram_nll" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |t AS (SELECT SUM(cnt)::DOUBLE AS n_total FROM v)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
+         |         AS nll
+         |FROM tok JOIN v USING (tok) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q119_source_mix" ->
       """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Drift, LanguageModel, SparseSim}
+
+/** Witnesses for the corpus-statistics operators: unigram LM scoring,
+  * PSI drift, and the sparse tf-idf cosine join. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- LanguageModel -----------------------------------------------------
+
+  test("unigramNegLogProb scores rare-token docs higher than common-token docs") {
+    // "a" appears 9×, "zzz" once → doc 3 (all rare) must outscore doc 1.
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a a a a a"), (3L, "zzz"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.unigramNegLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N = 10 tokens; p(a) = 9/10, p(zzz) = 1/10.
+    approx(got(1L)._2, -math.log(0.9), 1e-6) shouldBe true
+    approx(got(3L)._2, -math.log(0.1), 1e-6) shouldBe true
+    got(3L)._2 should be > got(1L)._2
+    got.contains(4L) shouldBe false // empty doc: no row
+    got(1L)._1 shouldBe 4L
+  }
+
+  // ---- Drift -------------------------------------------------------------
+
+  test("psiBins is ~0 for identical snapshots and grows under shift") {
+    val base = spark.range(1000).select((col("id") % 500).as("v"))
+    val same = Drift.psiBins(base, base, "v", 50L, 10)
+    same.select(max(abs(col("psi_total")))).head().getDouble(0) should be < 1e-9
+    val shifted = base.select((col("v") + 200).as("v"))
+    val moved = Drift.psiBins(base, shifted, "v", 50L, 10)
+    moved.select(max(col("psi_total"))).head().getDouble(0) should be > 0.25
+    moved.count() shouldBe 10L // every bin present, including empty ones
+  }
+
+  test("psiBins clamps out-of-range values into the edge bins") {
+    val base = Seq(-5L, 0L, 10L, 9999L).toDF("v")
+    val bins = Drift.psiBins(base, base, "v", 10L, 4)
+      .select("bin", "n_base").as[(Long, Long)].collect().toMap
+    bins(0L) shouldBe 2L // -5 clamped up, 0
+    bins(1L) shouldBe 1L // 10
+    bins(3L) shouldBe 1L // 9999 clamped down
+  }
+
+  // ---- SparseSim ---------------------------------------------------------
+
+  test("tfidfCosinePairs pairs shared-content docs and ignores boilerplate") {
+    // Docs 1/2 share distinctive trigrams; doc 3 shares only the
+    // boilerplate header, which the df cap excludes (df = 3 of 4 docs).
+    val header = "terms of service apply here"
+    val docs = Seq(
+      (1L, s"$header unique alpha beta gamma delta"),
+      (2L, s"$header unique alpha beta gamma epsilon"),
+      (3L, s"$header totally different content now"),
+      (4L, "no overlap with anything else at all")
+    ).toDF("doc_id", "text")
+    val pairs = SparseSim.tfidfCosinePairs(docs, shingleN = 3, minCos = 0.1,
+        maxDfFrac = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("tfidfCosinePairs matches the dense cosine on a hand computation") {
+    // Two 1-shingle docs sharing their only shingle → cosine exactly 1.
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = SparseSim.tfidfCosinePairs(docs, 3, 0.5, maxDfFrac = 1.0)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+    got.toSeq shouldBe Seq((1L, 2L, 1.0))
+  }
+}
