@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Drift {
 
+  /** The equi-width bin id of `value`: ⌊value / binWidth⌋ clamped to
+    * [0, nBins). Map-only and streaming-safe — a `readStream.groupBy`
+    * over this column is the ONLINE face of the monitor (bounded state:
+    * one row per bin; the spec proves stream and batch counts agree). */
+  def binOf(value: Column, binWidth: Long, nBins: Int): Column =
+    least(lit(nBins - 1L),
+      greatest(lit(0L), floor(value / binWidth).cast("long")))
+
   /** Per-bin PSI decomposition of `valueCol` between `base` and `cur`:
     * (bin, n_base, n_cur, p, q, psi_contrib, psi_total), bins are
     * [i·binWidth, (i+1)·binWidth) clamped to [0, nBins), shares are
@@ -32,15 +40,19 @@ object Drift {
               binWidth: Long, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 0, "binWidth and nBins must be positive")
     def binned(df: DataFrame, cntName: String): DataFrame =
-      df.select(least(lit(nBins - 1L),
-          greatest(lit(0L), floor(col(valueCol) / binWidth).cast("long")))
-          .as("bin"))
+      df.select(binOf(col(valueCol), binWidth, nBins).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cntName))
-    val spine = base.sparkSession.range(nBins.toLong).select(col("id").as("bin"))
-    val b = binned(base, "n_base")
-    val c = binned(cur, "n_cur")
+    psiFromCounts(binned(base, "n_base"), binned(cur, "n_cur"), nBins)
+  }
+
+  /** PSI from PRE-AGGREGATED bin counts (bin, n_base) / (bin, n_cur) —
+    * the face an online monitor feeds: snapshot a streaming
+    * `groupBy(binOf(...)).count()` state table against the frozen
+    * baseline counts. Same spine/smoothing/decomposition as `psiBins`. */
+  def psiFromCounts(b: DataFrame, c: DataFrame, nBins: Int): DataFrame = {
     val nb = b.agg(sum(col("n_base")).as("tot_base"))
     val nc = c.agg(sum(col("n_cur")).as("tot_cur"))
+    val spine = b.sparkSession.range(nBins.toLong).select(col("id").as("bin"))
     val joined = spine
       .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))

@@ -48,4 +48,25 @@ object Layout {
     df.withColumn(zName, zValue(x, y, bits))
       .repartitionByRange(col(zName))
       .sortWithinPartitions(col(zName))
+
+  /** Z-clustered parquet write targeting an output-file SIZE instead of
+    * inheriting `spark.sql.shuffle.partitions` — the knob that decides
+    * whether a 100 TB table lands as healthy ~512 MB files or as a
+    * million 50 KB shards (metadata death) / a handful of 100 GB ones
+    * (no scan parallelism). File count comes from Catalyst's
+    * size-in-bytes estimate scaled by `parquetFactor` (columnar
+    * compression vs the in-memory estimate; measure once per table
+    * class and pin). Returns the file count used. */
+  def sizedClusteredWrite(df: DataFrame, x: Column, y: Column, bits: Int,
+                          path: String, targetFileBytes: Long,
+                          parquetFactor: Double = 0.5): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+    val nFiles = math.max(1, math.ceil(est * parquetFactor / targetFileBytes).toInt)
+    df.withColumn("zv", zValue(x, y, bits))
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.mode("overwrite").parquet(path)
+    nFiles
+  }
 }

@@ -119,6 +119,22 @@ object SimilaritySearch {
   def withBucket(embs: DataFrame, planes: Seq[Seq[Int]]): DataFrame =
     embs.withColumn("bucket", srpBucket(col("embedding"), planes))
 
+  /** Johnson–Lindenstrauss dimensionality reduction: project a float
+    * vector onto K ±1 hyperplanes (Achlioptas 2003 — the database-
+    * friendly JL family: integer weights, no Gaussian sampling), scale
+    * by 1/√K, and cast each component back to float so the REDUCED
+    * corpus reuses every float-array kernel downstream (`VecDot`,
+    * cosine, the ANN stores). Map-only and codegen'd like `srpBucket`
+    * (each plane a literal float array into the native `vec_dot`);
+    * cuts every downstream distance kernel and shuffle byte count by
+    * dim/K. With K = 16 the scale factor 0.25 is exact in binary64, so
+    * the arithmetic replays bit-identically in any engine. */
+  def rpProject(emb: Column, planes: Seq[Seq[Int]]): Column = {
+    val s = 1.0 / math.sqrt(planes.length.toDouble)
+    array(planes.map(p =>
+      (dot(emb, typedlit(p.map(_.toFloat))) * s).cast("float")): _*)
+  }
+
   /**
    * Approximate top-k: brute-force ranking restricted to the query's SRP
    * bucket. At scale the bucket join is a hash join on the bucket id —

@@ -312,8 +312,43 @@ object AnnQueries extends QueryPack {
       recallOf(lt, "recall_lsh")
         .join(recallOf(it, "recall_ivf"), Seq("query_id"))
         .orderBy(col("query_id"))
+    }),
+
+    // EXT-A18: Johnson–Lindenstrauss random projection (64 → 16 dims,
+    // Achlioptas ±1 planes) with its distance-preservation witness over
+    // the exact top-k panel: original vs reduced-space cosine per pair,
+    // plus the panel-wide mean absolute error riding on every row (the
+    // q41 pattern — the number that decides whether the 4× kernel/
+    // shuffle saving is worth the rank noise). Projection is map-only
+    // and codegen'd; at 100 TB it runs inside the scan stage and every
+    // downstream shuffle carries K/dim of the bytes.
+    "q123_rp_reduce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val red = e.select(col("vec_id"),
+        SimilaritySearch.rpProject(col("embedding"), rpPlanes).as("remb"))
+      val bt = SimilaritySearch.bruteForceTopK(querySet(s, dir), e, K)
+      val rcos = SimilaritySearch.cosine(col("qr"), col("cr"))
+      val withErr = bt
+        .join(red.select(col("vec_id").as("query_id"), col("remb").as("qr")),
+          Seq("query_id"))
+        .join(red.select(col("vec_id"), col("remb").as("cr")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          col("cos").as("c_orig"), rcos.as("c_rp"),
+          abs(col("cos") - rcos).as("err"))
+      val mean = withErr.agg(avg(col("err")).as("m"))
+      withErr.crossJoin(broadcast(mean))
+        .select(col("query_id"), col("vec_id"),
+          round(col("c_orig"), 6).as("cos_orig"),
+          round(col("c_rp"), 6).as("cos_rp"),
+          round(col("err"), 6).as("abs_err"),
+          round(col("m"), 6).as("mean_err"))
+        .orderBy(col("query_id"), col("vec_id"))
     })
   )
+
+  /** JL projection planes: 16 of them over Dim, seeded apart from the
+    * SRP bucketing family. */
+  private lazy val rpPlanes = SimilaritySearch.hyperplanes(16, Dim, seed = 7L)
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -328,6 +363,10 @@ object AnnQueries extends QueryPack {
   /** The hyperplane matrix as a DuckDB nested-list literal. */
   private lazy val planesSql: String =
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** The JL projection planes as a DuckDB nested-list literal. */
+  private lazy val rpPlanesSql: String =
+    rpPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   /** SRP bucket of embedding column `e` (mirrors SimilaritySearch.srpBucket:
     * bit j set iff fold-dot(e, plane_j) > 0). */
@@ -453,6 +492,34 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q123_rp_reduce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |scored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored),
+         |panel AS (SELECT query_id, vec_id, cos FROM rk WHERE rnk <= $K),
+         |red AS (SELECT vec_id,
+         |          list_transform($rpPlanesSql, p ->
+         |            ((list_reduce(list_prepend(0.0,
+         |                list_transform(range(1, len(embedding) + 1),
+         |                  i -> embedding[i]::DOUBLE * p[i])), (x, y) -> x + y))
+         |             * ${1.0 / math.sqrt(rpPlanes.length.toDouble)})::REAL) AS remb
+         |        FROM embeddings),
+         |e AS (SELECT panel.query_id, panel.vec_id, panel.cos,
+         |        ${cosSql("a.remb", "b.remb")} AS crp
+         |      FROM panel JOIN red a ON a.vec_id = panel.query_id
+         |                 JOIN red b ON b.vec_id = panel.vec_id),
+         |f AS (SELECT query_id, vec_id, cos, crp, abs(cos - crp) AS err FROM e),
+         |m AS (SELECT AVG(err) AS me FROM f)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos_orig,
+         |       ROUND(crp, 6) AS cos_rp, ROUND(err, 6) AS abs_err,
+         |       ROUND(me, 6) AS mean_err
+         |FROM f, m ORDER BY 1, 2""".stripMargin,
+
     "q25_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),

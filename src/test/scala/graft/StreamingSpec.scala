@@ -226,4 +226,35 @@ class StreamingSpec extends SparkSpec {
       batchRows.size shouldBe 4
     } finally sq.stop()
   }
+
+  test("PSI drift monitors online: streaming bin counts feed psiFromCounts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Drift
+    // EXT-S15: the online face of the drift monitor — a streaming
+    // groupBy over the SAME binning column (bounded state: one row per
+    // bin, complete mode), whose state table snapshot + the frozen
+    // baseline reproduce the batch PSI exactly.
+    val baseVals = (0L until 400L).map(i => i % 200)          // uniform-ish
+    val curVals = (0L until 400L).map(i => 100L + i % 100)    // shifted
+    val baseline = baseVals.toDF("v")
+      .groupBy(Drift.binOf(col("v"), 50L, 4).as("bin"))
+      .agg(count(lit(1)).as("n_base"))
+    val mem = MemoryStream[Long]
+    val sq = mem.toDF().toDF("v")
+      .groupBy(Drift.binOf(col("v"), 50L, 4).as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+      .writeStream.format("memory").queryName("psi_bins")
+      .outputMode("complete").start()
+    try {
+      mem.addData(curVals.take(150): _*)
+      sq.processAllAvailable()
+      mem.addData(curVals.drop(150): _*)
+      sq.processAllAvailable()
+      val online = Drift.psiFromCounts(baseline, spark.table("psi_bins"), 4)
+      val batch = Drift.psiBins(baseVals.toDF("v"), curVals.toDF("v"), "v", 50L, 4)
+      online.orderBy("bin").collect().map(_.toSeq).toSeq shouldBe
+        batch.orderBy("bin").collect().map(_.toSeq).toSeq
+      online.select(max(col("psi_total"))).head().getDouble(0) should be > 0.1
+    } finally sq.stop()
+  }
 }

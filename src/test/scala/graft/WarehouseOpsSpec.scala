@@ -49,6 +49,29 @@ class WarehouseOpsSpec extends SparkSpec {
     all(ok) shouldBe true
   }
 
+  test("sizedClusteredWrite lands the computed file count, Z-clustered") {
+    val n = 64
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val nFiles = graft.operators.Layout.sizedClusteredWrite(
+      grid, col("x"), col("y"), 6, out, targetFileBytes = 16 * 1024)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    files.length shouldBe nFiles
+    nFiles should be > 1
+    // Each file covers a contiguous, non-overlapping z-range (the footer
+    // stat a scan prunes on).
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zv").as("lo"), max("zv").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be < lo2
+      case _ => ()
+    }
+  }
+
   // ---- Ids ---------------------------------------------------------------
 
   test("denseIds is a dense 0-based permutation in the given order") {
