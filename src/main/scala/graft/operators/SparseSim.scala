@@ -26,6 +26,14 @@ import graft.functions.TextFunctions.shingleStream
  * the whole story: without it one boilerplate phrase's posting list is
  * a df² mega-join; with it the join is bounded per shingle and the
  * plan is two shuffles (shingle, then pair key).
+ *
+ * The cap is the SMALLER of a corpus fraction (maxDfFrac*N — scales the
+ * boilerplate notion with the corpus) and an ABSOLUTE bound (maxDfAbs)
+ * that makes total join cost provably linear:
+ * sum(df^2) <= sum(df) * maxDfAbs = O(corpus shingles * maxDfAbs). The
+ * fractional cap alone is NOT a scale guard — measured at the 10x
+ * probe, replicated content multiplied every df by 10 and the join ran
+ * 8.4x superlinear until the absolute bound cut it.
  */
 object SparseSim {
 
@@ -33,20 +41,22 @@ object SparseSim {
     * applied to the 1e-6-rounded score, so boundary membership is
     * engine-stable): (doc_a, doc_b, cos), doc_a < doc_b.
     * idf = ln(1 + N/df); weights L2-normalized per document; shingles
-    * with df > maxDfFrac·N dropped from the vectors. */
+    * with df > min(maxDfFrac·N, maxDfAbs) dropped from the vectors. */
   def tfidfCosinePairs(docs: DataFrame, shingleN: Int, minCos: Double,
-                       maxDfFrac: Double = 0.2,
+                       maxDfFrac: Double = 0.2, maxDfAbs: Long = 256L,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(shingleN >= 1, "shingleN must be >= 1")
     require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    require(maxDfAbs >= 1, "maxDfAbs must be >= 1")
     val sh = shingleStream(docs, shingleN, idCol, textCol)
       .select(col(idCol).as("doc"), col("sh"))
     val tf = sh.groupBy(col("doc"), col("sh")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dft = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .where(col("df").cast("double") <= col("n_docs").cast("double") * maxDfFrac)
+      .where(col("df").cast("double") <=
+        least(col("n_docs").cast("double") * maxDfFrac, lit(maxDfAbs.toDouble)))
     val w = tf.join(dft, Seq("sh"))
       .select(col("doc"), col("sh"),
         (col("tf").cast("double") *

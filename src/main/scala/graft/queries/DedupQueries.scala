@@ -229,12 +229,14 @@ object DedupQueries extends QueryPack {
     "q122_tfidf_cosine" -> ((s, dir) =>
       graft.operators.SparseSim.tfidfCosinePairs(
           Tables.read(s, dir, "documents"), shingleN = 3,
-          minCos = TfidfCosThreshold, maxDfFrac = TfidfMaxDfFrac)
+          minCos = TfidfCosThreshold, maxDfFrac = TfidfMaxDfFrac,
+          maxDfAbs = TfidfMaxDfAbs)
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
   private val TfidfCosThreshold = 0.3
   private val TfidfMaxDfFrac = 0.2
+  private val TfidfMaxDfAbs = 256L
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -326,7 +328,8 @@ object DedupQueries extends QueryPack {
          |tf AS (SELECT doc, sh, COUNT(*)::DOUBLE AS tf FROM sh GROUP BY 1, 2),
          |nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
          |dft AS (SELECT sh, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
-         |dfc AS (SELECT sh, df FROM dft, nd WHERE df <= n_docs * $TfidfMaxDfFrac),
+         |dfc AS (SELECT sh, df FROM dft, nd
+         |        WHERE df <= LEAST(n_docs * $TfidfMaxDfFrac, $TfidfMaxDfAbs)),
          |w AS (SELECT doc, tf.sh, tf * ln(1.0 + n_docs / df) AS w
          |      FROM tf JOIN dfc ON tf.sh = dfc.sh, nd),
          |nrm AS (SELECT doc, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
