@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Caches
@@ -20,49 +21,82 @@ import graft.core.Caches
  * Per round: count adjacent symbol pairs (weighted by word frequency,
  * overlapping slots counted — "aaa" contributes (a,a) twice), pick the
  * most frequent pair (ties broken lexicographically), and rewrite every
- * word, merging occurrences greedily left-to-right. The argmax is a
- * 1-row driver probe (the same bounded-collect class as the Lloyd
- * centroid refinements); the rewrite is a map-only string `replace`.
+ * word, merging occurrences greedily left-to-right ("aaaa" under (a,a)
+ * → [aa, aa]; an occurrence is skipped iff its left symbol was consumed
+ * by the previous merge). The argmax is a 1-row driver probe (the same
+ * bounded-collect class as the Lloyd centroid refinements).
  *
- * Symbol sequences are encoded as `;`-delimited strings with leading AND
- * trailing delimiters (";a;b;c;"): the pair (a,b) occurs exactly where
- * ";a;b;" occurs, token boundaries can never false-match inside a longer
- * token, and a left-to-right non-overlapping `replace` of ";a;b;" with
- * ";ab;" is precisely the greedy merge (the replacement re-supplies the
- * `;` shared with the next pair). Tokens are [a-z]+ by construction, so
- * the delimiter is safe. Every step is plain relational + string
- * arithmetic — the DuckDB oracle replays all rounds verbatim.
+ * The rewrite is TOKEN-level, not string-level: words are arrays of
+ * symbols, and greedy occurrence selection is the per-word window
+ * recurrence "match AND even offset within its run of consecutive
+ * matches" (runs only arise for self-pairs like (a,a); for l ≠ r every
+ * match merges). A delimiter-string `replace` — the tempting one-liner —
+ * is WRONG here: replacing ";l;r;" with ";lr;" consumes the trailing
+ * delimiter that is also the NEXT occurrence's leading delimiter, so
+ * adjacent occurrences ("abab" under (a,b), or any run) are silently
+ * skipped; the seeded fuzz witness against a reference implementation
+ * (FuzzOpsSpec) is what caught exactly that. All windows partition by
+ * word — vocabulary-sized, no unpartitioned stage — and the DuckDB
+ * oracle replays the same recurrence round by round.
  */
 object Bpe {
 
-  /** The (word, freq, enc) table: lower-cased [a-z]+ words of `textCol`,
+  /** The (word, freq, toks) table: lower-cased [a-z]+ words of `textCol`,
     * length-capped (BPE vocabularies cap word length; also bounds the
-    * rewrite strings), with the initial per-character encoding. */
+    * per-word window work), with the initial per-character symbol
+    * array. */
   def wordTable(docs: DataFrame, textCol: String = "text",
                 maxWordLen: Int = 12): DataFrame =
     docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .where(length(col("word")).between(1, maxWordLen))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("enc", concat(lit(";"), regexp_replace(col("word"), "(.)", "$1;")))
+      .withColumn("toks", expr("filter(split(word, ''), x -> x <> '')"))
 
-  /** Adjacent-pair frequencies of an encoded word table: map-only
-    * extraction (split → transform → explode; no join) then one hash
-    * aggregate on the pair. */
+  /** Adjacent-pair frequencies of a symbol-array word table: map-only
+    * extraction (transform → explode; no join) then one hash aggregate
+    * on the pair. Overlapping slots count ("aaa" → (a,a) twice). */
   def pairCounts(words: DataFrame): DataFrame =
     words
       .select(col("freq"),
-        expr("filter(split(enc, ';'), x -> x <> '')").as("t"))
-      .select(col("freq"),
         explode(expr(
-          """CASE WHEN size(t) >= 2
-            |THEN transform(sequence(1, size(t) - 1),
-            |               i -> struct(t[i - 1] AS l, t[i] AS r))
+          """CASE WHEN size(toks) >= 2
+            |THEN transform(sequence(1, size(toks) - 1),
+            |               i -> struct(toks[i - 1] AS l, toks[i] AS r))
             |ELSE array() END""".stripMargin)).as("p"))
       .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** One greedy merge of (l, r) applied to every word: occurrence i
+    * merges iff (toks[i], toks[i+1]) = (l, r) and occurrence i−1 did not
+    * merge — equivalently, iff its offset within its run of consecutive
+    * matches is even (runs only exist for l = r). Window work is
+    * per-word; result preserves (word, freq). */
+  def applyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val ex = words.select(col("word"), col("freq"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val m0 = ex.withColumn("mtch",
+      col("tok") === l &&
+        coalesce(lead(col("tok"), 1).over(wOrd) === r, lit(false)))
+    // Gaps-and-islands: consecutive matching positions share a group id;
+    // even offset from the group head = the greedy-selected occurrences.
+    val wm = Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos"))
+    val g = m0.withColumn("grp",
+      when(col("mtch"), col("pos") - row_number().over(wm)))
+    val wg = Window.partitionBy(col("word"), col("grp"))
+    val mm = g.withColumn("m",
+      col("mtch") && (col("pos") - min(col("pos")).over(wg)) % 2 === 0)
+    val pv = mm.withColumn("pm",
+      coalesce(lag(col("m"), 1).over(wOrd), lit(false)))
+    pv.where(!col("pm"))
+      .withColumn("ntok", when(col("m"), lit(l + r)).otherwise(col("tok")))
+      .groupBy(col("word"), col("freq"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ntok))), s -> s.ntok)")
+        .as("toks"))
+  }
+
   /** Train `nMerges` BPE merges over `docs`. Returns the merge table
-    * (round, left, right, merged, cnt) — driver-sized by definition (one
+    * (round, lhs, rhs, merged, cnt) — driver-sized by definition (one
     * row per merge), like a centroid table. Stops early if the corpus
     * runs out of pairs. */
   def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
@@ -81,8 +115,7 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(round.toLong, l, r, l + r, c)
         val prev = words
-        words = Caches.cacheOnce(prev.withColumn("enc",
-          expr(s"replace(enc, ';$l;$r;', ';$l$r;')")))
+        words = Caches.cacheOnce(applyMerge(prev, l, r))
         words.count() // materialize before releasing the parent
         Caches.release(prev)
         round += 1

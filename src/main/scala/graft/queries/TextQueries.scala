@@ -418,17 +418,16 @@ object TextQueries extends QueryPack {
   }
 
   /** The q116 oracle: all `BpeMerges` rounds unrolled as chained CTEs.
-    * Round k reads w(k-1), counts adjacent pairs (list_transform over the
-    * filtered token list), picks the argmax with the same
-    * (cnt DESC, lhs, rhs) tiebreak, and rewrites via the same
-    * delimiter-string `replace` — both engines' `replace` scans left to
-    * right and continues AFTER the substituted text, which is exactly the
-    * greedy BPE merge. */
+    * Round k reads w(k-1), counts adjacent pairs, picks the argmax with
+    * the same (cnt DESC, lhs, rhs) tiebreak, and replays the engine's
+    * TOKEN-level greedy rewrite: a match merges iff its offset within
+    * its run of consecutive matches is even (gaps-and-islands windows
+    * per word), and the token after a merge drops. */
   private lazy val bpeOracleSql: String = {
     val base =
       s"""w0 AS (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         |         ';' || regexp_replace(word, '(.)', '\\1;', 'g') AS enc
+         |         list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
          |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
          |        FROM documents)
          |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen
@@ -439,15 +438,27 @@ object TextQueries extends QueryPack {
          |  FROM (SELECT freq,
          |          unnest(list_transform(range(1, len(toks)),
          |                 i -> {'l': toks[i], 'r': toks[i + 1]})) AS p
-         |        FROM (SELECT freq,
-         |                list_filter(string_split(enc, ';'), x -> x <> '') AS toks
-         |              FROM w${k - 1}))
+         |        FROM w${k - 1})
          |  GROUP BY 1, 2),
          |b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |ex$k AS (SELECT word, freq, p.tok AS tok, p.pos AS pos FROM (
+         |  SELECT word, freq, unnest(list_transform(range(1, len(toks) + 1),
+         |           i -> {'tok': toks[i], 'pos': i})) AS p FROM w${k - 1})),
+         |m$k AS (SELECT e.*, (tok = b.lhs AND COALESCE(
+         |          lead(tok) OVER (PARTITION BY word ORDER BY pos) = b.rhs,
+         |          FALSE)) AS mtch
+         |        FROM ex$k e, b$k b),
+         |g$k AS (SELECT *, CASE WHEN mtch THEN pos - ROW_NUMBER()
+         |          OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp
+         |        FROM m$k),
+         |mm$k AS (SELECT *, (mtch AND (pos - MIN(pos)
+         |           OVER (PARTITION BY word, grp)) % 2 = 0) AS m FROM g$k),
+         |pv$k AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word
+         |           ORDER BY pos), FALSE) AS pm FROM mm$k),
          |w$k AS (SELECT word, freq,
-         |          replace(enc, ';' || b.lhs || ';' || b.rhs || ';',
-         |                       ';' || b.lhs || b.rhs || ';') AS enc
-         |        FROM w${k - 1}, b$k b)""".stripMargin
+         |          list(CASE WHEN m THEN b.lhs || b.rhs ELSE tok END
+         |               ORDER BY pos) AS toks
+         |        FROM pv$k, b$k b WHERE NOT pm GROUP BY word, freq)""".stripMargin
     }
     val union = (1 to BpeMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k"

@@ -123,7 +123,7 @@ class WarehouseOpsSpec extends SparkSpec {
 
   test("BPE greedy merge handles overlapping pairs left-to-right") {
     // Corpus "aaa": pairs (a,a) ×2 → merge 1 = (a,a). Greedy rewrite of
-    // ";a;a;a;" gives ";aa;a;" (NOT ";a;aa;"), so round 2 sees (aa,a).
+    // [a,a,a] gives [aa,a] (NOT [a,aa]), so round 2 sees (aa,a).
     val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
     val m = Bpe.trainMerges(spark, docs, 2)
       .select("round", "lhs", "rhs", "cnt").as[(Long, String, String, Long)]
