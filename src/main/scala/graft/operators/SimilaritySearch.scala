@@ -135,6 +135,26 @@ object SimilaritySearch {
       (dot(emb, typedlit(p.map(_.toFloat))) * s).cast("float")): _*)
   }
 
+  /** Chunk→document embedding pooling: the mean of each group's vectors
+    * per dimension, L2-normalized — the standard aggregation that turns
+    * chunk-level embeddings (what encoders emit) into document-level
+    * ones (what retrieval and SemDeDup consume). Relational shape: one
+    * (group, dim) hash aggregate over the posexploded components + a
+    * per-group norm — two shuffles on keys that parallelize by
+    * construction, no vectors ever collected. Output: one row per
+    * (grp, dim): (grp, dim, n_chunks, v); a zero pooled vector yields
+    * NULL components rather than ±Inf. */
+  def meanPoolNormalized(embs: DataFrame, group: Column): DataFrame = {
+    val ex = embs.select(group.as("grp"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val pooled = ex.groupBy(col("grp"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("v"), count(lit(1)).as("n_chunks"))
+    val nrm = pooled.groupBy(col("grp")).agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    pooled.join(nrm, Seq("grp"))
+      .select(col("grp"), col("dim").cast("long").as("dim"), col("n_chunks"),
+        (col("v") / nullif(col("nrm"), lit(0.0))).as("v"))
+  }
+
   /**
    * Approximate top-k: brute-force ranking restricted to the query's SRP
    * bucket. At scale the bucket join is a hash join on the bucket id —

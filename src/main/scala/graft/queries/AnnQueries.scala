@@ -343,12 +343,27 @@ object AnnQueries extends QueryPack {
           round(col("err"), 6).as("abs_err"),
           round(col("m"), 6).as("mean_err"))
         .orderBy(col("query_id"), col("vec_id"))
-    })
+    }),
+
+    // EXT-A19: chunk→document embedding pooling — mean per dimension +
+    // L2 normalization over synthetic 8-chunk documents (vec_id div 8),
+    // the aggregation that turns encoder chunk output into the
+    // document vectors retrieval and SemDeDup consume. Exploded to
+    // (doc, dim, v) rows so the gate compares components exactly.
+    "q124_embed_pool" -> ((s, dir) =>
+      SimilaritySearch.meanPoolNormalized(
+          embs(s, dir), expr(s"vec_id div $PoolChunks"))
+        .select(col("grp").as("doc"), col("dim"), col("n_chunks"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc"), col("dim")))
   )
 
   /** JL projection planes: 16 of them over Dim, seeded apart from the
     * SRP bucketing family. */
   private lazy val rpPlanes = SimilaritySearch.hyperplanes(16, Dim, seed = 7L)
+
+  /** q124: chunks per pooled document (vec_id div 8 → ~8-chunk docs). */
+  private val PoolChunks = 8
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -492,6 +507,21 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q124_embed_pool" ->
+      s"""WITH ex AS (SELECT vec_id // $PoolChunks AS doc, p.dim AS dim,
+         |                   p.v AS v FROM (
+         |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+         |           i -> {'dim': i - 1, 'v': embedding[i]::DOUBLE})) AS p
+         |  FROM embeddings)),
+         |pooled AS (SELECT doc, dim, AVG(v) AS v,
+         |                  CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |           FROM ex GROUP BY 1, 2),
+         |nrm AS (SELECT doc, sqrt(SUM(v * v)) AS nrm FROM pooled GROUP BY 1)
+         |SELECT pooled.doc, CAST(dim AS BIGINT) AS dim, n_chunks,
+         |       ROUND(v / NULLIF(nrm, 0.0), 6) AS v
+         |FROM pooled JOIN nrm USING (doc)
+         |ORDER BY doc, dim""".stripMargin,
+
     "q123_rp_reduce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),

@@ -381,6 +381,16 @@ object TextQueries extends QueryPack {
     "q120_unigram_nll" -> ((s, dir) =>
       graft.operators.LanguageModel.unigramNegLogProb(
           Tables.read(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T28: interpolated bigram LM scoring — one order up from q120's
+    // unigram proxy (Jelinek–Mercer λ·p_bi + (1−λ)·p_uni, λ = 0.7):
+    // context-aware surprise, the closer stand-in for the KenLM-style
+    // perplexity filters production pipelines run. One doc-partitioned
+    // lag window builds transitions map-side; the count tables saturate.
+    "q125_bigram_nll" -> ((s, dir) =>
+      graft.operators.LanguageModel.bigramNegLogProb(
+          Tables.read(s, dir, "documents"))
         .orderBy(col("doc_id")))
   )
 
@@ -468,6 +478,30 @@ object TextQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+
+    "q125_bigram_nll" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, p.tok AS tok, p.pos AS pos FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |           i -> {'tok': tk[i], 'pos': i})) AS p FROM toks)),
+         |pairs AS (SELECT doc_id, tok,
+         |            lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |          FROM tok),
+         |pr AS (SELECT doc_id, prev, tok FROM pairs WHERE prev IS NOT NULL),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY 1),
+         |tot AS (SELECT SUM(cnt1)::DOUBLE AS n_total FROM uni),
+         |bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt2
+         |       FROM pr GROUP BY 1, 2)
+         |SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(SUM(-ln(0.7 * cnt2::DOUBLE / up.cnt1::DOUBLE
+         |            + (1.0 - 0.7) * ut.cnt1::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
+         |    AS nll
+         |FROM pr
+         |JOIN bi ON pr.prev = bi.prev AND pr.tok = bi.tok
+         |JOIN uni up ON pr.prev = up.tok
+         |JOIN uni ut ON pr.tok = ut.tok
+         |CROSS JOIN tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_unigram_nll" ->
       s"""WITH $ToksCte,

@@ -25,6 +25,45 @@ class CorpusStatsSpec extends SparkSpec {
     got(1L)._1 shouldBe 4L
   }
 
+  test("bigramNegLogProb rewards in-context tokens over surprising ones") {
+    // "a b" always follows: p(b|a) high in doc 1; doc 2 pairs "a z"
+    // which never repeats → higher surprise.
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a z b a"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel.bigramNegLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got(1L)._1 shouldBe 5L
+    got(2L)._1 shouldBe 3L
+    got(2L)._2 should be > got(1L)._2
+    got.contains(3L) shouldBe false // single token: no bigrams, no row
+  }
+
+  test("meanPoolNormalized pools to the exact normalized mean") {
+    import graft.operators.SimilaritySearch
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // doc 0: mean (.5,.5)
+      (2L, Array(2.0f, 0.0f))                            // doc 1: (1,0)
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.meanPoolNormalized(embs, expr("vec_id div 2"))
+      .select("grp", "dim", "n_chunks", "v").as[(Long, Long, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    got(0)._3 shouldBe 2L
+    approx(got(0)._4, 1.0 / math.sqrt(2), 1e-9) shouldBe true
+    approx(got(1)._4, 1.0 / math.sqrt(2), 1e-9) shouldBe true
+    approx(got(2)._4, 1.0, 1e-9) shouldBe true
+    approx(got(3)._4, 0.0, 1e-9) shouldBe true
+  }
+
+  test("meanPoolNormalized yields NULL components for a zero pooled vector") {
+    import graft.operators.SimilaritySearch
+    val embs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilaritySearch.meanPoolNormalized(embs, lit(0L))
+      .select("v").collect()
+    all(rows.map(_.isNullAt(0))) shouldBe true
+  }
+
   // ---- Drift -------------------------------------------------------------
 
   test("psiBins is ~0 for identical snapshots and grows under shift") {
