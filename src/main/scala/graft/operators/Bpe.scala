@@ -95,6 +95,28 @@ object Bpe {
         .as("toks"))
   }
 
+  /** ENCODE face: sequence length of every document under the learned
+    * merges — the budgeting number (packing, pricing, context windows) a
+    * pipeline needs after training a tokenizer. Applies the merge list
+    * in rank order to the VOCABULARY (each distinct word merged once,
+    * however often it occurs) and joins per-word subword counts back to
+    * the document word stream — corpus text is scanned once, the merge
+    * rounds never touch it. Output: (idCol, n_words, n_subwords);
+    * documents whose words are all filtered (non-alphabetic or over
+    * `maxWordLen`) produce no row. */
+  def encodedLengths(docs: DataFrame, merges: Seq[(String, String)],
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxWordLen: Int = 12): DataFrame = {
+    var words = wordTable(docs, textCol, maxWordLen)
+    for ((l, r) <- merges) words = applyMerge(words, l, r)
+    val lens = words.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+    docs.select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .join(lens, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   /** Train `nMerges` BPE merges over `docs`. Returns the merge table
     * (round, lhs, rhs, merged, cnt) — driver-sized by definition (one
     * row per merge), like a centroid table. Stops early if the corpus

@@ -391,7 +391,23 @@ object TextQueries extends QueryPack {
     "q125_bigram_nll" -> ((s, dir) =>
       graft.operators.LanguageModel.bigramNegLogProb(
           Tables.read(s, dir, "documents"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T29: tokenizer ENCODE face — per-document sequence length under
+    // the q116-trained merges (the packing/budgeting number). Merges are
+    // applied to the VOCABULARY once, the corpus word stream joins per-
+    // word subword counts back; the 5-row merge table is the only
+    // driver state.
+    "q126_bpe_encode" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ms = graft.operators.Bpe.trainMerges(s, d, BpeMerges,
+          maxWordLen = BpeMaxWordLen)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.encodedLengths(d, ms, maxWordLen = BpeMaxWordLen)
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -476,8 +492,27 @@ object TextQueries extends QueryPack {
     s"WITH $base,\n${rounds.mkString(",\n")}\n$union\nORDER BY round"
   }
 
+  /** The q126 oracle: the same merge-chain CTEs, then per-document
+    * subword lengths via the vocabulary join (each distinct word merged
+    * once, document stream joined back). */
+  private lazy val bpeEncodeOracleSql: String = {
+    val chain = bpeOracleSql
+    val prefix = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS BIGINT)"))
+    s"""${prefix.trim},
+       |dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords
+       |FROM dw JOIN w$BpeMerges USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+    "q126_bpe_encode" -> bpeEncodeOracleSql,
 
     "q125_bigram_nll" ->
       s"""WITH $ToksCte,

@@ -147,4 +147,16 @@ class WarehouseOpsSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     Bpe.trainMerges(spark, docs, 5).count() shouldBe 0L
   }
+
+  test("BPE encode reports sequence lengths under the learned merges") {
+    // Merges (t,o) then (g,o): "to"→1 subword, "go"→1, "tog"→[to,g]→2.
+    val docs = Seq((1L, "to to go tog"), (2L, "to go")).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(spark, docs, 2)
+      .select("lhs", "rhs").as[(String, String)].collect().toSeq
+    val got = Bpe.encodedLengths(docs, ms)
+      .select("doc_id", "n_words", "n_subwords").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    got(0) shouldBe ((1L, 4L, 5L)) // to(1) to(1) go(1) tog(2)
+    got(1) shouldBe ((2L, 2L, 2L))
+  }
 }
