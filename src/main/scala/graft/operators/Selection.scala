@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{hash60, tokensWs}
+
+/**
+ * Targeted data selection via importance resampling — the DSIR recipe
+ * [Xie et al. 2023, "Data Selection for Language Models via Importance
+ * Resampling"]: rank a raw pool by how much more likely each document is
+ * under a TARGET domain's hashed-n-gram distribution than under the
+ * pool's own. The standard way to carve "quality-like-my-seed-corpus"
+ * subsets out of a web-scale crawl without training a classifier.
+ *
+ * Feature space: unigrams + bigrams hashed into `numBuckets` buckets
+ * (md5-derived `hash60`, so every count is engine-reproducible); both
+ * distributions are Laplace-smoothed bag-of-buckets multinomials. The
+ * per-document log importance weight is
+ *   log w(x) = Σ_features [ log p_target(b) − log p_pool(b) ].
+ *
+ * Shape at 100 TB: the bucket tables are FIXED-SIZE (≤ numBuckets rows,
+ * regardless of corpus size) — the log-ratio table broadcasts onto the
+ * pool's single feature explode, and the per-document sum rides that
+ * exchange. Nothing driver-side; one pass over target, one over pool.
+ */
+object Selection {
+
+  /** Hashed unigram+bigram feature buckets of a token array. */
+  private def featureBuckets(tk: Column, numBuckets: Int): Column = {
+    val unis = tk
+    val bis = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(unis, bis), t => pmod(hash60(t), lit(numBuckets.toLong)))
+  }
+
+  /** Per-bucket Laplace-smoothed log-probability table from observed
+    * (bucket, cnt) rows: dense over all `numBuckets` buckets (absent
+    * buckets get the smoothing floor — they must still contribute to
+    * the ratio), p(b) = (cnt(b)+1)/(N+numBuckets). */
+  private def bucketLogProbs(cnts: DataFrame, numBuckets: Int,
+                             out: String): DataFrame = {
+    val total = cnts.agg(sum(col("cnt")).as("n"))
+    cnts.sparkSession.range(numBuckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(cnts, Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("n") + numBuckets.toLong).cast("double")).as(out))
+  }
+
+  /** DSIR log importance weights for every pool document (the rows NOT
+    * matching `targetPred`), scored against the target side (rows that
+    * do match): (doc_id, n_feats, logw), logw rounded 1e-6. Documents
+    * with zero features (blank text) score logw = 0 with n_feats = 0.
+    *
+    * The pool's bucket marginals re-aggregate the per-(doc, bucket)
+    * table the scoring pass needs anyway, so the expensive feature
+    * explode + first-level aggregate is an identical subtree on both
+    * paths (exchange-reused), not recomputed. */
+  def dsirLogWeights(docs: DataFrame, targetPred: Column,
+                     numBuckets: Int = 2048,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val feats = docs.select(col(idCol), targetPred.as("is_target"),
+        explode_outer(featureBuckets(tokensWs(col(textCol)), numBuckets))
+          .as("bucket"))
+    // Per-(doc, bucket) counts: one addend per distinct bucket in the
+    // final weight sum (count × ratio, fewer and larger addends → the
+    // rounded sum is stable across engines), and the base table both
+    // marginals below reuse.
+    val poolDocBuckets = feats.where(!col("is_target"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(col("bucket")).as("c"))
+    val targetCnts = feats.where(col("is_target") && col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val poolCnts = poolDocBuckets.where(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("cnt"))
+    val lrs = bucketLogProbs(targetCnts, numBuckets, "lp_t")
+      .join(bucketLogProbs(poolCnts, numBuckets, "lp_p"), Seq("bucket"))
+      .select(col("bucket"), (col("lp_t") - col("lp_p")).as("lr"))
+    poolDocBuckets
+      .join(broadcast(lrs), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast("double") * coalesce(col("lr"), lit(0.0))).as("lw"))
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(coalesce(col("lw"), lit(0.0)), 6).as("logw"))
+  }
+}

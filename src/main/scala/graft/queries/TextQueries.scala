@@ -407,12 +407,25 @@ object TextQueries extends QueryPack {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Bpe.encodedLengths(d, ms, maxWordLen = BpeMaxWordLen)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // EXT-T30: DSIR targeted selection — importance weights from hashed
+    // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
+    // the pool); the classifier-free "more like my seed corpus" ranking
+    // of Xie et al. 2023. Bucket tables are fixed-size (≤ 2048 rows) so
+    // the log-ratio join broadcasts regardless of corpus scale; the
+    // per-document sum rides the single feature-explode exchange.
+    "q127_dsir_weights" -> ((s, dir) =>
+      graft.operators.Selection.dsirLogWeights(
+          docs(s, dir), col("source").isin(DsirTargets: _*), DsirBuckets)
+        .orderBy(col("doc_id")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
   private val BpeMerges = 5
   private val BpeMaxWordLen = 12
+  private val DsirTargets = Seq("src1", "src2", "src3")
+  private val DsirBuckets = 2048
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -512,6 +525,43 @@ object TextQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+
+    "q127_dsir_weights" -> {
+      val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
+      val B = DsirBuckets
+      s"""WITH tf AS (SELECT doc_id, source IN ($targets) AS is_target,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |fl AS (SELECT doc_id, is_target,
+         |         tk || list_transform(range(1, len(tk)),
+         |                              i -> tk[i] || ' ' || tk[i + 1]) AS fs
+         |       FROM tf),
+         |feats AS (SELECT doc_id, is_target,
+         |            ('0x' || substr(md5(f), 1, 15))::BIGINT % $B AS bucket
+         |          FROM fl,
+         |          unnest(CASE WHEN len(fs) = 0 THEN [NULL] ELSE fs END) AS u(f)),
+         |b AS (SELECT unnest(range($B)) AS bucket),
+         |tc AS (SELECT bucket, COUNT(*) AS c FROM feats
+         |       WHERE is_target AND bucket IS NOT NULL GROUP BY 1),
+         |tn AS (SELECT COUNT(*) AS n FROM feats
+         |       WHERE is_target AND bucket IS NOT NULL),
+         |pc AS (SELECT bucket, COUNT(*) AS c FROM feats
+         |       WHERE NOT is_target AND bucket IS NOT NULL GROUP BY 1),
+         |pn AS (SELECT COUNT(*) AS n FROM feats
+         |       WHERE NOT is_target AND bucket IS NOT NULL),
+         |lr AS (SELECT b.bucket,
+         |         ln((COALESCE(tc.c, 0) + 1)::DOUBLE / (tn.n + $B)::DOUBLE)
+         |       - ln((COALESCE(pc.c, 0) + 1)::DOUBLE / (pn.n + $B)::DOUBLE) AS lr
+         |       FROM b LEFT JOIN tc USING (bucket) LEFT JOIN pc USING (bucket)
+         |       CROSS JOIN tn CROSS JOIN pn),
+         |pf AS (SELECT doc_id, bucket, COUNT(bucket) AS c
+         |       FROM feats WHERE NOT is_target GROUP BY 1, 2)
+         |SELECT pf.doc_id, CAST(COALESCE(SUM(pf.c), 0) AS BIGINT) AS n_feats,
+         |       ROUND(COALESCE(SUM(pf.c * lr.lr), 0), 6) AS logw
+         |FROM pf LEFT JOIN lr ON pf.bucket = lr.bucket
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q126_bpe_encode" -> bpeEncodeOracleSql,
 
     "q125_bigram_nll" ->

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Selection
+
+/** Invariants of the DSIR importance-weight operator (q127): feature
+  * accounting, directional ranking, and blank-document behavior. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // target side: talks about cats
+    (1L, "the cat sat on the mat", "seed"),
+    (2L, "a cat and another cat", "seed"),
+    // pool: one cat-like doc, one off-domain doc, one blank
+    (10L, "the cat sat quietly", "web"),
+    (11L, "quantum flux capacitor array", "web"),
+    (12L, "   ", "web")
+  ).toDF("doc_id", "text", "source")
+
+  private lazy val w = Selection
+    .dsirLogWeights(docs, col("source") === "seed", numBuckets = 64)
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+
+  test("pool docs only, with unigram+bigram feature counts") {
+    w.keySet shouldBe Set(10L, 11L, 12L)
+    w(10L)._1 shouldBe 7L // 4 tokens -> 4 unigrams + 3 bigrams
+    w(11L)._1 shouldBe 7L
+    w(12L)._1 shouldBe 0L // blank text: no features
+    w(12L)._2 shouldBe 0.0
+  }
+
+  test("target-like pool doc outranks off-domain doc") {
+    // Absolute sign is not an invariant at this scale (smoothing mass
+    // dominates tiny corpora); the RANKING is what DSIR selects on.
+    assert(w(10L)._2 > w(11L)._2,
+      s"cat doc ${w(10L)._2} should outrank off-domain ${w(11L)._2}")
+  }
+
+  test("weights are deterministic across evaluations") {
+    val again = Selection
+      .dsirLogWeights(docs, col("source") === "seed", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    again shouldBe w.map { case (k, v) => k -> v._2 }
+  }
+}
