@@ -81,4 +81,42 @@ object Retrieval {
       .select(col(idCol), round(col("bm25"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Reciprocal-rank fusion [Cormack, Clarke & Büttcher 2009] of bounded
+    * ranked lists — the standard hybrid-retrieval combiner (sparse BM25 +
+    * dense embedding ranks, no score calibration needed):
+    * rrf(d) = Σ_lists 1/(rrfK + rank_d), over docs in each list's top
+    * `topL`; absence from a list contributes nothing.
+    *
+    * Each input is (`idCol`, "score") with scores ALREADY rounded to the
+    * caller's presentation precision — ranks come from the rounded value
+    * (id-ascending tiebreak) so the fused order is engine-reproducible.
+    *
+    * Scale shape: each list is first capped to `topL` via TakeOrdered (no
+    * global sort partition); ranks come from a broadcast theta self-join
+    * over the ≤ topL surviving rows — NOT an unpartitioned window — so
+    * nothing here ever funnels corpus-sized data through one task. The
+    * expensive part of hybrid search is producing the lists, and those
+    * operators carry their own scale gates. */
+  def rrfFuse(lists: Seq[DataFrame], topL: Int, k: Int, rrfK: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no lists")
+    val contribs = lists.map { l =>
+      val capped = l.select(col(idCol).as("id"), col("score"))
+        .orderBy(col("score").desc, col("id")).limit(topL)
+      val better = (col("b.score") > col("a.score")) ||
+        (col("b.score") === col("a.score") && col("b.id") < col("a.id"))
+      capped.as("a").join(broadcast(capped.as("b")), better, "left")
+        .groupBy(col("a.id").as("id"))
+        .agg((count(col("b.id")) + 1L).as("rank"))
+        .select(col("id"), (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))
+    }
+    contribs.reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("rrf"), col("n_lists"))
+  }
 }

@@ -28,6 +28,10 @@ object AnnQueries extends QueryPack {
   private val NProbe = 2
   private val LloydIters = 3 // q101: refinement rounds
   private val PqM = 8 // PQ subspaces (64-dim → 8 × 8)
+  private val HybridTerms = Seq("spark", "vector", "stream") // q128 keywords
+  private val HybridQueryId = 0L // q128 dense query vector
+  private val HybridTopL = 100 // q128 per-list cap
+  private val HybridK = 20 // q128 fused output size
   private val PqCodeMod = 23 // PQ codewords: vec_id % 23 == 1
 
   private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
@@ -355,7 +359,25 @@ object AnnQueries extends QueryPack {
           embs(s, dir), expr(s"vec_id div $PoolChunks"))
         .select(col("grp").as("doc"), col("dim"), col("n_chunks"),
           round(col("v"), 6).as("v"))
-        .orderBy(col("doc"), col("dim")))
+        .orderBy(col("doc"), col("dim"))),
+
+    // EXT-A20: hybrid retrieval — reciprocal-rank fusion of the sparse
+    // BM25 list (keyword query) and the dense embedding list ("more like
+    // doc 0" cosine ranks) per Cormack et al. 2009. Each list is capped
+    // to its top-100 BEFORE fusing (TakeOrdered, no global sort
+    // partition); ranks come from a broadcast theta self-join over the
+    // bounded lists, never an unpartitioned window. Scores rank on their
+    // ROUNDED values in both engines so the fused boundary reproduces.
+    "q128_hybrid_rrf" -> ((s, dir) => {
+      val sparse = graft.operators.Retrieval
+        .bm25TopK(Tables.read(s, dir, "documents"), HybridTerms, HybridTopL)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val dense = SimilaritySearch
+        .bruteForceTopK(embs(s, dir).where(col("vec_id") === HybridQueryId),
+          embs(s, dir), HybridTopL)
+        .select(col("vec_id").as("doc_id"), round(col("cos"), 6).as("score"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), HybridTopL, HybridK)
+    })
   )
 
   /** JL projection planes: 16 of them over Dim, seeded apart from the
@@ -507,6 +529,42 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q128_hybrid_rrf" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+         |       WHERE term IN (${HybridTerms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+         |bm AS (SELECT doc_id,
+         |         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+         |           AS score
+         |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |       GROUP BY doc_id),
+         |sr AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+         |q AS (SELECT embedding AS q_emb FROM embeddings
+         |      WHERE vec_id = $HybridQueryId),
+         |dtop AS (SELECT c.vec_id AS doc_id,
+         |           ROUND(${cosSql("q.q_emb", "c.embedding")}, 6) AS score
+         |         FROM embeddings c CROSS JOIN q WHERE c.vec_id <> $HybridQueryId),
+         |dr AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM dtop),
+         |u AS (SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM sr
+         |      WHERE rnk <= $HybridTopL
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rnk) FROM dr WHERE rnk <= $HybridTopL)
+         |SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY 1
+         |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin,
+
     "q124_embed_pool" ->
       s"""WITH ex AS (SELECT vec_id // $PoolChunks AS doc, p.dim AS dim,
          |                   p.v AS v FROM (

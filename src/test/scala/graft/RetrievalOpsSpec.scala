@@ -58,6 +58,34 @@ class RetrievalOpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Retrieval.bm25(corpus, Nil)
   }
 
+  // --- Reciprocal-rank fusion ----------------------------------------------
+
+  test("rrfFuse matches the hand-computed fusion of two lists") {
+    // list A ranks: 10 (1st), 20 (2nd), 30 (3rd); list B: 20 (1st), 40 (2nd)
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((20L, 9.0), (40L, 8.0)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), topL = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val w = Map( // 1/(60+rank) per appearance
+      20L -> (1.0 / 62 + 1.0 / 61), 10L -> 1.0 / 61,
+      40L -> 1.0 / 62, 30L -> 1.0 / 63)
+    got.map(_._1).toSeq shouldBe Seq(20L, 10L, 40L, 30L) // fused order
+    got.foreach { case (id, rrf, n) =>
+      rrf shouldBe (math.rint(w(id) * 1e6) / 1e6) +- 1e-9
+      n shouldBe (if (id == 20L) 2L else 1L)
+    }
+  }
+
+  test("rrfFuse caps each list at topL before fusing and ties break by id") {
+    // with topL = 1 only each list's head survives; equal contributions
+    // 1/61 tie-break by doc id ascending
+    val a = Seq((10L, 3.0), (20L, 2.0)).toDF("doc_id", "score")
+    val b = Seq((40L, 9.0), (10L, 8.0)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), topL = 1, k = 10)
+      .collect().map(r => r.getLong(0))
+    got.toSeq shouldBe Seq(10L, 40L)
+  }
+
   // --- FastSS levenshtein-1 join -------------------------------------------
 
   test("levenshtein1Pairs finds substitution, deletion, and duplicate-free equal names") {
