@@ -32,6 +32,7 @@ object AnnQueries extends QueryPack {
   private val HybridQueryId = 0L // q128 dense query vector
   private val HybridTopL = 100 // q128 per-list cap
   private val HybridK = 20 // q128 fused output size
+  private val ClusterQuota = 25 // q129 per-cluster keep
   private val PqCodeMod = 23 // PQ codewords: vec_id % 23 == 1
 
   private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
@@ -377,7 +378,40 @@ object AnnQueries extends QueryPack {
           embs(s, dir), HybridTopL)
         .select(col("vec_id").as("doc_id"), round(col("cos"), 6).as("score"))
       graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), HybridTopL, HybridK)
-    })
+    }),
+
+    // EXT-A21: cluster-balanced downsampling — every vector filed under
+    // its nearest centroid (the IVF assignment the index already
+    // computes), then a deterministic per-cluster keep of ≤ 25 (rank by
+    // md5-derived id hash: reproducible, no RNG state). Dominant clusters
+    // are capped, sparse clusters survive whole — the diversity-
+    // preserving alternative to uniform corpus pruning.
+    "q129_cluster_quota" -> ((s, dir) =>
+      graft.operators.EmbeddingCuration.clusterBalancedSample(
+          embs(s, dir), SimilaritySearch.ivfCentroids(embs(s, dir), CentroidMod),
+          ClusterQuota)
+        .select(col("cent_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("cent_id"), col("vec_id"))),
+
+    // EXT-A22: contrastive hard-negative mining — per query, the top-5
+    // most similar corpus vectors with a DIFFERENT label: the near-
+    // boundary negatives contrastive training wants. Same broadcast-
+    // panel + per-query-window shape as the exact ground truth.
+    "q130_hard_negatives" -> ((s, dir) =>
+      graft.operators.EmbeddingCuration.hardNegatives(
+          querySet(s, dir), embs(s, dir), K)
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A23: kNN label evaluation — majority vote over each query's 5
+    // exact nearest neighbors (ties → smallest label), reported as
+    // per-true-label accuracy; the embedding-space sanity gate run
+    // before vectors are trusted for retrieval or semantic dedup.
+    "q131_knn_eval" -> ((s, dir) =>
+      graft.operators.EmbeddingCuration.knnLabelEval(
+          querySet(s, dir), embs(s, dir), K)
+        .orderBy(col("label")))
   )
 
   /** JL projection planes: 16 of them over Dim, seeded apart from the
@@ -529,6 +563,61 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q129_cluster_quota" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |               FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT cent_id, vec_id FROM ranks WHERE crnk = 1),
+         |rk AS (SELECT cent_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY cent_id
+         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+         |                    vec_id) AS rnk
+         |       FROM asg)
+         |SELECT cent_id, vec_id, CAST(rnk AS BIGINT) AS rnk FROM rk
+         |WHERE rnk <= $ClusterQuota ORDER BY cent_id, vec_id""".stripMargin,
+
+    "q130_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |                  label AS q_label FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |scored AS (SELECT q.query_id, c.vec_id, c.label,
+         |             ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |           FROM embeddings c CROSS JOIN q
+         |           WHERE c.vec_id <> q.query_id AND c.label <> q.q_label),
+         |rk AS (SELECT query_id, vec_id, label, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, label, ROUND(cos, 6) AS cos FROM rk
+         |WHERE rnk <= $K ORDER BY 1, 4 DESC NULLS LAST, 2""".stripMargin,
+
+    "q131_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |                  label AS q_label FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |scored AS (SELECT q.query_id, q.q_label, c.vec_id, c.label,
+         |             ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |top AS (SELECT query_id, q_label, label FROM (
+         |          SELECT query_id, q_label, label,
+         |            ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |          FROM scored) WHERE rnk <= $K),
+         |votes AS (SELECT query_id, q_label, label, COUNT(*) AS v
+         |          FROM top GROUP BY 1, 2, 3),
+         |pick AS (SELECT query_id, q_label, label AS pred,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY v DESC, label) AS vr
+         |         FROM votes)
+         |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  ROUND(SUM(CASE WHEN pred = q_label THEN 1 ELSE 0 END)::DOUBLE
+         |        / COUNT(*), 6) AS acc
+         |FROM pick WHERE vr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q128_hybrid_rrf" ->
       s"""WITH tk AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN []
