@@ -418,7 +418,17 @@ object TextQueries extends QueryPack {
     "q127_dsir_weights" -> ((s, dir) =>
       graft.operators.Selection.dsirLogWeights(
           docs(s, dir), col("source").isin(DsirTargets: _*), DsirBuckets)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T31: per-source lexical KL drift — KL(source ‖ corpus) over
+    // the smoothed unigram vocabulary, computed in closed form over
+    // OBSERVED (source, token) pairs only (the unobserved smoothing mass
+    // collapses algebraically — the dense source × vocabulary grid never
+    // materializes). PSI's categorical sibling: which sources' language
+    // is furthest from the mixture the model will actually train on.
+    "q132_source_kl" -> ((s, dir) =>
+      graft.operators.Drift.sourceTokenKl(docs(s, dir))
+        .orderBy(col("source")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -525,6 +535,35 @@ object TextQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+
+    "q132_source_kl" ->
+      s"""WITH tks AS (SELECT source,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |toks AS (SELECT source, unnest(tk) AS tok FROM tks),
+         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM v),
+         |lnq AS (SELECT tok, ln((c + 1)::DOUBLE / (n + v)::DOUBLE) AS lnq
+         |        FROM v CROSS JOIN ct),
+         |g AS (SELECT SUM(lnq) AS g FROM lnq),
+         |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+         |       FROM toks GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_toks
+         |       FROM st GROUP BY 1),
+         |obs AS (SELECT st.source, ns.n_toks, ct.v, COUNT(*) AS n_vocab,
+         |          SUM(((cs + 1)::DOUBLE / (n_toks + v)::DOUBLE)
+         |              * (ln((cs + 1)::DOUBLE / (n_toks + v)::DOUBLE) - lnq))
+         |            AS obs_kl,
+         |          SUM(lnq) AS g_s
+         |        FROM st JOIN lnq USING (tok) JOIN ns USING (source)
+         |        CROSS JOIN ct
+         |        GROUP BY 1, 2, 3)
+         |SELECT source, n_toks, n_vocab,
+         |  ROUND(obs_kl + (1.0 / (n_toks + v))
+         |        * ((v - n_vocab) * ln(1.0 / (n_toks + v)) - (g.g - g_s)), 6)
+         |    AS kl
+         |FROM obs CROSS JOIN g ORDER BY source""".stripMargin,
 
     "q127_dsir_weights" -> {
       val targets = DsirTargets.map(t => s"'$t'").mkString(", ")

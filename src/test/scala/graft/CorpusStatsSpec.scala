@@ -111,4 +111,26 @@ class CorpusStatsSpec extends SparkSpec {
       .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
     got.toSeq shouldBe Seq((1L, 2L, 1.0))
   }
+
+  // ---- sourceTokenKl ------------------------------------------------------
+
+  test("sourceTokenKl's closed form equals the dense definition") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"), (2L, "a b b", "s1"),
+      (3L, "c c d", "s2"), (4L, "d e e e", "s2"),
+      (5L, "a b c d e", "s3")).toDF("doc_id", "text", "source")
+    // dense KL over the full vocabulary, straight from the definition
+    // (independently computed: vocab a:4 b:4 c:4 d:3 e:4, N=19, |V|=5;
+    // KL(s) = Σ_{t∈V} p_s ln(p_s/q) with add-one smoothing both sides)
+    val want = Map("s1" -> 0.142025, "s2" -> 0.150899, "s3" -> 0.003807)
+    val got = Drift.sourceTokenKl(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    got.keySet shouldBe Set("s1", "s2", "s3")
+    got("s1")._1 shouldBe 7L // tokens in s1
+    got("s1")._2 shouldBe 3L // distinct tokens in s1
+    for ((src, kl) <- want) got(src)._3 shouldBe kl +- 2e-6
+    // a source matching the corpus mixture drifts less than a skewed one
+    assert(got("s3")._3 < got("s2")._3)
+  }
 }
