@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-iteration graph ranking — PageRank as the canonical iterative
+ * join/aggregate the engine's other loops (Lloyd refinement, BPE merge
+ * rounds, component propagation) already follow: per round, one join of
+ * the rank vector onto the edge list and one destination aggregate.
+ *
+ * The training-data use: random-walk importance over a bipartite
+ * interaction graph (user ↔ item, document ↔ source) as a sampling
+ * prior — rank-weighted corpus selection favors documents the walk
+ * keeps reaching, the WebGraph-style signal production pipelines use
+ * beside quality scores.
+ *
+ * Scale shape per round: edges shuffle ONCE by src to meet the rank
+ * vector (both sides hash-partitioned on the same key, so AQE reuses
+ * the layout across rounds), contributions aggregate map-side by dst.
+ * State is one rank row per node; nothing is collected to the driver
+ * (the node count rides along as a broadcast 1-row aggregate). For
+ * deep iteration counts the linear plan-lineage growth wants a
+ * checkpoint every ~10 rounds; the fixed small iteration counts used
+ * here (3) don't.
+ */
+object Graph {
+
+  /** PageRank after exactly `iters` rounds over directed `edges`
+    * (src, dst), leaky formulation: r_{i+1}(v) = (1−d)/N + d·Σ_{u→v}
+    * r_i(u)/outdeg(u). Exact (no dangling redistribution) when every
+    * node has out-degree ≥ 1 — true for any symmetrized edge list.
+    * Output: (node, rank_rel) with rank_rel = N·rank (mean ≈ 1, a
+    * numeric range that survives presentation rounding at any N). */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank: iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val nTotal = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    var ranks = nodes.crossJoin(nTotal)
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("m"))
+      ranks = nodes.join(contribs, Seq("node"), "left").crossJoin(nTotal)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+    }
+    ranks.crossJoin(nTotal)
+      .select(col("node"), (col("rank") * col("n")).as("rank_rel"))
+  }
+}

@@ -381,10 +381,60 @@ object ScaleQueries extends QueryPack {
           d.where(pmod(col("doc_id"), lit(13L)) =!= 0L),
           "n_chars", binWidth = 60L, nBins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // EXT-X7: fixed-iteration PageRank — 3 rounds of random-walk
+    // importance over the symmetrized customer↔part co-purchase graph
+    // (nodes keyed 2·custkey / 2·partkey+1). Per round: the edge list
+    // meets the rank vector in ONE src-keyed shuffle and contributions
+    // aggregate map-side by dst — the canonical iterative join/agg the
+    // oracle unrolls as chained CTEs. Output: top-20 nodes by
+    // N-normalized rank (mean ≈ 1), rounded before ranking.
+    "q133_pagerank" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val ord = Tables.read(s, dir, "orders")
+      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val edges = cp.unionAll(cp.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, PrIters)
+        .select(col("node"), round(col("rank_rel"), 6).as("rank_rel"))
+        .orderBy(col("rank_rel").desc, col("node"))
+        .limit(PrTopK)
     })
   )
 
+  private val PrIters = 3 // q133 PageRank rounds
+  private val PrTopK = 20 // q133 output size
+
+  /** One PageRank round as a CTE pair: contributions into `cN`, the new
+    * rank vector into `rN` (leaky formulation, damping 0.85). */
+  private def prRound(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""c$i AS (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
+       |        FROM ee JOIN $prev ON ee.src = $prev.node
+       |                JOIN od ON ee.src = od.src
+       |        GROUP BY 1),
+       |r$i AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c$i.m, 0) AS rank
+       |        FROM nodes LEFT JOIN c$i USING (node) CROSS JOIN nn)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q133_pagerank" ->
+      s"""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+         |                   l.l_partkey * 2 + 1 AS dst
+         |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ee AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+         |nodes AS (SELECT DISTINCT src AS node FROM ee),
+         |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM ee GROUP BY 1),
+         |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |${(1 to PrIters).map(prRound).mkString(",\n")}
+         |SELECT node, ROUND(r$PrIters.rank * nn.n, 6) AS rank_rel
+         |FROM r$PrIters CROSS JOIN nn
+         |ORDER BY rank_rel DESC, node LIMIT $PrTopK""".stripMargin,
+
     "q109_rollup_report" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |       COALESCE(l_returnflag, 'ALL') AS l_returnflag,

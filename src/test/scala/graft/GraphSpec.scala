@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Hand-computed PageRank witness (q133). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the hand-walked 3-node chain") {
+    // 1→2, 1→3, 2→3, 3→1; outdeg 1:2, 2:1, 3:1; r0 = 1/3 each.
+    // r1 = (0.05+0.85/3, 0.05+0.85/6, 0.05+0.85·(1/6+1/3))
+    //    = (0.333333, 0.191667, 0.475)
+    // r2 = (0.05+0.85·0.475, 0.05+0.85·(r1(1)/2),
+    //       0.05+0.85·(r1(1)/2+r1(2)))
+    //    = (0.45375, 0.191667, 0.354583); rank_rel = 3·r2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(1L) shouldBe 3 * 0.45375 +- 1e-9
+    got(2L) shouldBe 3 * (0.05 + 0.85 / 6.0) +- 1e-9
+    got(3L) shouldBe 3 * 0.354583333333 +- 1e-9
+  }
+
+  test("pageRank mass is conserved on an out-degree-complete graph") {
+    // symmetrized edges: every node has outdeg ≥ 1 → Σ rank_rel = N
+    val cp = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("src", "dst")
+    val edges = cp.unionAll(cp.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = Graph.pageRank(edges, 3).collect().map(_.getDouble(1))
+    ranks.sum shouldBe 6.0 +- 1e-9 // 6 nodes, mean exactly 1
+    ranks.foreach(r => assert(r > 0))
+  }
+}
