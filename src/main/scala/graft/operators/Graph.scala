@@ -35,11 +35,16 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // Loop invariants persist once: without it every round's lineage
+    // replays the caller's edge construction (at 3 rounds that is ~7
+    // rebuilds of a join+distinct that never changes).
+    val e = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
+    val nodes = graft.core.Caches.cacheOnce(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct())
     val nTotal = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    val outdeg = graft.core.Caches.cacheOnce(
+      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg")))
     var ranks = nodes.crossJoin(nTotal)
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
