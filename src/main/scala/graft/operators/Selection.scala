@@ -26,7 +26,7 @@ import graft.functions.TextFunctions.{hash60, tokensWs}
 object Selection {
 
   /** Hashed unigram+bigram feature buckets of a token array. */
-  private def featureBuckets(tk: Column, numBuckets: Int): Column = {
+  private[graft] def featureBuckets(tk: Column, numBuckets: Int): Column = {
     val unis = tk
     val bis = zip_with(
       slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
@@ -88,5 +88,40 @@ object Selection {
         sum(col("c").cast("double") * coalesce(col("lr"), lit(0.0))).as("lw"))
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         round(coalesce(col("lw"), lit(0.0)), 6).as("logw"))
+  }
+
+  /** The trained per-bucket log-ratio table (bucket, lr) behind
+    * `dsirLogWeights` — the MODEL a deployment freezes after training on
+    * (target, pool): ≤ numBuckets rows regardless of corpus size, small
+    * enough to collect and ship as a literal into the streaming face. */
+  def dsirLogRatios(docs: DataFrame, targetPred: Column,
+                    numBuckets: Int = 2048,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val feats = docs.select(col(idCol), targetPred.as("is_target"),
+        explode(featureBuckets(tokensWs(col(textCol)), numBuckets))
+          .as("bucket"))
+    def cnts(side: Column) = feats.where(side)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    bucketLogProbs(cnts(col("is_target")), numBuckets, "lp_t")
+      .join(bucketLogProbs(cnts(!col("is_target")), numBuckets, "lp_p"),
+        Seq("bucket"))
+      .select(col("bucket"), (col("lp_t") - col("lp_p")).as("lr"))
+  }
+
+  /** Map-only DSIR scoring column over a FROZEN log-ratio table — the
+    * streaming face: score each arriving document against the trained
+    * model with no shuffle and no state (EXT-S7's stance: a pure Column
+    * streams unchanged). `lr` is the collected `dsirLogRatios` table —
+    * bounded by construction (≤ numBuckets entries), the one
+    * driver-side object in the DSIR pipeline and a deliberate one: a
+    * deployed scorer ships its model as a literal, not a join.
+    * Buckets absent from the map contribute 0 (the batch face's
+    * convention for null ratios). */
+  def dsirScoreColumn(text: Column, lr: Map[Long, Double],
+                      numBuckets: Int): Column = {
+    val lrMap = typedlit(lr)
+    round(aggregate(featureBuckets(tokensWs(text), numBuckets),
+      lit(0.0), (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0))), 6)
   }
 }

@@ -38,6 +38,18 @@ class SelectionSpec extends SparkSpec {
       s"cat doc ${w(10L)._2} should outrank off-domain ${w(11L)._2}")
   }
 
+  test("the frozen-model scoring column equals the batch aggregate face") {
+    val lr = Selection
+      .dsirLogRatios(docs, col("source") === "seed", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lr.size shouldBe 64 // dense over the bucket space
+    val scored = docs.where(col("source") =!= "seed")
+      .select(col("doc_id"),
+        Selection.dsirScoreColumn(col("text"), lr, numBuckets = 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, (_, logw)) <- w) scored(id) shouldBe logw +- 1e-6
+  }
+
   test("weights are deterministic across evaluations") {
     val again = Selection
       .dsirLogWeights(docs, col("source") === "seed", numBuckets = 64)

@@ -227,6 +227,37 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("DSIR scoring streams unchanged under a frozen log-ratio model") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Selection
+    // train the model in batch (bounded: 64 rows), freeze it as the
+    // literal the map-only streaming column carries
+    val train = Seq(
+      (1L, "the cat sat on the mat", "seed"),
+      (2L, "a cat and another cat", "seed"),
+      (10L, "the cat sat quietly", "web"),
+      (11L, "quantum flux capacitor array", "web"))
+      .toDF("doc_id", "text", "source")
+    val lr = Selection.dsirLogRatios(train, col("source") === "seed", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), Selection.dsirScoreColumn(col("text"), lr, 64).as("logw"))
+    val arriving = Seq((20L, "the cat sat on a mat"),
+      (21L, "flux array of capacitors"), (22L, ""))
+    val batchRows = score(arriving.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val sq = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dsir_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      sq.processAllAvailable()
+      spark.table("dsir_stream_test").collect().map(_.toSeq).toSet shouldBe batchRows
+      batchRows.size shouldBe 3
+    } finally sq.stop()
+  }
+
   test("PSI drift monitors online: streaming bin counts feed psiFromCounts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Drift
