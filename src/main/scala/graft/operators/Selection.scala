@@ -109,6 +109,38 @@ object Selection {
       .select(col("bucket"), (col("lp_t") - col("lp_p")).as("lr"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the selection
+    * step that turns importance weights into a training subset, via the
+    * Efraimidis–Spirakis one-pass reservoir criterion [IPL 2006]: draw
+    * u_i ∈ (0,1] per item, keep the n largest u_i^(1/w_i) — here ranked
+    * in log space as key_i = ln(u_i)/w_i (same order, no pow underflow).
+    * u_i comes from the engine's keyed hash-permutation family instead
+    * of RNG state, so the sample is reproducible across engines, runs,
+    * and partitionings — and the whole operator is one map-only
+    * projection + TakeOrdered (no shuffle, no reservoir state: the
+    * "reservoir" IS the top-n).
+    *
+    * `logwCol` holds LOG weights (the DSIR output); they are clamped to
+    * ±`logwClamp` before exponentiation so one extreme document cannot
+    * push the key arithmetic into overflow — the clamp only reorders
+    * items whose weights already differ by > e^40, where selection is
+    * effectively deterministic anyway.
+    * Output: (idCol, logwCol, key) — the n sampled rows, key desc. */
+  def weightedSample(scored: DataFrame, n: Int, perm: Int = 17,
+                     logwClamp: Double = 20.0,
+                     idCol: String = "doc_id",
+                     logwCol: String = "logw"): DataFrame = {
+    require(n > 0, "weightedSample: n must be positive")
+    import graft.functions.TextFunctions.{hashPerm, HashPermMod}
+    val u = (hashPerm(col(idCol).cast("string"), perm) + 1.0) /
+      (HashPermMod + 1.0)
+    val w = exp(greatest(lit(-logwClamp), least(lit(logwClamp), col(logwCol))))
+    scored.select(col(idCol), col(logwCol),
+        round(log(u) / w, 6).as("key"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Map-only DSIR scoring column over a FROZEN log-ratio table — the
     * streaming face: score each arriving document against the trained
     * model with no shuffle and no state (EXT-S7's stance: a pure Column

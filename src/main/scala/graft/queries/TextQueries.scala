@@ -428,7 +428,19 @@ object TextQueries extends QueryPack {
     // is furthest from the mixture the model will actually train on.
     "q132_source_kl" -> ((s, dir) =>
       graft.operators.Drift.sourceTokenKl(docs(s, dir))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // EXT-T32: DSIR sampling step — Efraimidis–Spirakis weighted
+    // sampling without replacement over the q127 importance weights
+    // (key = ln u / w in log space, u from the keyed hash-permutation
+    // family instead of RNG state): the top-50 keys ARE the sample, so
+    // the whole selection is one map-only projection + TakeOrdered —
+    // reproducible across engines, runs, and partitionings.
+    "q134_dsir_sample" -> ((s, dir) =>
+      graft.operators.Selection.weightedSample(
+        graft.operators.Selection.dsirLogWeights(
+          docs(s, dir), col("source").isin(DsirTargets: _*), DsirBuckets),
+        DsirSampleN))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -436,6 +448,46 @@ object TextQueries extends QueryPack {
   private val BpeMaxWordLen = 12
   private val DsirTargets = Seq("src1", "src2", "src3")
   private val DsirBuckets = 2048
+  private val DsirSampleN = 50
+
+  /** Shared DSIR oracle CTE chain, ending in `dw(doc_id, n_feats, logw)`
+    * — the q127 scoring pipeline, reused by q134's sampling step. */
+  private lazy val DsirCtes: String = {
+    val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
+    val B = DsirBuckets
+    s"""tf AS (SELECT doc_id, source IN ($targets) AS is_target,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |fl AS (SELECT doc_id, is_target,
+       |         tk || list_transform(range(1, len(tk)),
+       |                              i -> tk[i] || ' ' || tk[i + 1]) AS fs
+       |       FROM tf),
+       |feats AS (SELECT doc_id, is_target,
+       |            ('0x' || substr(md5(f), 1, 15))::BIGINT % $B AS bucket
+       |          FROM fl,
+       |          unnest(CASE WHEN len(fs) = 0 THEN [NULL] ELSE fs END) AS u(f)),
+       |b AS (SELECT unnest(range($B)) AS bucket),
+       |tc AS (SELECT bucket, COUNT(*) AS c FROM feats
+       |       WHERE is_target AND bucket IS NOT NULL GROUP BY 1),
+       |tn AS (SELECT COUNT(*) AS n FROM feats
+       |       WHERE is_target AND bucket IS NOT NULL),
+       |pc AS (SELECT bucket, COUNT(*) AS c FROM feats
+       |       WHERE NOT is_target AND bucket IS NOT NULL GROUP BY 1),
+       |pn AS (SELECT COUNT(*) AS n FROM feats
+       |       WHERE NOT is_target AND bucket IS NOT NULL),
+       |lr AS (SELECT b.bucket,
+       |         ln((COALESCE(tc.c, 0) + 1)::DOUBLE / (tn.n + $B)::DOUBLE)
+       |       - ln((COALESCE(pc.c, 0) + 1)::DOUBLE / (pn.n + $B)::DOUBLE) AS lr
+       |       FROM b LEFT JOIN tc USING (bucket) LEFT JOIN pc USING (bucket)
+       |       CROSS JOIN tn CROSS JOIN pn),
+       |pf AS (SELECT doc_id, bucket, COUNT(bucket) AS c
+       |       FROM feats WHERE NOT is_target GROUP BY 1, 2),
+       |dw AS (SELECT pf.doc_id, CAST(COALESCE(SUM(pf.c), 0) AS BIGINT) AS n_feats,
+       |         ROUND(COALESCE(SUM(pf.c * lr.lr), 0), 6) AS logw
+       |       FROM pf LEFT JOIN lr ON pf.bucket = lr.bucket
+       |       GROUP BY 1)""".stripMargin
+  }
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -565,42 +617,21 @@ object TextQueries extends QueryPack {
          |    AS kl
          |FROM obs CROSS JOIN g ORDER BY source""".stripMargin,
 
-    "q127_dsir_weights" -> {
-      val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
-      val B = DsirBuckets
-      s"""WITH tf AS (SELECT doc_id, source IN ($targets) AS is_target,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
-         |  FROM documents),
-         |fl AS (SELECT doc_id, is_target,
-         |         tk || list_transform(range(1, len(tk)),
-         |                              i -> tk[i] || ' ' || tk[i + 1]) AS fs
-         |       FROM tf),
-         |feats AS (SELECT doc_id, is_target,
-         |            ('0x' || substr(md5(f), 1, 15))::BIGINT % $B AS bucket
-         |          FROM fl,
-         |          unnest(CASE WHEN len(fs) = 0 THEN [NULL] ELSE fs END) AS u(f)),
-         |b AS (SELECT unnest(range($B)) AS bucket),
-         |tc AS (SELECT bucket, COUNT(*) AS c FROM feats
-         |       WHERE is_target AND bucket IS NOT NULL GROUP BY 1),
-         |tn AS (SELECT COUNT(*) AS n FROM feats
-         |       WHERE is_target AND bucket IS NOT NULL),
-         |pc AS (SELECT bucket, COUNT(*) AS c FROM feats
-         |       WHERE NOT is_target AND bucket IS NOT NULL GROUP BY 1),
-         |pn AS (SELECT COUNT(*) AS n FROM feats
-         |       WHERE NOT is_target AND bucket IS NOT NULL),
-         |lr AS (SELECT b.bucket,
-         |         ln((COALESCE(tc.c, 0) + 1)::DOUBLE / (tn.n + $B)::DOUBLE)
-         |       - ln((COALESCE(pc.c, 0) + 1)::DOUBLE / (pn.n + $B)::DOUBLE) AS lr
-         |       FROM b LEFT JOIN tc USING (bucket) LEFT JOIN pc USING (bucket)
-         |       CROSS JOIN tn CROSS JOIN pn),
-         |pf AS (SELECT doc_id, bucket, COUNT(bucket) AS c
-         |       FROM feats WHERE NOT is_target GROUP BY 1, 2)
-         |SELECT pf.doc_id, CAST(COALESCE(SUM(pf.c), 0) AS BIGINT) AS n_feats,
-         |       ROUND(COALESCE(SUM(pf.c * lr.lr), 0), 6) AS logw
-         |FROM pf LEFT JOIN lr ON pf.bucket = lr.bucket
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q127_dsir_weights" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, n_feats, logw FROM dw ORDER BY doc_id""".stripMargin,
+
+    "q134_dsir_sample" ->
+      s"""WITH $DsirCtes,
+         |keyed AS (SELECT doc_id, logw,
+         |  ROUND(ln((((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |              % 2147483647) * 35 + 18000054) % 2147483647 + 1.0)
+         |           / 2147483648.0)
+         |        / exp(GREATEST(-20.0, LEAST(20.0, logw))), 6) AS key
+         |  FROM dw)
+         |SELECT doc_id, logw, key FROM keyed
+         |ORDER BY key DESC, doc_id LIMIT $DsirSampleN""".stripMargin,
+
     "q126_bpe_encode" -> bpeEncodeOracleSql,
 
     "q125_bigram_nll" ->

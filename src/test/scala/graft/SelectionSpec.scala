@@ -50,6 +50,27 @@ class SelectionSpec extends SparkSpec {
     for ((id, (_, logw)) <- w) scored(id) shouldBe logw +- 1e-6
   }
 
+  test("weightedSample prefers heavy items, is exact-size and deterministic") {
+    val scored = Seq(
+      (1L, 20.0), (2L, -20.0), (3L, -20.0), (4L, -20.0), (5L, 20.0))
+      .toDF("doc_id", "logw")
+    // with weights e^20 vs e^-20, key(heavy) ≈ -ln(1/u)/4.85e8 dominates
+    // key(light) ≈ -ln(1/u)·4.85e8 for ANY hash draw: the two heavy
+    // items must be the 2-sample
+    val top2 = Selection.weightedSample(scored, 2).collect()
+      .map(_.getLong(0)).toSet
+    top2 shouldBe Set(1L, 5L)
+    // n larger than the input: every row returned exactly once
+    val all = Selection.weightedSample(scored, 10).collect()
+    all.map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    all.length shouldBe 5
+    // keys descend and repeat runs agree
+    val keys = all.map(_.getDouble(2))
+    keys.zip(keys.tail).foreach { case (a, b) => assert(a >= b) }
+    Selection.weightedSample(scored, 10).collect().map(_.toSeq).toSeq shouldBe
+      all.map(_.toSeq).toSeq
+  }
+
   test("weights are deterministic across evaluations") {
     val again = Selection
       .dsirLogWeights(docs, col("source") === "seed", numBuckets = 64)
