@@ -98,6 +98,61 @@ object Retrieval {
     * nothing here ever funnels corpus-sized data through one task. The
     * expensive part of hybrid search is producing the lists, and those
     * operators carry their own scale gates. */
+  /** Maximal-Marginal-Relevance diversification [Carbonell & Goldstein
+    * 1998] of a BOUNDED candidate list: greedily pick k items maximizing
+    * λ·rel − (1−λ)·max_sim-to-already-picked — the reranker that stops a
+    * near-dup cluster from filling the whole result page (or the whole
+    * few-shot prompt).
+    *
+    * `candidates` is (vec_id, rel) with rel already presentation-rounded;
+    * `vectors` supplies (vec_id, embedding) for the pairwise cosine.
+    * Each greedy step is a crossJoin of the ≤|candidates| remaining rows
+    * against the ≤k picked vectors (both broadcast-bounded) plus one
+    * TakeOrdered(1) — data never collects to the driver and no stage
+    * touches more than the candidate list. Steps chain k tiny joins into
+    * one plan; MMR is inherently sequential, which is why it must only
+    * ever run AFTER a top-L cut, never against the corpus.
+    * Scores round 1e-6 before each argmax (vec_id tie-break) so the
+    * greedy trajectory is engine-reproducible.
+    * Output: (step, vec_id, rel, mmr), step 1..k in pick order. */
+  def mmrDiversify(candidates: DataFrame, vectors: DataFrame, k: Int,
+                   lam: Double = 0.7): DataFrame = {
+    require(k >= 1, "mmrDiversify: k must be >= 1")
+    require(lam > 0 && lam <= 1, "mmrDiversify: lambda must be in (0, 1]")
+    import graft.operators.SimilaritySearch.{cosineWithNorms, l2Norm}
+    val cand = graft.core.Caches.cacheOnce(
+      candidates.select(col("vec_id"), col("rel"))
+        .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("rel"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm")))
+    var sel: DataFrame = null
+    for (step <- 1 to k) {
+      val scored =
+        if (sel == null)
+          cand.select(col("vec_id"), col("rel"),
+            round(lit(lam) * col("rel"), 6).as("mmr"))
+        else {
+          val selIds = sel.select(col("vec_id"))
+          val selVecs = broadcast(cand.join(selIds, Seq("vec_id"))
+            .select(col("embedding").as("s_emb"), col("nrm").as("s_nrm")))
+          cand.join(selIds, Seq("vec_id"), "left_anti")
+            .crossJoin(selVecs)
+            .select(col("vec_id"), col("rel"),
+              cosineWithNorms(col("embedding"), col("s_emb"),
+                col("nrm"), col("s_nrm")).as("sim"))
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(round(lit(lam) * col("rel") -
+              lit(1.0 - lam) * max(col("sim")), 6).as("mmr"))
+        }
+      val pick = scored
+        .orderBy(col("mmr").desc_nulls_last, col("vec_id")).limit(1)
+        .select(lit(step.toLong).as("step"), col("vec_id"), col("rel"),
+          col("mmr"))
+      sel = if (sel == null) pick else sel.unionAll(pick)
+    }
+    sel
+  }
+
   def rrfFuse(lists: Seq[DataFrame], topL: Int, k: Int, rrfK: Int = 60,
               idCol: String = "doc_id"): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")

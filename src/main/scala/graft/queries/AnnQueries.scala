@@ -33,6 +33,26 @@ object AnnQueries extends QueryPack {
   private val HybridTopL = 100 // q128 per-list cap
   private val HybridK = 20 // q128 fused output size
   private val ClusterQuota = 25 // q129 per-cluster keep
+  private val MmrCandidates = 20 // q135 bounded candidate list
+  private val MmrK = 5 // q135 picks
+  private val MmrLambda = 0.7 // q135 relevance/diversity balance
+
+  /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
+    * the running selection `sel(i-1)`. */
+  private def mmrStep(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""s$i AS (SELECT ${i}::BIGINT AS step, vec_id, rel, mmr FROM (
+       |  SELECT c.vec_id, c.rel,
+       |    ROUND($MmrLambda * c.rel - ${1.0 - MmrLambda}
+       |          * MAX(${cosSql("c.embedding", "p.embedding")}), 6) AS mmr
+       |  FROM cand c, cand p
+       |  WHERE p.vec_id IN (SELECT vec_id FROM $prev)
+       |    AND c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |  GROUP BY c.vec_id, c.rel)
+       |  ORDER BY mmr DESC NULLS LAST, vec_id LIMIT 1),
+       |sel$i AS (SELECT * FROM $prev UNION ALL
+       |          SELECT step, vec_id, rel, mmr FROM s$i)""".stripMargin
+  }
   private val PqCodeMod = 23 // PQ codewords: vec_id % 23 == 1
 
   private lazy val planes = SimilaritySearch.hyperplanes(Planes, Dim)
@@ -411,7 +431,21 @@ object AnnQueries extends QueryPack {
     "q131_knn_eval" -> ((s, dir) =>
       graft.operators.EmbeddingCuration.knnLabelEval(
           querySet(s, dir), embs(s, dir), K)
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // EXT-A24: MMR diversified reranking — greedy λ·rel − (1−λ)·max-sim
+    // over the BOUNDED dense top-20 (diversification runs AFTER the
+    // top-L cut, never against the corpus); each of the 5 steps is a
+    // broadcast crossJoin over ≤ 20 rows + TakeOrdered(1), scores
+    // rounded before every argmax so the greedy trajectory reproduces.
+    "q135_mmr_rerank" -> ((s, dir) => {
+      val cand = SimilaritySearch
+        .bruteForceTopK(embs(s, dir).where(col("vec_id") === HybridQueryId),
+          embs(s, dir), MmrCandidates)
+        .select(col("vec_id"), round(col("cos"), 6).as("rel"))
+      graft.operators.Retrieval.mmrDiversify(cand, embs(s, dir), MmrK, MmrLambda)
+        .orderBy(col("step"))
+    })
   )
 
   /** JL projection planes: 16 of them over Dim, seeded apart from the
@@ -563,6 +597,25 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q135_mmr_rerank" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = $HybridQueryId),
+         |sc AS (SELECT c.vec_id, c.embedding,
+         |         ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |       FROM embeddings c CROSS JOIN q
+         |       WHERE c.vec_id <> $HybridQueryId),
+         |ck AS (SELECT vec_id, embedding, ROUND(cos, 6) AS rel,
+         |         ROW_NUMBER() OVER (ORDER BY cos DESC NULLS LAST, vec_id)
+         |           AS rnk
+         |       FROM sc),
+         |cand AS (SELECT vec_id, embedding, rel FROM ck
+         |         WHERE rnk <= $MmrCandidates),
+         |sel1 AS (SELECT 1::BIGINT AS step, vec_id, rel,
+         |           ROUND($MmrLambda * rel, 6) AS mmr
+         |         FROM cand ORDER BY mmr DESC NULLS LAST, vec_id LIMIT 1),
+         |${(2 to MmrK).map(mmrStep).mkString(",\n")}
+         |SELECT step, vec_id, rel, mmr FROM sel$MmrK ORDER BY step""".stripMargin,
+
     "q129_cluster_quota" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
          |               FROM embeddings WHERE vec_id % $CentroidMod = 1),

@@ -86,6 +86,32 @@ class RetrievalOpsSpec extends SparkSpec {
     got.toSeq shouldBe Seq(10L, 40L)
   }
 
+  // --- MMR diversification -------------------------------------------------
+
+  test("mmrDiversify picks diversity over a redundant higher-rel candidate") {
+    // ids 1 and 2 point the same way (sim = 1), id 3 is orthogonal.
+    // λ=0.7: step1 picks 1 (rel 1.0). step2: id2 scores .63−.3·1=.33,
+    // id3 scores .35−0=.35 → 3 beats the more-relevant-but-redundant 2.
+    // step3 takes the leftover 2 at .33.
+    val cand = Seq((1L, 1.0), (2L, 0.9), (3L, 0.5)).toDF("vec_id", "rel")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrDiversify(cand, vecs, 3)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    got.map(_._2).toSeq shouldBe Seq(1L, 3L, 2L)
+    got(0)._3 shouldBe 0.7 +- 1e-9
+    got(1)._3 shouldBe 0.35 +- 1e-9
+    got(2)._3 shouldBe 0.33 +- 1e-9
+  }
+
+  test("mmrDiversify returns fewer rows when k exceeds the candidates") {
+    val cand = Seq((1L, 1.0)).toDF("vec_id", "rel")
+    val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Retrieval.mmrDiversify(cand, vecs, 4).count() shouldBe 1L
+  }
+
   // --- FastSS levenshtein-1 join -------------------------------------------
 
   test("levenshtein1Pairs finds substitution, deletion, and duplicate-free equal names") {
