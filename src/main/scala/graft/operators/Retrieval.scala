@@ -153,17 +153,26 @@ object Retrieval {
     sel
   }
 
+  /** (id, rank) over a list's top `topL` by (score desc, id asc): the cap
+    * is a TakeOrdered, the rank a broadcast theta self-join over the
+    * ≤ topL survivors — never an unpartitioned window. Callers pass
+    * scores already rounded to presentation precision so rank boundaries
+    * are engine-reproducible. */
+  private def rankBounded(l: DataFrame, topL: Int, idCol: String): DataFrame = {
+    val capped = l.select(col(idCol).as("id"), col("score"))
+      .orderBy(col("score").desc, col("id")).limit(topL)
+    val better = (col("b.score") > col("a.score")) ||
+      (col("b.score") === col("a.score") && col("b.id") < col("a.id"))
+    capped.as("a").join(broadcast(capped.as("b")), better, "left")
+      .groupBy(col("a.id").as("id"))
+      .agg((count(col("b.id")) + 1L).as("rank"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], topL: Int, k: Int, rrfK: Int = 60,
               idCol: String = "doc_id"): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")
     val contribs = lists.map { l =>
-      val capped = l.select(col(idCol).as("id"), col("score"))
-        .orderBy(col("score").desc, col("id")).limit(topL)
-      val better = (col("b.score") > col("a.score")) ||
-        (col("b.score") === col("a.score") && col("b.id") < col("a.id"))
-      capped.as("a").join(broadcast(capped.as("b")), better, "left")
-        .groupBy(col("a.id").as("id"))
-        .agg((count(col("b.id")) + 1L).as("rank"))
+      rankBounded(l, topL, idCol)
         .select(col("id"), (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))
     }
     contribs.reduce(_ unionAll _)
@@ -173,5 +182,46 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("rrf"), col("n_lists"))
+  }
+
+  /** NDCG@k ranking evaluation [Järvelin & Kekäläinen 2002] of one or
+    * more rankers against a graded relevance table — the metric face
+    * that decides WHICH retriever serves (beside the ANN tier's
+    * recall@k and the kNN tier's accuracy):
+    * DCG = Σ_{r≤k} (2^rel − 1)/log2(r + 1), IDCG over the global ideal
+    * ordering (rel desc, id asc), NDCG = DCG/IDCG (0 when IDCG = 0).
+    *
+    * `lists` are (name, (idCol, "score")) with scores rounded; `rel` is
+    * (idCol, "rel") with integer grades — docs absent from it grade 0.
+    * Ranks ride `rankBounded` (TakeOrdered + broadcast theta join); the
+    * ideal head is itself a TakeOrdered over the relevance table, so
+    * the whole metric touches corpus-sized data only in that one cut.
+    * Output: one row per ranker — (list, dcg, idcg, ndcg). */
+  def ndcgAt(lists: Seq[(String, DataFrame)], rel: DataFrame, k: Int,
+             idCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "ndcgAt: no lists")
+    require(k >= 1, "ndcgAt: k must be >= 1")
+    def gain(relC: Column, rankC: Column): Column =
+      (pow(lit(2.0), relC.cast("double")) - 1.0) /
+        (log(rankC.cast("double") + 1.0) / math.log(2.0))
+    val relTbl = rel.select(col(idCol).as("id"), col("rel"))
+    val ideal = rankBounded(
+      relTbl.select(col("id"), col("rel").as("score")), k, "id")
+      .join(relTbl, Seq("id"))
+    val idcg = ideal.agg(coalesce(sum(gain(col("rel"), col("rank"))), lit(0.0))
+      .as("idcg"))
+    val perList = lists.map { case (name, l) =>
+      rankBounded(l, k, idCol)
+        .join(relTbl, Seq("id"), "left")
+        .select(gain(coalesce(col("rel"), lit(0)), col("rank")).as("g"))
+        .agg(coalesce(sum(col("g")), lit(0.0)).as("dcg"))
+        .select(lit(name).as("list"), col("dcg"))
+    }
+    perList.reduce(_ unionAll _)
+      .crossJoin(broadcast(idcg))
+      .select(col("list"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
   }
 }

@@ -36,6 +36,7 @@ object AnnQueries extends QueryPack {
   private val MmrCandidates = 20 // q135 bounded candidate list
   private val MmrK = 5 // q135 picks
   private val MmrLambda = 0.7 // q135 relevance/diversity balance
+  private val NdcgK = 10 // q136 evaluation depth
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -445,6 +446,34 @@ object AnnQueries extends QueryPack {
         .select(col("vec_id"), round(col("cos"), 6).as("rel"))
       graft.operators.Retrieval.mmrDiversify(cand, embs(s, dir), MmrK, MmrLambda)
         .orderBy(col("step"))
+    }),
+
+    // EXT-A25: NDCG@10 ranking evaluation — the graded-relevance metric
+    // deciding WHICH retriever serves, computed for the sparse, dense,
+    // and RRF-fused rankers against term-overlap grades (0..3 query
+    // terms present). Ranks ride the bounded theta join over capped
+    // lists; the ideal head is one TakeOrdered over the relevance
+    // projection — the metric touches corpus-sized data only there.
+    "q136_ndcg_eval" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokensWs
+      val d = Tables.read(s, dir, "documents")
+      val sparse = graft.operators.Retrieval
+        .bm25TopK(d, HybridTerms, HybridTopL)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val dense = SimilaritySearch
+        .bruteForceTopK(embs(s, dir).where(col("vec_id") === HybridQueryId),
+          embs(s, dir), HybridTopL)
+        .select(col("vec_id").as("doc_id"), round(col("cos"), 6).as("score"))
+      val fused = graft.operators.Retrieval
+        .rrfFuse(Seq(sparse, dense), HybridTopL, NdcgK)
+        .select(col("doc_id"), col("rrf").as("score"))
+      val rel = d.select(col("doc_id"),
+        size(array_intersect(tokensWs(col("text")), typedlit(HybridTerms)))
+          .as("rel"))
+      graft.operators.Retrieval.ndcgAt(
+          Seq("dense" -> dense, "fused" -> fused, "sparse" -> sparse),
+          rel, NdcgK)
+        .orderBy(col("list"))
     })
   )
 
@@ -597,6 +626,68 @@ object AnnQueries extends QueryPack {
 
 
   val oracleSql: Map[String, String] = Map(
+    "q136_ndcg_eval" -> {
+      val gain = (relExpr: String, rankExpr: String) =>
+        s"(pow(2, $relExpr) - 1) / (ln($rankExpr + 1.0) / ln(2))"
+      s"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+         |       WHERE term IN (${HybridTerms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+         |bm AS (SELECT doc_id,
+         |         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+         |           AS score
+         |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |       GROUP BY doc_id),
+         |sr AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+         |q AS (SELECT embedding AS q_emb FROM embeddings
+         |      WHERE vec_id = $HybridQueryId),
+         |dtop AS (SELECT c.vec_id AS doc_id,
+         |           ROUND(${cosSql("q.q_emb", "c.embedding")}, 6) AS score
+         |         FROM embeddings c CROSS JOIN q WHERE c.vec_id <> $HybridQueryId),
+         |dr AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM dtop),
+         |u AS (SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM sr
+         |      WHERE rnk <= $HybridTopL
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rnk) FROM dr WHERE rnk <= $HybridTopL),
+         |fs AS (SELECT doc_id, ROUND(SUM(contrib), 6) AS score FROM u GROUP BY 1),
+         |fr AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM fs),
+         |rel AS (SELECT doc_id,
+         |          len(list_intersect(tk,
+         |            [${HybridTerms.map(t => s"'$t'").mkString(", ")}])) AS rel
+         |        FROM tk),
+         |ideal AS (SELECT rel,
+         |            ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+         |          FROM rel),
+         |idcg AS (SELECT COALESCE(SUM(${gain("rel", "rnk")}), 0) AS idcg
+         |         FROM ideal WHERE rnk <= $NdcgK),
+         |dcgs AS (
+         |  SELECT 'dense' AS list,
+         |    COALESCE(SUM(${gain("COALESCE(rel.rel, 0)", "r.rnk")}), 0) AS dcg
+         |  FROM dr r LEFT JOIN rel ON r.doc_id = rel.doc_id WHERE r.rnk <= $NdcgK
+         |  UNION ALL
+         |  SELECT 'fused',
+         |    COALESCE(SUM(${gain("COALESCE(rel.rel, 0)", "r.rnk")}), 0)
+         |  FROM fr r LEFT JOIN rel ON r.doc_id = rel.doc_id WHERE r.rnk <= $NdcgK
+         |  UNION ALL
+         |  SELECT 'sparse',
+         |    COALESCE(SUM(${gain("COALESCE(rel.rel, 0)", "r.rnk")}), 0)
+         |  FROM sr r LEFT JOIN rel ON r.doc_id = rel.doc_id WHERE r.rnk <= $NdcgK)
+         |SELECT list, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+         |  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg
+         |FROM dcgs CROSS JOIN idcg ORDER BY list""".stripMargin
+    },
+
     "q135_mmr_rerank" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
          |           WHERE vec_id = $HybridQueryId),

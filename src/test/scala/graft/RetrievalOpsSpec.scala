@@ -86,6 +86,33 @@ class RetrievalOpsSpec extends SparkSpec {
     got.toSeq shouldBe Seq(10L, 40L)
   }
 
+  // --- NDCG ----------------------------------------------------------------
+
+  test("ndcgAt scores the perfect ranking 1.0 and a swap below it") {
+    val rel = Seq((1L, 3), (2L, 2), (3L, 1), (4L, 0)).toDF("doc_id", "rel")
+    val perfect = Seq((1L, 9.0), (2L, 8.0)).toDF("doc_id", "score")
+    val swapped = Seq((2L, 9.0), (1L, 8.0)).toDF("doc_id", "score")
+    val got = Retrieval.ndcgAt(
+      Seq("perfect" -> perfect, "swapped" -> swapped), rel, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // idcg@2 = 7/log2(2) + 3/log2(3)
+    val idcg = 7.0 + 3.0 / (math.log(3.0) / math.log(2.0))
+    got("perfect")._2 shouldBe (math.rint(idcg * 1e6) / 1e6) +- 1e-9
+    got("perfect")._3 shouldBe 1.0 +- 1e-9
+    val dcgSwap = 3.0 + 7.0 / (math.log(3.0) / math.log(2.0))
+    got("swapped")._1 shouldBe (math.rint(dcgSwap * 1e6) / 1e6) +- 1e-9
+    assert(got("swapped")._3 < 1.0)
+  }
+
+  test("ndcgAt grades unknown docs 0 and survives an all-zero ideal") {
+    val rel = Seq((1L, 0)).toDF("doc_id", "rel")
+    val l = Seq((9L, 1.0)).toDF("doc_id", "score")
+    val row = Retrieval.ndcgAt(Seq("l" -> l), rel, 5).collect()(0)
+    row.getDouble(1) shouldBe 0.0 // dcg: unknown doc -> rel 0
+    row.getDouble(3) shouldBe 0.0 // idcg 0 -> ndcg pinned 0, not NaN
+  }
+
   // --- MMR diversification -------------------------------------------------
 
   test("mmrDiversify picks diversity over a redundant higher-rel candidate") {
