@@ -108,10 +108,12 @@ object Retrieval {
     * `vectors` supplies (vec_id, embedding) for the pairwise cosine.
     * Each greedy step is a crossJoin of the ≤|candidates| remaining rows
     * against the ≤k picked vectors (both broadcast-bounded) plus one
-    * TakeOrdered(1) — data never collects to the driver and no stage
-    * touches more than the candidate list. Steps chain k tiny joins into
-    * one plan; MMR is inherently sequential, which is why it must only
-    * ever run AFTER a top-L cut, never against the corpus.
+    * TakeOrdered(1) whose single winning row comes back to the driver —
+    * the Lloyd-round pattern (one bounded row per round), which keeps
+    * each step one job over the CACHED candidate panel instead of a
+    * lineage that re-evaluates every earlier pick O(k²) times. MMR is
+    * inherently sequential, which is why it must only ever run AFTER a
+    * top-L cut, never against the corpus.
     * Scores round 1e-6 before each argmax (vec_id tie-break) so the
     * greedy trajectory is engine-reproducible.
     * Output: (step, vec_id, rel, mmr), step 1..k in pick order. */
@@ -120,22 +122,27 @@ object Retrieval {
     require(k >= 1, "mmrDiversify: k must be >= 1")
     require(lam > 0 && lam <= 1, "mmrDiversify: lambda must be in (0, 1]")
     import graft.operators.SimilaritySearch.{cosineWithNorms, l2Norm}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = candidates.sparkSession
     val cand = graft.core.Caches.cacheOnce(
       candidates.select(col("vec_id"), col("rel"))
         .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("rel"), col("embedding"),
           l2Norm(col("embedding")).as("nrm")))
-    var sel: DataFrame = null
-    for (step <- 1 to k) {
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var outSchema: StructType = null
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val ids = picked.map(_.get(1))
       val scored =
-        if (sel == null)
+        if (ids.isEmpty)
           cand.select(col("vec_id"), col("rel"),
             round(lit(lam) * col("rel"), 6).as("mmr"))
         else {
-          val selIds = sel.select(col("vec_id"))
-          val selVecs = broadcast(cand.join(selIds, Seq("vec_id"))
+          val selVecs = broadcast(cand.where(col("vec_id").isin(ids.toSeq: _*))
             .select(col("embedding").as("s_emb"), col("nrm").as("s_nrm")))
-          cand.join(selIds, Seq("vec_id"), "left_anti")
+          cand.where(!col("vec_id").isin(ids.toSeq: _*))
             .crossJoin(selVecs)
             .select(col("vec_id"), col("rel"),
               cosineWithNorms(col("embedding"), col("s_emb"),
@@ -144,13 +151,18 @@ object Retrieval {
             .agg(round(lit(lam) * col("rel") -
               lit(1.0 - lam) * max(col("sim")), 6).as("mmr"))
         }
-      val pick = scored
+      if (outSchema == null)
+        outSchema = StructType(StructField("step", LongType, nullable = false)
+          +: scored.schema.fields)
+      val win = scored
         .orderBy(col("mmr").desc_nulls_last, col("vec_id")).limit(1)
-        .select(lit(step.toLong).as("step"), col("vec_id"), col("rel"),
-          col("mmr"))
-      sel = if (sel == null) pick else sel.unionAll(pick)
+        .collect() // exactly one bounded row per round, by construction
+      if (win.isEmpty) exhausted = true
+      else picked += Row.fromSeq(step.toLong +: win(0).toSeq)
     }
-    sel
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .BufferHasAsJava(picked).asJava), outSchema)
   }
 
   /** (id, rank) over a list's top `topL` by (score desc, id asc): the cap
