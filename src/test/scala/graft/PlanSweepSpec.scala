@@ -83,6 +83,12 @@ class PlanSweepSpec extends SparkSpec {
       case e: ShuffleExchangeExec
         if e.outputPartitioning == SinglePartition && !reducedInput(e.child) =>
         s"single-partition Exchange over ${unwrapped(e.child).nodeName}"
+      // A non-broadcast cartesian pairs two UNBOUNDED sides — the one
+      // join shape with no scale story at all. (BroadcastNestedLoopJoin
+      // is NOT flagged: it only plans when one side fits the broadcast
+      // bound, which is exactly the documented bounded-panel pattern.)
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        "CartesianProduct (both sides unbounded)"
     }
     val nested = plan.collect {
       case imr: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
