@@ -141,6 +141,68 @@ object Selection {
       .limit(n)
   }
 
+  /** In-engine trained logistic quality classifier — full-batch gradient
+    * descent over the same hashed unigram+bigram feature space as DSIR,
+    * labels from `labelPred` (the fastText-classifier recipe production
+    * pipelines train per quality tier, run entirely as Spark aggregates).
+    *
+    * Per round: score every document under the current weights (one
+    * bucket-join + per-doc aggregate over the CACHED feature table),
+    * take the mean log-loss, aggregate the mean gradient per bucket
+    * (≤ numBuckets rows), and update the weights DRIVER-SIDE — the
+    * Lloyd-round pattern: the model is bounded index state (like the PQ
+    * codebooks and the BPE merge table), the corpus never is. Weights
+    * round to 1e-9 each update so the trajectory is engine-reproducible
+    * (the oracle replays every round; rounding absorbs aggregation-order
+    * float noise at each boundary exactly as the float32-rounded Lloyd
+    * means do).
+    *
+    * Documents with no features (blank text) carry no gradient and are
+    * excluded. Returns the learning curve — (round, mean_loss) for
+    * rounds 1..iters, loss measured under the PRE-update weights (round
+    * 1 is the w=0 baseline, ln 2). */
+  def logisticTrain(docs: DataFrame, labelPred: Column, iters: Int = 5,
+                    rate: Double = 0.5, numBuckets: Int = 256,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(iters >= 1, "logisticTrain: iters must be >= 1")
+    val spark = docs.sparkSession
+    val fb = graft.core.Caches.cacheOnce(
+      docs.select(col(idCol).as("id"),
+          when(labelPred, 1.0).otherwise(0.0).as("y"),
+          explode(featureBuckets(tokensWs(col(textCol)), numBuckets))
+            .as("bucket"))
+        .groupBy(col("id"), col("y"), col("bucket"))
+        .agg(count(lit(1)).cast("double").as("c")))
+    val w = Array.fill(numBuckets)(0.0)
+    val curve = Array.newBuilder[(Long, Double)]
+    for (iter <- 1 to iters) {
+      val wlit = typedlit(w.zipWithIndex.map { case (v, b) => b.toLong -> v }.toMap)
+      val p = fb
+        .groupBy(col("id"), col("y"))
+        .agg(sum(col("c") * element_at(wlit, col("bucket"))).as("z"))
+        .select(col("id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+      val loss = p.agg(
+          round(avg(-(col("y") * log(col("p")) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("l"),
+          count(lit(1)).cast("double").as("n"))
+        .collect()(0)
+      curve += ((iter.toLong, loss.getDouble(0)))
+      val n = loss.getDouble(1)
+      // mean gradient per bucket: ≤ numBuckets rows back to the driver
+      fb.join(p.select(col("id"), col("p")), Seq("id"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("c") * (col("p") - col("y"))) / n).as("g"))
+        .collect().foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) = math.rint((w(b) - rate * r.getDouble(1)) * 1e9) / 1e9
+        }
+    }
+    import spark.implicits._
+    curve.result().toSeq.toDF("round", "mean_loss")
+  }
+
   /** Map-only DSIR scoring column over a FROZEN log-ratio table — the
     * streaming face: score each arriving document against the trained
     * model with no shuffle and no state (EXT-S7's stance: a pure Column

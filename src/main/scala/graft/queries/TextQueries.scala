@@ -440,7 +440,20 @@ object TextQueries extends QueryPack {
       graft.operators.Selection.weightedSample(
         graft.operators.Selection.dsirLogWeights(
           docs(s, dir), col("source").isin(DsirTargets: _*), DsirBuckets),
-        DsirSampleN))
+        DsirSampleN)),
+
+    // EXT-T33: in-engine trained logistic quality classifier — 5 rounds
+    // of full-batch gradient descent over the DSIR feature space (the
+    // fastText-classifier recipe as pure Spark aggregates). The model is
+    // bounded index state updated driver-side per round (the Lloyd
+    // pattern); weights round 1e-9 each update so the oracle replays the
+    // whole trajectory. Output: the learning curve, which the spec gates
+    // as monotone-decreasing from the ln 2 baseline.
+    "q137_logreg_curve" -> ((s, dir) =>
+      graft.operators.Selection.logisticTrain(
+          docs(s, dir), col("source").isin(DsirTargets: _*),
+          LrIters, LrRate, LrBuckets)
+        .orderBy(col("round")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -449,6 +462,28 @@ object TextQueries extends QueryPack {
   private val DsirTargets = Seq("src1", "src2", "src3")
   private val DsirBuckets = 2048
   private val DsirSampleN = 50
+  private val LrIters = 5 // q137 gradient-descent rounds
+  private val LrRate = 0.5 // q137 learning rate
+  private val LrBuckets = 256 // q137 hashed feature space
+
+  /** One unrolled gradient-descent round for the q137 oracle: loss under
+    * w(i-1), mean gradient, the 1e-9-rounded weight update. */
+  private def lrRound(i: Int): String = {
+    val pw = s"w${i - 1}"
+    s"""z$i AS (SELECT fb.doc_id, fb.y, SUM(fb.c * $pw.wv) AS z
+       |        FROM fb JOIN $pw USING (bucket) GROUP BY 1, 2),
+       |p$i AS (SELECT doc_id, y, 1 / (1 + exp(-z)) AS p FROM z$i),
+       |l$i AS (SELECT ${i}::BIGINT AS round,
+       |          ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)
+       |            AS mean_loss
+       |        FROM p$i),
+       |g$i AS (SELECT fb.bucket, SUM(fb.c * (p$i.p - fb.y)) / nn.n AS g
+       |        FROM fb JOIN p$i USING (doc_id) CROSS JOIN nn
+       |        GROUP BY fb.bucket, nn.n),
+       |w$i AS (SELECT $pw.bucket,
+       |          ROUND($pw.wv - $LrRate * COALESCE(g$i.g, 0), 9) AS wv
+       |        FROM $pw LEFT JOIN g$i USING (bucket))""".stripMargin
+  }
 
   /** Shared DSIR oracle CTE chain, ending in `dw(doc_id, n_feats, logw)`
     * — the q127 scoring pipeline, reused by q134's sampling step. */
@@ -633,6 +668,30 @@ object TextQueries extends QueryPack {
          |ORDER BY key DESC, doc_id LIMIT $DsirSampleN""".stripMargin,
 
     "q126_bpe_encode" -> bpeEncodeOracleSql,
+
+    "q137_logreg_curve" -> {
+      val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
+      s"""WITH tfq AS (SELECT doc_id,
+         |  CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |flq AS (SELECT doc_id, y,
+         |          tk || list_transform(range(1, len(tk)),
+         |                               i -> tk[i] || ' ' || tk[i + 1]) AS fs
+         |        FROM tfq),
+         |fb AS (SELECT doc_id, y,
+         |         ('0x' || substr(md5(f), 1, 15))::BIGINT % $LrBuckets AS bucket,
+         |         COUNT(*)::DOUBLE AS c
+         |       FROM flq, unnest(fs) AS u(f)
+         |       GROUP BY 1, 2, 3),
+         |nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM fb),
+         |w0 AS (SELECT unnest(range($LrBuckets)) AS bucket, 0.0 AS wv),
+         |${(1 to LrIters).map(lrRound).mkString(",\n")}
+         |SELECT round, mean_loss FROM (
+         |  ${(1 to LrIters).map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    },
 
     "q125_bigram_nll" ->
       s"""WITH $ToksCte,

@@ -71,6 +71,28 @@ class SelectionSpec extends SparkSpec {
       all.map(_.toSeq).toSeq
   }
 
+  test("logisticTrain descends monotonically from the ln 2 baseline") {
+    val curve = Selection
+      .logisticTrain(docs, col("source") === "seed", iters = 5,
+        numBuckets = 64)
+      .orderBy(col("round")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    curve.map(_._1).toSeq shouldBe (1L to 5L)
+    // round 1 scores under w = 0: every p = 0.5 -> mean loss ln 2
+    curve(0)._2 shouldBe (math.rint(math.log(2.0) * 1e6) / 1e6) +- 1e-9
+    // full-batch GD on a separable toy problem must descend every round
+    curve.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"loss rose: $a -> $b")
+      case _ =>
+    }
+    // blank doc 12 carries no features: training set is the other four
+    // docs; determinism across a rerun
+    val again = Selection.logisticTrain(docs, col("source") === "seed",
+      iters = 5, numBuckets = 64).orderBy(col("round")).collect()
+      .map(_.getDouble(1)).toSeq
+    again shouldBe curve.map(_._2).toSeq
+  }
+
   test("weights are deterministic across evaluations") {
     val again = Selection
       .dsirLogWeights(docs, col("source") === "seed", numBuckets = 64)
