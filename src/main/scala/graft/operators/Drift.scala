@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** The equi-width bin id of `value`: ⌊value / binWidth⌋ clamped to
-    * [0, nBins). Map-only and streaming-safe — a `readStream.groupBy`
-    * over this column is the ONLINE face of the monitor (bounded state:
-    * one row per bin; the spec proves stream and batch counts agree). */
+    * [0, nBins), NULL for NULL values. The NULL case is explicit because
+    * Spark's greatest/least SKIP null arguments — a bare
+    * greatest(0, floor(NULL)) yields 0, silently inflating the first PSI
+    * bin with null observations instead of excluding them. NULL bins
+    * drop out of both snapshots (psiFromCounts joins from the dense bin
+    * spine; a NULL-keyed group matches no spine row). Map-only and
+    * streaming-safe — a `readStream.groupBy` over this column is the
+    * ONLINE face of the monitor (bounded state: one row per bin; the
+    * spec proves stream and batch counts agree). */
   def binOf(value: Column, binWidth: Long, nBins: Int): Column =
-    least(lit(nBins - 1L),
-      greatest(lit(0L), floor(value / binWidth).cast("long")))
+    when(value.isNull, lit(null).cast("long"))
+      .otherwise(least(lit(nBins - 1L),
+        greatest(lit(0L), floor(value / binWidth).cast("long"))))
 
   /** Per-bin PSI decomposition of `valueCol` between `base` and `cur`:
     * (bin, n_base, n_cur, p, q, psi_contrib, psi_total), bins are

@@ -138,10 +138,15 @@ object Joins {
                      salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     // Knuth multiplicative spread of the salt source, pre-reduced so the
-    // product stays far from Long overflow under ANSI arithmetic.
+    // product stays far from Long overflow under ANSI arithmetic. The
+    // source is NULL-coalesced first: a NULL (or NULL-casting) salt
+    // source would derive __salt = NULL and the inner join on
+    // (key, __salt) would silently DROP rows the unsalted join keeps —
+    // breaking the losslessness guarantee. NULL sources all land in
+    // bucket 0 (skewed but correct; pick a non-null source for balance).
     val salted = facts.withColumn("__salt",
-      pmod(pmod(saltSource.cast("long"), lit(1000003L)) * lit(2654435761L),
-        lit(salts.toLong)))
+      pmod(pmod(coalesce(saltSource.cast("long"), lit(0L)), lit(1000003L))
+        * lit(2654435761L), lit(salts.toLong)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

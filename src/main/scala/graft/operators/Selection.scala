@@ -41,7 +41,19 @@ object Selection {
     * the ratio), p(b) = (cnt(b)+1)/(N+numBuckets). */
   private def bucketLogProbs(cnts: DataFrame, numBuckets: Int,
                              out: String): DataFrame = {
-    val total = cnts.agg(sum(col("cnt")).as("n"))
+    // Loud-failure guard (pqEncode's stance): an EMPTY count table — e.g.
+    // a targetPred matching no documents — makes the total NULL, the
+    // log-probs NULL, and every downstream log-ratio coalesce to 0, so
+    // every pool document silently scores logw = 0. The guard rides the
+    // expression that consumes the total (raise_error on NULL), so it
+    // costs zero extra jobs — unlike a driver-side isEmpty probe, which
+    // would re-run the full feature explode + aggregate per side.
+    val total = cnts.agg(sum(col("cnt")).as("__n"))
+      .select(when(col("__n").isNull, raise_error(lit(
+          s"bucketLogProbs('$out'): the bucket count table is empty — " +
+            "the side it was built from (target or pool) matched no " +
+            "documents with at least one feature")).cast("long"))
+        .otherwise(col("__n")).as("n"))
     cnts.sparkSession.range(numBuckets.toLong)
       .select(col("id").as("bucket"))
       .join(cnts, Seq("bucket"), "left")

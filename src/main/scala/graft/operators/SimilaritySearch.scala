@@ -91,16 +91,37 @@ object SimilaritySearch {
   }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = bruteScored(queries, corpus)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  /** `bruteForceTopK` variant that ranks — and therefore CUTS — on the
+    * ROUNDED cosine (HALF_UP at `scale`, vec_id tiebreak), returning the
+    * rounded value as `cos`. Use wherever the top-k boundary itself must
+    * be engine-reproducible (the q128/q136 fusion inputs): ranking on the
+    * raw float cosine and rounding afterwards lets a rounding collision
+    * that straddles the cut, with inverted id order, change list
+    * membership between this engine and an oracle that ranks on the
+    * rounded score. Recall ground truths keep the raw-ranked face —
+    * rounding there would grade the index against a coarsened truth. */
+  def bruteForceTopKRounded(queries: DataFrame, corpus: DataFrame, k: Int,
+                            scale: Int = 6): DataFrame = {
+    val scored = bruteScored(queries, corpus)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), scale).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
+  }
+
+  private def bruteScored(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm")))
-    val scored = graft.core.Spread.byKey(corpus, col("vec_id")) // spread gated on input width
+    graft.core.Spread.byKey(corpus, col("vec_id")) // spread gated on input width
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc_nulls_last, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k).drop("rnk")
   }
 
   /** Sign bucket: L-bit integer, bit j = [dot(emb, plane_j) > 0].

@@ -388,16 +388,19 @@ object AnnQueries extends QueryPack {
     // doc 0" cosine ranks) per Cormack et al. 2009. Each list is capped
     // to its top-100 BEFORE fusing (TakeOrdered, no global sort
     // partition); ranks come from a broadcast theta self-join over the
-    // bounded lists, never an unpartitioned window. Scores rank on their
-    // ROUNDED values in both engines so the fused boundary reproduces.
+    // bounded lists, never an unpartitioned window. Both lists rank AND
+    // cut on their ROUNDED scores (bm25TopK rounds before its top-k;
+    // the dense side uses the rounded-rank bruteForce variant) so even a
+    // rounding collision straddling the top-L cut fuses identically in
+    // both engines.
     "q128_hybrid_rrf" -> ((s, dir) => {
       val sparse = graft.operators.Retrieval
         .bm25TopK(Tables.read(s, dir, "documents"), HybridTerms, HybridTopL)
         .select(col("doc_id"), col("bm25").as("score"))
       val dense = SimilaritySearch
-        .bruteForceTopK(embs(s, dir).where(col("vec_id") === HybridQueryId),
+        .bruteForceTopKRounded(embs(s, dir).where(col("vec_id") === HybridQueryId),
           embs(s, dir), HybridTopL)
-        .select(col("vec_id").as("doc_id"), round(col("cos"), 6).as("score"))
+        .select(col("vec_id").as("doc_id"), col("cos").as("score"))
       graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), HybridTopL, HybridK)
     }),
 
@@ -461,9 +464,9 @@ object AnnQueries extends QueryPack {
         .bm25TopK(d, HybridTerms, HybridTopL)
         .select(col("doc_id"), col("bm25").as("score"))
       val dense = SimilaritySearch
-        .bruteForceTopK(embs(s, dir).where(col("vec_id") === HybridQueryId),
+        .bruteForceTopKRounded(embs(s, dir).where(col("vec_id") === HybridQueryId),
           embs(s, dir), HybridTopL)
-        .select(col("vec_id").as("doc_id"), round(col("cos"), 6).as("score"))
+        .select(col("vec_id").as("doc_id"), col("cos").as("score"))
       val fused = graft.operators.Retrieval
         .rrfFuse(Seq(sparse, dense), HybridTopL, NdcgK)
         .select(col("doc_id"), col("rrf").as("score"))

@@ -342,8 +342,9 @@ object TextQueries extends QueryPack {
     // saturates as data grows — the 100 TB argument); each round is a
     // map-only pair explode + one hash aggregate + a 1-row driver argmax
     // (the Lloyd-round pattern) + a map-only rewrite. The oracle unrolls
-    // all five rounds as chained CTEs and replays the greedy
-    // left-to-right merge with the same delimiter-string encoding.
+    // all five rounds as chained CTEs and replays the same token-level
+    // gaps-and-islands recurrence round by round (NOT a delimiter-string
+    // replace — Bpe.scala documents the fuzz witness that rules it out).
     "q116_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.trainMerges(
           s, Tables.read(s, dir, "documents"), BpeMerges,
