@@ -605,4 +605,95 @@ object Dedup {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /**
+   * Any-offset exact substring dedup — the ExactSubstr protocol of Lee
+   * et al. 2022 ("Deduplicating Training Data Makes Language Models
+   * Better"), token-granular: every stride-1 window of `windowTokens`
+   * tokens keeps only its FIRST corpus-wide occurrence (ordered by
+   * (id, offset) — earliest document, then earliest offset, wins); every
+   * LATER occurrence marks its [pos, pos+L) token interval for removal;
+   * overlapping removals coalesce into maximal intervals
+   * (gaps-and-islands); each document is reassembled from the complement
+   * segments. A duplicated run of M ≥ L tokens produces M−L+1 duplicate
+   * windows whose union covers the whole run — so shared runs are
+   * removed IN FULL at ANY offset, the modality `spanDedup` (fixed
+   * non-overlapping span boundaries) structurally misses.
+   *
+   * Scale: the token stream inflates ×1 per position (each position
+   * starts one window), but what SHUFFLES is (id, pos, hash60) — 24
+   * bytes/row keyed on the window hash, never window text, never the
+   * document body. Two exchanges total, both unavoidable for global
+   * keep-first semantics: one on the window hash (the keep-first rank;
+   * hashes distribute uniformly — no hot keys by construction), one on
+   * the doc id (island coalescing + reassembly; all doc-id windows and
+   * the final aggregate share that exchange). The per-doc removed-
+   * interval array is bounded by ⌈n_tokens/1⌉ in the adversarial case
+   * but O(#distinct shared runs) in practice — and never larger than
+   * the token array the row already carries. 60-bit hash collisions
+   * would remove a non-duplicated window (P ≈ n²/2^61); the oracle uses
+   * the same family, so the gate is exact, and a production run can
+   * widen the digest without changing the dataflow.
+   *
+   * Output: (idCol, textCol, n_removed) — every input document appears,
+   * whitespace-normalized (reassembled from its tokens); a document
+   * whose every token is covered keeps ''. Effectively idempotent:
+   * windows inside kept segments were first occurrences and remain
+   * first (doc order and within-doc relative order both survive
+   * reassembly); only a window STRADDLING a removal junction could
+   * collide with an existing one. The spec gates a second pass removing
+   * zero tokens on the fixture.
+   */
+  def exactSubstrDedup(docs: DataFrame, windowTokens: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val toks = docs.select(col(idCol), tokensWs(col(textCol)).as("tk"))
+    val wins = toks
+      .where(size(col("tk")) >= L)
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - L)).as("pos"))
+      .select(col(idCol), col("pos"),
+        hash60(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(L)))).as("h"))
+    // keep-first: rank each window's occurrences corpus-wide; rnk > 1 ⇒
+    // this occurrence's interval is removed (groups are tiny — the
+    // duplicate count of one window — so the per-key sort is bounded)
+    val wFirst = Window.partitionBy(col("h")).orderBy(col(idCol).asc, col("pos").asc)
+    val dups = wins
+      .withColumn("rnk", row_number().over(wFirst))
+      .where(col("rnk") > 1)
+      .select(col(idCol), col("pos"), (col("pos") + L).as("end"))
+    // gaps-and-islands: coalesce overlapping/adjacent-overlapping removal
+    // windows into maximal [rm_start, rm_end) intervals per document
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dups
+      .withColumn("pme", max(col("end")).over(wPrev))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("pos") > col("pme"), 1L).otherwise(0L))
+        .over(wDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("rm_start"), max(col("end")).as("rm_end"))
+    // complement reassembly: per doc, the sorted removed intervals become
+    // segment boundaries — kept text is the concatenation of the slices
+    // BETWEEN them (head [0, rm_start_1), gaps, tail [rm_end_k, n))
+    val perDoc = islands.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("rm_start"), col("rm_end"))))
+        .as("rms"))
+    toks.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("rms").isNull, concat_ws(" ", col("tk")))
+          .otherwise {
+            val starts = concat(array(lit(0L)),
+              transform(col("rms"), r => r.getField("rm_end")))
+            val ends = concat(transform(col("rms"), r => r.getField("rm_start")),
+              array(size(col("tk")).cast("long")))
+            concat_ws(" ", flatten(zip_with(starts, ends,
+              (st, en) => slice(col("tk"), st + 1, greatest(en - st, lit(0L))))))
+          }.as(textCol),
+        coalesce(aggregate(col("rms"), lit(0L),
+          (acc, r) => acc + r.getField("rm_end") - r.getField("rm_start")),
+          lit(0L)).as("n_removed"))
+  }
 }

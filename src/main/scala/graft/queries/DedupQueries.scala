@@ -28,6 +28,7 @@ object DedupQueries extends QueryPack {
   private val BlockedCosineThreshold = 0.3
   private val CentroidMod = 37 // SemDeDup clustering seeds (AnnQueries' family)
   private val SpanTokens = 16 // q74 span-dedup window
+  private val ExactSubstrL = 16 // q138 any-offset substring window
   private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
@@ -174,6 +175,16 @@ object DedupQueries extends QueryPack {
     // document-level dedup can't touch.
     "q74_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(docs(s, dir), SpanTokens)
+        .orderBy(col("doc_id"))),
+
+    // EXT-D21: any-offset exact substring dedup (ExactSubstr, Lee et al.
+    // 2022) — every stride-1 16-token window keeps its first corpus-wide
+    // occurrence; later occurrences coalesce into maximal removed
+    // intervals and documents are reassembled from the complement.
+    // Catches duplicated runs at ANY offset — the modality q74's fixed
+    // span boundaries structurally miss.
+    "q138_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrDedup(docs(s, dir), ExactSubstrL)
         .orderBy(col("doc_id"))),
 
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
@@ -406,6 +417,54 @@ object DedupQueries extends QueryPack {
          |SELECT d.doc_id, COALESCE(r.text, '') AS text
          |FROM documents d LEFT JOIN reb r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Full ExactSubstr replay: stride-1 hashed windows → corpus-wide
+    // keep-first rank → gaps-and-islands interval union → complement
+    // reassembly, all in portable SQL.
+    "q138_exact_substr" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |wins AS (SELECT doc_id, tk, unnest(range(0, len(tk) - ${ExactSubstrL - 1})) AS pos
+         |         FROM toks WHERE len(tk) >= $ExactSubstrL),
+         |hashed AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $ExactSubstrL), ' ')), 1, 15))::BIGINT AS h
+         |  FROM wins),
+         |dups AS (SELECT doc_id, pos, pos + $ExactSubstrL AS e FROM (
+         |    SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk
+         |    FROM hashed) WHERE rnk > 1),
+         |marked AS (SELECT doc_id, pos, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM dups),
+         |isl AS (SELECT doc_id, pos, e,
+         |    SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked),
+         |islands AS (SELECT doc_id, island, MIN(pos) AS rm_start, MAX(e) AS rm_end
+         |            FROM isl GROUP BY 1, 2),
+         |gaps AS (SELECT doc_id,
+         |           COALESCE(LAG(rm_end) OVER (PARTITION BY doc_id ORDER BY rm_start), 0) AS s,
+         |           rm_start AS e
+         |         FROM islands
+         |         UNION ALL
+         |         SELECT i.doc_id, MAX(i.rm_end) AS s, ANY_VALUE(len(t.tk)) AS e
+         |         FROM islands i JOIN toks t USING (doc_id) GROUP BY i.doc_id),
+         |reb AS (SELECT g.doc_id,
+         |          string_agg(array_to_string(list_slice(t.tk, g.s + 1, g.e), ' '),
+         |                     ' ' ORDER BY g.s) AS text
+         |        FROM gaps g JOIN toks t USING (doc_id) WHERE g.e > g.s GROUP BY g.doc_id),
+         |rm AS (SELECT doc_id, CAST(SUM(rm_end - rm_start) AS BIGINT) AS n_removed
+         |       FROM islands GROUP BY 1),
+         |isldocs AS (SELECT DISTINCT doc_id FROM islands)
+         |SELECT t.doc_id,
+         |  CASE WHEN i.doc_id IS NOT NULL THEN COALESCE(r.text, '')
+         |       ELSE array_to_string(t.tk, ' ') END AS text,
+         |  COALESCE(rm.n_removed, 0) AS n_removed
+         |FROM toks t LEFT JOIN isldocs i USING (doc_id)
+         |LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |LEFT JOIN rm ON t.doc_id = rm.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q20_jaccard_pairs" ->
       s"""WITH $ShingleCtes,

@@ -96,6 +96,50 @@ class DedupSpec extends SparkSpec {
     once.orderBy("doc_id").as[(Long, String)].collect() shouldBe twice
   }
 
+  test("exactSubstrDedup removes shared runs at ANY offset, in full") {
+    // doc 2 repeats doc 1's whole run at offset 2 — a placement span
+    // boundaries can't catch; doc 3 shares only 2 < L tokens (kept);
+    // doc 4 repeats ITS OWN first window; doc 5 is a full exact dup.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d e f z"),
+      (3L, "a b q q q"),
+      (4L, "m n o m n o"),
+      (5L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(d, 3).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    got shouldBe Array(
+      (1L, "a b c d e f", 0L),
+      (2L, "x y z", 6L), // interval [2, 8) = the whole shared run
+      (3L, "a b q q q", 0L),
+      (4L, "m n o", 3L), // within-doc repeat drops
+      (5L, "", 6L))
+    // the contrast witness: span dedup's fixed [x y a][b c d][e f z]
+    // boundaries never align with doc 1's [a b c][d e f], so the SAME
+    // corpus keeps doc 2 intact under q74's protocol
+    Dedup.spanDedup(d, 3).where(col("doc_id") === 2L)
+      .as[(Long, String)].collect() shouldBe Array((2L, "x y a b c d e f z"))
+  }
+
+  test("exactSubstrDedup coalesces overlapping removals into maximal intervals") {
+    // doc 2 contains doc 1's run TWICE, separated by one fresh token:
+    // two islands whose windows overlap internally but not across the gap
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d u a b c d")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(d, 3).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    got shouldBe Array((1L, "a b c d", 0L), (2L, "u", 8L))
+  }
+
+  test("exactSubstrDedup second pass removes zero tokens") {
+    val once = Dedup.exactSubstrDedup(docs, 3)
+    val twice = Dedup.exactSubstrDedup(once, 3).orderBy("doc_id")
+    twice.agg(sum(col("n_removed"))).as[Long].collect().head shouldBe 0L
+    once.orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect() shouldBe
+      twice.select("doc_id", "text").as[(Long, String)].collect()
+  }
+
   // a template crawled 20× (the hot-band-bucket source), genuine near-dups,
   // distinct content, and short exact dups (below the shingle floor)
   private val planted = (Seq(
