@@ -122,7 +122,9 @@ object Bpe {
     * row per merge), like a centroid table. Stops early if the corpus
     * runs out of pairs. */
   def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
-                  textCol: String = "text", maxWordLen: Int = 12): DataFrame = {
+                  textCol: String = "text", maxWordLen: Int = 12,
+                  checkpointEvery: Int = 0): DataFrame = {
+    require(checkpointEvery >= 0, "trainMerges: checkpointEvery must be >= 0")
     var words = Caches.cacheOnce(wordTable(docs, textCol, maxWordLen))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var round = 1
@@ -137,9 +139,24 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(round.toLong, l, r, l + r, c)
         val prev = words
-        words = Caches.cacheOnce(applyMerge(prev, l, r))
+        // caching pins the DATA each round, but the logical tree still
+        // nests one applyMerge rewrite per round — at production vocab
+        // sizes (thousands of merges) the driver's per-action analysis
+        // cost grows with it. checkpointEvery > 0 seals the lineage
+        // behind a leaf scan every K rounds (the q57 pinPlan move);
+        // values are unchanged — the checkpoint materializes exactly the
+        // table count() was about to build anyway. After materializing,
+        // the pre-checkpoint cache entry is released too (the checkpoint
+        // partitions hold the data; a lost executor recomputes from the
+        // surviving lineage, slower but correct).
+        val cached = Caches.cacheOnce(applyMerge(prev, l, r))
+        words =
+          if (checkpointEvery > 0 && round % checkpointEvery == 0)
+            cached.localCheckpoint(eager = false)
+          else cached
         words.count() // materialize before releasing the parent
         Caches.release(prev)
+        if (words ne cached) Caches.release(cached)
         round += 1
       }
     }

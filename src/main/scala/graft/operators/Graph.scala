@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
  * State is one rank row per node; nothing is collected to the driver
  * (the node count rides along as a broadcast 1-row aggregate). For
  * deep iteration counts the linear plan-lineage growth wants a
- * checkpoint every ~10 rounds; the fixed small iteration counts used
- * here (3) don't.
+ * checkpoint every ~10 rounds — opt in via `checkpointEvery` (the
+ * q57 lesson: caching pins DATA but the driver still re-walks the
+ * whole logical tree per action; a lazy local checkpoint seals the
+ * lineage behind a leaf scan). The fixed small iteration counts used
+ * by q133 (3) don't need it.
  */
 object Graph {
 
@@ -33,8 +36,10 @@ object Graph {
     * Output: (node, rank_rel) with rank_rel = N·rank (mean ≈ 1, a
     * numeric range that survives presentation rounding at any N). */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
+    require(checkpointEvery >= 0, "pageRank: checkpointEvery must be >= 0")
     // Loop invariants persist once: without it every round's lineage
     // replays the caller's edge construction (at 3 rounds that is ~7
     // rebuilds of a join+distinct that never changes).
@@ -47,7 +52,7 @@ object Graph {
       e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg")))
     var ranks = nodes.crossJoin(nTotal)
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(outdeg, Seq("src"))
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
@@ -57,6 +62,14 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+      // seal the lineage behind a leaf scan every K rounds (the pinPlan
+      // move): plan size — and the driver's per-action analysis cost —
+      // stays O(checkpointEvery) instead of O(iters). Values are
+      // bit-identical: the checkpoint materializes the same partitions
+      // the next round would have computed. Non-reliable tier is right
+      // here too — a lost executor re-runs from the cached parent.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = graft.core.Caches.cacheOnce(ranks).localCheckpoint(eager = false)
     }
     ranks.crossJoin(nTotal)
       .select(col("node"), (col("rank") * col("n")).as("rank_rel"))

@@ -22,6 +22,32 @@ class GraphSpec extends SparkSpec {
     got(3L) shouldBe 3 * 0.354583333333 +- 1e-9
   }
 
+  test("pageRank checkpointEvery: 25 deep rounds, flat plan size, identical ranks") {
+    val cp = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("src", "dst")
+    val edges = cp.unionAll(cp.select(col("dst").as("src"), col("src").as("dst")))
+    // identical values: the checkpoint materializes exactly the partitions
+    // the next round would have computed — same partitioning, same
+    // addition order, bit-identical ranks
+    val plain = Graph.pageRank(edges, 25).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sealed_ = Graph.pageRank(edges, 25, checkpointEvery = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    sealed_ shouldBe plain
+    // flat plan: one round past a checkpoint analyzes the same number of
+    // logical nodes whether it is round 11 or round 21 — the driver's
+    // per-action cost is O(checkpointEvery), not O(iters)
+    def nNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    val n11 = nNodes(Graph.pageRank(edges, 11, checkpointEvery = 10))
+    val n21 = nNodes(Graph.pageRank(edges, 21, checkpointEvery = 10))
+    n11 shouldBe n21
+    // ...whereas the unsealed lineage keeps growing
+    nNodes(Graph.pageRank(edges, 21)) should be > nNodes(Graph.pageRank(edges, 11))
+  }
+
   test("pageRank mass is conserved on an out-degree-complete graph") {
     // symmetrized edges: every node has outdeg ≥ 1 → Σ rank_rel = N
     val cp = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("src", "dst")

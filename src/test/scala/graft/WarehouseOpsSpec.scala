@@ -148,6 +148,18 @@ class WarehouseOpsSpec extends SparkSpec {
     Bpe.trainMerges(spark, docs, 5).count() shouldBe 0L
   }
 
+  test("BPE trainMerges checkpointEvery yields the identical merge table") {
+    val docs = Seq((1L, "to to go tog banana ban"), (2L, "to go banana"))
+      .toDF("doc_id", "text")
+    val plain = Bpe.trainMerges(spark, docs, 6)
+      .select("round", "lhs", "rhs", "merged", "cnt")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val sealed_ = Bpe.trainMerges(spark, docs, 6, checkpointEvery = 2)
+      .select("round", "lhs", "rhs", "merged", "cnt")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    sealed_ shouldBe plain
+  }
+
   test("BPE encode reports sequence lengths under the learned merges") {
     // Merges (t,o) then (g,o): "to"→1 subword, "go"→1, "tog"→[to,g]→2.
     val docs = Seq((1L, "to to go tog"), (2L, "to go")).toDF("doc_id", "text")
