@@ -454,7 +454,34 @@ object TextQueries extends QueryPack {
       graft.operators.Selection.logisticTrain(
           docs(s, dir), col("source").isin(DsirTargets: _*),
           LrIters, LrRate, LrBuckets)
-        .orderBy(col("round")))
+        .orderBy(col("round"))),
+
+    // EXT-T34: unigram-LM (SentencePiece-style) tokenizer training —
+    // deterministic hard-EM over the saturating (word, freq) table:
+    // seed = all chars + top-40 substrings, each round Viterbi-segments
+    // the vocabulary under the current piece log-probs (a pure Column
+    // DP against the broadcast literal map — the Lloyd-round pattern),
+    // re-estimates add-one-smoothed probs, then prunes to the target
+    // vocab. Output: the full (round, piece, cnt, logp) trajectory,
+    // rounds 1-2 EM + round 3 the pruned final vocabulary.
+    "q139_unigram_em" -> ((s, dir) =>
+      graft.operators.UnigramLm.trainVocab(
+          s, docs(s, dir), UniRounds, UniSeed, UniTarget, UniMaxPiece,
+          BpeMaxWordLen)
+        .orderBy(col("round"), col("piece"))),
+
+    // EXT-T35: unigram-LM encode face — per-document Viterbi sequence
+    // length under the FROZEN trained vocabulary; the DP runs once per
+    // vocabulary word and joins back to the document word stream
+    // (Bpe.encodedLengths' shape — corpus scanned once).
+    "q140_unigram_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.encodedLengths(
+          docs(s, dir),
+          graft.operators.UnigramLm.trainedVocab(
+            docs(s, dir), UniRounds, UniSeed, UniTarget, UniMaxPiece,
+            BpeMaxWordLen),
+          UniMaxPiece, BpeMaxWordLen)
+        .orderBy(col("doc_id")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -466,6 +493,10 @@ object TextQueries extends QueryPack {
   private val LrIters = 5 // q137 gradient-descent rounds
   private val LrRate = 0.5 // q137 learning rate
   private val LrBuckets = 256 // q137 hashed feature space
+  private val UniRounds = 2 // q139 hard-EM rounds
+  private val UniSeed = 40 // q139 seed multi-char pieces
+  private val UniTarget = 36 // q139 pruned vocabulary size
+  private val UniMaxPiece = 4 // q139 max piece length
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -621,8 +652,105 @@ object TextQueries extends QueryPack {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unigram-LM oracle scaffolding (q139/q140): the seed CTEs, one
+    * recursive Viterbi-DP + backtrack-walk + re-estimate block per EM
+    * round, and the prune block — chained exactly like the engine's
+    * driver-state rounds. */
+  private lazy val uniBaseCtes: String =
+    s"""words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $BpeMaxWordLen GROUP BY 1),
+       |sub0 AS (SELECT word, freq, unnest(range(0, len(word))) AS i FROM words),
+       |sub1 AS (SELECT word, freq, i, unnest(range(1, ${UniMaxPiece + 1})) AS l FROM sub0),
+       |occ AS (SELECT substr(word, (i + 1)::INT, l::INT) AS piece, freq
+       |        FROM sub1 WHERE i + l <= len(word)),
+       |seedc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+       |multi AS (SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM seedc WHERE len(piece) > 1) WHERE rn <= $UniSeed),
+       |v0c AS (SELECT piece, cnt FROM seedc WHERE len(piece) = 1
+       |        UNION ALL SELECT piece, cnt FROM multi),
+       |v0 AS (SELECT piece, ROUND(ln((cnt + 1.0) /
+       |         ((SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0c) + (SELECT COUNT(*) FROM v0c))), 9) AS logp
+       |       FROM v0c)""".stripMargin
+
+  private def uniRoundCtes(r: Int, prev: String): String =
+    s"""m$r AS (SELECT MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS mp FROM $prev),
+       |dp$r AS (
+       |  SELECT word, freq, 0 AS i, [0.0]::DOUBLE[] AS dp, [0]::BIGINT[] AS bp FROM words
+       |  UNION ALL
+       |  SELECT word, freq, i, list_append(dp, s),
+       |         list_append(bp, jmin + list_position(cands, s) - 1)
+       |  FROM (SELECT *, list_aggregate(cands, 'max') AS s FROM (
+       |    SELECT d.word, d.freq, d.i + 1 AS i, d.dp, d.bp,
+       |      greatest(d.i + 1 - $UniMaxPiece, 0) AS jmin,
+       |      list_transform(range(greatest(d.i + 1 - $UniMaxPiece, 0), d.i + 1),
+       |        j -> d.dp[j + 1] + coalesce(
+       |          m.mp[substr(d.word, j::INT + 1, d.i + 1 - j::INT)][1], -1e9)) AS cands
+       |    FROM dp$r d, m$r m WHERE d.i < len(d.word)))),
+       |walk$r AS (
+       |  SELECT word, freq, CAST(len(word) AS BIGINT) AS pos, []::VARCHAR[] AS pieces, bp
+       |  FROM dp$r WHERE i = len(word)
+       |  UNION ALL
+       |  SELECT word, freq, bp[pos + 1] AS pos,
+       |    list_prepend(substr(word, (bp[pos + 1] + 1)::INT, (pos - bp[pos + 1])::INT), pieces), bp
+       |  FROM walk$r WHERE pos > 0),
+       |seg$r AS (SELECT word, freq, unnest(pieces) AS piece FROM walk$r WHERE pos = 0),
+       |c$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM seg$r GROUP BY 1),
+       |k$r AS (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+       |         FROM $prev v LEFT JOIN c$r c USING (piece)
+       |         WHERE COALESCE(c.cnt, 0) > 0 OR len(v.piece) = 1),
+       |v$r AS (SELECT piece, cnt, ROUND(ln((cnt + 1.0) /
+       |           ((SELECT CAST(SUM(cnt) AS DOUBLE) FROM k$r) + (SELECT COUNT(*) FROM k$r))), 9) AS logp
+       |         FROM k$r)""".stripMargin
+
+  private lazy val uniPruneCtes: String =
+    s"""mk AS (SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM k$UniRounds WHERE len(piece) > 1)
+       |  WHERE rn <= $UniTarget - (SELECT COUNT(*) FROM k$UniRounds WHERE len(piece) = 1)),
+       |fk AS (SELECT piece, cnt FROM k$UniRounds WHERE len(piece) = 1
+       |       UNION ALL SELECT piece, cnt FROM mk),
+       |v${UniRounds + 1} AS (SELECT piece, cnt, ROUND(ln((cnt + 1.0) /
+       |         ((SELECT CAST(SUM(cnt) AS DOUBLE) FROM fk) + (SELECT COUNT(*) FROM fk))), 9) AS logp
+       |       FROM fk)""".stripMargin
+
+  private lazy val uniChainCtes: String =
+    (uniBaseCtes +: (1 to UniRounds).map(r => uniRoundCtes(r, s"v${r - 1}")) :+ uniPruneCtes)
+      .mkString(",\n")
+
+  private lazy val uniEmOracleSql: String = {
+    val union = (1 to UniRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, piece, cnt, logp FROM v$r") :+
+      s"SELECT CAST(${UniRounds + 1} AS BIGINT), piece, cnt, logp FROM v${UniRounds + 1}"
+    s"""WITH RECURSIVE $uniChainCtes
+       |SELECT round, piece, cnt, logp FROM (
+       |${union.mkString("\nUNION ALL\n")})
+       |ORDER BY round, piece""".stripMargin
+  }
+
+  private lazy val uniEncodeOracleSql: String = {
+    val enc = UniRounds + 2 // one more Viterbi pass under the final vocab
+    s"""WITH RECURSIVE $uniChainCtes,
+       |${uniRoundCtes(enc, s"v${UniRounds + 1}")},
+       |encl AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_sub
+       |         FROM walk$enc WHERE pos = 0),
+       |docw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $BpeMaxWordLen)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(e.n_sub) AS BIGINT) AS n_pieces
+       |FROM docw d JOIN encl e USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
+
+    "q139_unigram_em" -> uniEmOracleSql,
+
+    "q140_unigram_encode" -> uniEncodeOracleSql,
 
     "q132_source_kl" ->
       s"""WITH tks AS (SELECT source,
