@@ -136,6 +136,109 @@ object Sampling {
       .drop("__cumb")
   }
 
+  /**
+   * DoReMi-lite learned domain weights (after Xie et al. 2023, "DoReMi:
+   * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+   * public algorithm) — the LEARNED face of the mixing tier: instead of
+   * a hand-set n^α temperature, domain weights are trained by
+   * multiplicative-weights updates on per-domain EXCESS LOSS, here
+   * measured under unigram language models (the q120 machinery) rather
+   * than a trained proxy network:
+   *
+   *  - reference loss L*_d: domain d's mean token NLL under its OWN
+   *    add-one-smoothed unigram distribution — the "model trained on d"
+   *    best case. An invariant, computed once.
+   *  - mixture loss L_d(α): d's mean token NLL under the α-mixture
+   *    p_α(t) = Σ_d α_d · p_d(t). The smoothed mixture decomposes as a
+   *    sum over OBSERVED (domain, token) rows + one per-α constant, so
+   *    the dense domain × vocabulary grid never materializes (the q132
+   *    closed-form move).
+   *  - update: w'_d = α_d · (1 + η · max(L_d − L*_d, 0)), renormalized.
+   *    The LINEARIZED multiplicative-weights rule replaces exp(η·x) —
+   *    deliberately: ×, +, / are correctly-rounded IEEE ops in every
+   *    engine while libm exp implementations differ in the last ulp, so
+   *    this trajectory is exactly engine-reproducible. Losses round
+   *    1e-6 and weights 1e-9 before each round (the q137 discipline).
+   *
+   * Scale: the per-(domain, token) count table is the ONLY corpus-sized
+   * aggregate and it is computed once and cached (it saturates with the
+   * vocabulary); each round is one token-keyed aggregate + one join +
+   * one k-row collect. Driver state = one weight per domain. The output
+   * feeds `mixEpochs` / the q119 quota machinery directly.
+   *
+   * Output: (round, source, excess, weight) for rounds 1..`rounds` —
+   * `excess` the clipped pre-update excess loss, `weight` the
+   * post-update renormalized weight.
+   */
+  def doremiWeights(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                    rounds: Int, eta: Double = 1.0,
+                    sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokensWs
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(rounds >= 1, "doremiWeights: rounds must be >= 1")
+    def rnd(x: Double, s: Double) = math.rint(x * s) / s
+    val dtok = graft.core.Caches.cacheOnce(
+      docs.select(col(sourceCol).as("source"),
+          explode(tokensWs(col(textCol))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt")))
+    val nd = dtok.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(nd.nonEmpty, "doremiWeights: no tokens in any domain")
+    val vocabV = dtok.select(col("tok")).distinct().count()
+    val domains = nd.keys.toSeq.sorted
+    // reference losses, invariant: L*_d = Σ (cnt/n_d)·(−ln((cnt+1)/(n_d+V)))
+    val ndLit = typedlit(nd)
+    val lstar = dtok
+      .select(col("source"), col("cnt"),
+        element_at(ndLit, col("source")).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt").cast("double") / col("n").cast("double") *
+        -log((col("cnt") + 1.0) / (col("n") + lit(vocabV)).cast("double")))
+        .as("ls"))
+      .collect().map(r => r.getString(0) -> rnd(r.getDouble(1), 1e6)).toMap
+    var w: Map[String, Double] =
+      domains.map(_ -> rnd(1.0 / domains.size, 1e9)).toMap
+    val traj = Seq.newBuilder[(Long, String, Double, Double)]
+    for (r <- 1 to rounds) {
+      val wLit = typedlit(w)
+      // per-α constant: the unobserved-cell mass Σ_d α_d/(n_d+V),
+      // summed in sorted-domain order (deterministic fold)
+      val cAlpha = domains.map(d => w(d) / (nd(d) + vocabV)).sum
+      val pAlpha = dtok
+        .select(col("tok"),
+          (element_at(wLit, col("source")) * col("cnt").cast("double") /
+            (element_at(ndLit, col("source")) + lit(vocabV)).cast("double"))
+            .as("contrib"))
+        .groupBy(col("tok"))
+        .agg((sum(col("contrib")) + lit(cAlpha)).as("p"))
+      val losses = dtok
+        .join(pAlpha, Seq("tok"))
+        .select(col("source"), col("cnt"),
+          element_at(ndLit, col("source")).as("n"), col("p"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt").cast("double") / col("n").cast("double") *
+          -log(col("p"))).as("l"))
+        .collect().map(r2 => r2.getString(0) -> rnd(r2.getDouble(1), 1e6)).toMap
+      val excess = domains.map(d =>
+        d -> math.max(losses(d) - lstar(d), 0.0)).toMap
+      val raw = domains.map(d => d -> w(d) * (1.0 + eta * excess(d)))
+      val norm = raw.map(_._2).sum // sorted-domain fold
+      w = raw.map { case (d, x) => d -> rnd(x / norm, 1e9) }.toMap
+      domains.foreach(d => traj += ((r.toLong, d, excess(d), w(d))))
+    }
+    graft.core.Caches.release(dtok)
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("excess", DoubleType, nullable = false),
+      StructField("weight", DoubleType, nullable = false)))
+    val rows = traj.result().map { case (r, d, e, ww) => Row(r, d, e, ww) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def mixEpochs(df: DataFrame, idCol: String, strataCol: String,
                 weights: Map[String, Double], defaultWeight: Double): DataFrame = {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),

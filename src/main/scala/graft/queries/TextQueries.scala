@@ -481,7 +481,19 @@ object TextQueries extends QueryPack {
             docs(s, dir), UniRounds, UniSeed, UniTarget, UniMaxPiece,
             BpeMaxWordLen),
           UniMaxPiece, BpeMaxWordLen)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T36: DoReMi-lite learned domain weights — multiplicative-
+    // weights training of the source mixture on per-domain excess loss
+    // under unigram LMs (reference = each domain's own distribution,
+    // mixture = the α-weighted blend in closed form over observed pairs).
+    // Driver state is one weight per domain (the q137 pattern); the
+    // linearized update uses exactly-rounded IEEE ops only, so the
+    // trajectory replays bit-for-bit in the oracle.
+    "q141_doremi_mix" -> ((s, dir) =>
+      graft.operators.Sampling.doremiWeights(
+          s, docs(s, dir), DoremiRounds, DoremiEta)
+        .orderBy(col("round"), col("source")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -497,6 +509,8 @@ object TextQueries extends QueryPack {
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
   private val UniMaxPiece = 4 // q139 max piece length
+  private val DoremiRounds = 3 // q141 multiplicative-weights rounds
+  private val DoremiEta = 1.0 // q141 update step size
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -745,12 +759,58 @@ object TextQueries extends QueryPack {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DoReMi oracle: one CTE block per multiplicative-weights round —
+    * mixture constant, closed-form p_α over observed pairs, 1e-6-rounded
+    * losses, clipped excess, renormalized 1e-9-rounded weights. */
+  private lazy val doremiOracleSql: String = {
+    val rounds = (1 to DoremiRounds).map { r =>
+      s"""ca$r AS (SELECT SUM(w.w / (n.n + vv.v)::DOUBLE) AS c
+         |         FROM w${r - 1} w JOIN nd n USING (source) CROSS JOIN vv),
+         |pa$r AS (SELECT d.tok,
+         |           SUM(w.w * d.cnt::DOUBLE / (n.n + vv.v)::DOUBLE)
+         |             + (SELECT c FROM ca$r) AS p
+         |         FROM dt d JOIN nd n USING (source)
+         |         JOIN w${r - 1} w USING (source) CROSS JOIN vv
+         |         GROUP BY d.tok),
+         |l$r AS (SELECT d.source,
+         |          ROUND(SUM((d.cnt::DOUBLE / n.n::DOUBLE) * -ln(p.p)), 6) AS l
+         |        FROM dt d JOIN pa$r p USING (tok) JOIN nd n USING (source)
+         |        GROUP BY 1),
+         |e$r AS (SELECT l.source, GREATEST(l.l - s.lstar, 0) AS ex
+         |        FROM l$r l JOIN ls s USING (source)),
+         |u$r AS (SELECT e.source, e.ex, w.w * (1 + $DoremiEta * e.ex) AS wu
+         |        FROM e$r e JOIN w${r - 1} w USING (source)),
+         |w$r AS (SELECT source, ex,
+         |          ROUND(wu / (SELECT SUM(wu) FROM u$r), 9) AS w FROM u$r)""".stripMargin
+    }
+    val union = (1 to DoremiRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, source, ex AS excess, w AS weight FROM w$r")
+    s"""WITH tks AS (SELECT source,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |dt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source, unnest(tk) AS tok FROM tks) GROUP BY 1, 2),
+       |nd AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM dt GROUP BY 1),
+       |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM dt),
+       |ls AS (SELECT d.source, ROUND(SUM((d.cnt::DOUBLE / n.n::DOUBLE)
+       |           * -ln((d.cnt + 1.0) / (n.n + vv.v)::DOUBLE)), 6) AS lstar
+       |       FROM dt d JOIN nd n USING (source) CROSS JOIN vv GROUP BY 1),
+       |w0 AS (SELECT source, ROUND(1.0 / (SELECT COUNT(*) FROM nd), 9) AS w FROM nd),
+       |${rounds.mkString(",\n")}
+       |SELECT round, source, excess, weight FROM (
+       |${union.mkString("\nUNION ALL\n")})
+       |ORDER BY round, source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q116_bpe_merges" -> bpeOracleSql,
 
     "q139_unigram_em" -> uniEmOracleSql,
 
     "q140_unigram_encode" -> uniEncodeOracleSql,
+
+    "q141_doremi_mix" -> doremiOracleSql,
 
     "q132_source_kl" ->
       s"""WITH tks AS (SELECT source,

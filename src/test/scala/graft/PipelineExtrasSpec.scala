@@ -223,4 +223,38 @@ class PipelineExtrasSpec extends SparkSpec {
     again.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       mixed.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+
+  test("doremiWeights: identical domains stay uniform, weights sum to 1") {
+    // same content distribution per domain → equal mixture losses →
+    // equal excess → the multiplicative update preserves uniformity
+    val docs = Seq(
+      (1L, "a", "x y x y"), (2L, "a", "x y"),
+      (3L, "b", "x y x y"), (4L, "b", "x y")).toDF("doc_id", "source", "text")
+    val t = Sampling.doremiWeights(spark, docs, 3)
+      .as[(Long, String, Double, Double)].collect()
+    t.foreach { case (_, _, _, w) => w shouldBe 0.5 +- 2e-9 }
+    t.groupBy(_._1).values.foreach(rs => rs.map(_._4).sum shouldBe 1.0 +- 4e-9)
+  }
+
+  test("doremiWeights: the worse-modeled domain gains weight monotonically") {
+    // domain b's distribution is far from the uniform mixture (skewed to
+    // one token + its own vocab), a's is close — b's excess exceeds a's
+    // every round, so b's weight strictly rises and a's strictly falls
+    val docs = Seq(
+      (1L, "a", "x y z x y z x y z"),
+      (2L, "b", "q q q q q q q q r")).toDF("doc_id", "source", "text")
+    val t = Sampling.doremiWeights(spark, docs, 3)
+      .orderBy("round", "source")
+      .as[(Long, String, Double, Double)].collect()
+    val (wa, wb) = (t.filter(_._2 == "a").map(_._4), t.filter(_._2 == "b").map(_._4))
+    val (ea, eb) = (t.filter(_._2 == "a").map(_._3), t.filter(_._2 == "b").map(_._3))
+    // identify which domain carries more excess in round 1, then demand
+    // the ordering is persistent and its weight path monotone
+    val (hiW, loW) = if (eb.head > ea.head) (wb, wa) else (wa, wb)
+    val (hiE, loE) = if (eb.head > ea.head) (eb, ea) else (ea, eb)
+    hiE.zip(loE).foreach { case (h, l) => assert(h > l) }
+    (0.5 +: hiW.toSeq).sliding(2).foreach { case Seq(p, n) => assert(n > p) }
+    (0.5 +: loW.toSeq).sliding(2).foreach { case Seq(p, n) => assert(n < p) }
+    t.groupBy(_._1).values.foreach(rs => rs.map(_._4).sum shouldBe 1.0 +- 4e-9)
+  }
 }
