@@ -105,6 +105,66 @@ object TextFunctions {
   }
 
   /**
+   * Gopher-style quality rule battery (after Rae et al. 2021,
+   * "Scaling Language Models: ... Gopher", Appendix A — the standard
+   * rule-based pre-filter the quality classifiers run AFTER): one
+   * struct of per-document statistics, per-rule pass flags, and the
+   * conjunction. Column-pure (codegen'd HOFs over the token array) —
+   * map-only, streams unchanged, oracle replays every rule in SQL.
+   *
+   * Rules (pass conditions):
+   *  - words:    minWords ≤ token count ≤ maxWords
+   *  - meanlen:  mean word length in [3, 10] characters
+   *  - symbol:   (# of '#' or '...' occurrences) / words ≤ 0.1
+   *  - bullet:   ≤ 90% of lines start with a bullet ([-*•])
+   *  - ellipsis: ≤ 30% of lines end with '...' or '…'
+   *  - alpha:    ≥ 80% of words contain an alphabetic character
+   *  - stop:     ≥ 2 distinct stopwords present
+   *
+   * Ratios round 1e-6 BEFORE the threshold comparison so the flag
+   * boundary is engine-reproducible. Empty text: n_words = 0,
+   * mean_word_len NULL, every frac 0 or NULL, pass false (words rule).
+   */
+  def gopherStats(c: Column, minWords: Int = 20, maxWords: Int = 100000,
+                  stopwords: Seq[String] = Stopwords): Column = {
+    val tk = tokensWs(c)
+    val n = size(tk)
+    val nD = n.cast("double")
+    val meanLen = when(n === 0, lit(null).cast("double"))
+      .otherwise(round(aggregate(tk, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nD, 6))
+    val symbolRatio = when(n === 0, lit(null).cast("double"))
+      .otherwise(round(regexp_count(c, lit("#|\\.\\.\\.")).cast("double") / nD, 6))
+    val lines = split(c, "\n")
+    val nl = size(lines).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nl, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nl, 6)
+    val alphaFrac = when(n === 0, lit(null).cast("double"))
+      .otherwise(round(
+        size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("double") / nD, 6))
+    val nStop = size(array_intersect(transform(tk, lower _), typedlit(stopwords)))
+    val rWords = n >= minWords && n <= maxWords
+    val rMeanLen = coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false))
+    val rSymbol = coalesce(symbolRatio <= 0.1, lit(false))
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rAlpha = coalesce(alphaFrac >= 0.8, lit(false))
+    val rStop = nStop >= 2
+    struct(
+      n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      rWords.as("r_words"), rMeanLen.as("r_meanlen"), rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+        .as("pass"))
+  }
+
+  /**
    * Deflate compression ratio (compressed/raw bytes) — the Gopher-family
    * quality signal that catches what token statistics miss: machine-
    * generated or template text compresses far below natural prose.

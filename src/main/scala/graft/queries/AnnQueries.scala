@@ -133,7 +133,8 @@ object AnnQueries extends QueryPack {
     // full build → persist → serve round trip under one oracle.
     "q104_ann_ivf_pq" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
-      graft.store.AnnStore.writeIvfPq(embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, out)
+      graft.store.AnnStore.writeIvfPq(embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, out,
+        sampleFilter = col("vec_id") < QueryCap)
       graft.store.AnnStore.ivfPqTopK(s, out, querySet(s, dir), NProbe, K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
@@ -959,9 +960,9 @@ object AnnQueries extends QueryPack {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_ann_ivf_pq" ->
-      s"""WITH $PqRecCtes,
+      s"""WITH ${pqCtesFrom("embeddings", "", Some(QueryCap))},
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM rec
-         |          WHERE vec_id % $CentroidMod = 1),
+         |          WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
          |ranks AS (SELECT r.vec_id, r.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY r.vec_id
          |              ORDER BY ${cosSql("r.embedding", "c.cent_emb")} DESC NULLS LAST,

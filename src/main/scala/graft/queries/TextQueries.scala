@@ -493,7 +493,25 @@ object TextQueries extends QueryPack {
     "q141_doremi_mix" -> ((s, dir) =>
       graft.operators.Sampling.doremiWeights(
           s, docs(s, dir), DoremiRounds, DoremiEta)
-        .orderBy(col("round"), col("source")))
+        .orderBy(col("round"), col("source"))),
+
+    // EXT-T37: Gopher-style quality rule battery — the standard
+    // rule-based pre-filter (word count bounds, mean word length,
+    // symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    // fraction, distinct-stopword floor) as ONE codegen'd map-only
+    // projection; ratios round 1e-6 before their thresholds so every
+    // flag boundary is engine-reproducible.
+    "q142_gopher_rules" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherStats(col("text"), GopherMinWords)
+            .as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.alpha_frac"), col("g.n_stop"),
+          col("g.r_words"), col("g.r_meanlen"), col("g.r_symbol"),
+          col("g.r_bullet"), col("g.r_ellipsis"), col("g.r_alpha"),
+          col("g.r_stop"), col("g.pass"))
+        .orderBy(col("doc_id")))
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -511,6 +529,7 @@ object TextQueries extends QueryPack {
   private val UniMaxPiece = 4 // q139 max piece length
   private val DoremiRounds = 3 // q141 multiplicative-weights rounds
   private val DoremiEta = 1.0 // q141 update step size
+  private val GopherMinWords = 20 // q142 word-count floor
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -811,6 +830,46 @@ object TextQueries extends QueryPack {
     "q140_unigram_encode" -> uniEncodeOracleSql,
 
     "q141_doremi_mix" -> doremiOracleSql,
+
+    "q142_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |stats AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CASE WHEN len(tk) = 0 THEN NULL
+         |         ELSE ROUND(list_reduce(list_prepend(0, list_transform(tk, t -> len(t))),
+         |                (a, b) -> a + b)::DOUBLE / len(tk), 6) END AS mean_word_len,
+         |    CASE WHEN len(tk) = 0 THEN NULL
+         |         ELSE ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+         |                / len(tk), 6) END AS symbol_ratio,
+         |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+         |      / len(lines), 6) AS bullet_frac,
+         |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE
+         |      / len(lines), 6) AS ellipsis_frac,
+         |    CASE WHEN len(tk) = 0 THEN NULL
+         |         ELSE ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+         |                / len(tk), 6) END AS alpha_frac,
+         |    CAST(len(list_distinct(list_intersect(list_transform(tk, t -> lower(t)),
+         |      [${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}])))
+         |      AS BIGINT) AS n_stop
+         |  FROM base),
+         |flags AS (SELECT *,
+         |    (n_words >= $GopherMinWords AND n_words <= 100000) AS r_words,
+         |    COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_meanlen,
+         |    COALESCE(symbol_ratio <= 0.1, FALSE) AS r_symbol,
+         |    bullet_frac <= 0.9 AS r_bullet,
+         |    ellipsis_frac <= 0.3 AS r_ellipsis,
+         |    COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
+         |    n_stop >= 2 AS r_stop
+         |  FROM stats)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+         |  r_words, r_meanlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+         |  (r_words AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
+         |   AND r_alpha AND r_stop) AS pass
+         |FROM flags ORDER BY doc_id""".stripMargin,
 
     "q132_source_kl" ->
       s"""WITH tks AS (SELECT source,

@@ -181,11 +181,17 @@ object AnnStore {
     * Centroids are the deterministic sample of the reconstruction. The
     * list table is versioned like the other index tables. */
   def writeIvfPq(corpus: DataFrame, m: Int, dim: Int, codeMod: Int,
-                 centroidMod: Int, storePath: String): Unit =
+                 centroidMod: Int, storePath: String,
+                 sampleFilter: org.apache.spark.sql.Column = lit(true)): Unit =
     Compaction.withLease(corpus.sparkSession, storePath, s"writeIvfPq") {
       val spark = corpus.sparkSession
+      // sampleFilter bounds the UNIVERSE the codebook and centroid samples
+      // draw from (writeIvfPqResidual's contract): index parameters are
+      // FIXED in deployment — without the bound both samples grow as
+      // corpus fractions and the assignment/encode passes go quadratic
+      // (the sf10 probe OOMed exactly here before the cap)
       val books = graft.core.Caches.cacheOnce(
-        SimilaritySearch.pqCodebooks(corpus, m, dim, codeMod))
+        SimilaritySearch.pqCodebooks(corpus.where(sampleFilter), m, dim, codeMod))
       books.coalesce(1).write.mode("overwrite").parquet(s"$storePath/$PqCodebooks")
       val codes = SimilaritySearch.pqEncode(corpus, books, m, dim)
       // one shuffle keyed on vec_id packs codes AND reassembles the served
@@ -199,7 +205,9 @@ object AnnStore {
           transform(col("scl"), x => x.getField("code_id")).as("codes"),
           flatten(transform(col("scl"), x => x.getField("code_emb"))).as("embedding")))
       val cents = graft.core.Caches.cacheOnce(
-        SimilaritySearch.ivfCentroids(packed.select(col("vec_id"), col("embedding")), centroidMod))
+        SimilaritySearch.ivfCentroids(
+          packed.select(col("vec_id"), col("embedding")).where(sampleFilter),
+          centroidMod))
       // own centroid table — an IVF-PQ index can share a store path with a
       // plain IVF index (whose centroids sample the RAW corpus, not the
       // reconstruction) without the two clobbering each other

@@ -17,6 +17,20 @@ class DedupSpec extends SparkSpec {
     comp.size shouldBe 8
   }
 
+  test("connectedComponents converges on a long chain in O(log d) rounds") {
+    // a 3000-node path has diameter 2999 — plain min propagation would
+    // need 2999 rounds; the pointer-jumping step makes ~log2(3000) ≈ 12,
+    // so the default 25-round cap must succeed (the sf10 probe found a
+    // real near-dup graph whose chains exceeded the cap before the jump)
+    val n = 3000L
+    val chain = spark.range(1L, n).select(col("id").as("doc_a"),
+      (col("id") + 1L).as("doc_b"))
+    val comp = graft.operators.Dedup.connectedComponents(chain)
+    comp.select(countDistinct(col("component"))).as[Long].collect().head shouldBe 1L
+    comp.agg(min(col("component")), max(col("component")), count(lit(1)))
+      .as[(Long, Long, Long)].collect().head shouldBe ((1L, 1L, n))
+  }
+
   test("survivors keeps the argmax-quality member, ties to the smaller id") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "component")

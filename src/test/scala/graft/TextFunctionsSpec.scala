@@ -145,4 +145,38 @@ class TextFunctionsSpec extends SparkSpec {
       .select(compressionRatio(col("t"))).collect().head.isNullAt(0) shouldBe true
     one[Double](compressionRatio(col("t")), prose) shouldBe rProse
   }
+
+  test("gopherStats flags each rule and conjoins pass") {
+    def g(text: String, minWords: Int = 5) =
+      Seq(text).toDF("t").select(gopherStats(col("t"), minWords).as("g"))
+        .select("g.*").collect()(0)
+    // a clean natural sentence: every rule passes
+    val ok = g("the quick brown fox jumps over the lazy dog in a field of rye")
+    ok.getAs[Boolean]("pass") shouldBe true
+    ok.getAs[Long]("n_words") shouldBe 14L
+    // too short
+    g("the cat of doom").getAs[Boolean]("r_words") shouldBe false
+    g("the cat of doom").getAs[Boolean]("pass") shouldBe false
+    // symbol spam: 3 of '#|...' per 6 words > 0.1
+    val sym = g("the # cat # of # doom today friend", 5)
+    sym.getAs[Boolean]("r_symbol") shouldBe false
+    // all-bullet lines fail the bullet rule
+    val bul = g("- the cat\n- of doom\n- is here", 2)
+    bul.getAs[Boolean]("r_bullet") shouldBe false
+    // ellipsis-heavy lines fail the ellipsis rule
+    val ell = g("the cat...\nof doom...\nis here", 2)
+    ell.getAs[Boolean]("r_ellipsis") shouldBe false
+    // numeric tokens fail the alphabetic rule (2 of 6 alpha < 0.8)
+    val num = g("1 2 3 4 the of", 2)
+    num.getAs[Boolean]("r_alpha") shouldBe false
+    // fewer than 2 distinct stopwords (repeated 'the' counts once)
+    val stop = g("the cat the dog the bird runs", 2)
+    stop.getAs[Long]("n_stop") shouldBe 1L
+    stop.getAs[Boolean]("r_stop") shouldBe false
+    // empty text: zero words, NULL stats, fails via the words rule
+    val emp = g("")
+    emp.getAs[Long]("n_words") shouldBe 0L
+    assert(emp.isNullAt(emp.fieldIndex("mean_word_len")))
+    emp.getAs[Boolean]("pass") shouldBe false
+  }
 }
