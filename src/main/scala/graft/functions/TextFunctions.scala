@@ -145,13 +145,16 @@ object TextFunctions {
       .otherwise(round(
         size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("double") / nD, 6))
     val nStop = size(array_intersect(transform(tk, lower _), typedlit(stopwords)))
-    val rWords = n >= minWords && n <= maxWords
+    // every rule coalesces to false: on NULL text the stat columns are
+    // NULL by design, but a NULL `pass` (or per-rule flag) would leak to
+    // non-filter consumers — NULL text deterministically fails
+    val rWords = coalesce(n >= minWords && n <= maxWords, lit(false))
     val rMeanLen = coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false))
     val rSymbol = coalesce(symbolRatio <= 0.1, lit(false))
-    val rBullet = bulletFrac <= 0.9
-    val rEllipsis = ellipsisFrac <= 0.3
+    val rBullet = coalesce(bulletFrac <= 0.9, lit(false))
+    val rEllipsis = coalesce(ellipsisFrac <= 0.3, lit(false))
     val rAlpha = coalesce(alphaFrac >= 0.8, lit(false))
-    val rStop = nStop >= 2
+    val rStop = coalesce(nStop >= 2, lit(false))
     struct(
       n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),

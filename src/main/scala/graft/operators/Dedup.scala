@@ -299,10 +299,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbrComponent"))
-      val prop = labels
+      // cached: prop appears TWICE in the jump self-join below, and its
+      // subtree embeds the edges-sized nbrMin join+aggregate — without the
+      // cache that heavy subplan evaluates twice per round
+      val prop = graft.core.Caches.cacheOnce(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), col("nbrComponent")).as("component"))
+          least(col("component"), col("nbrComponent")).as("component")))
       // (2) ...so each round ALSO pointer-jumps: follow the label one
       // more hop (component := component(component)). Labels are min-ids
       // — monotone non-increasing — so the jump is safe, and path
@@ -319,6 +322,7 @@ object Dedup {
           coalesce(col("jumped"), col("component")).as("component"))))
       converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old")).isEmpty
+      graft.core.Caches.release(prop)
       labels.unpersist()
       labels = next
       iters += 1

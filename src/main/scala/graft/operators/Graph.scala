@@ -68,8 +68,15 @@ object Graph {
       // bit-identical: the checkpoint materializes the same partitions
       // the next round would have computed. Non-reliable tier is right
       // here too — a lost executor re-runs from the cached parent.
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = graft.core.Caches.cacheOnce(ranks).localCheckpoint(eager = false)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val cached = graft.core.Caches.cacheOnce(ranks)
+        ranks = cached.localCheckpoint(eager = false)
+        // materialize before releasing the parent (the Bpe.trainMerges
+        // pattern): without the release, deep runs pin one persisted rank
+        // table per checkpoint until Caches.clearAll
+        ranks.count()
+        graft.core.Caches.release(cached)
+      }
     }
     ranks.crossJoin(nTotal)
       .select(col("node"), (col("rank") * col("n")).as("rank_rel"))

@@ -204,9 +204,13 @@ object AnnStore {
         .select(col("vec_id"),
           transform(col("scl"), x => x.getField("code_id")).as("codes"),
           flatten(transform(col("scl"), x => x.getField("code_emb"))).as("embedding")))
+      // filter BEFORE the projection: sampleFilter may reference any corpus
+      // column (the codebook path above filters the raw corpus), so a
+      // post-projection where() would throw AnalysisException on filters
+      // that mention a projected-away column
       val cents = graft.core.Caches.cacheOnce(
         SimilaritySearch.ivfCentroids(
-          packed.select(col("vec_id"), col("embedding")).where(sampleFilter),
+          packed.where(sampleFilter).select(col("vec_id"), col("embedding")),
           centroidMod))
       // own centroid table — an IVF-PQ index can share a store path with a
       // plain IVF index (whose centroids sample the RAW corpus, not the

@@ -178,5 +178,16 @@ class TextFunctionsSpec extends SparkSpec {
     emp.getAs[Long]("n_words") shouldBe 0L
     assert(emp.isNullAt(emp.fieldIndex("mean_word_len")))
     emp.getAs[Boolean]("pass") shouldBe false
+    // NULL text: stats stay NULL but every flag (and pass) is a
+    // deterministic false, never NULL — non-filter consumers of `pass`
+    // must not see three-valued logic
+    val nul = Seq(Option.empty[String]).toDF("t")
+      .select(gopherStats(col("t"), 5).as("g")).select("g.*").collect()(0)
+    assert(nul.isNullAt(nul.fieldIndex("mean_word_len")))
+    for (f <- Seq("r_words", "r_meanlen", "r_symbol", "r_bullet",
+                  "r_ellipsis", "r_alpha", "r_stop", "pass")) {
+      assert(!nul.isNullAt(nul.fieldIndex(f)), s"$f is NULL on NULL text")
+      nul.getAs[Boolean](f) shouldBe false
+    }
   }
 }
