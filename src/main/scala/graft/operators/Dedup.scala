@@ -669,13 +669,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens > 0, "windowTokens must be positive")
     val L = windowTokens
-    val toks = docs.select(col(idCol), tokensWs(col(textCol)).as("tk"))
-    val wins = toks
-      .where(size(col("tk")) >= L)
-      .select(col(idCol), col("tk"),
-        explode(sequence(lit(0), size(col("tk")) - L)).as("pos"))
-      .select(col(idCol), col("pos"),
-        hash60(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(L)))).as("h"))
+    val toks = substrTokens(docs, idCol, textCol)
+    val wins = substrWindowHashes(toks, L, idCol)
     // keep-first: rank each window's occurrences corpus-wide; rnk > 1 ⇒
     // this occurrence's interval is removed (groups are tiny — the
     // duplicate count of one window — so the per-key sort is bounded)
@@ -684,6 +679,37 @@ object Dedup {
       .withColumn("rnk", row_number().over(wFirst))
       .where(col("rnk") > 1)
       .select(col(idCol), col("pos"), (col("pos") + L).as("end"))
+    substrRemoveIntervals(toks, dups, idCol, textCol)
+  }
+
+  /** The (idCol, tk) whitespace-token table the ExactSubstr family works
+    * over — shared by the one-shot pass and the incremental store face. */
+  private[graft] def substrTokens(docs: DataFrame, idCol: String,
+                                  textCol: String): DataFrame =
+    docs.select(col(idCol), tokensWs(col(textCol)).as("tk"))
+
+  /** Stride-1 hashed token windows of a token table: (idCol, pos, h) —
+    * one 60-bit hash per window start; what SHUFFLES in every
+    * ExactSubstr dataflow (24 bytes/row, never window text). */
+  private[graft] def substrWindowHashes(toks: DataFrame, L: Int,
+                                        idCol: String): DataFrame =
+    toks
+      .where(size(col("tk")) >= L)
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - L)).as("pos"))
+      .select(col(idCol), col("pos"),
+        hash60(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(L)))).as("h"))
+
+  /** Interval coalescing + complement reassembly shared by the
+    * ExactSubstr faces: `dups` rows (idCol, pos, end) mark half-open
+    * token intervals for removal; overlapping removals coalesce into
+    * maximal islands and each document is rebuilt from the complement
+    * slices. Output: (idCol, textCol, n_removed) — every `toks` row
+    * appears, whitespace-normalized. */
+  private[graft] def substrRemoveIntervals(toks: DataFrame, dups: DataFrame,
+                                           idCol: String,
+                                           textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // gaps-and-islands: coalesce overlapping/adjacent-overlapping removal
     // windows into maximal [rm_start, rm_end) intervals per document
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

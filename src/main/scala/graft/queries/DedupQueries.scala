@@ -187,6 +187,24 @@ object DedupQueries extends QueryPack {
       Dedup.exactSubstrDedup(docs(s, dir), ExactSubstrL)
         .orderBy(col("doc_id"))),
 
+    // EXT-D22: incremental ExactSubstr — the crawl-delta face of q138:
+    // the base corpus (doc_id % 4 ≠ 1) is represented on disk by its
+    // window-HASH set (8 bytes/position, no text), the delta (% 4 = 1)
+    // folds against it with one pass over the delta — stored hash ⇒ the
+    // whole interval drops (arrival order wins), intra-delta occurrences
+    // keep-first by (id, pos) — then islands coalesce and documents
+    // reassemble exactly as q138. Base text is never rescanned
+    // (plan-guarded in ExactSubstrStoreSpec).
+    "q143_substr_delta" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_substr_store").toString
+      val d = docs(s, dir)
+      graft.store.ExactSubstrStore.write(
+        d.where(col("doc_id") % 4 =!= 1), ExactSubstrL, out)
+      graft.store.ExactSubstrStore.dedupDelta(
+          d.where(col("doc_id") % 4 === 1), out, ExactSubstrL)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-D6: LSH quality metric — how much of the exact-Jaccard truth set
     // (pairs ≥ threshold) does the MinHash+LSH candidate pipeline recover?
     // One summary row: truth size, candidate size, hits, recall.
@@ -433,6 +451,65 @@ object DedupQueries extends QueryPack {
          |dups AS (SELECT doc_id, pos, pos + $ExactSubstrL AS e FROM (
          |    SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk
          |    FROM hashed) WHERE rnk > 1),
+         |marked AS (SELECT doc_id, pos, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM dups),
+         |isl AS (SELECT doc_id, pos, e,
+         |    SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked),
+         |islands AS (SELECT doc_id, island, MIN(pos) AS rm_start, MAX(e) AS rm_end
+         |            FROM isl GROUP BY 1, 2),
+         |gaps AS (SELECT doc_id,
+         |           COALESCE(LAG(rm_end) OVER (PARTITION BY doc_id ORDER BY rm_start), 0) AS s,
+         |           rm_start AS e
+         |         FROM islands
+         |         UNION ALL
+         |         SELECT i.doc_id, MAX(i.rm_end) AS s, ANY_VALUE(len(t.tk)) AS e
+         |         FROM islands i JOIN toks t USING (doc_id) GROUP BY i.doc_id),
+         |reb AS (SELECT g.doc_id,
+         |          string_agg(array_to_string(list_slice(t.tk, g.s + 1, g.e), ' '),
+         |                     ' ' ORDER BY g.s) AS text
+         |        FROM gaps g JOIN toks t USING (doc_id) WHERE g.e > g.s GROUP BY g.doc_id),
+         |rm AS (SELECT doc_id, CAST(SUM(rm_end - rm_start) AS BIGINT) AS n_removed
+         |       FROM islands GROUP BY 1),
+         |isldocs AS (SELECT DISTINCT doc_id FROM islands)
+         |SELECT t.doc_id,
+         |  CASE WHEN i.doc_id IS NOT NULL THEN COALESCE(r.text, '')
+         |       ELSE array_to_string(t.tk, ' ') END AS text,
+         |  COALESCE(rm.n_removed, 0) AS n_removed
+         |FROM toks t LEFT JOIN isldocs i USING (doc_id)
+         |LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |LEFT JOIN rm ON t.doc_id = rm.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Incremental ExactSubstr replay: base window-hash set (the store),
+    // then the delta fold — stored hash removes every delta occurrence,
+    // intra-delta keep-first by (id, pos) — then the same island union +
+    // complement reassembly as q138, over the delta only.
+    "q143_substr_delta" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents WHERE doc_id % 4 = 1),
+         |btoks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents WHERE doc_id % 4 <> 1),
+         |bwins AS (SELECT doc_id, tk, unnest(range(0, len(tk) - ${ExactSubstrL - 1})) AS pos
+         |          FROM btoks WHERE len(tk) >= $ExactSubstrL),
+         |bh AS (SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $ExactSubstrL), ' ')), 1, 15))::BIGINT AS h
+         |  FROM bwins),
+         |wins AS (SELECT doc_id, tk, unnest(range(0, len(tk) - ${ExactSubstrL - 1})) AS pos
+         |         FROM toks WHERE len(tk) >= $ExactSubstrL),
+         |hashed AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $ExactSubstrL), ' ')), 1, 15))::BIGINT AS h
+         |  FROM wins),
+         |dups AS (SELECT doc_id, pos, pos + $ExactSubstrL AS e FROM (
+         |    SELECT doc_id, pos, h,
+         |           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk
+         |    FROM hashed) WHERE rnk > 1 OR h IN (SELECT h FROM bh)),
          |marked AS (SELECT doc_id, pos, e,
          |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme

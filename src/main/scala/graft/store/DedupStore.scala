@@ -76,12 +76,12 @@ object DedupStore {
     }
   }
 
-  private def touch(f: FileSystem, path: String): Unit =
+  private[store] def touch(f: FileSystem, path: String): Unit =
     f.create(new Path(path), true).close()
 
   /** Committed batch directories under a version dir with the given
     * marker/dir prefix pair — the ONLY rows a reader may see. */
-  private def committedDirs(f: FileSystem, vdir: String,
+  private[store] def committedDirs(f: FileSystem, vdir: String,
                             markerPrefix: String, dirPrefix: String,
                             exclude: Option[String]): Seq[String] = {
     val base = new Path(vdir)
