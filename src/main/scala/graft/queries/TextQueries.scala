@@ -511,7 +511,36 @@ object TextQueries extends QueryPack {
           col("g.r_words"), col("g.r_meanlen"), col("g.r_symbol"),
           col("g.r_bullet"), col("g.r_ellipsis"), col("g.r_alpha"),
           col("g.r_stop"), col("g.pass"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T38: HTML boilerplate extraction (jusText-lite) — the corpus
+    // has no organic markup, so every document is wrapped IN THE QUERY
+    // into a deterministic page (nav links, heading, two content
+    // paragraphs from the text's halves, a list, entities, a comment +
+    // script, a link-heavy footer) — the q63 planting pattern; the
+    // oracle derives the identical page. Scaffold strips, blocks split
+    // at block-tag boundaries, and each block classifies by word count,
+    // link density, and stopword density — one map-only projection.
+    "q144_html_extract" -> ((s, dir) => {
+      val half = floor(length(col("text")) / 2).cast("int")
+      val page = concat(
+        lit("<html><head><title>t</title><style>p{x}</style></head><body>"),
+        lit("<div><a href=\"/\">home page</a> <a href=\"/a\">about us</a></div>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), col("text").substr(lit(1), half), lit("</p>"),
+        lit("<ul><li>item one</li><li>item two</li></ul>"),
+        lit("<p>"), col("text").substr(half + 1, length(col("text"))),
+        lit(" &amp; more &#39;quoted&#39; tail</p>"),
+        lit("<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>"),
+        lit("<div><a href=\"/c\">contact</a> copyright notice</div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HtmlFunctions.extractContent(page,
+            HtmlMinWords, HtmlMaxLink, HtmlMinStop).as("x"))
+        .select(col("doc_id"), col("x.n_blocks"), col("x.n_content"),
+          col("x.content"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -530,6 +559,9 @@ object TextQueries extends QueryPack {
   private val DoremiRounds = 3 // q141 multiplicative-weights rounds
   private val DoremiEta = 1.0 // q141 update step size
   private val GopherMinWords = 20 // q142 word-count floor
+  private val HtmlMinWords = 5 // q144 content-block word floor
+  private val HtmlMaxLink = 0.2 // q144 max link density
+  private val HtmlMinStop = 0.02 // q144 min stopword density
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -685,6 +717,7 @@ object TextQueries extends QueryPack {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+
   /** Unigram-LM oracle scaffolding (q139/q140): the seed CTEs, one
     * recursive Viterbi-DP + backtrack-walk + re-estimate block per EM
     * round, and the prune block — chained exactly like the engine's
@@ -830,6 +863,65 @@ object TextQueries extends QueryPack {
     "q140_unigram_encode" -> uniEncodeOracleSql,
 
     "q141_doremi_mix" -> doremiOracleSql,
+
+    // jusText-lite replay: identical planted page, scaffold strip, block
+    // split, per-block tag-strip/entity-decode/densities, rule
+    // classification, and the newline-joined content — all in SQL.
+    "q144_html_extract" ->
+      s"""WITH html AS (SELECT doc_id,
+         |  '<html><head><title>t</title><style>p{x}</style></head><body>' ||
+         |  '<div><a href="/">home page</a> <a href="/a">about us</a></div>' ||
+         |  '<h1>Doc ' || doc_id || '</h1>' ||
+         |  '<p>' || substr(text, 1, CAST(floor(length(text)/2) AS INT)) || '</p>' ||
+         |  '<ul><li>item one</li><li>item two</li></ul>' ||
+         |  '<p>' || substr(text, CAST(floor(length(text)/2) AS INT) + 1) ||
+         |  ' &amp; more &#39;quoted&#39; tail</p>' ||
+         |  '<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>' ||
+         |  '<div><a href="/c">contact</a> copyright notice</div></body></html>' AS h
+         |  FROM documents),
+         |scaff AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g') AS h2 FROM html),
+         |blk AS (SELECT doc_id,
+         |  string_split_regex(h2, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|body|html)\\b[^>]*>') AS bs
+         |  FROM scaff),
+         |stats AS (SELECT doc_id, list_transform(bs, b -> struct_pack(
+         |    txt := trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(b, '<[^>]+>', ' ', 'g'),
+         |        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+         |      '\\s+', ' ', 'g')),
+         |    lw := COALESCE(len(list_filter(string_split_regex(trim(regexp_replace(
+         |      array_to_string(list_transform(
+         |        regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+         |        a -> regexp_replace(a, '<[^>]+>', ' ', 'g')), ' '),
+         |      '\\s+', ' ', 'g')), ' '), x -> x <> '')), 0)
+         |  )) AS st FROM blk),
+         |st2 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+         |    txt := s.txt,
+         |    nw := len(list_filter(string_split_regex(s.txt, ' '), x -> x <> '')),
+         |    lw := s.lw)) AS st FROM stats),
+         |st3 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+         |    txt := s.txt, nw := s.nw,
+         |    ld := CASE WHEN s.nw = 0 THEN NULL ELSE round(s.lw * 1.0 / s.nw, 6) END,
+         |    sd := CASE WHEN s.nw = 0 THEN NULL ELSE round(
+         |      len(list_filter(string_split_regex(lower(s.txt), ' '),
+         |        t -> list_contains([${graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")}],
+         |             regexp_replace(t, '[^a-z]', '', 'g')))) * 1.0 / s.nw, 6) END)) AS st
+         |  FROM st2),
+         |cls AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+         |    txt := s.txt, nw := s.nw,
+         |    ok := s.nw >= $HtmlMinWords AND COALESCE(s.ld <= $HtmlMaxLink, FALSE)
+         |          AND COALESCE(s.sd >= $HtmlMinStop, FALSE))) AS st FROM st3)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(st, s -> s.nw > 0)) AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(st, s -> s.ok)) AS BIGINT) AS n_content,
+         |  COALESCE(array_to_string(list_transform(list_filter(st, s -> s.ok),
+         |                                          s -> s.txt), chr(10)), '') AS content
+         |FROM cls ORDER BY doc_id""".stripMargin,
 
     "q142_gopher_rules" ->
       s"""WITH base AS (SELECT doc_id, text,
