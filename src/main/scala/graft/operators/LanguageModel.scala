@@ -77,4 +77,69 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"),
         round(col("nll_sum") / col("n_bigrams").cast("double"), 6).as("nll"))
   }
+
+  /** Stupid-Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the order the web-scale pipelines
+    * actually run, completing the LM tier (unigram → JM bigram → backoff
+    * trigram). Counts train on `train`; `score` documents are scored
+    * held-out, so the backoff chain is genuinely exercised (a model
+    * scored on its own training corpus never leaves the trigram branch):
+    *
+    *   S(w | w₂w₁) = c₃(w₂w₁w)/c₂(w₂w₁)          if the trigram was seen
+    *               = α · c₂(w₁w)/c₁(w₁)           else if the bigram was
+    *               = α² · (c₁(w)+1)/(N+V+1)       else (add-one unigram —
+    *                                               OOV words keep positive
+    *                                               mass, no tuning)
+    *
+    * Scores are relative frequencies, not a normalized distribution —
+    * Stupid Backoff's deliberate trade (no discount estimation, one
+    * constant α) which is why it scales to web corpora. All three count
+    * tables SATURATE with corpus growth; transitions build map-side from
+    * one doc-partitioned lag window (the bigram shape, one order up);
+    * the scoring joins ride the count tables (AQE broadcasts them when
+    * they fit). Output: (idCol, n_trigrams, nll) over positions i ≥ 2,
+    * nll rounded 1e-6; documents with < 3 tokens produce no row. */
+  def trigramBackoffNll(train: DataFrame, score: DataFrame,
+                        alpha: Double = 0.4,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    def lagged(docs: DataFrame): DataFrame =
+      docs.select(col(idCol), posexplode(tokensWs(col(textCol))).as(Seq("pos", "tok")))
+        .withColumn("p1", lag(col("tok"), 1).over(w))
+        .withColumn("p2", lag(col("tok"), 2).over(w))
+    val tt = lagged(train)
+    val uni = tt.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val totals = broadcast(uni.agg(
+      sum(col("c1")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("v_size")))
+    val bi = tt.where(col("p1").isNotNull)
+      .groupBy(col("p1"), col("tok")).agg(count(lit(1)).as("c2"))
+    val tri = tt.where(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("tok")).agg(count(lit(1)).as("c3"))
+    val st = lagged(score).where(col("p2").isNotNull)
+    val joined = st
+      .join(tri, Seq("p2", "p1", "tok"), "left")
+      .join(bi, Seq("p1", "tok"), "left")
+      // context-bigram count c₂(w₂w₁): the same bi table keyed one back
+      .join(bi.select(col("p1").as("p2"), col("tok").as("p1"),
+        col("c2").as("cctx")), Seq("p2", "p1"), "left")
+      .join(uni.select(col("tok").as("p1"), col("c1").as("c1p1")), Seq("p1"), "left")
+      .join(uni, Seq("tok"), "left")
+      .crossJoin(totals)
+    // a seen trigram implies its context bigram (cctx) and a seen bigram
+    // its unigram (c1p1) — the higher branches never divide by NULL
+    val sUni = (coalesce(col("c1"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n_total") + col("v_size") + lit(1.0))
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("cctx").cast("double"))
+      .when(col("c2").isNotNull,
+        lit(alpha) * col("c2").cast("double") / col("c1p1").cast("double"))
+      .otherwise(lit(alpha * alpha) * sUni)
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(-log(s)).as("nll_sum"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("nll_sum") / col("n_trigrams").cast("double"), 6).as("nll"))
+  }
 }

@@ -394,6 +394,20 @@ object TextQueries extends QueryPack {
           Tables.read(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T39: Stupid-Backoff trigram scoring — the LM tier's top order
+    // (unigram q120 → JM bigram q125 → backoff trigram), trained on
+    // doc_id % 5 ≠ 0 and scored HELD-OUT on % 5 = 0 so every backoff
+    // branch fires (self-scoring never leaves the trigram branch);
+    // count tables saturate, transitions build map-side from one
+    // doc-partitioned lag window.
+    "q145_trigram_backoff" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      graft.operators.LanguageModel.trigramBackoffNll(
+          d.where(col("doc_id") % 5 =!= 0), d.where(col("doc_id") % 5 === 0),
+          BackoffAlpha)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-T29: tokenizer ENCODE face — per-document sequence length under
     // the q116-trained merges (the packing/budgeting number). Merges are
     // applied to the VOCABULARY once, the corpus word stream joins per-
@@ -560,6 +574,7 @@ object TextQueries extends QueryPack {
   private val DoremiEta = 1.0 // q141 update step size
   private val GopherMinWords = 20 // q142 word-count floor
   private val HtmlMinWords = 5 // q144 content-block word floor
+  private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -863,6 +878,56 @@ object TextQueries extends QueryPack {
     "q140_unigram_encode" -> uniEncodeOracleSql,
 
     "q141_doremi_mix" -> doremiOracleSql,
+
+    // Stupid-Backoff replay: train counts on the % 5 ≠ 0 partition, lag
+    // windows build transitions, and the three-branch CASE scores the
+    // held-out docs with identical IEEE association to the engine.
+    "q145_trigram_backoff" ->
+      s"""WITH tdoc AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |tts AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |             i -> {'pos': i, 'tok': tk[i]})) AS p FROM tdoc)),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM tts GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_total,
+         |               CAST(COUNT(*) AS DOUBLE) AS v_size FROM uni),
+         |lagt AS (SELECT doc_id, pos, tok,
+         |    lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+         |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2 FROM tts),
+         |bi AS (SELECT p1, tok, CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM lagt WHERE p1 IS NOT NULL GROUP BY 1, 2),
+         |tri AS (SELECT p2, p1, tok, CAST(COUNT(*) AS BIGINT) AS c3
+         |        FROM lagt WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+         |sdoc AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sts AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |             i -> {'pos': i, 'tok': tk[i]})) AS p FROM sdoc)),
+         |sc AS (SELECT * FROM (SELECT doc_id, pos, tok,
+         |    lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+         |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2 FROM sts)
+         |  WHERE p2 IS NOT NULL),
+         |j AS (SELECT s.doc_id, t.c3, b.c2, cb.c2 AS cctx, u1.c1 AS c1p1, u.c1 AS c1
+         |      FROM sc s
+         |      LEFT JOIN tri t ON s.p2 = t.p2 AND s.p1 = t.p1 AND s.tok = t.tok
+         |      LEFT JOIN bi b ON s.p1 = b.p1 AND s.tok = b.tok
+         |      LEFT JOIN bi cb ON s.p2 = cb.p1 AND s.p1 = cb.tok
+         |      LEFT JOIN uni u1 ON s.p1 = u1.tok
+         |      LEFT JOIN uni u ON s.tok = u.tok),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN c3 IS NOT NULL THEN c3::DOUBLE / cctx::DOUBLE
+         |         WHEN c2 IS NOT NULL THEN $BackoffAlpha * c2::DOUBLE / c1p1::DOUBLE
+         |         ELSE $BackoffAlpha * $BackoffAlpha *
+         |              ((COALESCE(c1, 0) + 1.0) / (tot.n_total + tot.v_size + 1.0))
+         |    END AS s
+         |  FROM j CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |       ROUND(SUM(-ln(s)) / COUNT(*), 6) AS nll
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // jusText-lite replay: identical planted page, scaffold strip, block
     // split, per-block tag-strip/entity-decode/densities, rule

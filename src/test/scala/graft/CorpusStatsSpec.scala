@@ -39,6 +39,38 @@ class CorpusStatsSpec extends SparkSpec {
     got.contains(3L) shouldBe false // single token: no bigrams, no row
   }
 
+  test("trigramBackoffNll: each backoff branch fires on hand-computed counts") {
+    // train: uni a:2 b:2 c:1 d:1 (N=6, V=4); bi (a,b):2 (b,c):1 (c,a):1
+    // (b,d):1; tri (a,b,c) (b,c,a) (c,a,b) (a,b,d) once each
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c x"), // (a,b,c) seen → 1/2; (b,c,x) → OOV unigram tier
+      (20L, "b c a"),   // (b,c,a) seen → 1/1
+      (30L, "c a d"),   // tri+bi unseen, d seen → α²·(1+1)/(N+V+1)
+      (40L, "x a b"),   // tri unseen, (a,b) seen → α·2/2
+      (50L, "a b"))     // < 3 tokens: no row
+      .toDF("doc_id", "text")
+    val got = LanguageModel.trigramBackoffNll(train, score)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val a2 = 0.4 * 0.4
+    approx(got(10L)._2,
+      -(math.log(0.5) + math.log(a2 * (1.0 / 11.0))) / 2.0, 2e-6) shouldBe true
+    got(10L)._1 shouldBe 2L
+    approx(got(20L)._2, 0.0, 2e-6) shouldBe true
+    approx(got(30L)._2, -math.log(a2 * (2.0 / 11.0)), 2e-6) shouldBe true
+    approx(got(40L)._2, -math.log(0.4), 2e-6) shouldBe true
+    got.contains(50L) shouldBe false
+  }
+
+  test("trigramBackoffNll self-scoring never leaves the trigram branch") {
+    // scored on its own training corpus every trigram is seen, so nll is
+    // exactly the mean -ln(c3/cctx): (a,b,*) contexts split 1/2 twice
+    val d = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val got = LanguageModel.trigramBackoffNll(d, d).collect()(0)
+    got.getLong(1) shouldBe 4L
+    approx(got.getDouble(2), -2.0 * math.log(0.5) / 4.0, 2e-6) shouldBe true
+  }
+
   test("meanPoolNormalized pools to the exact normalized mean") {
     import graft.operators.SimilaritySearch
     val embs = Seq(
