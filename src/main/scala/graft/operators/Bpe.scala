@@ -117,6 +117,43 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** ENCODE face with CONTENT: per-document token-ID sequences under the
+    * learned merges — what sequence packing and shard materialization
+    * actually consume (`encodedLengths` stops at counts). Merges apply to
+    * the VOCABULARY once (corpus text scanned once, as `encodedLengths`);
+    * piece ids are the dense 0-based lexicographic rank of the distinct
+    * final subwords, assigned by the two-phase distributed rank
+    * (`Ids.denseIds` — no single-partition stage); per-word id arrays
+    * join back to the positioned document word stream and flatten in
+    * word order. Output: (idCol, ids array<long>); documents whose words
+    * are all filtered produce no row. The id table is vocabulary-sized —
+    * it saturates, and the per-word join broadcasts when it fits. */
+  def encodedIds(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text", idCol: String = "doc_id",
+                 maxWordLen: Int = 12): DataFrame = {
+    var words = wordTable(docs, textCol, maxWordLen)
+    for ((l, r) <- merges) words = applyMerge(words, l, r)
+    val pieces = Ids.denseIds(
+      words.select(explode(col("toks")).as("piece")).distinct(),
+      Seq(col("piece")), "piece_id")
+    val wids = words
+      .select(col("word"), posexplode(col("toks")).as(Seq("tp", "piece")))
+      .join(pieces, Seq("piece"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("tp"), col("piece_id")))),
+        s => s.getField("piece_id")).as("wids"))
+    docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("wp", "word")))
+      .where(length(col("word")).between(1, maxWordLen))
+      .join(wids, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wp"), col("wids")))),
+        s => s.getField("wids"))).as("ids"))
+  }
+
   /** Train `nMerges` BPE merges over `docs`. Returns the merge table
     * (round, lhs, rhs, merged, cnt) — driver-sized by definition (one
     * row per merge), like a centroid table. Stops early if the corpus

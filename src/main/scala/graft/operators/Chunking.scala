@@ -67,4 +67,45 @@ object Chunking {
       .withColumn("straddles",
         col("pack_offset") + col(tokenCol) > budget)
   }
+
+  /** MATERIALIZED sequence packing — where `packSequences` assigns pack
+    * ids to counted chunks, this lays the actual token-id CONTENT end to
+    * end: per stratum, document id sequences (`idsCol`, array<long>,
+    * from `Bpe.encodedIds` or the unigram encode face) concatenate in
+    * `idCol` order and slice every `seqLen` ids — a document straddling
+    * a boundary SPLITS, its head finishing one training sequence and its
+    * tail opening the next (concat-and-chunk, no padding). Output one
+    * row per (strataCol, pack_id): `seq` = the packed id array, in order;
+    * the final pack of a stratum may be short.
+    *
+    * Scale shape: one stratum-partitioned running-sum window (the
+    * `packSequences` exchange) + one explode into the ≤ ⌈n/seqLen⌉ + 1
+    * packs each document intersects + one (stratum, pack) aggregate
+    * whose groups are bounded by seqLen ids — no stage sees more than
+    * the document's own array. Pack arithmetic is integer (`div`), so
+    * offsets stay exact at any corpus size. */
+  def packIdSequences(docIds: DataFrame, seqLen: Int, strataCol: String,
+                      idCol: String = "doc_id",
+                      idsCol: String = "ids"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val sized = docIds
+      .withColumn("n", size(col(idsCol)).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+    val spans = sized
+      .withColumn("pack_id", explode(sequence(
+        expr(s"cb div $seqLen"), expr(s"(cb + n - 1) div $seqLen"))))
+      .withColumn("lo", greatest(col("pack_id") * seqLen, col("cb")))
+      .withColumn("hi", least((col("pack_id") + 1) * seqLen, col("cb") + col("n")))
+      .select(col(strataCol), col("pack_id"), col("cb"),
+        slice(col(idsCol), (col("lo") - col("cb") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("piece"))
+    spans.groupBy(col(strataCol), col("pack_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("cb"), col("piece")))),
+        s => s.getField("piece"))).as("seq"))
+  }
 }

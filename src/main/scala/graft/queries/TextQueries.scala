@@ -424,6 +424,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T40: materialized training sequences — the step after q126's
+    // length accounting and q72's count-only packing: per-document
+    // token-ID sequences under the q116-trained merges (dense
+    // lexicographic piece ids, two-phase rank — no global window),
+    // concatenated per language in doc order and sliced every 256 ids;
+    // straddling documents SPLIT at the boundary. Output: one row per
+    // (lang, pack_id) with the actual packed id content.
+    "q146_pack_token_ids" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ms = graft.operators.Bpe.trainMerges(s, d, BpeMerges,
+          maxWordLen = BpeMaxWordLen)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val ids = graft.operators.Bpe.encodedIds(d, ms, maxWordLen = BpeMaxWordLen)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Chunking.packIdSequences(ids, PackSeqLen, "lang")
+        .select(col("lang"), col("pack_id"),
+          size(col("seq")).cast("long").as("n_tokens"),
+          concat_ws(" ", transform(col("seq"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // EXT-T30: DSIR targeted selection — importance weights from hashed
     // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
     // the pool); the classifier-free "more like my seed corpus" ranking
@@ -575,6 +598,7 @@ object TextQueries extends QueryPack {
   private val GopherMinWords = 20 // q142 word-count floor
   private val HtmlMinWords = 5 // q144 content-block word floor
   private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
+  private val PackSeqLen = 256 // q146 training-sequence length
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -732,6 +756,49 @@ object TextQueries extends QueryPack {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The q146 oracle: the same merge-chain CTEs, then dense piece ids,
+    * per-word id arrays, per-doc flattened sequences, and the per-lang
+    * running-sum slicing into fixed training sequences. */
+  private lazy val packIdsOracleSql: String = {
+    val chain = bpeOracleSql
+    val prefix = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS BIGINT)"))
+    val S = PackSeqLen
+    s"""${prefix.trim},
+       |pieces AS (SELECT DISTINCT unnest(toks) AS piece FROM w$BpeMerges),
+       |pid AS (SELECT piece,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS BIGINT) AS piece_id
+       |        FROM pieces),
+       |wexp AS (SELECT word, p.i AS i, p.tok AS tok FROM (
+       |    SELECT word, unnest(list_transform(range(1, len(toks) + 1),
+       |             i -> {'i': i, 'tok': toks[i]})) AS p FROM w$BpeMerges)),
+       |wids AS (SELECT word, list(piece_id ORDER BY i) AS wids
+       |         FROM wexp JOIN pid ON tok = piece GROUP BY word),
+       |dw AS (SELECT doc_id, p.i AS wp, p.w AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |             i -> {'i': i, 'w': ws[i]})) AS p
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ws
+       |          FROM documents))
+       |  WHERE p.w <> '' AND length(p.w) BETWEEN 1 AND $BpeMaxWordLen),
+       |dseq AS (SELECT doc_id, flatten(list(wids ORDER BY wp)) AS ids
+       |         FROM dw JOIN wids USING (word) GROUP BY doc_id),
+       |dl AS (SELECT d.doc_id, doc.lang, d.ids, CAST(len(d.ids) AS BIGINT) AS n
+       |       FROM dseq d JOIN documents doc USING (doc_id) WHERE len(d.ids) > 0),
+       |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |        FROM dl),
+       |spans AS (SELECT lang, cb, n, ids,
+       |            unnest(range(cb // $S, (cb + n - 1) // $S + 1)) AS pack_id FROM cum),
+       |sl AS (SELECT lang, pack_id, cb,
+       |         list_slice(ids, (greatest(pack_id * $S, cb) - cb + 1)::INT,
+       |                    (least((pack_id + 1) * $S, cb + n) - cb)::INT) AS piece
+       |       FROM spans),
+       |packs AS (SELECT lang, pack_id, flatten(list(piece ORDER BY cb)) AS seq
+       |          FROM sl GROUP BY 1, 2)
+       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       |       CAST(len(seq) AS BIGINT) AS n_tokens,
+       |       array_to_string(list_transform(seq, x -> x::VARCHAR), ' ') AS ids
+       |FROM packs ORDER BY lang, pack_id""".stripMargin
+  }
 
   /** Unigram-LM oracle scaffolding (q139/q140): the seed CTEs, one
     * recursive Viterbi-DP + backtrack-walk + re-estimate block per EM
@@ -1073,6 +1140,8 @@ object TextQueries extends QueryPack {
          |ORDER BY key DESC, doc_id LIMIT $DsirSampleN""".stripMargin,
 
     "q126_bpe_encode" -> bpeEncodeOracleSql,
+
+    "q146_pack_token_ids" -> packIdsOracleSql,
 
     "q137_logreg_curve" -> {
       val targets = DsirTargets.map(t => s"'$t'").mkString(", ")

@@ -81,6 +81,26 @@ class ScaleOpsSpec extends SparkSpec {
       ("en", 1L, 0L, 0L), ("en", 2L, 30L, 0L), ("en", 3L, 60L, 1L))
   }
 
+  test("packIdSequences slices straddling docs at the boundary, content end to end") {
+    val docIds = Seq(
+      ("en", 1L, Seq(1L, 2L, 3L)),
+      ("en", 2L, Seq(4L, 5L, 6L, 7L)), // straddles packs 0/1 at offset 3
+      ("en", 3L, Seq(8L)),
+      ("en", 4L, Seq.empty[Long]), // no ids: contributes nothing
+      ("de", 9L, Seq(40L, 41L, 42L, 43L, 44L))) // own stratum, own packs
+      .toDF("lang", "doc_id", "ids")
+    val got = Chunking.packIdSequences(docIds.orderBy(rand(3)), 4, "lang")
+      .orderBy("lang", "pack_id")
+      .select("lang", "pack_id", "seq").as[(String, Long, Seq[Long])].collect()
+    got shouldBe Array(
+      ("de", 0L, Seq(40L, 41L, 42L, 43L)),
+      ("de", 1L, Seq(44L)), // final pack may be short
+      ("en", 0L, Seq(1L, 2L, 3L, 4L)),
+      ("en", 1L, Seq(5L, 6L, 7L, 8L)))
+    // conservation: packs laid back end to end reproduce the doc stream
+    got.filter(_._1 == "en").flatMap(_._3).toSeq shouldBe (1L to 8L)
+  }
+
   test("intervalJoin equals the naive theta join on random data") {
     val rnd = new scala.util.Random(11)
     val ranges = (1L to 60L).map { i =>

@@ -148,6 +148,20 @@ class WarehouseOpsSpec extends SparkSpec {
     Bpe.trainMerges(spark, docs, 5).count() shouldBe 0L
   }
 
+  test("encodedIds assigns dense lexicographic piece ids and flattens in word order") {
+    // merge (t,o): "to"→[to], "go"→[g,o], "tot"→[to,t]; distinct pieces
+    // sorted: g=0, o=1, t=2, to=3
+    val docs = Seq((1L, "to go tot"), (2L, "go go")).toDF("doc_id", "text")
+    val got = Bpe.encodedIds(docs, Seq(("t", "o")))
+      .orderBy("doc_id").select("ids").as[Seq[Long]].collect()
+    got(0) shouldBe Seq(3L, 0L, 1L, 3L, 2L)
+    got(1) shouldBe Seq(0L, 1L, 0L, 1L)
+    // sequence length equals the count face for every document
+    val lens = Bpe.encodedLengths(docs, Seq(("t", "o")))
+      .orderBy("doc_id").select("n_subwords").as[Long].collect()
+    got.map(_.size.toLong).toSeq shouldBe lens.toSeq
+  }
+
   test("BPE trainMerges checkpointEvery yields the identical merge table") {
     val docs = Seq((1L, "to to go tog banana ban"), (2L, "to go banana"))
       .toDF("doc_id", "text")
