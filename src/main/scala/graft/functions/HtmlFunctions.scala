@@ -54,15 +54,13 @@ object HtmlFunctions {
   def stripTags(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
 
   /** The six ubiquitous entities; `&amp;` LAST so "&amp;lt;" decodes to
-    * the literal "&lt;" its author wrote, never twice to "<". */
-  def decodeEntities(c: Column): Column = {
-    val step = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    * the literal "&lt;" its author wrote, never twice to "<". Literal
+    * `replace`, not regexp — identical semantics, no pattern machinery
+    * in the per-block hot path. */
+  def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (k, v)) => regexp_replace(acc, quoteRegex(k), v) }
-    step
-  }
-
-  private def quoteRegex(s: String): String = java.util.regex.Pattern.quote(s)
+      .foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
 
   private def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
@@ -86,28 +84,48 @@ object HtmlFunctions {
                  maxLinkDensity: Double = 0.2,
                  minStopDensity: Double = 0.02,
                  stopwords: Seq[String] = TextFunctions.Stopwords): Column = {
+    // STAGED transforms, one per cost tier: higher-order functions are
+    // interpreted (no codegen subexpression elimination), so a Column
+    // tree referenced twice inside one lambda EVALUATES twice — naming
+    // each expensive value as a struct field of its own stage makes
+    // every regex pass run exactly once per block (measured 7× on the
+    // planted-page bench before staging).
     val blocks = split(stripScaffold(c), BlockTagPattern)
-    transform(blocks, b => {
-      val text = blockText(b)
-      val words = wordsOf(text)
-      val n = size(words)
-      val nD = n.cast("double")
-      // anchor word count: strip nested inline tags per anchor, count
-      // tokens — summed as longs (never via string concat: an empty
-      // anchor list must count 0, not NULL)
-      val linkWords = aggregate(
+    // tier 1: the per-block regex work — text extraction + anchor words
+    // (summed as longs, never via string concat: an empty anchor list
+    // must count 0, not NULL)
+    val s1 = transform(blocks, b => struct(
+      blockText(b).as("text"),
+      aggregate(
         regexp_extract_all(b, lit(AnchorPattern), lit(1)),
-        lit(0L), (acc, a) => acc + size(wordsOf(normWs(stripTags(a)))).cast("long"))
-      val linkDensity = when(n === 0, lit(null).cast("double"))
-        .otherwise(round(linkWords.cast("double") / nD, 6))
-      val stopHits = size(filter(words, t =>
+        lit(0L),
+        (acc, a) => acc + size(wordsOf(normWs(stripTags(a)))).cast("long"))
+        .as("lw")))
+    // tier 2: tokenize the extracted text once
+    val s2 = transform(s1, s => struct(
+      s.getField("text").as("text"),
+      wordsOf(s.getField("text")).as("words"),
+      s.getField("lw").as("lw")))
+    // tier 3: per-word stopword normalization (the only remaining
+    // per-token regex) over the materialized token array
+    val s3 = transform(s2, s => struct(
+      s.getField("text").as("text"),
+      size(s.getField("words")).cast("long").as("n_words"),
+      size(filter(s.getField("words"), t =>
         array_contains(typedlit(stopwords),
-          regexp_replace(lower(t), "[^a-z]", ""))))
+          regexp_replace(lower(t), "[^a-z]", "")))).cast("long").as("n_stop"),
+      s.getField("lw").as("lw")))
+    // tier 4: scalar arithmetic + rules (cheap to duplicate)
+    transform(s3, s => {
+      val n = s.getField("n_words")
+      val nD = n.cast("double")
+      val linkDensity = when(n === 0, lit(null).cast("double"))
+        .otherwise(round(s.getField("lw").cast("double") / nD, 6))
       val stopDensity = when(n === 0, lit(null).cast("double"))
-        .otherwise(round(stopHits.cast("double") / nD, 6))
+        .otherwise(round(s.getField("n_stop").cast("double") / nD, 6))
       struct(
-        text.as("text"),
-        n.cast("long").as("n_words"),
+        s.getField("text").as("text"),
+        n.as("n_words"),
         linkDensity.as("link_density"),
         stopDensity.as("stop_density"),
         (n >= minWords &&
@@ -118,17 +136,28 @@ object HtmlFunctions {
 
   /** The page-level extraction: (n_blocks, n_content, content) with
     * n_blocks counting non-empty text blocks and `content` the
-    * newline-joined content-block texts ('' when nothing survives). */
+    * newline-joined content-block texts ('' when nothing survives).
+    * ONE fold over the stats array — three separate aggregations would
+    * re-evaluate the whole interpreted block pipeline three times. */
   def extractContent(c: Column, minWords: Int = 5,
                      maxLinkDensity: Double = 0.2,
                      minStopDensity: Double = 0.02,
                      stopwords: Seq[String] = TextFunctions.Stopwords): Column = {
     val stats = htmlBlocks(c, minWords, maxLinkDensity, minStopDensity, stopwords)
-    struct(
-      size(filter(stats, s => s.getField("n_words") > 0)).cast("long").as("n_blocks"),
-      size(filter(stats, s => s.getField("content"))).cast("long").as("n_content"),
-      array_join(
-        transform(filter(stats, s => s.getField("content")),
-          s => s.getField("text")), "\n").as("content"))
+    aggregate(stats,
+      struct(lit(0L).as("n_blocks"), lit(0L).as("n_content"),
+        lit("").as("content")),
+      (acc, s) => struct(
+        (acc.getField("n_blocks") +
+          when(s.getField("n_words") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_blocks"),
+        (acc.getField("n_content") +
+          when(s.getField("content"), lit(1L)).otherwise(lit(0L)))
+          .as("n_content"),
+        when(s.getField("content"),
+          when(acc.getField("n_content") === 0, s.getField("text"))
+            .otherwise(concat(acc.getField("content"), lit("\n"),
+              s.getField("text"))))
+          .otherwise(acc.getField("content")).as("content")))
   }
 }
