@@ -78,6 +78,68 @@ object LanguageModel {
         round(col("nll_sum") / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document under ITS OWN language's unigram LM, then
+    * split each language into head / middle / tail perplexity terciles —
+    * the bucket layout CommonCrawl pipelines ship (head ≈ Wikipedia-like,
+    * tail ≈ noise) and downstream mixing reads.
+    *
+    * Cutoffs come from a deterministic hash sample of the scored docs
+    * (`pmod(hash60(id), sampleMod) = 0`) — exactly CCNet's move: tier
+    * boundaries are ESTIMATES from a bounded sample, the assignment is
+    * exact over the full corpus. That keeps the only order-statistic in
+    * the job (a per-language cumulative window over the sample's distinct
+    * rounded scores) bounded by the sample size the caller picks, never
+    * by the corpus: at 100 TB you size sampleMod so each language's
+    * sample fits one task, and everything else is the q120 scoring shape
+    * (saturating per-language count tables + one per-doc aggregate) plus
+    * one broadcast of the 2-row-per-language cutoff table.
+    *
+    * Cutoff definition (exact, engine-portable — no interpolation):
+    * cut_k = smallest sampled nll whose cumulative sample count reaches
+    * ⌈k·m/3⌉ (m = language sample size); tiers compare the 1e-6-rounded
+    * nll against cut1/cut2 with ≤, so ties share a tier. Languages with
+    * no sampled document are dropped (no boundary estimate — CCNet
+    * requires a per-language model; size sampleMod accordingly).
+    * Output: (idCol, langCol, n_tokens, nll, tier). */
+  def perplexityTiers(docs: DataFrame, sampleMod: Long = 1L,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      langCol: String = "lang"): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val toks = docs.select(col(idCol), col(langCol),
+      explode(tokensWs(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col(langCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.groupBy(col(langCol)).agg(sum(col("cnt")).as("n_total"))
+    val scored = toks.join(vocab, Seq(langCol, "tok"))
+      .join(broadcast(totals), Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(-log(col("cnt").cast("double") / col("n_total").cast("double")))
+          .as("nll_sum"))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll"))
+    val samp = scored.where(
+      pmod(graft.functions.TextFunctions.hash60(col(idCol).cast("string")),
+        lit(sampleMod)) === 0)
+    // cumulative counts over the sample's DISTINCT (lang, nll) values —
+    // the aggregate runs map-side-partial first, the window sees only
+    // value rows
+    val vals = samp.groupBy(col(langCol), col("nll")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col(langCol)).orderBy(col("nll"))
+    val cum = vals.withColumn("cum", sum(col("nv")).over(w))
+    val m = samp.groupBy(col(langCol)).agg(count(lit(1)).as("m_docs"))
+    val cuts = cum.join(m, Seq(langCol))
+      .groupBy(col(langCol))
+      .agg(min(when(col("cum") * 3 >= col("m_docs"), col("nll"))).as("cut1"),
+        min(when(col("cum") * 3 >= col("m_docs") * 2, col("nll"))).as("cut2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("nll"),
+        when(col("nll") <= col("cut1"), "head")
+          .when(col("nll") <= col("cut2"), "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Stupid-Backoff trigram scoring (Brants et al. 2007, "Large Language
     * Models in Machine Translation") — the order the web-scale pipelines
     * actually run, completing the LM tier (unigram → JM bigram → backoff

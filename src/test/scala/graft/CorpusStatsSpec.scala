@@ -39,6 +39,33 @@ class CorpusStatsSpec extends SparkSpec {
     got.contains(3L) shouldBe false // single token: no bigrams, no row
   }
 
+  test("perplexityTiers splits each language at its own tercile cutoffs") {
+    // en: doc i = one token repeated (7−i)× → nll strictly increases
+    // with i (rarer token). m = 6 → cut1 = 2nd-smallest nll, cut2 = 4th:
+    // head {1,2}, middle {3,4}, tail {5,6}.
+    val en = Seq(
+      (1L, "a a a a a a"), (2L, "b b b b b"), (3L, "c c c c"),
+      (4L, "d d d"), (5L, "e e"), (6L, "f")).map { case (i, t) => (i, t, "en") }
+    // fr: doc 12 and 13 TIE on nll (both singleton tokens). m = 3 →
+    // cut1 = the smallest value, cut2 = the tied value → ties share
+    // 'middle'; the fr model is independent of en's counts.
+    val fr = Seq((11L, "x x"), (12L, "y"), (13L, "z"))
+      .map { case (i, t) => (i, t, "fr") }
+    val docs = (en ++ fr).toDF("doc_id", "text", "lang")
+    val got = LanguageModel.perplexityTiers(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getDouble(3))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 11L, 12L, 13L)
+    Seq(1L, 2L).foreach(got(_)._1 shouldBe "head")
+    Seq(3L, 4L).foreach(got(_)._1 shouldBe "middle")
+    Seq(5L, 6L).foreach(got(_)._1 shouldBe "tail")
+    got(11L)._1 shouldBe "head"
+    got(12L)._1 shouldBe "middle"
+    got(13L)._1 shouldBe "middle"
+    got(12L)._2 shouldBe got(13L)._2 // the tie that shares the tier
+    // fr scores come from fr's own 4-token model, not the pooled corpus
+    approx(got(11L)._2, -math.log(0.5), 1e-6) shouldBe true
+  }
+
   test("trigramBackoffNll: each backoff branch fires on hand-computed counts") {
     // train: uni a:2 b:2 c:1 d:1 (N=6, V=4); bi (a,b):2 (b,c):1 (c,a):1
     // (b,d):1; tri (a,b,c) (b,c,a) (c,a,b) (a,b,d) once each
