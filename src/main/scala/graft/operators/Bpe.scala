@@ -117,6 +117,38 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Tokenizer EVALUATION face: per-language fertility and compression
+    * of a trained merge list — the two numbers tokenizer papers report
+    * (fertility = pieces per word, Ács 2019; compression = characters
+    * per piece) and the go/no-go gate before committing a vocabulary to
+    * a training run: a language with outlier fertility is under-served
+    * by the merges and will burn context window. Same shape as
+    * `encodedLengths` (merges apply to the VOCABULARY once; the corpus
+    * word stream joins per-word subword counts back) with the aggregate
+    * keyed by language instead of document — output is one row per
+    * language, so the result is driver-sized regardless of corpus scale.
+    * Output: (langCol, n_words, n_subwords, n_chars, fertility,
+    * chars_per_piece), ratios rounded 1e-6. */
+  def tokenizerEval(docs: DataFrame, merges: Seq[(String, String)],
+                    textCol: String = "text", langCol: String = "lang",
+                    maxWordLen: Int = 12): DataFrame = {
+    var words = wordTable(docs, textCol, maxWordLen)
+    for ((l, r) <- merges) words = applyMerge(words, l, r)
+    val lens = words.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+    docs.select(col(langCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .join(lens, Seq("word"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col(langCol), col("n_words"), col("n_subwords"), col("n_chars"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** ENCODE face with CONTENT: per-document token-ID sequences under the
     * learned merges — what sequence packing and shard materialization
     * actually consume (`encodedLengths` stops at counts). Merges apply to

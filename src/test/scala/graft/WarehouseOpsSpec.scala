@@ -174,6 +174,22 @@ class WarehouseOpsSpec extends SparkSpec {
     sealed_ shouldBe plain
   }
 
+  test("tokenizerEval reports per-language fertility and compression") {
+    // merge (t,o): en "to to tog" → pieces to(1)+to(1)+[to,g](2) = 4
+    // over 3 words / 7 chars; fr "go go" → [g,o]×2 = 4 pieces over
+    // 2 words / 4 chars.
+    val docs = Seq(
+      (1L, "to to tog", "en"), (2L, "go go", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Bpe.tokenizerEval(docs, Seq(("t", "o")))
+      .orderBy("lang")
+      .select("lang", "n_words", "n_subwords", "n_chars", "fertility",
+        "chars_per_piece")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    got(0) shouldBe (("en", 3L, 4L, 7L, 1.333333, 1.75))
+    got(1) shouldBe (("fr", 2L, 4L, 4L, 2.0, 1.0))
+  }
+
   test("BPE encode reports sequence lengths under the learned merges") {
     // Merges (t,o) then (g,o): "to"→1 subword, "go"→1, "tog"→[to,g]→2.
     val docs = Seq((1L, "to to go tog"), (2L, "to go")).toDF("doc_id", "text")
