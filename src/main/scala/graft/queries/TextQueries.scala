@@ -447,6 +447,35 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // EXT-T42: tokenizer evaluation — per-language fertility (pieces per
+    // word) and compression (chars per piece) of the q116-trained
+    // merges: the go/no-go numbers before committing a vocabulary to a
+    // training run. One language-keyed aggregate over the q126 encode
+    // shape; output is driver-sized (one row per language) at any
+    // corpus scale.
+    "q148_tokenizer_eval" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ms = graft.operators.Bpe.trainMerges(s, d, BpeMerges,
+          maxWordLen = BpeMaxWordLen)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenizerEval(d, ms, maxWordLen = BpeMaxWordLen)
+        .orderBy(col("lang"))
+    }),
+
+    // EXT-T41: CCNet perplexity tiers — every document scored under its
+    // OWN language's unigram LM, each language split head/middle/tail at
+    // tercile cutoffs ESTIMATED from a deterministic hash sample
+    // (sampleMod = 4 here, so the estimate path is genuinely exercised)
+    // and ASSIGNED exactly corpus-wide. The only order statistic runs
+    // over the sample's distinct rounded scores — bounded by the sample,
+    // never the corpus.
+    "q147_ccnet_tiers" -> ((s, dir) =>
+      graft.operators.LanguageModel.perplexityTiers(
+          Tables.read(s, dir, "documents"), sampleMod = CcnetSampleMod)
+        .orderBy(col("doc_id"))),
+
     // EXT-T30: DSIR targeted selection — importance weights from hashed
     // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
     // the pool); the classifier-free "more like my seed corpus" ranking
@@ -558,27 +587,62 @@ object TextQueries extends QueryPack {
     // oracle derives the identical page. Scaffold strips, blocks split
     // at block-tag boundaries, and each block classifies by word count,
     // link density, and stopword density — one map-only projection.
-    "q144_html_extract" -> ((s, dir) => {
-      val half = floor(length(col("text")) / 2).cast("int")
-      val page = concat(
-        lit("<html><head><title>t</title><style>p{x}</style></head><body>"),
-        lit("<div><a href=\"/\">home page</a> <a href=\"/a\">about us</a></div>"),
-        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
-        lit("<p>"), col("text").substr(lit(1), half), lit("</p>"),
-        lit("<ul><li>item one</li><li>item two</li></ul>"),
-        lit("<p>"), col("text").substr(half + 1, length(col("text"))),
-        lit(" &amp; more &#39;quoted&#39; tail</p>"),
-        lit("<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>"),
-        lit("<div><a href=\"/c\">contact</a> copyright notice</div></body></html>"))
+    "q144_html_extract" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          graft.functions.HtmlFunctions.extractContent(page,
+          graft.functions.HtmlFunctions.extractContent(wrappedPage,
             HtmlMinWords, HtmlMaxLink, HtmlMinStop).as("x"))
         .select(col("doc_id"), col("x.n_blocks"), col("x.n_content"),
           col("x.content"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T43: crawl-to-training-set funnel — the composition face the
+    // individual operators exist FOR, as ONE declarative plan: HTML
+    // boilerplate extraction (q144) → Gopher rule battery ON THE
+    // EXTRACTED content, not the raw text (q142) → exact canonical
+    // keep-first dedup of the extracted content (q52) → the per-doc
+    // funnel verdict. Map-only until the one digest-keyed keep-first
+    // aggregate; every stage flag survives to the output so funnel
+    // attrition is auditable per stage (the number every pipeline
+    // report leads with).
+    "q149_pipeline_funnel" -> ((s, dir) => {
+      val ex = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HtmlFunctions.extractContent(wrappedPage,
+            HtmlMinWords, HtmlMaxLink, HtmlMinStop).as("x"))
+        .select(col("doc_id"), col("x.n_content").as("n_content"),
+          col("x.content").as("content"))
+      val g = ex.select(col("doc_id"), col("n_content"), col("content"),
+        graft.functions.TextFunctions.gopherStats(col("content"), GopherMinWords)
+          .getField("pass").as("gopher_pass"))
+      val dg = g.withColumn("digest",
+        md5(graft.functions.TextFunctions.canonicalText(col("content"))))
+      val keep = dg.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      dg.join(keep, Seq("digest"))
+        .select(col("doc_id"), col("n_content"), col("gopher_pass"),
+          (col("doc_id") === col("keep_id")).as("is_canonical"),
+          (col("n_content") > 0 && col("gopher_pass") &&
+            col("doc_id") === col("keep_id")).as("selected"))
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The deterministic page wrap shared by q144/q149 (the q63 planting
+    * pattern): nav links, heading, the text's halves as paragraphs, a
+    * list, entities, a comment + script, a link-heavy footer. */
+  private def wrappedPage: org.apache.spark.sql.Column = {
+    val half = floor(length(col("text")) / 2).cast("int")
+    concat(
+      lit("<html><head><title>t</title><style>p{x}</style></head><body>"),
+      lit("<div><a href=\"/\">home page</a> <a href=\"/a\">about us</a></div>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<p>"), col("text").substr(lit(1), half), lit("</p>"),
+      lit("<ul><li>item one</li><li>item two</li></ul>"),
+      lit("<p>"), col("text").substr(half + 1, length(col("text"))),
+      lit(" &amp; more &#39;quoted&#39; tail</p>"),
+      lit("<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>"),
+      lit("<div><a href=\"/c\">contact</a> copyright notice</div></body></html>"))
+  }
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
   private val BpeMerges = 5
@@ -598,6 +662,7 @@ object TextQueries extends QueryPack {
   private val GopherMinWords = 20 // q142 word-count floor
   private val HtmlMinWords = 5 // q144 content-block word floor
   private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
+  private val CcnetSampleMod = 4L // q147 cutoff-sample rate (1 in 4)
   private val PackSeqLen = 256 // q146 training-sequence length
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
@@ -753,6 +818,127 @@ object TextQueries extends QueryPack {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords
        |FROM dw JOIN w$BpeMerges USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The q144/q149 HTML-extraction CTE chain: derive the identical
+    * wrapped page, strip scaffold, split blocks, classify, and surface
+    * `extracted(doc_id, n_blocks, n_content, content)`. */
+  private lazy val htmlCtes: String =
+    s"""html AS (SELECT doc_id,
+       |  '<html><head><title>t</title><style>p{x}</style></head><body>' ||
+       |  '<div><a href="/">home page</a> <a href="/a">about us</a></div>' ||
+       |  '<h1>Doc ' || doc_id || '</h1>' ||
+       |  '<p>' || substr(text, 1, CAST(floor(length(text)/2) AS INT)) || '</p>' ||
+       |  '<ul><li>item one</li><li>item two</li></ul>' ||
+       |  '<p>' || substr(text, CAST(floor(length(text)/2) AS INT) + 1) ||
+       |  ' &amp; more &#39;quoted&#39; tail</p>' ||
+       |  '<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>' ||
+       |  '<div><a href="/c">contact</a> copyright notice</div></body></html>' AS h
+       |  FROM documents),
+       |scaff AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+       |    '(?s)<!--.*?-->', ' ', 'g'),
+       |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g') AS h2 FROM html),
+       |blk AS (SELECT doc_id,
+       |  string_split_regex(h2, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|body|html)\\b[^>]*>') AS bs
+       |  FROM scaff),
+       |stats AS (SELECT doc_id, list_transform(bs, b -> struct_pack(
+       |    txt := trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(b, '<[^>]+>', ' ', 'g'),
+       |        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+       |      '\\s+', ' ', 'g')),
+       |    lw := COALESCE(len(list_filter(string_split_regex(trim(regexp_replace(
+       |      array_to_string(list_transform(
+       |        regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+       |        a -> regexp_replace(a, '<[^>]+>', ' ', 'g')), ' '),
+       |      '\\s+', ' ', 'g')), ' '), x -> x <> '')), 0)
+       |  )) AS st FROM blk),
+       |st2 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+       |    txt := s.txt,
+       |    nw := len(list_filter(string_split_regex(s.txt, ' '), x -> x <> '')),
+       |    lw := s.lw)) AS st FROM stats),
+       |st3 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+       |    txt := s.txt, nw := s.nw,
+       |    ld := CASE WHEN s.nw = 0 THEN NULL ELSE round(s.lw * 1.0 / s.nw, 6) END,
+       |    sd := CASE WHEN s.nw = 0 THEN NULL ELSE round(
+       |      len(list_filter(string_split_regex(lower(s.txt), ' '),
+       |        t -> list_contains([${graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")}],
+       |             regexp_replace(t, '[^a-z]', '', 'g')))) * 1.0 / s.nw, 6) END)) AS st
+       |  FROM st2),
+       |cls AS (SELECT doc_id, list_transform(st, s -> struct_pack(
+       |    txt := s.txt, nw := s.nw,
+       |    ok := s.nw >= $HtmlMinWords AND COALESCE(s.ld <= $HtmlMaxLink, FALSE)
+       |          AND COALESCE(s.sd >= $HtmlMinStop, FALSE))) AS st FROM st3),
+       |extracted AS (SELECT doc_id,
+       |  CAST(len(list_filter(st, s -> s.nw > 0)) AS BIGINT) AS n_blocks,
+       |  CAST(len(list_filter(st, s -> s.ok)) AS BIGINT) AS n_content,
+       |  COALESCE(array_to_string(list_transform(list_filter(st, s -> s.ok),
+       |                                          s -> s.txt), chr(10)), '') AS content
+       |FROM cls)""".stripMargin
+
+  /** The q142/q149 Gopher-rule CTE chain over relation `src` (expects
+    * doc_id + text): per-doc stats and rule flags, surfaced as
+    * `gflags(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, n_stop, r_*)`. One generator feeds both
+    * oracles, so the rules cannot drift between the raw-text and
+    * post-extraction faces. */
+  private def gopherCtes(src: String): String =
+    s"""gbase AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM $src),
+       |gstats AS (SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE ROUND(list_reduce(list_prepend(0, list_transform(tk, t -> len(t))),
+       |                (a, b) -> a + b)::DOUBLE / len(tk), 6) END AS mean_word_len,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+       |                / len(tk), 6) END AS symbol_ratio,
+       |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+       |      / len(lines), 6) AS bullet_frac,
+       |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE
+       |      / len(lines), 6) AS ellipsis_frac,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+       |                / len(tk), 6) END AS alpha_frac,
+       |    CAST(len(list_distinct(list_intersect(list_transform(tk, t -> lower(t)),
+       |      [${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}])))
+       |      AS BIGINT) AS n_stop
+       |  FROM gbase),
+       |gflags AS (SELECT *,
+       |    (n_words >= $GopherMinWords AND n_words <= 100000) AS r_words,
+       |    COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_meanlen,
+       |    COALESCE(symbol_ratio <= 0.1, FALSE) AS r_symbol,
+       |    bullet_frac <= 0.9 AS r_bullet,
+       |    ellipsis_frac <= 0.3 AS r_ellipsis,
+       |    COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
+       |    n_stop >= 2 AS r_stop
+       |  FROM gstats)""".stripMargin
+
+  /** The q148 oracle: the same merge-chain CTEs, aggregated per language
+    * (fertility = pieces per word, compression = chars per piece). */
+  private lazy val tokenizerEvalOracleSql: String = {
+    val chain = bpeOracleSql
+    val prefix = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS BIGINT)"))
+    s"""${prefix.trim},
+       |dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       |       ROUND(SUM(len(toks))::DOUBLE / COUNT(*)::DOUBLE, 6) AS fertility,
+       |       ROUND(SUM(length(word))::DOUBLE / SUM(len(toks))::DOUBLE, 6)
+       |         AS chars_per_piece
+       |FROM dw JOIN documents USING (doc_id) JOIN w$BpeMerges USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
@@ -1000,100 +1186,37 @@ object TextQueries extends QueryPack {
     // split, per-block tag-strip/entity-decode/densities, rule
     // classification, and the newline-joined content — all in SQL.
     "q144_html_extract" ->
-      s"""WITH html AS (SELECT doc_id,
-         |  '<html><head><title>t</title><style>p{x}</style></head><body>' ||
-         |  '<div><a href="/">home page</a> <a href="/a">about us</a></div>' ||
-         |  '<h1>Doc ' || doc_id || '</h1>' ||
-         |  '<p>' || substr(text, 1, CAST(floor(length(text)/2) AS INT)) || '</p>' ||
-         |  '<ul><li>item one</li><li>item two</li></ul>' ||
-         |  '<p>' || substr(text, CAST(floor(length(text)/2) AS INT) + 1) ||
-         |  ' &amp; more &#39;quoted&#39; tail</p>' ||
-         |  '<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>' ||
-         |  '<div><a href="/c">contact</a> copyright notice</div></body></html>' AS h
-         |  FROM documents),
-         |scaff AS (SELECT doc_id,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
-         |    '(?s)<!--.*?-->', ' ', 'g'),
-         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |    '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g') AS h2 FROM html),
-         |blk AS (SELECT doc_id,
-         |  string_split_regex(h2, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|body|html)\\b[^>]*>') AS bs
-         |  FROM scaff),
-         |stats AS (SELECT doc_id, list_transform(bs, b -> struct_pack(
-         |    txt := trim(regexp_replace(
-         |      replace(replace(replace(replace(replace(replace(
-         |        regexp_replace(b, '<[^>]+>', ' ', 'g'),
-         |        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
-         |      '\\s+', ' ', 'g')),
-         |    lw := COALESCE(len(list_filter(string_split_regex(trim(regexp_replace(
-         |      array_to_string(list_transform(
-         |        regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
-         |        a -> regexp_replace(a, '<[^>]+>', ' ', 'g')), ' '),
-         |      '\\s+', ' ', 'g')), ' '), x -> x <> '')), 0)
-         |  )) AS st FROM blk),
-         |st2 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
-         |    txt := s.txt,
-         |    nw := len(list_filter(string_split_regex(s.txt, ' '), x -> x <> '')),
-         |    lw := s.lw)) AS st FROM stats),
-         |st3 AS (SELECT doc_id, list_transform(st, s -> struct_pack(
-         |    txt := s.txt, nw := s.nw,
-         |    ld := CASE WHEN s.nw = 0 THEN NULL ELSE round(s.lw * 1.0 / s.nw, 6) END,
-         |    sd := CASE WHEN s.nw = 0 THEN NULL ELSE round(
-         |      len(list_filter(string_split_regex(lower(s.txt), ' '),
-         |        t -> list_contains([${graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")}],
-         |             regexp_replace(t, '[^a-z]', '', 'g')))) * 1.0 / s.nw, 6) END)) AS st
-         |  FROM st2),
-         |cls AS (SELECT doc_id, list_transform(st, s -> struct_pack(
-         |    txt := s.txt, nw := s.nw,
-         |    ok := s.nw >= $HtmlMinWords AND COALESCE(s.ld <= $HtmlMaxLink, FALSE)
-         |          AND COALESCE(s.sd >= $HtmlMinStop, FALSE))) AS st FROM st3)
-         |SELECT doc_id,
-         |  CAST(len(list_filter(st, s -> s.nw > 0)) AS BIGINT) AS n_blocks,
-         |  CAST(len(list_filter(st, s -> s.ok)) AS BIGINT) AS n_content,
-         |  COALESCE(array_to_string(list_transform(list_filter(st, s -> s.ok),
-         |                                          s -> s.txt), chr(10)), '') AS content
-         |FROM cls ORDER BY doc_id""".stripMargin,
+      s"""WITH $htmlCtes
+         |SELECT doc_id, n_blocks, n_content, content
+         |FROM extracted ORDER BY doc_id""".stripMargin,
 
     "q142_gopher_rules" ->
-      s"""WITH base AS (SELECT doc_id, text,
-         |    CASE WHEN length(trim(text)) = 0 THEN []
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
-         |    string_split(text, chr(10)) AS lines
-         |  FROM documents),
-         |stats AS (SELECT doc_id,
-         |    CAST(len(tk) AS BIGINT) AS n_words,
-         |    CASE WHEN len(tk) = 0 THEN NULL
-         |         ELSE ROUND(list_reduce(list_prepend(0, list_transform(tk, t -> len(t))),
-         |                (a, b) -> a + b)::DOUBLE / len(tk), 6) END AS mean_word_len,
-         |    CASE WHEN len(tk) = 0 THEN NULL
-         |         ELSE ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
-         |                / len(tk), 6) END AS symbol_ratio,
-         |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
-         |      / len(lines), 6) AS bullet_frac,
-         |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE
-         |      / len(lines), 6) AS ellipsis_frac,
-         |    CASE WHEN len(tk) = 0 THEN NULL
-         |         ELSE ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
-         |                / len(tk), 6) END AS alpha_frac,
-         |    CAST(len(list_distinct(list_intersect(list_transform(tk, t -> lower(t)),
-         |      [${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}])))
-         |      AS BIGINT) AS n_stop
-         |  FROM base),
-         |flags AS (SELECT *,
-         |    (n_words >= $GopherMinWords AND n_words <= 100000) AS r_words,
-         |    COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_meanlen,
-         |    COALESCE(symbol_ratio <= 0.1, FALSE) AS r_symbol,
-         |    bullet_frac <= 0.9 AS r_bullet,
-         |    ellipsis_frac <= 0.3 AS r_ellipsis,
-         |    COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
-         |    n_stop >= 2 AS r_stop
-         |  FROM stats)
+      s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
          |  r_words, r_meanlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
          |  (r_words AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
          |   AND r_alpha AND r_stop) AS pass
-         |FROM flags ORDER BY doc_id""".stripMargin,
+         |FROM gflags ORDER BY doc_id""".stripMargin,
+
+    "q149_pipeline_funnel" ->
+      s"""WITH $htmlCtes,
+         |fsrc AS (SELECT doc_id, n_content, content AS text FROM extracted),
+         |${gopherCtes("fsrc")},
+         |gp AS (SELECT doc_id,
+         |         (r_words AND r_meanlen AND r_symbol AND r_bullet
+         |          AND r_ellipsis AND r_alpha AND r_stop) AS gopher_pass
+         |       FROM gflags),
+         |dg AS (SELECT doc_id,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+         |       FROM fsrc),
+         |keep AS (SELECT digest, MIN(doc_id) AS keep_id FROM dg GROUP BY 1)
+         |SELECT f.doc_id, f.n_content, gp.gopher_pass,
+         |  (f.doc_id = keep.keep_id) AS is_canonical,
+         |  (f.n_content > 0 AND gp.gopher_pass AND f.doc_id = keep.keep_id)
+         |    AS selected
+         |FROM fsrc f
+         |JOIN gp USING (doc_id) JOIN dg USING (doc_id) JOIN keep USING (digest)
+         |ORDER BY f.doc_id""".stripMargin,
 
     "q132_source_kl" ->
       s"""WITH tks AS (SELECT source,
@@ -1140,6 +1263,8 @@ object TextQueries extends QueryPack {
          |ORDER BY key DESC, doc_id LIMIT $DsirSampleN""".stripMargin,
 
     "q126_bpe_encode" -> bpeEncodeOracleSql,
+
+    "q148_tokenizer_eval" -> tokenizerEvalOracleSql,
 
     "q146_pack_token_ids" -> packIdsOracleSql,
 
@@ -1201,6 +1326,37 @@ object TextQueries extends QueryPack {
          |         AS nll
          |FROM tok JOIN v USING (tok) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q147_ccnet_tiers" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM toks),
+         |v AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM tok GROUP BY 1, 2),
+         |t AS (SELECT lang, SUM(cnt)::DOUBLE AS n_total FROM v GROUP BY 1),
+         |sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
+         |         AS nll
+         |       FROM tok JOIN v USING (lang, tok) JOIN t USING (lang)
+         |       GROUP BY 1, 2),
+         |samp AS (SELECT * FROM sc
+         |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |               % $CcnetSampleMod = 0),
+         |vals AS (SELECT lang, nll, CAST(COUNT(*) AS BIGINT) AS nv
+         |         FROM samp GROUP BY 1, 2),
+         |cum AS (SELECT lang, nll,
+         |        SUM(nv) OVER (PARTITION BY lang ORDER BY nll) AS cum
+         |        FROM vals),
+         |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS m_docs
+         |      FROM samp GROUP BY 1),
+         |cuts AS (SELECT lang,
+         |         MIN(CASE WHEN cum * 3 >= m_docs THEN nll END) AS cut1,
+         |         MIN(CASE WHEN cum * 3 >= m_docs * 2 THEN nll END) AS cut2
+         |         FROM cum JOIN m USING (lang) GROUP BY 1)
+         |SELECT doc_id, lang, n_tokens, nll,
+         |  CASE WHEN nll <= cut1 THEN 'head'
+         |       WHEN nll <= cut2 THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |FROM sc JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
 
     "q119_source_mix" ->
       """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
