@@ -617,8 +617,12 @@ object TextQueries extends QueryPack {
           .getField("pass").as("gopher_pass"))
       val dg = g.withColumn("digest",
         md5(graft.functions.TextFunctions.canonicalText(col("content"))))
-      val keep = dg.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
-      dg.join(keep, Seq("digest"))
+      // keep-first via a digest-partitioned window (bounded groups =
+      // duplicate clusters), NOT groupBy + self-join: the join form
+      // evaluates the extraction+rules subtree twice — one window pass
+      // keeps the expensive upstream single-evaluation
+      val keep = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+      dg.withColumn("keep_id", min(col("doc_id")).over(keep))
         .select(col("doc_id"), col("n_content"), col("gopher_pass"),
           (col("doc_id") === col("keep_id")).as("is_canonical"),
           (col("n_content") > 0 && col("gopher_pass") &&
