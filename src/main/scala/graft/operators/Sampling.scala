@@ -239,6 +239,41 @@ object Sampling {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Tier-weighted token allocation — the sampling plan CCNet's tiering
+    * exists to feed (Wenzek et al. 2020 keep the head, sample the
+    * middle, downsample the tail): given per-doc (lang, tier, n_tokens)
+    * rows (the `LanguageModel.perplexityTiers` shape), allocate a global
+    * token budget across (lang, tier) cells proportionally to
+    * tierWeight · cellTokens, and report the implied epochs per cell
+    * (epochs > 1 = upsample, < 1 = subsample). One grouped aggregate +
+    * one broadcast scalar — driver-sized output (|langs|·3 rows) at any
+    * corpus scale; arithmetic order mirrors the oracle exactly (the q119
+    * closed-form-mixing pattern). Output: (lang, tier, n_docs, n_tokens,
+    * share, quota_tokens, epochs). */
+  def tierQuotas(tiers: DataFrame, budgetTokens: Long,
+                 wHead: Double = 0.6, wMiddle: Double = 0.3,
+                 wTail: Double = 0.1,
+                 langCol: String = "lang", tierCol: String = "tier",
+                 tokensCol: String = "n_tokens"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(Seq(wHead, wMiddle, wTail).forall(_ > 0),
+      "tier weights must be positive")
+    val w = when(col(tierCol) === "head", lit(wHead))
+      .when(col(tierCol) === "middle", lit(wMiddle))
+      .otherwise(lit(wTail))
+    val g = tiers.groupBy(col(langCol), col(tierCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("wt", w * col("n_tokens").cast("double"))
+    val tot = g.agg(sum(col("wt")).as("wtot"))
+    g.crossJoin(broadcast(tot))
+      .select(col(langCol), col(tierCol), col("n_docs"), col("n_tokens"),
+        round(col("wt") / col("wtot"), 6).as("share"),
+        floor(lit(budgetTokens.toDouble) * col("wt") / col("wtot"))
+          .cast("long").as("quota_tokens"),
+        round(lit(budgetTokens.toDouble) * col("wt") / col("wtot")
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   def mixEpochs(df: DataFrame, idCol: String, strataCol: String,
                 weights: Map[String, Double], defaultWeight: Double): DataFrame = {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),

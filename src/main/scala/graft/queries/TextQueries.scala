@@ -476,6 +476,50 @@ object TextQueries extends QueryPack {
           Tables.read(s, dir, "documents"), sampleMod = CcnetSampleMod)
         .orderBy(col("doc_id"))),
 
+    // EXT-T44: tier-weighted token allocation — the sampling plan the
+    // CCNet tiering feeds (keep the head, sample the middle, downsample
+    // the tail): a global token budget splits across (lang, tier) cells
+    // proportional to tierWeight·cellTokens, with implied per-cell
+    // epochs. One grouped aggregate + one broadcast scalar; output is
+    // |langs|·3 rows at any corpus scale.
+    "q150_tier_quota" -> ((s, dir) =>
+      graft.operators.Sampling.tierQuotas(
+          graft.operators.LanguageModel.perplexityTiers(
+            Tables.read(s, dir, "documents"), sampleMod = CcnetSampleMod),
+          TierBudget)
+        .orderBy(col("lang"), col("tier"))),
+
+    // EXT-T45: URL canonicalization — the step BEFORE fetch in a crawl
+    // pipeline (frontier entries that canonicalize equal are one fetch,
+    // one document, one dedup key). The corpus has no URL column, so
+    // URLs are planted IN THE QUERY (the q63/q144 pattern) to exercise
+    // every rule: scheme/host case, www + default-port strip, duplicate
+    // + trailing slashes, tracking-parameter removal (parameter-exact:
+    // pref= survives the ref= rule), parameter sorting, fragment drop.
+    // One map-only pure-Column projection.
+    "q151_url_canonical" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(lit("")),
+        lit("Site"), (id % 4).cast("string"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").otherwise(lit(":443")),
+        lit("/Dir"), (id % 5).cast("string"),
+        when(id % 3 === 1, "//Sub/").otherwise(lit("")),
+        when(id % 4 === 0,
+            concat(lit("?utm_source=feed&id="), (id % 7).cast("string"),
+              lit("&utm_campaign=x")))
+          .when(id % 4 === 1, concat(lit("?b=2&a=1&gclid=g"), id.cast("string")))
+          .when(id % 4 === 2, lit("?pref=keep&ref=drop"))
+          .otherwise(lit("")),
+        when(id % 5 === 0, "#frag").otherwise(lit("")))
+      Tables.read(s, dir, "documents")
+        .select(id, url.as("url"),
+          graft.functions.UrlFunctions.urlHost(url).as("host"),
+          graft.functions.UrlFunctions.canonicalUrl(url).as("canonical"))
+        .orderBy(id)
+    }),
+
     // EXT-T30: DSIR targeted selection — importance weights from hashed
     // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
     // the pool); the classifier-free "more like my seed corpus" ranking
@@ -667,6 +711,7 @@ object TextQueries extends QueryPack {
   private val HtmlMinWords = 5 // q144 content-block word floor
   private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
   private val CcnetSampleMod = 4L // q147 cutoff-sample rate (1 in 4)
+  private val TierBudget = 1000000L // q150 token budget
   private val PackSeqLen = 256 // q146 training-sequence length
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
@@ -824,6 +869,40 @@ object TextQueries extends QueryPack {
        |FROM dw JOIN w$BpeMerges USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** The q147/q150 CCNet CTE chain: per-language unigram models, per-doc
+    * scoring, sampled tercile cutoffs, and the tier CASE, surfaced as
+    * `tiers(doc_id, lang, n_tokens, nll, tier)`. */
+  private lazy val ccnetCtes: String =
+    s"""$ToksCte,
+       |tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM toks),
+       |v AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM tok GROUP BY 1, 2),
+       |t AS (SELECT lang, SUM(cnt)::DOUBLE AS n_total FROM v GROUP BY 1),
+       |sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
+       |         AS nll
+       |       FROM tok JOIN v USING (lang, tok) JOIN t USING (lang)
+       |       GROUP BY 1, 2),
+       |samp AS (SELECT * FROM sc
+       |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |               % $CcnetSampleMod = 0),
+       |vals AS (SELECT lang, nll, CAST(COUNT(*) AS BIGINT) AS nv
+       |         FROM samp GROUP BY 1, 2),
+       |cum AS (SELECT lang, nll,
+       |        SUM(nv) OVER (PARTITION BY lang ORDER BY nll) AS cum
+       |        FROM vals),
+       |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS m_docs
+       |      FROM samp GROUP BY 1),
+       |cuts AS (SELECT lang,
+       |         MIN(CASE WHEN cum * 3 >= m_docs THEN nll END) AS cut1,
+       |         MIN(CASE WHEN cum * 3 >= m_docs * 2 THEN nll END) AS cut2
+       |         FROM cum JOIN m USING (lang) GROUP BY 1),
+       |tiers AS (SELECT doc_id, lang, n_tokens, nll,
+       |  CASE WHEN nll <= cut1 THEN 'head'
+       |       WHEN nll <= cut2 THEN 'middle'
+       |       ELSE 'tail' END AS tier
+       |FROM sc JOIN cuts USING (lang))""".stripMargin
 
   /** The q144/q149 HTML-extraction CTE chain: derive the identical
     * wrapped page, strip scaffold, split blocks, classify, and surface
@@ -1332,35 +1411,70 @@ object TextQueries extends QueryPack {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q147_ccnet_tiers" ->
-      s"""WITH $ToksCte,
-         |tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM toks),
-         |v AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-         |      FROM tok GROUP BY 1, 2),
-         |t AS (SELECT lang, SUM(cnt)::DOUBLE AS n_total FROM v GROUP BY 1),
-         |sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |       ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
-         |         AS nll
-         |       FROM tok JOIN v USING (lang, tok) JOIN t USING (lang)
-         |       GROUP BY 1, 2),
-         |samp AS (SELECT * FROM sc
-         |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-         |               % $CcnetSampleMod = 0),
-         |vals AS (SELECT lang, nll, CAST(COUNT(*) AS BIGINT) AS nv
-         |         FROM samp GROUP BY 1, 2),
-         |cum AS (SELECT lang, nll,
-         |        SUM(nv) OVER (PARTITION BY lang ORDER BY nll) AS cum
-         |        FROM vals),
-         |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS m_docs
-         |      FROM samp GROUP BY 1),
-         |cuts AS (SELECT lang,
-         |         MIN(CASE WHEN cum * 3 >= m_docs THEN nll END) AS cut1,
-         |         MIN(CASE WHEN cum * 3 >= m_docs * 2 THEN nll END) AS cut2
-         |         FROM cum JOIN m USING (lang) GROUP BY 1)
-         |SELECT doc_id, lang, n_tokens, nll,
-         |  CASE WHEN nll <= cut1 THEN 'head'
-         |       WHEN nll <= cut2 THEN 'middle'
-         |       ELSE 'tail' END AS tier
-         |FROM sc JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
+      s"""WITH $ccnetCtes
+         |SELECT doc_id, lang, n_tokens, nll, tier
+         |FROM tiers ORDER BY doc_id""".stripMargin,
+
+    "q150_tier_quota" ->
+      s"""WITH $ccnetCtes,
+         |g AS (SELECT lang, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |        (CASE WHEN tier = 'head' THEN 0.6
+         |              WHEN tier = 'middle' THEN 0.3
+         |              ELSE 0.1 END) * SUM(n_tokens)::DOUBLE AS wt
+         |      FROM tiers GROUP BY 1, 2),
+         |wt0 AS (SELECT SUM(wt) AS wtot FROM g)
+         |SELECT lang, tier, n_docs, n_tokens,
+         |  ROUND(wt / wtot, 6) AS share,
+         |  CAST(FLOOR($TierBudget.0 * wt / wtot) AS BIGINT) AS quota_tokens,
+         |  ROUND($TierBudget.0 * wt / wtot / n_tokens::DOUBLE, 6) AS epochs
+         |FROM g CROSS JOIN wt0 ORDER BY lang, tier""".stripMargin,
+
+    "q151_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Site' || (doc_id % 4) || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+        |  '/Dir' || (doc_id % 5) ||
+        |  (CASE WHEN doc_id % 3 = 1 THEN '//Sub/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |        THEN '?utm_source=feed&id=' || (doc_id % 7) || '&utm_campaign=x'
+        |        WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=g' || doc_id
+        |        WHEN doc_id % 4 = 2 THEN '?pref=keep&ref=drop'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |h AS (SELECT *,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+        |       ELSE h0 END AS host
+        |  FROM (SELECT *,
+        |    regexp_replace(lower(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS h0
+        |    FROM p)),
+        |r AS (SELECT *, regexp_extract(nofrag,
+        |        '^(?:[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)?(.*)$', 1) AS rest
+        |      FROM h),
+        |pq AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |       regexp_extract(rest, '\?(.*)$', 1) AS qstr FROM r),
+        |n AS (SELECT *,
+        |  CASE WHEN rtrim(regexp_replace(path, '/{2,}', '/', 'g'), '/') = ''
+        |       THEN '/'
+        |       ELSE rtrim(regexp_replace(path, '/{2,}', '/', 'g'), '/') END AS pathn,
+        |  list_sort(list_filter(string_split(qstr, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x,
+        |      '(?i)^(utm_[a-z0-9]+|fbclid|gclid|ref)='))) AS kept
+        |  FROM pq)
+        |SELECT doc_id, url, host,
+        |  (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' || host END)
+        |  || pathn ||
+        |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |        ELSE '' END) AS canonical
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q119_source_mix" ->
       """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -146,6 +146,26 @@ class PipelineExtrasSpec extends SparkSpec {
       .count() shouldBe 1L
   }
 
+  test("tierQuotas allocates budget by tierWeight x cellTokens with implied epochs") {
+    // en/head 100 tokens, en/tail 100, fr/middle 100:
+    // wt = 60, 10, 30 → wtot = 100; budget 1000 → quotas 600/100/300,
+    // epochs 6/1/3, shares 0.6/0.1/0.3.
+    val tiers = Seq(
+      (1L, "en", 40L, "head"), (2L, "en", 60L, "head"),
+      (3L, "en", 100L, "tail"), (4L, "fr", 100L, "middle"))
+      .toDF("doc_id", "lang", "n_tokens", "tier")
+    val got = Sampling.tierQuotas(tiers, 1000L)
+      .orderBy("lang", "tier")
+      .select("lang", "tier", "n_docs", "n_tokens", "share", "quota_tokens",
+        "epochs")
+      .as[(String, String, Long, Long, Double, Long, Double)].collect()
+    got(0) shouldBe (("en", "head", 2L, 100L, 0.6, 600L, 6.0))
+    got(1) shouldBe (("en", "tail", 1L, 100L, 0.1, 100L, 1.0))
+    got(2) shouldBe (("fr", "middle", 1L, 100L, 0.3, 300L, 3.0))
+    // quotas sum to ≤ budget by construction (floor)
+    got.map(_._6).sum should be <= 1000L
+  }
+
   test("Snapshots.diff classifies added/removed/changed/unchanged") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val cur = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
