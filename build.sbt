@@ -23,8 +23,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Reaper-proof scratch: the host reaps /tmp mid-run (round-8 driver bench
+// died 150/151 on FileNotFoundException:/tmp), so every forked JVM gets its
+// temp root + Spark local dir pinned inside the repo. Created at sbt load;
+// graft.core.Scratch re-creates it at runtime if a clean removed it.
+val graftScratch = settingKey[File]("repo-local scratch root for forked JVMs")
+graftScratch := {
+  val d = baseDirectory.value / "target" / "scratch" / "tmp"
+  sbt.IO.createDirectory(d)
+  d
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=${graftScratch.value.getAbsolutePath}",
+  s"-Dspark.local.dir=${graftScratch.value.getAbsolutePath}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -9,6 +9,7 @@ import scala.collection.mutable
   * never silently timed as a success. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    graft.core.Scratch.pinTmpdir() // before any Spark class touches the JVM temp root
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -22,6 +23,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,6 +86,7 @@ object Bench {
     println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","sf":"$sfDir","query_count":${names.size},"error_count":${errors.size},"top10_medians":$top10}""")
     graft.core.Caches.clearAll(spark)
     spark.stop()
+    graft.core.Scratch.cleanup()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

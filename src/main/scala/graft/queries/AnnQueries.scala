@@ -132,7 +132,7 @@ object AnnQueries extends QueryPack {
     // versioned on-disk layout (`AnnStore.writeIvfPq`/`ivfPqTopK`) — the
     // full build → persist → serve round trip under one oracle.
     "q104_ann_ivf_pq" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val out = graft.core.Scratch.dir("graft_ivfpq")
       graft.store.AnnStore.writeIvfPq(embs(s, dir), PqM, Dim, PqCodeMod, CentroidMod, out,
         sampleFilter = col("vec_id") < QueryCap)
       graft.store.AnnStore.ivfPqTopK(s, out, querySet(s, dir), NProbe, K)
@@ -179,7 +179,7 @@ object AnnQueries extends QueryPack {
     // build → persist → serve round trip under one oracle — the q104
     // treatment for the residual form.
     "q107_ann_pq_res_store" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfpqres").toString
+      val out = graft.core.Scratch.dir("graft_ivfpqres")
       graft.store.AnnStore.writeIvfPqResidual(embs(s, dir), PqM, Dim, PqCodeMod,
         CentroidMod, out, sampleFilter = col("vec_id") < QueryCap)
       graft.store.AnnStore.ivfPqResidualTopK(s, out, querySet(s, dir), NProbe, K)
@@ -232,7 +232,7 @@ object AnnQueries extends QueryPack {
     // buckets or assignments). Must hash-match q26/q34 computed fresh —
     // the ANN analogue of q46.
     "q55_ann_store_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      val out = graft.core.Scratch.dir("graft_ann")
       val e = embs(s, dir)
       graft.store.AnnStore.writeSrp(e, planes, out)
       graft.store.AnnStore.writeIvf(e, SimilaritySearch.ivfCentroids(e, CentroidMod), out)
@@ -254,7 +254,7 @@ object AnnQueries extends QueryPack {
     // q57: an ingest batch costs one pass over the delta, never a
     // corpus rebuild.
     "q75_ann_store_refresh" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_annref").toString
+      val out = graft.core.Scratch.dir("graft_annref")
       val e = embs(s, dir)
       val base = e.where(col("vec_id") % 5 =!= 3)
       val delta = e.where(col("vec_id") % 5 === 3)

@@ -136,7 +136,7 @@ object DedupQueries extends QueryPack {
     // signatures, band joins, and the keep-first rule over the same
     // partition.
     "q103_dedup_delta" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_dedup_store").toString
+      val out = graft.core.Scratch.dir("graft_dedup_store")
       val d = docs(s, dir)
       graft.store.DedupStore.write(
         d.where(col("doc_id") % 4 =!= 1), ShingleN, NumPerms, out)
@@ -196,7 +196,7 @@ object DedupQueries extends QueryPack {
     // reassemble exactly as q138. Base text is never rescanned
     // (plan-guarded in ExactSubstrStoreSpec).
     "q143_substr_delta" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_substr_store").toString
+      val out = graft.core.Scratch.dir("graft_substr_store")
       val d = docs(s, dir)
       graft.store.ExactSubstrStore.write(
         d.where(col("doc_id") % 4 =!= 1), ExactSubstrL, out)

@@ -266,7 +266,7 @@ object ParityQueries extends QueryPack {
     // table — the oracle recomputes the all-items store pipeline, so this
     // round-trips the actual persisted bytes, not just the plan.
     "q46_store_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_store").toString
+      val out = graft.core.Scratch.dir("graft_store")
       graft.api.SimilarityModel.fromCrosstab(ct(s, dir))
         .storeAllIn(out, Tables.dictionary(s, dir))
       graft.store.SimilarityStore.readSimilarItems(s, out)
@@ -333,7 +333,7 @@ object ParityQueries extends QueryPack {
     // 50 = 0) because .npy is a bounded driver-side interchange format,
     // never a scale path — the guard enforces exactly that.
     "q102_npy_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_npy_rt").toString
+      val out = graft.core.Scratch.dir("graft_npy_rt")
       val pairs = Correlation.sparsePairs(ct(s, dir))
         .where(col("item_a") % SampleMod === 0 && col("item_b") % SampleMod === 0)
       val ids = graft.sources.Sources.saveNpyMatrix(pairs, s"$out/sim.npy")
@@ -348,7 +348,7 @@ object ParityQueries extends QueryPack {
     // back to the identical binary64), so the oracle is the correlation
     // itself.
     "q35_matrix_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      val out = graft.core.Scratch.dir("graft_rt")
       val pairs = Correlation.sparsePairs(ct(s, dir))
         .select(col("item_a"), col("item_b"), round(col("corr"), 6).as("corr"))
       graft.sources.Sources.saveCsv(pairs, out)

@@ -17,7 +17,7 @@ object ScaleQueries extends QueryPack {
     // it back. Columnar handover from Hive-era warehouses; the oracle is
     // the original table, so the round-trip must be byte-exact.
     "q68_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val out = graft.core.Scratch.dir("graft_orc")
       val d = Tables.read(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"),
@@ -200,7 +200,7 @@ object ScaleQueries extends QueryPack {
     // PlanShapeSpec) so a 100 TB corpus scan touches only the requested
     // language's files.
     "q89_partitioned_scan" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val out = graft.core.Scratch.dir("graft_part")
       Tables.read(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)

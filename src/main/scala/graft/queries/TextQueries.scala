@@ -94,7 +94,7 @@ object TextQueries extends QueryPack {
     // JSON, read it back with an explicit schema. JSON string escaping
     // makes the round-trip exact, so the oracle is the original table.
     "q45_jsonl_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val out = graft.core.Scratch.dir("graft_jsonl")
       val d = Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       graft.sources.Sources.saveJsonl(d, out)

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Dev probe for the q57 cost decomposition (not part of the engine). */
 object Q57Probe {
   def main(args: Array[String]): Unit = {
+    graft.core.Scratch.pinTmpdir()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

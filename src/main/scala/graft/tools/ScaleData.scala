@@ -36,10 +36,12 @@ object ScaleData {
     require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <copies>")
     val Array(src, out, kStr) = args
     val copies = kStr.toInt
+    graft.core.Scratch.pinTmpdir()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,8 +10,10 @@ import org.scalatest.matchers.should.Matchers
   * session concern, not an engine concern. */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    graft.core.Scratch.pinTmpdir()
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

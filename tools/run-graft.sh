@@ -13,7 +13,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Reaper-proof scratch (mirrors build.sbt): /tmp gets reaped mid-run on this
+# host; pin the JVM temp root + Spark local dir inside the repo.
+SCRATCH="${SPARK_GRAFT_SCRATCH:-/root/repo/target/scratch}/tmp"
+mkdir -p "$SCRATCH"
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Djava.io.tmpdir="$SCRATCH" -Dspark.local.dir="$SCRATCH" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
