@@ -86,10 +86,25 @@ object Chunking {
     * offsets stay exact at any corpus size. */
   def packIdSequences(docIds: DataFrame, seqLen: Int, strataCol: String,
                       idCol: String = "doc_id",
-                      idsCol: String = "ids"): DataFrame = {
+                      idsCol: String = "ids"): DataFrame =
+    packIdSequences(docIds, seqLen, Seq(strataCol), idCol, idsCol)
+
+  /** Multi-column stratum variant: the packing stream is the CONCATENATION
+    * axis, and its width bounds parallelism — a single `lang` stratum
+    * carries its language's entire token stream through one window
+    * partition at any corpus size. Real pipelines pack per (lang, shard)
+    * with content-stable shard ids (`Sampling.shardAssignment`'s
+    * hash-mod), so each running sum sees corpus/|strata| tokens and the
+    * shard count is the scale knob. Determinism is unchanged: within a
+    * stratum the order is `idCol`, and a document's (stratum, pack,
+    * offset) depends only on ids and the shard function. */
+  def packIdSequences(docIds: DataFrame, seqLen: Int, strataCols: Seq[String],
+                      idCol: String, idsCol: String): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    require(strataCols.nonEmpty, "need at least one stratum column")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val strata = strataCols.map(col)
+    val w = Window.partitionBy(strata: _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val sized = docIds
       .withColumn("n", size(col(idsCol)).cast("long"))
@@ -100,10 +115,10 @@ object Chunking {
         expr(s"cb div $seqLen"), expr(s"(cb + n - 1) div $seqLen"))))
       .withColumn("lo", greatest(col("pack_id") * seqLen, col("cb")))
       .withColumn("hi", least((col("pack_id") + 1) * seqLen, col("cb") + col("n")))
-      .select(col(strataCol), col("pack_id"), col("cb"),
+      .select(strata :+ col("pack_id") :+ col("cb") :+
         slice(col(idsCol), (col("lo") - col("cb") + 1).cast("int"),
-          (col("hi") - col("lo")).cast("int")).as("piece"))
-    spans.groupBy(col(strataCol), col("pack_id"))
+          (col("hi") - col("lo")).cast("int")).as("piece"): _*)
+    spans.groupBy(strata :+ col("pack_id"): _*)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("cb"), col("piece")))),
         s => s.getField("piece"))).as("seq"))

@@ -428,9 +428,13 @@ object TextQueries extends QueryPack {
     // length accounting and q72's count-only packing: per-document
     // token-ID sequences under the q116-trained merges (dense
     // lexicographic piece ids, two-phase rank — no global window),
-    // concatenated per language in doc order and sliced every 256 ids;
-    // straddling documents SPLIT at the boundary. Output: one row per
-    // (lang, pack_id) with the actual packed id content.
+    // concatenated per (lang, shard) stratum in doc order and sliced
+    // every 256 ids; straddling documents SPLIT at the boundary. The
+    // shard axis is q79's content-stable hash-mod — `lang` alone leaves
+    // ~|langs| window partitions each carrying its language's whole
+    // token stream at 100×; lang×shard makes shard count the scale
+    // knob. Output: one row per (lang, shard, pack_id) with the actual
+    // packed id content.
     "q146_pack_token_ids" -> ((s, dir) => {
       val d = Tables.read(s, dir, "documents")
       val ms = graft.operators.Bpe.trainMerges(s, d, BpeMerges,
@@ -440,11 +444,15 @@ object TextQueries extends QueryPack {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val ids = graft.operators.Bpe.encodedIds(d, ms, maxWordLen = BpeMaxWordLen)
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      graft.operators.Chunking.packIdSequences(ids, PackSeqLen, "lang")
-        .select(col("lang"), col("pack_id"),
+        .withColumn("shard", pmod(
+          graft.functions.TextFunctions.hash60(col("doc_id").cast("string")),
+          lit(PackShards.toLong)))
+      graft.operators.Chunking.packIdSequences(
+          ids, PackSeqLen, Seq("lang", "shard"), "doc_id", "ids")
+        .select(col("lang"), col("shard"), col("pack_id"),
           size(col("seq")).cast("long").as("n_tokens"),
           concat_ws(" ", transform(col("seq"), x => x.cast("string"))).as("ids"))
-        .orderBy(col("lang"), col("pack_id"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
     }),
 
     // EXT-T42: tokenizer evaluation — per-language fertility (pieces per
@@ -713,6 +721,7 @@ object TextQueries extends QueryPack {
   private val CcnetSampleMod = 4L // q147 cutoff-sample rate (1 in 4)
   private val TierBudget = 1000000L // q150 token budget
   private val PackSeqLen = 256 // q146 training-sequence length
+  private val PackShards = 4 // q146 packing shards per language (scale knob)
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -1050,23 +1059,26 @@ object TextQueries extends QueryPack {
        |  WHERE p.w <> '' AND length(p.w) BETWEEN 1 AND $BpeMaxWordLen),
        |dseq AS (SELECT doc_id, flatten(list(wids ORDER BY wp)) AS ids
        |         FROM dw JOIN wids USING (word) GROUP BY doc_id),
-       |dl AS (SELECT d.doc_id, doc.lang, d.ids, CAST(len(d.ids) AS BIGINT) AS n
+       |dl AS (SELECT d.doc_id, doc.lang,
+       |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |              % $PackShards AS BIGINT) AS shard,
+       |         d.ids, CAST(len(d.ids) AS BIGINT) AS n
        |       FROM dseq d JOIN documents doc USING (doc_id) WHERE len(d.ids) > 0),
-       |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
        |        FROM dl),
-       |spans AS (SELECT lang, cb, n, ids,
+       |spans AS (SELECT lang, shard, cb, n, ids,
        |            unnest(range(cb // $S, (cb + n - 1) // $S + 1)) AS pack_id FROM cum),
-       |sl AS (SELECT lang, pack_id, cb,
+       |sl AS (SELECT lang, shard, pack_id, cb,
        |         list_slice(ids, (greatest(pack_id * $S, cb) - cb + 1)::INT,
        |                    (least((pack_id + 1) * $S, cb + n) - cb)::INT) AS piece
        |       FROM spans),
-       |packs AS (SELECT lang, pack_id, flatten(list(piece ORDER BY cb)) AS seq
-       |          FROM sl GROUP BY 1, 2)
-       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       |packs AS (SELECT lang, shard, pack_id, flatten(list(piece ORDER BY cb)) AS seq
+       |          FROM sl GROUP BY 1, 2, 3)
+       |SELECT lang, shard, CAST(pack_id AS BIGINT) AS pack_id,
        |       CAST(len(seq) AS BIGINT) AS n_tokens,
        |       array_to_string(list_transform(seq, x -> x::VARCHAR), ' ') AS ids
-       |FROM packs ORDER BY lang, pack_id""".stripMargin
+       |FROM packs ORDER BY lang, shard, pack_id""".stripMargin
   }
 
   /** Unigram-LM oracle scaffolding (q139/q140): the seed CTEs, one

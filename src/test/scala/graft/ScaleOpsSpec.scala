@@ -101,6 +101,42 @@ class ScaleOpsSpec extends SparkSpec {
     got.filter(_._1 == "en").flatMap(_._3).toSeq shouldBe (1L to 8L)
   }
 
+  test("packIdSequences lang×shard strata: window partitions on both axes, shards split the stream") {
+    import graft.functions.TextFunctions.hash60
+    val docs = (1L to 40L).map(i => (if (i % 2 == 0) "en" else "de", i,
+      Seq(i * 10, i * 10 + 1))).toDF("lang", "doc_id", "ids")
+    val sharded = docs.withColumn("shard",
+      pmod(hash60(col("doc_id").cast("string")), lit(4L)))
+    val packed = Chunking.packIdSequences(
+      sharded.orderBy(rand(5)), 4, Seq("lang", "shard"), "doc_id", "ids")
+    // The stratum axis must reach the physical window: a plan that
+    // partitions on lang alone funnels a language's whole token stream
+    // through one partition at 100×.
+    val plan = packed.queryExecution.executedPlan.toString
+    val winLine = plan.linesIterator.find(_.contains("Window")).get
+    winLine should include("lang")
+    winLine should include("shard")
+    val rows = packed
+      .select(col("lang"), col("shard"), col("pack_id"), col("seq"))
+      .as[(String, Long, Long, Seq[Long])].collect()
+    // sharding actually splits: each language spreads over >1 shard stratum
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._2).distinct.size should be > 1
+    }
+    // per-stratum correctness: packs concatenated in pack order reproduce
+    // the stratum's id stream in doc order (conservation under sharding)
+    val byStratum = rows.groupBy(r => (r._1, r._2))
+    val docRows = sharded.select(col("lang"), col("shard"), col("doc_id"), col("ids"))
+      .as[(String, Long, Long, Seq[Long])].collect()
+    docRows.groupBy(r => (r._1, r._2)).foreach { case (k, ds) =>
+      val expected = ds.sortBy(_._3).flatMap(_._4).toSeq
+      val gotStream = byStratum(k).sortBy(_._3).flatMap(_._4).toSeq
+      gotStream shouldBe expected
+      // every pack but the stratum's last is exactly seqLen long
+      byStratum(k).sortBy(_._3).dropRight(1).foreach(_._4.size shouldBe 4)
+    }
+  }
+
   test("intervalJoin equals the naive theta join on random data") {
     val rnd = new scala.util.Random(11)
     val ranges = (1L to 60L).map { i =>
