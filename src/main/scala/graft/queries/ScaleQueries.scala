@@ -27,6 +27,31 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // EXT-J4: WARC round-trip — the crawl-corpus front door. Stage every
+    // document as a WARC response record (payload deliberately embeds a
+    // fake `WARC/1.0` header + CRLFs, so Content-Length framing — not
+    // magic-scanning — is what the oracle certifies), write with the
+    // distributed per-partition sink, re-read via the binaryFile-backed
+    // record parser. The oracle recomputes url/ts/type/length/md5
+    // directly from `documents`: any framing slip shifts payload bytes
+    // and breaks the md5 row-for-row.
+    "q152_warc_roundtrip" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val crlf = lit("\r\n")
+      val staged = d.select(
+        concat(lit("http://crawl.test/doc/"), col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("ts"),
+        concat(lit("body: "), col("text"), crlf, crlf,
+          lit("WARC/1.0"), crlf, lit("tail "), col("n_chars").cast("string"))
+          .as("payload"))
+      val out = graft.core.Scratch.dir("graft_warc")
+      graft.sources.Warc.save(staged, out)
+      graft.sources.Warc.read(s, out)
+        .select(col("url"), col("ts"), col("warc_type"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("url"))
+    }),
+
     // EXT-X1: sketch profile with an in-engine accuracy gate — HLL++
     // approx-distinct (rsd 2%) and approx-percentile vs their exact
     // counterparts, per group. At 100 TB the sketches are the only
@@ -459,6 +484,22 @@ object ScaleQueries extends QueryPack {
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_returnflag, l_linestatus
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Reconstructs the staged WARC payload and its UTF-8 byte length /
+    // md5 straight from `documents` — the round-trip must reproduce
+    // every byte for the digests to agree.
+    "q152_warc_roundtrip" ->
+      """WITH staged AS (SELECT
+        |  'http://crawl.test/doc/' || doc_id AS url,
+        |  '2026-01-01T00:00:00Z' AS ts,
+        |  'response' AS warc_type,
+        |  'body: ' || text || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |    'WARC/1.0' || chr(13) || chr(10) || 'tail ' || n_chars AS payload
+        |FROM documents)
+        |SELECT url, ts, warc_type,
+        |       CAST(strlen(payload) AS BIGINT) AS content_length,
+        |       md5(payload) AS payload_md5
+        |FROM staged ORDER BY url""".stripMargin,
 
     "q69_sketch_profile" ->
       """SELECT l_returnflag,
