@@ -33,9 +33,14 @@ object ScaleData {
   val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <copies>")
-    val Array(src, out, kStr) = args
-    val copies = kStr.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcDir> <outDir> <copies> [strideMult]")
+    val src = args(0); val out = args(1)
+    val copies = args(2).toInt
+    // Chaining probes (sf0.1→sf1→sf10) needs a wider stride on the second
+    // hop: sf1 keys already span copies×Stride, so shift by Stride×(the
+    // src's own copy count) to keep per-copy key spaces disjoint.
+    val strideMult = if (args.length == 4) args(3).toLong else 1L
     graft.core.Scratch.pinTmpdir()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -57,7 +62,7 @@ object ScaleData {
       val base = read(t)
       val all = (0 until copies).map { k =>
         val shifted = keyCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(k * Stride)))
+          df.withColumn(c, col(c) + lit(k * Stride * strideMult)))
         tweak(shifted, k)
       }.reduce(_ unionByName _)
       write(all, t)
@@ -72,8 +77,24 @@ object ScaleData {
     scaled("events", Seq("event_id", "user_id"))(noTweak)
     scaled("documents", Seq("doc_id")) { (df, k) =>
       if (k == 0) df
-      else df.withColumn("text", concat(col("text"), lit(s" cp$k")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        // Per-copy suffix on EVERY word (letters only, so letter-class
+        // tokenizers keep it attached): copies share zero shingles, so
+        // planted near-dup cliques stay their ORIGINAL size per copy and
+        // every dedup/similarity tier's output grows linearly in K — a
+        // replicated corpus where copies are cross-copy near-dups made
+        // q122's TRUE pair count (and its inverted-index join) grow
+        // quadratically with K, which measured as a fake 31× "scale
+        // regression" at the 10× probe. Within-copy structure is
+        // untouched: every doc in copy k gets the identical per-word
+        // rewrite, so base-corpus near-dup relations survive verbatim.
+        val tag = s"x${('a' + k).toChar}"
+        df.withColumn("text",
+            when(length(trim(col("text"))) === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(split(col("text"), "\\s+"), w => concat(w, lit(tag))))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     }
     scaled("embeddings", Seq("vec_id")) { (df, k) =>
       if (k == 0) df
