@@ -52,6 +52,47 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("toks", expr("filter(split(word, ''), x -> x <> '')"))
 
+  /** GPT-2-style category pre-tokenization pattern (Radford et al. 2019;
+    * the public tiktoken pattern family): contraction suffixes, then
+    * space-prefixed letter runs, digit runs, punctuation runs, then bare
+    * whitespace runs. Deliberately LOOKAHEAD-FREE (the original's
+    * `\s+(?!\S)` clause is dropped) so RE2-based engines — DuckDB's
+    * regexp_extract_all, the oracle — replay it byte-identically with
+    * Java's regex. Case-PRESERVING, space-preserving: " The" and "the"
+    * are distinct pre-tokens, exactly the property whitespace
+    * tokenization cannot express. */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The pre-tokenized (word, freq, toks) table for the production BPE
+    * shape: regex category matches instead of whitespace words, and
+    * BYTE FALLBACK for the initial alphabet — ASCII chars seed as
+    * themselves, any other char seeds as its UTF-8 bytes rendered
+    * `<0xNN>` (the SentencePiece byte-fallback convention), so no
+    * corpus character is ever OOV and the merge machinery
+    * (`pairCounts`/`applyMerge`/`trainMergesFrom`) carries over
+    * UNCHANGED. Pure Column plan: regexp_extract_all → explode →
+    * count, symbol seeding via hex(encode(·)) — no UDF. `maxTokLen` is
+    * in UTF-16 units engine-side vs codepoints oracle-side; identical
+    * for every BMP string (astral chars would need a codepoint-length
+    * Column — not worth it for a length cap). */
+  def preTokenTable(docs: DataFrame, textCol: String = "text",
+                    maxTokLen: Int = 16): DataFrame = {
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    val toks = flatten(transform(chars, c =>
+      when(ascii(c) < 128, array(c))
+        .otherwise(transform(
+          sequence(lit(0), (length(hex(encode(c, "UTF-8"))) / 2).cast("int") - 1),
+          b => concat(lit("<0x"),
+            hex(encode(c, "UTF-8")).substr(b * 2 + 1, lit(2)), lit(">"))))))
+    docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(PreTokenPattern), lit(0))).as("word"))
+      .where(length(col("word")).between(1, maxTokLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks", toks)
+  }
+
   /** Adjacent-pair frequencies of a symbol-array word table: map-only
     * extraction (transform → explode; no join) then one hash aggregate
     * on the pair. Overlapping slots count ("aaa" → (a,a) twice). */
@@ -149,6 +190,35 @@ object Bpe {
           .as("chars_per_piece"))
   }
 
+  /** Tokenizer evaluation under the PRE-TOKENIZED face: per-language
+    * fertility/compression of merges trained on `preTokenTable` — the
+    * q148 report shape over the production tokenizer. The corpus stream
+    * here is the regex pre-token stream (case/space-preserving) and
+    * `n_chars` counts pre-token CHARACTERS (not byte-fallback symbols),
+    * so compression stays comparable with the whitespace face's
+    * chars-per-piece. */
+  def preTokenizerEval(docs: DataFrame, merges: Seq[(String, String)],
+                       textCol: String = "text", langCol: String = "lang",
+                       maxTokLen: Int = 16): DataFrame = {
+    var words = preTokenTable(docs, textCol, maxTokLen)
+    for ((l, r) <- merges) words = applyMerge(words, l, r)
+    val lens = words.select(col("word"),
+      size(col("toks")).cast("long").as("n_sub"))
+    docs.select(col(langCol),
+        explode(regexp_extract_all(col(textCol),
+          lit(PreTokenPattern), lit(0))).as("word"))
+      .where(length(col("word")).between(1, maxTokLen))
+      .join(lens, Seq("word"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col(langCol), col("n_words"), col("n_subwords"), col("n_chars"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** ENCODE face with CONTENT: per-document token-ID sequences under the
     * learned merges — what sequence packing and shard materialization
     * actually consume (`encodedLengths` stops at counts). Merges apply to
@@ -186,15 +256,23 @@ object Bpe {
         s => s.getField("wids"))).as("ids"))
   }
 
-  /** Train `nMerges` BPE merges over `docs`. Returns the merge table
-    * (round, lhs, rhs, merged, cnt) — driver-sized by definition (one
-    * row per merge), like a centroid table. Stops early if the corpus
-    * runs out of pairs. */
+  /** Train `nMerges` BPE merges over `docs` on the whitespace/[a-z]
+    * word table. Returns the merge table (round, lhs, rhs, merged, cnt)
+    * — driver-sized by definition (one row per merge), like a centroid
+    * table. Stops early if the corpus runs out of pairs. */
   def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
                   textCol: String = "text", maxWordLen: Int = 12,
-                  checkpointEvery: Int = 0): DataFrame = {
+                  checkpointEvery: Int = 0): DataFrame =
+    trainMergesFrom(spark, wordTable(docs, textCol, maxWordLen), nMerges,
+      checkpointEvery)
+
+  /** Train over ANY (word, freq, toks) table — the whitespace face
+    * (`wordTable`) and the regex/byte-fallback face (`preTokenTable`)
+    * share every merge-round mechanism. */
+  def trainMergesFrom(spark: SparkSession, table: DataFrame, nMerges: Int,
+                      checkpointEvery: Int = 0): DataFrame = {
     require(checkpointEvery >= 0, "trainMerges: checkpointEvery must be >= 0")
-    var words = Caches.cacheOnce(wordTable(docs, textCol, maxWordLen))
+    var words = Caches.cacheOnce(table)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var round = 1
     var exhausted = false

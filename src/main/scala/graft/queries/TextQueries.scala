@@ -472,6 +472,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // EXT-T46: production BPE pre-tokenization — GPT-2-style category
+    // regex (contractions / space-prefixed letter, digit, punctuation
+    // runs / whitespace) instead of whitespace words, byte fallback for
+    // every non-ASCII char, and the UNCHANGED merge machinery on top:
+    // the merge table trained on the pre-token stream. Case and leading
+    // spaces survive into the vocabulary — the property whitespace
+    // tokenization cannot express. Oracle replays the same rounds over
+    // the same (RE2-compatible) pattern.
+    "q153_bpe_pretok" -> ((s, dir) =>
+      graft.operators.Bpe.trainMergesFrom(s,
+          graft.operators.Bpe.preTokenTable(
+            Tables.read(s, dir, "documents"), maxTokLen = PreTokMaxLen),
+          BpeMerges)
+        .orderBy(col("round"))),
+
+    // EXT-T47: tokenizer evaluation under the pre-tokenized face — the
+    // q148 fertility/compression report for merges trained on the
+    // regex/byte-fallback stream; the go/no-go comparison between the
+    // whitespace tokenizer and the production one.
+    "q155_pretok_eval" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ms = graft.operators.Bpe.trainMergesFrom(s,
+          graft.operators.Bpe.preTokenTable(d, maxTokLen = PreTokMaxLen),
+          BpeMerges)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.preTokenizerEval(d, ms, maxTokLen = PreTokMaxLen)
+        .orderBy(col("lang"))
+    }),
+
     // EXT-T41: CCNet perplexity tiers — every document scored under its
     // OWN language's unigram LM, each language split head/middle/tail at
     // tercile cutoffs ESTIMATED from a deterministic hash sample
@@ -722,6 +753,7 @@ object TextQueries extends QueryPack {
   private val TierBudget = 1000000L // q150 token budget
   private val PackSeqLen = 256 // q146 training-sequence length
   private val PackShards = 4 // q146 packing shards per language (scale knob)
+  private val PreTokMaxLen = 16 // q153/q155 pre-token length cap
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -818,16 +850,22 @@ object TextQueries extends QueryPack {
     * TOKEN-level greedy rewrite: a match merges iff its offset within
     * its run of consecutive matches is even (gaps-and-islands windows
     * per word), and the token after a merge drops. */
-  private lazy val bpeOracleSql: String = {
-    val base =
-      s"""w0 AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         |         list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
-         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-         |        FROM documents)
-         |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen
-         |  GROUP BY word)""".stripMargin
-    val rounds = (1 to BpeMerges).map { k =>
+  private lazy val bpeOracleSql: String = bpeChainSql(
+    s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen
+       |  GROUP BY word)""".stripMargin,
+    BpeMerges)
+
+  /** Merge-round CTE chain shared by every BPE oracle face: the
+    * whitespace word table (q116/q126/q146/q148) and the regex
+    * pre-tokenized byte-fallback table (q153/q155) replay identical
+    * round machinery over whatever `w0` the caller supplies. */
+  private def bpeChainSql(base: String, nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
       s"""p$k AS (
          |  SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq,
@@ -855,7 +893,7 @@ object TextQueries extends QueryPack {
          |               ORDER BY pos) AS toks
          |        FROM pv$k, b$k b WHERE NOT pm GROUP BY word, freq)""".stripMargin
     }
-    val union = (1 to BpeMerges).map { k =>
+    val union = (1 to nMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k"
     }.mkString("\nUNION ALL\n")
     s"WITH $base,\n${rounds.mkString(",\n")}\n$union\nORDER BY round"
@@ -1024,6 +1062,51 @@ object TextQueries extends QueryPack {
        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
        |    FROM documents)
        |  WHERE word <> '' AND length(word) BETWEEN 1 AND $BpeMaxWordLen)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       |       ROUND(SUM(len(toks))::DOUBLE / COUNT(*)::DOUBLE, 6) AS fertility,
+       |       ROUND(SUM(length(word))::DOUBLE / SUM(len(toks))::DOUBLE, 6)
+       |         AS chars_per_piece
+       |FROM dw JOIN documents USING (doc_id) JOIN w$BpeMerges USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The q153 oracle base: the regex pre-token table with byte-fallback
+    * symbol seeding, replayed in RE2/DuckDB. The pattern is shared
+    * verbatim with the engine (it is lookahead-free for exactly this
+    * reason); byte fallback re-derives `<0xNN>` symbols from
+    * hex(encode(char)) just like the Column plan. */
+  private lazy val preTokW0Sql: String = {
+    val pat = graft.operators.Bpe.PreTokenPattern.replace("'", "''")
+    s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         flatten(list_transform(range(1, length(word) + 1), i ->
+       |           CASE WHEN unicode(word[i]) BETWEEN 0 AND 127 THEN [word[i]]
+       |                ELSE list_transform(range(0, octet_length(encode(word[i]))),
+       |                       b -> '<0x' || substr(hex(encode(word[i])),
+       |                              (2 * b + 1)::INT, 2) || '>') END)) AS toks
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' AND length(word) BETWEEN 1 AND $PreTokMaxLen
+       |  GROUP BY word)""".stripMargin
+  }
+
+  private lazy val preTokOracleSql: String = bpeChainSql(preTokW0Sql, BpeMerges)
+
+  /** The q155 oracle: the pre-token merge chain, then the per-language
+    * fertility/compression report over the pre-token doc stream (the
+    * q148 shape under the production tokenizer face). */
+  private lazy val preTokEvalOracleSql: String = {
+    val chain = preTokOracleSql
+    val prefix = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS BIGINT)"))
+    val pat = graft.operators.Bpe.PreTokenPattern.replace("'", "''")
+    s"""${prefix.trim},
+       |dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) BETWEEN 1 AND $PreTokMaxLen)
        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords,
        |       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
@@ -1360,6 +1443,10 @@ object TextQueries extends QueryPack {
     "q126_bpe_encode" -> bpeEncodeOracleSql,
 
     "q148_tokenizer_eval" -> tokenizerEvalOracleSql,
+
+    "q153_bpe_pretok" -> preTokOracleSql,
+
+    "q155_pretok_eval" -> preTokEvalOracleSql,
 
     "q146_pack_token_ids" -> packIdsOracleSql,
 

@@ -148,6 +148,50 @@ class WarehouseOpsSpec extends SparkSpec {
     Bpe.trainMerges(spark, docs, 5).count() shouldBe 0L
   }
 
+  test("preTokenTable: category regex splits, case/space preserved, contractions split") {
+    val docs = Seq((1L, "The cat won't stop, 42 cats!")).toDF("doc_id", "text")
+    val words = Bpe.preTokenTable(docs)
+      .select("word").as[String].collect().toSet
+    // space-prefixed words are DISTINCT pre-tokens; contraction suffix
+    // splits off; digit and punctuation runs are their own tokens
+    words should contain allOf ("The", " cat", " won", "'t", " stop", ",", " 42", " cats", "!")
+    words should not contain "won't"
+  }
+
+  test("preTokenTable byte fallback seeds non-ASCII chars as <0xNN> UTF-8 bytes") {
+    val docs = Seq((1L, "café")).toDF("doc_id", "text")
+    val toks = Bpe.preTokenTable(docs)
+      .where($"word" === "café").select("toks").as[Seq[String]].head()
+    // é = UTF-8 0xC3 0xA9 → two byte symbols; ASCII chars stay themselves
+    toks shouldBe Seq("c", "a", "f", "<0xC3>", "<0xA9>")
+  }
+
+  test("merge machinery carries unchanged over the pre-token table") {
+    // " to" ×3 dominates: first merge is (space, t) or (t, o) by count —
+    // replicate by hand: toks(" to") = [" ", "t", "o"], pairs ( ,t)=3,
+    // (t,o)=3, tie → lexicographic: " t" < "to" wins round 1.
+    val docs = Seq((1L, "to to to")).toDF("doc_id", "text")
+    // pre-tokens: "to" ×1 (first, no space), " to" ×2
+    val m = Bpe.trainMergesFrom(spark, Bpe.preTokenTable(docs), 2)
+      .select("round", "lhs", "rhs", "cnt").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1)
+    // pairs: ("t","o") = 3 (all three), (" ","t") = 2 → (t,o) first
+    m(0) shouldBe ((1L, "t", "o", 3L))
+    m(1) shouldBe ((2L, " ", "to", 2L))
+  }
+
+  test("preTokenizerEval matches tokenizerEval's report shape on the pre-token stream") {
+    val docs = Seq((1L, "en", "The cat"), (2L, "de", "Die Katze"))
+      .toDF("doc_id", "lang", "text")
+    val got = Bpe.preTokenizerEval(docs, Seq(("h", "e")))
+      .select("lang", "n_words", "n_subwords", "n_chars")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // en: "The"(3ch) " cat"(4ch); de: "Die"(3ch) " Katze"(6ch)
+    // merge (h,e): "The" → [T,he] 2 subwords; others unchanged
+    got(0) shouldBe (("de", 2L, 9L, 9L))
+    got(1) shouldBe (("en", 2L, 6L, 7L))
+  }
+
   test("encodedIds assigns dense lexicographic piece ids and flattens in word order") {
     // merge (t,o): "to"→[to], "go"→[g,o], "tot"→[to,t]; distinct pieces
     // sorted: g=0, o=1, t=2, to=3
