@@ -472,6 +472,30 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // EXT-T48: TRAINED language ID — hashed char-trigram multinomial
+    // naive Bayes (the fastText-family shape), trained in-engine on a
+    // deterministic 3/4 hash-split of the corpus and evaluated on the
+    // held-out 1/4; output is the q96 confusion-matrix shape, so the two
+    // classifiers are directly comparable (LangIdSpec gates that the
+    // trained model's held-out accuracy ≥ the marker-word heuristic's).
+    // The model is |langs|×buckets rows at any corpus size; the oracle
+    // replays hashing, smoothing, priors, miss mass, and the
+    // alphabetical-tie argmax.
+    "q154_langid_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fold = pmod(graft.functions.TextFunctions.hash60(
+        col("doc_id").cast("string")), lit(4L))
+      val trainDocs = d.where(fold =!= 0L)
+      val evalDocs = d.where(fold === 0L)
+      val model = graft.operators.LangId.train(trainDocs, LangIdN, LangIdBuckets)
+      val langs = graft.operators.LangId.langTable(trainDocs, LangIdN, LangIdBuckets)
+      graft.operators.LangId.classify(evalDocs, model, langs, LangIdN, LangIdBuckets)
+        .join(evalDocs.select(col("doc_id"), col("lang").as("truth")), Seq("doc_id"))
+        .groupBy(col("truth"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("truth"), col("predicted"))
+    }),
+
     // EXT-T46: production BPE pre-tokenization — GPT-2-style category
     // regex (contractions / space-prefixed letter, digit, punctuation
     // runs / whitespace) instead of whitespace words, byte fallback for
@@ -754,6 +778,9 @@ object TextQueries extends QueryPack {
   private val PackSeqLen = 256 // q146 training-sequence length
   private val PackShards = 4 // q146 packing shards per language (scale knob)
   private val PreTokMaxLen = 16 // q153/q155 pre-token length cap
+  private val LangIdN = 3 // q154 char n-gram order
+  private val LangIdBuckets = 512 // q154 hashed feature space
+  private val LangIdMinG2 = 20.0 // q154 G² feature-selection threshold
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -1443,6 +1470,61 @@ object TextQueries extends QueryPack {
     "q126_bpe_encode" -> bpeEncodeOracleSql,
 
     "q148_tokenizer_eval" -> tokenizerEvalOracleSql,
+
+    "q154_langid_trained" -> {
+      val B = LangIdBuckets
+      s"""WITH tr AS (SELECT * FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 <> 0),
+         |ev AS (SELECT * FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+         |g AS (SELECT lang,
+         |        ('0x' || substr(md5(substr(lower(text), i::INT, $LangIdN)), 1, 15))::BIGINT
+         |          % $B AS bucket
+         |      FROM tr, unnest(range(1, length(lower(text)) - ${LangIdN - 2})) AS u(i)
+         |      WHERE length(lower(text)) >= $LangIdN),
+         |mc AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM mc GROUP BY 1),
+         |bt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt FROM mc GROUP BY 1),
+         |gt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS gt FROM mc),
+         |sel AS (SELECT bucket FROM (
+         |    SELECT bucket, ROUND(2.0 * SUM(cnt *
+         |             ln(cnt / (CAST(tot AS DOUBLE) * bcnt / gt))), 6) AS g2
+         |    FROM mc JOIN tot USING (lang) JOIN bt USING (bucket), gt
+         |    GROUP BY bucket)
+         |  WHERE g2 >= $LangIdMinG2),
+         |model AS (SELECT lang, bucket, ln((cnt + 1.0) / (tot + $B.0)) AS lp
+         |          FROM mc JOIN sel USING (bucket) JOIN tot USING (lang)),
+         |lt AS (SELECT lang, COUNT(*)::DOUBLE AS nd,
+         |         SUM(greatest(length(lower(text)) - ${LangIdN - 1}, 0))::DOUBLE AS tot
+         |       FROM tr GROUP BY 1),
+         |lt2 AS (SELECT lang, ln(nd / (SELECT SUM(nd) FROM lt)) AS prior_lp,
+         |          ln(1.0 / (tot + $B.0)) AS miss_lp FROM lt),
+         |evg AS (SELECT doc_id,
+         |          ('0x' || substr(md5(substr(lower(text), i::INT, $LangIdN)), 1, 15))::BIGINT
+         |            % $B AS bucket
+         |        FROM ev, unnest(range(1, length(lower(text)) - ${LangIdN - 2})) AS u(i)
+         |        WHERE length(lower(text)) >= $LangIdN),
+         |db AS (SELECT doc_id, bucket, COUNT(*)::DOUBLE AS c FROM evg
+         |       JOIN sel USING (bucket) GROUP BY 1, 2),
+         |evd AS (SELECT d.doc_id, l.lang,
+         |          SUM(d.c * COALESCE(m.lp, l.miss_lp)) AS ev
+         |        FROM db d CROSS JOIN lt2 l
+         |        LEFT JOIN model m ON m.lang = l.lang AND m.bucket = d.bucket
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT e.doc_id, length(lower(e.text)) AS len, l.lang,
+         |         l.prior_lp + COALESCE(v.ev, 0.0) AS score
+         |       FROM ev e CROSS JOIN lt2 l
+         |       LEFT JOIN evd v ON v.doc_id = e.doc_id AND v.lang = l.lang),
+         |pred AS (SELECT doc_id, len, lang AS predicted,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, lang) AS rn FROM sc),
+         |ap AS (SELECT e.lang AS truth,
+         |         CASE WHEN p.len >= $LangIdN THEN p.predicted ELSE 'und' END AS predicted
+         |       FROM ev e JOIN (SELECT doc_id, len, predicted FROM pred WHERE rn = 1) p
+         |         USING (doc_id))
+         |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM ap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q153_bpe_pretok" -> preTokOracleSql,
 
