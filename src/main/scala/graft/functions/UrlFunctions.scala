@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
  */
 object UrlFunctions {
 
-  private val TrackingParam = "(?i)^(utm_[a-z0-9]+|fbclid|gclid|ref)="
+  // `(=|$)`, not `=`: valueless tracking params (`?fbclid`, `&ref`) must
+  // strip too, or otherwise-identical frontier entries split on them.
+  private val TrackingParam = "(?i)^(utm_[a-z0-9]+|fbclid|gclid|ref)(=|$)"
 
   /** Lowercased scheme of an absolute URL ('' if none). */
   def urlScheme(c: Column): Column =

@@ -133,9 +133,14 @@ object LanguageModel {
       .groupBy(col(langCol))
       .agg(min(when(col("cum") * 3 >= col("m_docs"), col("nll"))).as("cut1"),
         min(when(col("cum") * 3 >= col("m_docs") * 2, col("nll"))).as("cut2"))
-    scored.join(broadcast(cuts), Seq(langCol))
+    // LEFT join: a language with zero sampled docs (sampleMod too coarse
+    // for its cardinality) must stay VISIBLE as tier='unsampled', not
+    // silently vanish — downstream allocation (tierQuotas) rejects the
+    // unknown tier loudly instead of under-allocating in silence.
+    scored.join(broadcast(cuts), Seq(langCol), "left")
       .select(col(idCol), col(langCol), col("n_tokens"), col("nll"),
-        when(col("nll") <= col("cut1"), "head")
+        when(col("cut1").isNull, "unsampled")
+          .when(col("nll") <= col("cut1"), "head")
           .when(col("nll") <= col("cut2"), "middle")
           .otherwise("tail").as("tier"))
   }

@@ -258,9 +258,14 @@ object Sampling {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(Seq(wHead, wMiddle, wTail).forall(_ > 0),
       "tier weights must be positive")
+    // explicit tail match + raise on anything else: silently weighting a
+    // typo'd or NULL tier as "tail" would mis-allocate the whole budget
     val w = when(col(tierCol) === "head", lit(wHead))
       .when(col(tierCol) === "middle", lit(wMiddle))
-      .otherwise(lit(wTail))
+      .when(col(tierCol) === "tail", lit(wTail))
+      .otherwise(raise_error(concat(
+        lit("tierQuotas: unknown tier '"), coalesce(col(tierCol), lit("NULL")),
+        lit("' (expected head|middle|tail)"))).cast("double"))
     val g = tiers.groupBy(col(langCol), col(tierCol))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
       .withColumn("wt", w * col("n_tokens").cast("double"))
@@ -270,8 +275,12 @@ object Sampling {
         round(col("wt") / col("wtot"), 6).as("share"),
         floor(lit(budgetTokens.toDouble) * col("wt") / col("wtot"))
           .cast("long").as("quota_tokens"),
-        round(lit(budgetTokens.toDouble) * col("wt") / col("wtot")
-          / col("n_tokens").cast("double"), 6).as("epochs"))
+        // 0-token cells (possible when every doc in a tier has empty
+        // text) would divide to NaN — which DuckDB renders NULL; emit
+        // NULL explicitly so both engines agree the value is undefined
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(lit(budgetTokens.toDouble) * col("wt") / col("wtot")
+            / col("n_tokens").cast("double"), 6)).as("epochs"))
   }
 
   def mixEpochs(df: DataFrame, idCol: String, strataCol: String,

@@ -573,7 +573,7 @@ object TextQueries extends QueryPack {
             concat(lit("?utm_source=feed&id="), (id % 7).cast("string"),
               lit("&utm_campaign=x")))
           .when(id % 4 === 1, concat(lit("?b=2&a=1&gclid=g"), id.cast("string")))
-          .when(id % 4 === 2, lit("?pref=keep&ref=drop"))
+          .when(id % 4 === 2, lit("?pref=keep&ref=drop&fbclid"))
           .otherwise(lit("")),
         when(id % 5 === 0, "#frag").otherwise(lit("")))
       Tables.read(s, dir, "documents")
@@ -722,8 +722,15 @@ object TextQueries extends QueryPack {
       val g = ex.select(col("doc_id"), col("n_content"), col("content"),
         graft.functions.TextFunctions.gopherStats(col("content"), GopherMinWords)
           .getField("pass").as("gopher_pass"))
+      // Empty-content rows short-circuit out of the dedup clustering
+      // (each keyed by its own doc_id): on a degenerate corpus where
+      // extraction empties many documents they would all share md5('')
+      // and funnel one skewed window partition; they can never be
+      // `selected` anyway, so each counts as its own trivial canonical.
       val dg = g.withColumn("digest",
-        md5(graft.functions.TextFunctions.canonicalText(col("content"))))
+        when(col("n_content") === 0,
+          concat(lit("empty:"), col("doc_id").cast("string")))
+          .otherwise(md5(graft.functions.TextFunctions.canonicalText(col("content")))))
       // keep-first via a digest-partitioned window (bounded groups =
       // duplicate clusters), NOT groupBy + self-join: the join form
       // evaluates the extraction+rules subtree twice — one window pass
@@ -973,10 +980,11 @@ object TextQueries extends QueryPack {
        |         MIN(CASE WHEN cum * 3 >= m_docs * 2 THEN nll END) AS cut2
        |         FROM cum JOIN m USING (lang) GROUP BY 1),
        |tiers AS (SELECT doc_id, lang, n_tokens, nll,
-       |  CASE WHEN nll <= cut1 THEN 'head'
+       |  CASE WHEN cut1 IS NULL THEN 'unsampled'
+       |       WHEN nll <= cut1 THEN 'head'
        |       WHEN nll <= cut2 THEN 'middle'
        |       ELSE 'tail' END AS tier
-       |FROM sc JOIN cuts USING (lang))""".stripMargin
+       |FROM sc LEFT JOIN cuts USING (lang))""".stripMargin
 
   /** The q144/q149 HTML-extraction CTE chain: derive the identical
     * wrapped page, strip scaffold, split blocks, classify, and surface
@@ -1412,7 +1420,9 @@ object TextQueries extends QueryPack {
          |          AND r_ellipsis AND r_alpha AND r_stop) AS gopher_pass
          |       FROM gflags),
          |dg AS (SELECT doc_id,
-         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+         |         CASE WHEN n_content = 0 THEN 'empty:' || doc_id
+         |              ELSE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |         END AS digest
          |       FROM fsrc),
          |keep AS (SELECT digest, MIN(doc_id) AS keep_id FROM dg GROUP BY 1)
          |SELECT f.doc_id, f.n_content, gp.gopher_pass,
@@ -1622,7 +1632,7 @@ object TextQueries extends QueryPack {
         |  (CASE WHEN doc_id % 4 = 0
         |        THEN '?utm_source=feed&id=' || (doc_id % 7) || '&utm_campaign=x'
         |        WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=g' || doc_id
-        |        WHEN doc_id % 4 = 2 THEN '?pref=keep&ref=drop'
+        |        WHEN doc_id % 4 = 2 THEN '?pref=keep&ref=drop&fbclid'
         |        ELSE '' END) ||
         |  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
@@ -1648,7 +1658,7 @@ object TextQueries extends QueryPack {
         |       ELSE rtrim(regexp_replace(path, '/{2,}', '/', 'g'), '/') END AS pathn,
         |  list_sort(list_filter(string_split(qstr, '&'),
         |    x -> x <> '' AND NOT regexp_matches(x,
-        |      '(?i)^(utm_[a-z0-9]+|fbclid|gclid|ref)='))) AS kept
+        |      '(?i)^(utm_[a-z0-9]+|fbclid|gclid|ref)(=|$)'))) AS kept
         |  FROM pq)
         |SELECT doc_id, url, host,
         |  (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' || host END)

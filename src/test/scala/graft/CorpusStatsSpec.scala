@@ -66,6 +66,22 @@ class CorpusStatsSpec extends SparkSpec {
     approx(got(11L)._2, -math.log(0.5), 1e-6) shouldBe true
   }
 
+  test("perplexityTiers keeps unsampled languages visible as tier='unsampled'") {
+    // sampleMod=4 with single-doc languages: some languages' only doc
+    // falls outside the hash sample → no cutoffs exist for them; they
+    // must surface with tier='unsampled', not silently drop.
+    val docs = (1L to 12L).map(i => (i, s"t$i t$i", s"lang$i"))
+      .toDF("doc_id", "text", "lang")
+    val got = LanguageModel.perplexityTiers(docs, sampleMod = 4L)
+      .select("lang", "tier").as[(String, String)].collect()
+    got.length shouldBe 12 // every language present
+    val unsampled = got.filter(_._2 == "unsampled")
+    unsampled should not be empty // mod-4 leaves most single-doc langs out
+    got.filterNot(_._2 == "unsampled").foreach { case (_, t) =>
+      Seq("head", "middle", "tail") should contain(t)
+    }
+  }
+
   test("trigramBackoffNll: each backoff branch fires on hand-computed counts") {
     // train: uni a:2 b:2 c:1 d:1 (N=6, V=4); bi (a,b):2 (b,c):1 (c,a):1
     // (b,d):1; tri (a,b,c) (b,c,a) (c,a,b) (a,b,d) once each

@@ -166,6 +166,26 @@ class PipelineExtrasSpec extends SparkSpec {
     got.map(_._6).sum should be <= 1000L
   }
 
+  test("tierQuotas rejects unknown or NULL tiers instead of pricing them as tail") {
+    val bad = Seq((1L, "en", 10L, "head"), (2L, "en", 10L, "tial"))
+      .toDF("doc_id", "lang", "n_tokens", "tier")
+    val e = intercept[Exception] {
+      Sampling.tierQuotas(bad, 100L).collect()
+    }
+    e.getMessage should include("unknown tier")
+  }
+
+  test("tierQuotas emits NULL epochs for 0-token cells (no NaN)") {
+    val tiers = Seq((1L, "en", 100L, "head"), (2L, "en", 0L, "tail"))
+      .toDF("doc_id", "lang", "n_tokens", "tier")
+    val rows = Sampling.tierQuotas(tiers, 100L).orderBy("tier")
+      .select("tier", "epochs").collect()
+    rows(0).getString(0) shouldBe "head"
+    rows(0).isNullAt(1) shouldBe false
+    rows(1).getString(0) shouldBe "tail"
+    rows(1).isNullAt(1) shouldBe true
+  }
+
   test("Snapshots.diff classifies added/removed/changed/unchanged") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val cur = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")

@@ -41,6 +41,16 @@ class UrlFunctionsSpec extends SparkSpec {
       "https://a.com/x?a=1")
   }
 
+  test("valueless tracking params strip too; valueless content params survive") {
+    canon(
+      "https://a.com/x?fbclid",
+      "https://a.com/x?a=1&ref",
+      "https://a.com/x?flag&utm_source") shouldBe Seq(
+      "https://a.com/x",
+      "https://a.com/x?a=1",
+      "https://a.com/x?flag")
+  }
+
   test("two frontier spellings of one resource canonicalize equal") {
     val c = canon(
       "HTTPS://WWW.Shop.COM:443/p//1/?b=2&a=1&utm_source=mail#top",
