@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // plan-shape specs assert on full scan paths; the repo-local
+      // scratch root is long enough that the default 100-char metadata
+      // truncation would cut them mid-path
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
