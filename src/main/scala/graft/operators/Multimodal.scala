@@ -127,6 +127,48 @@ object Multimodal {
     MediaFeatures(row.mediaId, row.kind, row.data.length.toLong, fs)
   }
 
+  /** Feature width of [[imageDecoder]]: width, height, n_channels,
+    * mean R, mean G, mean B (means in [0,1]). */
+  val ImageDim = 6
+
+  /** REAL image decoder — pure JVM, zero external deps: `javax.imageio`
+    * ships PNG/JPEG/BMP/GIF codecs in every JDK, so one modality's
+    * decode path is genuinely real in this container. Features: decoded
+    * dimensions, channel count, and per-channel means — the cheap
+    * statistics a curation pipeline filters on (all-black frames,
+    * extreme aspect ratios) before anything model-based runs.
+    * Undecodable payloads (dirty crawl data is the norm) return an EMPTY
+    * feature vector instead of failing the partition — visible
+    * downstream as `features = []`, never fatal. Used through the same
+    * `decodeFeatures` mapPartitions shape as the stub; the stub remains
+    * the ORACLE face (q29) because DuckDB has no codec to replay this. */
+  def imageDecoder(row: MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.data))
+      catch { case _: Exception => null }
+    val fs =
+      if (img == null) Array.empty[Double]
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h * 255
+        Array(w.toDouble, h.toDouble,
+          img.getColorModel.getNumComponents.toDouble,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    MediaFeatures(row.mediaId, row.kind, row.data.length.toLong, fs)
+  }
+
   /**
    * Decode + feature-extract over partition-sized batches: the typed
    * `mapPartitions` shape a real decoder needs (amortize codec init per

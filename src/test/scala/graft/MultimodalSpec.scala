@@ -78,6 +78,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+
+  test("imageDecoder really decodes planted PNG and BMP bytes (dims + channel means)") {
+    def png(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bo)
+      bo.toByteArray
+    }
+    // solid red 8x5 PNG and solid mid-gray 3x3 BMP, plus junk bytes
+    val rows = Seq(
+      MediaRow(1L, "image", png(8, 5, 0xff0000, "png"), MediaMeta(0, 0, 0, 0)),
+      MediaRow(2L, "image", png(3, 3, 0x808080, "bmp"), MediaMeta(0, 0, 0, 0)),
+      MediaRow(3L, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0)))
+    val out = Multimodal.decodeFeatures(
+        spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+          .toDF()
+          .select(col("mediaId").as("media_id"), col("kind"), col("data"),
+            col("meta")),
+        Multimodal.imageDecoder)
+      .collect().map(f => f.mediaId -> f).toMap
+    val red = out(1L).features
+    red(0) shouldBe 8.0; red(1) shouldBe 5.0
+    red(3) shouldBe 1.0 +- 0.01 // mean R = 255/255
+    red(4) shouldBe 0.0 +- 0.01
+    red(5) shouldBe 0.0 +- 0.01
+    val gray = out(2L).features
+    gray(0) shouldBe 3.0; gray(1) shouldBe 3.0
+    gray(3) shouldBe (0x80 / 255.0) +- 0.01
+    out(3L).features shouldBe empty // junk bytes: visible, not fatal
+    out(3L).nBytes shouldBe 3L
+  }
+
   test("stubDecoder is pure and deterministic on raw bytes") {
     val row = MediaRow(7L, "image", "payload".getBytes("UTF-8"), MediaMeta(64, 48, 22050, 1000))
     val a = Multimodal.stubDecoder(row)
