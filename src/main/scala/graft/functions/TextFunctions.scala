@@ -247,6 +247,38 @@ object TextFunctions {
     when(best.getField("neg") === 0L, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Bulk face of [[langId]] — row-identical results, scan-shaped plan:
+    * the Column face runs one interpreted HOF filter PER LANGUAGE per
+    * row (11 re-tokenizations of every document — HOF lambdas never
+    * enter codegen); this face tokenizes once, explodes, broadcast-joins
+    * the ≤ |langs|·|markers| marker table, and takes the per-doc argmax
+    * (max hits, alphabetical tie-break — the same order the sorted
+    * struct array encodes). Zero-hit and empty documents come back
+    * "und" through the left join. Use this for corpus scoring; the
+    * Column face stays for ad-hoc row-level use. */
+  def langIdBulk(docs: org.apache.spark.sql.DataFrame,
+                 profiles: Map[String, Seq[String]] = LangProfiles,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = profiles.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("__tok", "__lang")
+    val hits = docs
+      .select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
+      .select(col(idCol), lower(col("__t")).as("__tok"))
+      .join(broadcast(markers), Seq("__tok"))
+      .groupBy(col(idCol), col("__lang")).agg(count(lit(1)).as("__hits"))
+    val best = hits.groupBy(col(idCol))
+      .agg(min(struct((-col("__hits")).as("neg"), col("__lang").as("lang")))
+        .as("__best"))
+      .select(col(idCol), col("__best").getField("lang").as("__pred"))
+    docs.join(best, Seq(idCol), "left")
+      .withColumn("lang_pred", coalesce(col("__pred"), lit("und")))
+      .drop("__pred")
+  }
+
   /** Rolling polynomial fingerprint over the characters of the text:
     * acc ← (31·acc + codepoint) mod 1e9+7. Order-sensitive (anagram-safe),
     * exact in 64-bit arithmetic, reproducible in any engine with a fold.

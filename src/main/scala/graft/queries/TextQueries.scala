@@ -41,9 +41,8 @@ object TextQueries extends QueryPack {
 
     // EXT-T2: language ID vs the labeled lang, row-level.
     "q17_lang_id" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"))
+      graft.functions.TextFunctions.langIdBulk(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
     // EXT-T3: rolling-hash fingerprint (native codegen'd expression) +
@@ -220,8 +219,8 @@ object TextQueries extends QueryPack {
     // pattern applied to classification): a profile change that degrades
     // accuracy moves counts between cells and fails the gate.
     "q96_langid_confusion" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("lang").as("truth"), langId(col("text")).as("predicted"))
+      graft.functions.TextFunctions.langIdBulk(docs(s, dir))
+        .select(col("lang").as("truth"), col("lang_pred").as("predicted"))
         .groupBy(col("truth"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("truth"), col("predicted"))),

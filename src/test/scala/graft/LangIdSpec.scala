@@ -40,6 +40,21 @@ class LangIdSpec extends SparkSpec {
     pred.select("predicted").as[String].head() shouldBe "aa"
   }
 
+  test("langIdBulk equals the Column-face heuristic row for row") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "zz qq xx")) // und paths
+        .toDF("doc_id", "text"))
+    val bulk = TextFunctions.langIdBulk(d)
+      .select(col("doc_id"), col("lang_pred")).as[(Long, String)]
+      .collect().toMap
+    val colFace = d.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("p")).as[(Long, String)]
+      .collect().toMap
+    bulk shouldBe colFace
+    bulk(90001L) shouldBe "und"
+  }
+
   test("held-out accuracy on the fixture >= the marker-word heuristic's") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fold = pmod(TextFunctions.hash60(col("doc_id").cast("string")), lit(4L))
