@@ -495,6 +495,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("truth"), col("predicted"))
     }),
 
+    // EXT-T49: robots.txt gate — the step between canonicalization
+    // (q151) and fetch: per-host robots bodies (planted in-query, the
+    // q63/q151 pattern; comments, multi-agent group headers, foreign
+    // agent groups, an empty Disallow, and unknown fields all present)
+    // parse into the generic-agent rule table via order-preserving
+    // line windows, and the frontier gates on host + longest-matching-
+    // prefix with Allow winning ties (RFC 9309 precedence). The oracle
+    // replays the parse AND the precedence in SQL.
+    "q156_robots_gate" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val h = (col("doc_id") % 4).cast("string")
+      val host = concat(lit("site"), h, lit(".example.com"))
+      val nl = lit("\n")
+      val body = concat(
+        lit("User-agent: fancybot"), nl, lit("Disallow: /"), nl, nl,
+        lit("User-agent: extra"), nl, lit("User-agent: *"), nl,
+        lit("Disallow: /private"), h, nl,
+        lit("Allow: /private"), h, lit("/ok"), nl,
+        lit("Allow: /tie"), nl, lit("Disallow: /tie"), nl,
+        lit("Disallow:"), nl, lit("# note"), nl, lit("Sitemap: https://x"))
+      val robots = d.select(host.as("host"), body.as("body")).distinct()
+      val path = when(col("doc_id") % 5 === 0, lit("/tie/x"))
+        .when(col("doc_id") % 3 === 0, concat(lit("/private"), h, lit("/ok/page")))
+        .when(col("doc_id") % 3 === 1, concat(lit("/private"), h, lit("/secret")))
+        .otherwise(lit("/public/page"))
+      val frontier = d.select(
+        concat(lit("https://"), host, path).as("url"),
+        host.as("host"), path.as("path"))
+      graft.operators.Robots.evaluate(frontier,
+          graft.operators.Robots.parseRules(robots), "host", "path", "url")
+        .orderBy(col("url"))
+    }),
+
     // EXT-T46: production BPE pre-tokenization — GPT-2-style category
     // regex (contractions / space-prefixed letter, digit, punctuation
     // runs / whitespace) instead of whitespace words, byte fallback for
@@ -1534,6 +1567,58 @@ object TextQueries extends QueryPack {
          |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM ap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q156_robots_gate" ->
+      """WITH hosts AS (SELECT DISTINCT (doc_id % 4) AS h,
+        |  'site' || (doc_id % 4) || '.example.com' AS host FROM documents),
+        |bodies AS (SELECT host,
+        |  'User-agent: fancybot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+        |  'User-agent: extra' || chr(10) || 'User-agent: *' || chr(10) ||
+        |  'Disallow: /private' || h || chr(10) ||
+        |  'Allow: /private' || h || '/ok' || chr(10) ||
+        |  'Allow: /tie' || chr(10) || 'Disallow: /tie' || chr(10) ||
+        |  'Disallow:' || chr(10) || '# note' || chr(10) || 'Sitemap: https://x'
+        |    AS body FROM hosts),
+        |lns AS (SELECT host, p.i AS lineno, p.raw FROM (
+        |  SELECT host, unnest(list_transform(
+        |    range(1, len(string_split(body, chr(10))) + 1),
+        |    i -> {'i': i, 'raw': string_split(body, chr(10))[i]})) AS p
+        |  FROM bodies)),
+        |fl AS (SELECT host, lineno,
+        |         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS field,
+        |         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+        |       FROM (SELECT host, lineno,
+        |               trim(regexp_replace(raw, '#.*$', '')) AS line FROM lns)
+        |       WHERE line <> ''),
+        |g0 AS (SELECT *, lag(field) OVER (PARTITION BY host ORDER BY lineno) AS pf
+        |       FROM fl),
+        |g1 AS (SELECT *, CASE WHEN field = 'user-agent'
+        |         AND (pf IS NULL OR pf <> 'user-agent') THEN lineno END AS gs
+        |       FROM g0),
+        |g2 AS (SELECT *, last_value(gs IGNORE NULLS) OVER (PARTITION BY host
+        |         ORDER BY lineno ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS grp FROM g1),
+        |star AS (SELECT DISTINCT host, grp FROM g2
+        |         WHERE field = 'user-agent' AND value = '*'),
+        |rules AS (SELECT g2.host, (field = 'allow') AS allow, value AS path
+        |          FROM g2 JOIN star USING (host, grp)
+        |          WHERE field IN ('allow', 'disallow') AND value <> ''),
+        |fr AS (SELECT 'https://' || host || path AS url, host, path FROM (
+        |  SELECT 'site' || (doc_id % 4) || '.example.com' AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN '/tie/x'
+        |         WHEN doc_id % 3 = 0 THEN '/private' || (doc_id % 4) || '/ok/page'
+        |         WHEN doc_id % 3 = 1 THEN '/private' || (doc_id % 4) || '/secret'
+        |         ELSE '/public/page' END AS path
+        |  FROM documents)),
+        |m AS (SELECT f.url, f.host, f.path, r.allow, r.path AS rp
+        |      FROM fr f LEFT JOIN rules r
+        |        ON r.host = f.host AND starts_with(f.path, r.path)),
+        |win AS (SELECT url, host, path,
+        |          min(CASE WHEN rp IS NOT NULL
+        |              THEN {'neglen': -len(rp), 'dis': NOT allow, 'p': rp} END) AS w
+        |        FROM m GROUP BY 1, 2, 3)
+        |SELECT url, host, path, COALESCE(NOT w.dis, TRUE) AS allowed
+        |FROM win ORDER BY url""".stripMargin,
 
     "q153_bpe_pretok" -> preTokOracleSql,
 
