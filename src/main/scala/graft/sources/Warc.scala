@@ -60,10 +60,31 @@ object Warc {
     * record. Malformed records are skipped (resync), not errors. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, raw) =>
+    toRecords(spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])])
+  }
+
+  /** STREAMING face: the same per-file record parse over the
+    * `binaryFile` file-stream source — new `.warc(.gz)` files dropped
+    * into `path` become record rows incrementally (the crawl-ingest
+    * shape: each fetch batch lands as a file, downstream curation runs
+    * continuously). File-granular parallelism and the damage-resync
+    * semantics are identical to the batch face by construction (shared
+    * parse). */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    toRecords(spark.readStream.format("binaryFile").schema(schema).load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])])
+  }
+
+  /** Shared batch/stream parse: (file, raw bytes) → record rows. */
+  private def toRecords(files: Dataset[(String, Array[Byte])]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.flatMap { case (file, raw) =>
         val bytes =
           if (file.endsWith(".gz")) gunzipAll(raw) else raw
         parseAll(bytes).zipWithIndex.map { case (r, i) =>

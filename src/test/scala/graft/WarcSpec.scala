@@ -87,6 +87,31 @@ class WarcSpec extends SparkSpec {
       Seq("http://a/", "http://b/")
   }
 
+  test("readStream ingests dropped warc files incrementally, batch-identical parse") {
+    val dir = graft.core.Scratch.dir("warc_stream")
+    def drop(name: String, recs: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        recs.mkString.getBytes(UTF_8))
+    drop("crawl-0.warc", record("http://a/", "t1", "alpha"))
+    val q = Warc.readStream(spark, dir)
+      .select(col("url"), col("payload").cast("string").as("body"))
+      .writeStream.format("memory").queryName("warc_stream_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("warc_stream_t").select("url").as[String].collect().sorted.toSeq shouldBe
+        Seq("http://a/")
+      // a later fetch batch lands as a NEW file — only its records append
+      drop("crawl-1.warc",
+        record("http://b/", "t2", "beta"), record("http://c/", "t3", "gamma"))
+      q.processAllAvailable()
+      val all = spark.table("warc_stream_t")
+        .select("url", "body").as[(String, String)].collect().sortBy(_._1)
+      all.map(_._1).toSeq shouldBe Seq("http://a/", "http://b/", "http://c/")
+      all.map(_._2).toSeq shouldBe Seq("alpha", "beta", "gamma")
+    } finally q.stop()
+  }
+
   test("empty directory and empty file yield zero records") {
     val dir = graft.core.Scratch.dir("warc_empty")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "empty.warc"),
