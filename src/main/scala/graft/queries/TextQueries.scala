@@ -528,6 +528,45 @@ object TextQueries extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // EXT-T50: frontier politeness scheduling — the stage after the
+    // robots gate: the ALLOWED frontier becomes per-host (slot,
+    // fetch_at_ms) assignments in priority order (priority = a
+    // content-stable hash — deterministic, replayable), one fetch per
+    // host per delay, per-host budget capped. Composes q156's gate
+    // end-to-end: canonical url → robots-allowed → schedule; the
+    // oracle chains the SAME robots CTEs plus the window replay.
+    "q157_frontier_schedule" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val h = (col("doc_id") % 4).cast("string")
+      val host = concat(lit("site"), h, lit(".example.com"))
+      val nl = lit("\n")
+      val body = concat(
+        lit("User-agent: fancybot"), nl, lit("Disallow: /"), nl, nl,
+        lit("User-agent: extra"), nl, lit("User-agent: *"), nl,
+        lit("Disallow: /private"), h, nl,
+        lit("Allow: /private"), h, lit("/ok"), nl,
+        lit("Allow: /tie"), nl, lit("Disallow: /tie"), nl,
+        lit("Disallow:"), nl, lit("# note"), nl, lit("Sitemap: https://x"))
+      val robots = d.select(host.as("host"), body.as("body")).distinct()
+      val path = when(col("doc_id") % 5 === 0, lit("/tie/x"))
+        .when(col("doc_id") % 3 === 0, concat(lit("/private"), h, lit("/ok/page")))
+        .when(col("doc_id") % 3 === 1, concat(lit("/private"), h, lit("/secret")))
+        .otherwise(lit("/public/page"))
+      val frontier = d.select(
+        concat(lit("https://"), host, path).as("url"),
+        host.as("host"), path.as("path"))
+      val gated = graft.operators.Robots.evaluate(frontier,
+          graft.operators.Robots.parseRules(robots), "host", "path", "url")
+        .where(col("allowed"))
+        .withColumn("priority",
+          pmod(graft.functions.TextFunctions.hash60(col("url")), lit(100L)))
+      graft.operators.Frontier.schedule(gated, delayMs = 500L,
+          maxPerHost = Some(3L))
+        .select(col("url"), col("host"), col("priority"), col("slot"),
+          col("fetch_at_ms"))
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // EXT-T46: production BPE pre-tokenization — GPT-2-style category
     // regex (contractions / space-prefixed letter, digit, punctuation
     // runs / whitespace) instead of whitespace words, byte fallback for
@@ -1184,6 +1223,58 @@ object TextQueries extends QueryPack {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The q156/q157 shared robots CTE chain: planted bodies, the parse,
+    * the star-group rules, the frontier, and the per-url winner struct. */
+  private lazy val robotsOracleCtes: String =
+    """hosts AS (SELECT DISTINCT (doc_id % 4) AS h,
+      |  'site' || (doc_id % 4) || '.example.com' AS host FROM documents),
+      |bodies AS (SELECT host,
+      |  'User-agent: fancybot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+      |  'User-agent: extra' || chr(10) || 'User-agent: *' || chr(10) ||
+      |  'Disallow: /private' || h || chr(10) ||
+      |  'Allow: /private' || h || '/ok' || chr(10) ||
+      |  'Allow: /tie' || chr(10) || 'Disallow: /tie' || chr(10) ||
+      |  'Disallow:' || chr(10) || '# note' || chr(10) || 'Sitemap: https://x'
+      |    AS body FROM hosts),
+      |lns AS (SELECT host, p.i AS lineno, p.raw FROM (
+      |  SELECT host, unnest(list_transform(
+      |    range(1, len(string_split(body, chr(10))) + 1),
+      |    i -> {'i': i, 'raw': string_split(body, chr(10))[i]})) AS p
+      |  FROM bodies)),
+      |fl AS (SELECT host, lineno,
+      |         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS field,
+      |         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+      |       FROM (SELECT host, lineno,
+      |               trim(regexp_replace(raw, '#.*$', '')) AS line FROM lns)
+      |       WHERE line <> ''),
+      |g0 AS (SELECT *, lag(field) OVER (PARTITION BY host ORDER BY lineno) AS pf
+      |       FROM fl),
+      |g1 AS (SELECT *, CASE WHEN field = 'user-agent'
+      |         AND (pf IS NULL OR pf <> 'user-agent') THEN lineno END AS gs
+      |       FROM g0),
+      |g2 AS (SELECT *, last_value(gs IGNORE NULLS) OVER (PARTITION BY host
+      |         ORDER BY lineno ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS grp FROM g1),
+      |star AS (SELECT DISTINCT host, grp FROM g2
+      |         WHERE field = 'user-agent' AND value = '*'),
+      |rules AS (SELECT g2.host, (field = 'allow') AS allow, value AS path
+      |          FROM g2 JOIN star USING (host, grp)
+      |          WHERE field IN ('allow', 'disallow') AND value <> ''),
+      |fr AS (SELECT 'https://' || host || path AS url, host, path FROM (
+      |  SELECT 'site' || (doc_id % 4) || '.example.com' AS host,
+      |    CASE WHEN doc_id % 5 = 0 THEN '/tie/x'
+      |         WHEN doc_id % 3 = 0 THEN '/private' || (doc_id % 4) || '/ok/page'
+      |         WHEN doc_id % 3 = 1 THEN '/private' || (doc_id % 4) || '/secret'
+      |         ELSE '/public/page' END AS path
+      |  FROM documents)),
+      |m AS (SELECT f.url, f.host, f.path, r.allow, r.path AS rp
+      |      FROM fr f LEFT JOIN rules r
+      |        ON r.host = f.host AND starts_with(f.path, r.path)),
+      |win AS (SELECT url, host, path,
+      |          min(CASE WHEN rp IS NOT NULL
+      |              THEN {'neglen': -len(rp), 'dis': NOT allow, 'p': rp} END) AS w
+      |        FROM m GROUP BY 1, 2, 3)""".stripMargin
+
   /** The q146 oracle: the same merge-chain CTEs, then dense piece ids,
     * per-word id arrays, per-doc flattened sequences, and the per-lang
     * running-sum slicing into fixed training sequences. */
@@ -1569,56 +1660,21 @@ object TextQueries extends QueryPack {
     },
 
     "q156_robots_gate" ->
-      """WITH hosts AS (SELECT DISTINCT (doc_id % 4) AS h,
-        |  'site' || (doc_id % 4) || '.example.com' AS host FROM documents),
-        |bodies AS (SELECT host,
-        |  'User-agent: fancybot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
-        |  'User-agent: extra' || chr(10) || 'User-agent: *' || chr(10) ||
-        |  'Disallow: /private' || h || chr(10) ||
-        |  'Allow: /private' || h || '/ok' || chr(10) ||
-        |  'Allow: /tie' || chr(10) || 'Disallow: /tie' || chr(10) ||
-        |  'Disallow:' || chr(10) || '# note' || chr(10) || 'Sitemap: https://x'
-        |    AS body FROM hosts),
-        |lns AS (SELECT host, p.i AS lineno, p.raw FROM (
-        |  SELECT host, unnest(list_transform(
-        |    range(1, len(string_split(body, chr(10))) + 1),
-        |    i -> {'i': i, 'raw': string_split(body, chr(10))[i]})) AS p
-        |  FROM bodies)),
-        |fl AS (SELECT host, lineno,
-        |         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS field,
-        |         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
-        |       FROM (SELECT host, lineno,
-        |               trim(regexp_replace(raw, '#.*$', '')) AS line FROM lns)
-        |       WHERE line <> ''),
-        |g0 AS (SELECT *, lag(field) OVER (PARTITION BY host ORDER BY lineno) AS pf
-        |       FROM fl),
-        |g1 AS (SELECT *, CASE WHEN field = 'user-agent'
-        |         AND (pf IS NULL OR pf <> 'user-agent') THEN lineno END AS gs
-        |       FROM g0),
-        |g2 AS (SELECT *, last_value(gs IGNORE NULLS) OVER (PARTITION BY host
-        |         ORDER BY lineno ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS grp FROM g1),
-        |star AS (SELECT DISTINCT host, grp FROM g2
-        |         WHERE field = 'user-agent' AND value = '*'),
-        |rules AS (SELECT g2.host, (field = 'allow') AS allow, value AS path
-        |          FROM g2 JOIN star USING (host, grp)
-        |          WHERE field IN ('allow', 'disallow') AND value <> ''),
-        |fr AS (SELECT 'https://' || host || path AS url, host, path FROM (
-        |  SELECT 'site' || (doc_id % 4) || '.example.com' AS host,
-        |    CASE WHEN doc_id % 5 = 0 THEN '/tie/x'
-        |         WHEN doc_id % 3 = 0 THEN '/private' || (doc_id % 4) || '/ok/page'
-        |         WHEN doc_id % 3 = 1 THEN '/private' || (doc_id % 4) || '/secret'
-        |         ELSE '/public/page' END AS path
-        |  FROM documents)),
-        |m AS (SELECT f.url, f.host, f.path, r.allow, r.path AS rp
-        |      FROM fr f LEFT JOIN rules r
-        |        ON r.host = f.host AND starts_with(f.path, r.path)),
-        |win AS (SELECT url, host, path,
-        |          min(CASE WHEN rp IS NOT NULL
-        |              THEN {'neglen': -len(rp), 'dis': NOT allow, 'p': rp} END) AS w
-        |        FROM m GROUP BY 1, 2, 3)
+      s"""WITH $robotsOracleCtes
         |SELECT url, host, path, COALESCE(NOT w.dis, TRUE) AS allowed
         |FROM win ORDER BY url""".stripMargin,
+
+    "q157_frontier_schedule" ->
+      s"""WITH $robotsOracleCtes,
+        |gated AS (SELECT url, host,
+        |    ('0x' || substr(md5(url), 1, 15))::BIGINT % 100 AS priority
+        |  FROM win WHERE COALESCE(NOT w.dis, TRUE)),
+        |sched AS (SELECT url, host, priority,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot
+        |  FROM gated)
+        |SELECT url, host, priority, slot, slot * 500 AS fetch_at_ms
+        |FROM sched WHERE slot < 3 ORDER BY host, slot""".stripMargin,
 
     "q153_bpe_pretok" -> preTokOracleSql,
 
