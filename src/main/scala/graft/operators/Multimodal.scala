@@ -169,6 +169,45 @@ object Multimodal {
     MediaFeatures(row.mediaId, row.kind, row.data.length.toLong, fs)
   }
 
+  /** Feature width of [[audioDecoder]]: sample rate, channels, frame
+    * count, RMS amplitude in [0,1]. */
+  val AudioDim = 4
+
+  /** REAL audio decoder — pure JVM (`javax.sound.sampled` ships a WAV/
+    * AIFF/AU reader in every JDK): decodes PCM payloads and emits the
+    * curation statistics (rate, channels, length, RMS energy — the
+    * silence/clipping filter inputs). 16-bit little-endian signed PCM is
+    * the WAV norm and what the RMS loop reads; other widths fall back to
+    * format metadata with RMS = -1 (visible, not wrong). Undecodable
+    * payloads return empty features, like [[imageDecoder]]. */
+  def audioDecoder(row: MediaRow): MediaFeatures = {
+    val fs =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.data))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val frames = bytes.length.toLong /
+            math.max(fmt.getFrameSize, 1)
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              var sum = 0.0; var i = 0
+              while (i + 1 < bytes.length) {
+                val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                sum += (s / 32768.0) * (s / 32768.0); i += 2
+              }
+              math.sqrt(sum / math.max(bytes.length / 2, 1))
+            } else -1.0
+          Array(fmt.getSampleRate.toDouble, fmt.getChannels.toDouble,
+            frames.toDouble, rms)
+        } finally in.close()
+      } catch { case _: Exception => Array.empty[Double] }
+    MediaFeatures(row.mediaId, row.kind, row.data.length.toLong, fs)
+  }
+
   /**
    * Decode + feature-extract over partition-sized batches: the typed
    * `mapPartitions` shape a real decoder needs (amortize codec init per

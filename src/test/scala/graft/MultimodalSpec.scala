@@ -112,6 +112,35 @@ class MultimodalSpec extends SparkSpec {
     out(3L).nBytes shouldBe 3L
   }
 
+
+  test("audioDecoder really decodes planted WAV bytes (rate, channels, frames, RMS)") {
+    def wav(rate: Float, amplitude: Short, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) { // constant-amplitude square-ish signal
+        pcm(2 * i) = (amplitude & 0xff).toByte
+        pcm(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bo)
+      bo.toByteArray
+    }
+    val half = (32768 / 2).toShort // amplitude 0.5
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(8000f, half, 1000), MediaMeta(0, 0, 0, 0)),
+      MediaRow(2L, "audio", Array[Byte](9, 9, 9), MediaMeta(0, 0, 0, 0)))
+    val out = rows.map(Multimodal.audioDecoder).map(f => f.mediaId -> f).toMap
+    val a = out(1L).features
+    a(0) shouldBe 8000.0
+    a(1) shouldBe 1.0
+    a(2) shouldBe 1000.0
+    a(3) shouldBe 0.5 +- 0.001 // RMS of a constant 0.5-amplitude signal
+    out(2L).features shouldBe empty
+  }
+
   test("stubDecoder is pure and deterministic on raw bytes") {
     val row = MediaRow(7L, "image", "payload".getBytes("UTF-8"), MediaMeta(64, 48, 22050, 1000))
     val a = Multimodal.stubDecoder(row)
