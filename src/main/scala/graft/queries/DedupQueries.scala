@@ -159,6 +159,22 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-D23: FUZZY benchmark decontamination — the near-duplicate face
+    // of q67: cross-set MinHash-LSH candidates (train bands probe the
+    // broadcast benchmark band table) + exact Jaccard refine, so a
+    // rephrased benchmark item that shares no exact n-gram run is still
+    // caught at the similarity threshold. Same hash family, bands, and
+    // threshold as the dedup tier; the oracle replays signatures, band
+    // buckets, the cross-set candidate join, and the refine.
+    "q158_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Decontamination.contaminatedFuzzy(
+          d.where(col("doc_id") % 17 =!= 0),
+          d.where(col("doc_id") % 17 === 0),
+          ShingleN, NumPerms, Bands, JaccardThreshold)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-D14: one-call corpus dedup on the SimHash tier — banded
     // Hamming pairs → components → quality survivors → kept corpus; the
     // cheapest per-candidate gate (XOR/popcount), completing the dedup
@@ -640,6 +656,27 @@ object DedupQueries extends QueryPack {
          |       FROM jq)
          |SELECT component, id AS survivor_id, ROUND(q, 6) AS best_quality, n_members
          |FROM rk WHERE rnk = 1 ORDER BY component""".stripMargin,
+
+    "q158_decontaminate_fuzzy" ->
+      s"""WITH $ShingleCtes,
+         |$SigBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+         |         WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0),
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |rint AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |         FROM cand c JOIN shd a ON c.doc_a = a.doc_id
+         |         JOIN shd b ON c.doc_b = b.doc_id AND a.g = b.g
+         |         GROUP BY 1, 2),
+         |hits AS (SELECT doc_a, doc_b,
+         |           i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS j
+         |         FROM rint JOIN sz sa ON doc_a = sa.doc_id
+         |         JOIN sz sb ON doc_b = sb.doc_id
+         |         WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold)
+         |SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+         |       ROUND(MAX(j), 6) AS max_jaccard
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_dedup_corpus_lsh" ->
       s"""WITH RECURSIVE $ShingleCtes,

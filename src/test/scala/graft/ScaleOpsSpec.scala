@@ -30,6 +30,26 @@ class ScaleOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
   }
 
+  test("fuzzy decontamination flags similarity-level leakage, not one shared phrase") {
+    val benchDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val t = Seq(
+      // near-dup of the benchmark: one word changed -> high Jaccard
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // shares exactly one trigram, otherwise unrelated: exact protocol
+      // flags it, the similarity threshold does not
+      (2L, "alpha beta gamma completely different tail words here now"),
+      (3L, "nothing in common with anything at all truly")).toDF("doc_id", "text")
+    val fuzzy = Decontamination.contaminatedFuzzy(t, b, 3, 16, 4, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    fuzzy shouldBe Set(1L)
+    val exact = Decontamination.contaminated(t, b, 3)
+      .select("doc_id").as[Long].collect().toSet
+    exact shouldBe Set(1L, 2L) // the phrase-level protocol flags doc 2 too
+    Decontamination.scrubFuzzy(t, b, 3, 16, 4, 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+  }
+
   test("bloomSemiJoin equals the plain semi-join (false positives removed)") {
     val big = (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
     val keys = Seq(3L, 17L, 400L, 999L).toDF("key") // 999 matches nothing
