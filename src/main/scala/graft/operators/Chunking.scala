@@ -68,6 +68,50 @@ object Chunking {
         col("pack_offset") + col(tokenCol) > budget)
   }
 
+  /**
+   * Length-bucketed batch shaping — the inference/eval counterpart of
+   * sequence packing: padded batching wastes compute proportional to
+   * (batch max length − item length), so production serving buckets
+   * items by length and sizes each batch inversely to its bucket's
+   * padded width (rows/batch = ⌊tokenBudget / bucketUpper⌋, min 1 —
+   * a fixed token budget per batch regardless of length class).
+   *
+   * `boundaries` (ascending) define the padded widths; an item lands in
+   * the smallest boundary ≥ its length, and items longer than the last
+   * boundary are EXCLUDED (they need truncation/chunking first — making
+   * that loud beats silently padding to an unplanned width). Assignment
+   * is deterministic: items order by (tokenCol, idCol) inside the
+   * bucket, batch_id = position div rows/batch.
+   *
+   * Scale: one bucket-keyed window. Buckets are wide partitions (a
+   * corpus-sized bucket holds most rows) — for corpus-scale batch
+   * materialization compose a shard axis exactly like
+   * [[packIdSequences]]'s lang×shard strata; for eval/serving sets (the
+   * actual use) buckets are modest. Output: input columns +
+   * (bucket_upper, batch_id, pad_tokens).
+   */
+  def lengthBatches(rows: DataFrame, tokenBudget: Int, boundaries: Seq[Int],
+                    tokenCol: String = "n_tokens",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries, "boundaries must be ascending")
+    require(tokenBudget >= boundaries.head,
+      "tokenBudget must fit at least one row of the smallest bucket")
+    val upper = boundaries.foldRight(lit(null).cast("int")) { (b, acc) =>
+      when(col(tokenCol) <= b, lit(b)).otherwise(acc)
+    }
+    rows
+      .where(col(tokenCol) <= boundaries.last && col(tokenCol) > 0)
+      .withColumn("bucket_upper", upper)
+      .withColumn("__rpb", greatest(expr(s"$tokenBudget div bucket_upper"), lit(1)))
+      .withColumn("batch_id",
+        expr("(row_number() over (partition by bucket_upper " +
+          s"order by $tokenCol, $idCol) - 1) div __rpb").cast("long"))
+      .withColumn("pad_tokens",
+        (col("bucket_upper") - col(tokenCol)).cast("long"))
+      .drop("__rpb")
+  }
+
   /** MATERIALIZED sequence packing — where `packSequences` assigns pack
     * ids to counted chunks, this lays the actual token-id CONTENT end to
     * end: per stratum, document id sequences (`idsCol`, array<long>,

@@ -78,6 +78,32 @@ object TextQueries extends QueryPack {
       graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // EXT-T51: length-bucketed batch shaping — the inference/eval
+    // counterpart of sequence packing: q50's chunks bucket by padded
+    // width (smallest boundary ≥ length; over-long rows excluded
+    // loudly), each batch holds ⌊budget/width⌋ rows, assignment is the
+    // deterministic (length, id) order. Output: one row per batch with
+    // its padding-efficiency — the number batch-shaping exists to
+    // optimize. The oracle replays bucketing, the per-bucket window,
+    // and the efficiency arithmetic.
+    "q159_length_batches" -> ((s, dir) => {
+      val chunks = graft.operators.Chunking
+        .chunkDocuments(docs(s, dir), 64, 48)
+        .withColumn("chunk_key",
+          concat(col("doc_id").cast("string"), lit(":"), col("chunk_id").cast("string")))
+      graft.operators.Chunking.lengthBatches(
+          chunks, tokenBudget = 512, boundaries = Seq(16, 32, 64),
+          tokenCol = "n_tokens", idCol = "chunk_key")
+        .groupBy(col("bucket_upper"), col("batch_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("pad_tokens")).as("sum_pad"),
+          round(sum(col("n_tokens")).cast("double") /
+            (sum(col("n_tokens")) + sum(col("pad_tokens"))).cast("double"), 6)
+            .as("efficiency"))
+        .orderBy(col("bucket_upper"), col("batch_id"))
+    }),
+
     // EXT-T6: deterministic stratified sampling — rebalance the corpus by
     // language with hash-slice membership (content-stable: same row in or
     // out on any engine, layout, or rerun — unlike seed sampling).
@@ -1658,6 +1684,32 @@ object TextQueries extends QueryPack {
          |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM ap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q159_length_batches" ->
+      s"""WITH $ToksCte,
+         |starts AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk), 1), 48)) AS start
+         |           FROM toks),
+         |chunks AS (SELECT doc_id || ':' || (start // 48) AS chunk_key,
+         |             CAST(LEAST(64, len(tk) - start) AS BIGINT) AS n_tokens
+         |           FROM starts WHERE start < len(tk)),
+         |bk AS (SELECT chunk_key, n_tokens,
+         |         CASE WHEN n_tokens <= 16 THEN 16
+         |              WHEN n_tokens <= 32 THEN 32
+         |              ELSE 64 END AS bucket_upper
+         |       FROM chunks WHERE n_tokens > 0 AND n_tokens <= 64),
+         |asg AS (SELECT bucket_upper, n_tokens,
+         |          CAST((ROW_NUMBER() OVER (PARTITION BY bucket_upper
+         |                 ORDER BY n_tokens, chunk_key) - 1)
+         |               // GREATEST(512 // bucket_upper, 1) AS BIGINT) AS batch_id,
+         |          bucket_upper - n_tokens AS pad
+         |        FROM bk)
+         |SELECT CAST(bucket_upper AS INT) AS bucket_upper, batch_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(pad) AS BIGINT) AS sum_pad,
+         |  ROUND(SUM(n_tokens)::DOUBLE / (SUM(n_tokens) + SUM(pad))::DOUBLE, 6)
+         |    AS efficiency
+         |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q156_robots_gate" ->
       s"""WITH $robotsOracleCtes

@@ -157,6 +157,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("lengthBatches: bucket widths, batch sizing by budget, over-long exclusion") {
+    val rows = (Seq(3L, 10L, 16L, 17L, 30L, 33L, 64L, 65L, 0L)).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+    val got = Chunking.lengthBatches(rows, tokenBudget = 64,
+        boundaries = Seq(16, 32, 64), idCol = "doc_id")
+      .select("doc_id", "bucket_upper", "batch_id", "pad_tokens")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    // 65-token and 0-token rows are excluded (ids 7, 8)
+    got.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L)
+    val byId = got.map(r => r._1 -> r).toMap
+    byId(0L)._2 shouldBe 16 // 3 tokens -> 16-wide bucket
+    byId(3L)._2 shouldBe 32 // 17 -> 32
+    byId(6L)._2 shouldBe 64
+    byId(0L)._4 shouldBe 13L // pad = 16 - 3
+    // budget 64 -> 4 rows/batch in the 16 bucket: ids 0,1,2 fit batch 0
+    Seq(0L, 1L, 2L).map(byId(_)._3).toSet shouldBe Set(0L)
+    // 64-wide bucket (33- and 64-token rows): 1 row per batch, length order
+    byId(5L)._3 shouldBe 0L
+    byId(6L)._3 shouldBe 1L
+    // every batch's padded volume respects the budget
+    got.groupBy(r => (r._2, r._3)).foreach { case ((w, _), rs) =>
+      (rs.length.toLong * w) should be <= 64L
+    }
+  }
+
   test("intervalJoin equals the naive theta join on random data") {
     val rnd = new scala.util.Random(11)
     val ranges = (1L to 60L).map { i =>
