@@ -351,4 +351,55 @@ class PlanShapeSpec extends SparkSpec {
     try planOf(graft.core.Spread.byKey(wide, col("vec_id"))) should include("hashpartitioning(vec_id")
     finally spark.conf.set(graft.core.Spread.Conf, "auto")
   }
+
+  test("langIdBulk broadcasts the marker table onto the token stream") {
+    val docs = Seq((1L, "the cat"), (2L, "der Hund")).toDF("doc_id", "text")
+    val p = planOf(graft.functions.TextFunctions.langIdBulk(docs))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("trained langId scoring broadcasts model + language tables, never sort-merges") {
+    val docs = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "aa" else "bb", s"some text number $i here")).toDF("doc_id", "lang", "text")
+    val model = graft.operators.LangId.train(docs, 3, 64, minG2 = 0.0)
+    val langs = graft.operators.LangId.langTable(docs, 3, 64)
+    val p = planOf(graft.operators.LangId.classify(docs, model, langs, 3, 64))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct" // the langs cross is a broadcast NL of a 2-row table
+  }
+
+  test("robots gate broadcasts the rule table onto the frontier") {
+    val rules = graft.operators.Robots.parseRules(
+      Seq(("a.com", "User-agent: *\nDisallow: /x\n")).toDF("host", "body"))
+    val frontier = Seq(("u1", "a.com", "/x/1")).toDF("url", "host", "path")
+    val p = planOf(graft.operators.Robots.evaluate(frontier, rules))
+    // host equality drives a broadcast HASH join; the startsWith prefix
+    // predicate rides as the join filter — never a nested loop over the
+    // frontier
+    p should include("BroadcastHashJoin")
+    p should include("StartsWith")
+    p should not include "CartesianProduct"
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark band table") {
+    val t = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b = Seq((9L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val p = planOf(graft.operators.Decontamination
+      .contaminatedFuzzy(t, b, 3, 16, 4, 0.5))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("WARC metadata projection prunes the payload column from the scan") {
+    val dir = graft.core.Scratch.dir("warc_prune")
+    graft.sources.Warc.save(
+      Seq(("http://a/", "t", "payload body")).toDF("url", "ts", "payload"), dir)
+    val p = planOf(graft.sources.Warc.read(spark, dir)
+      .select(col("url"), col("content_length")))
+    // the flatMap parser needs content, but the OUTPUT projection must
+    // not carry payload bytes past the deserializer
+    p should include("url")
+    p should not include "payload#" // no payload attribute survives the projection
+  }
 }
