@@ -60,7 +60,7 @@ object Q57Probe {
         noop(graft.core.StoreBuild.scaledNeighborsFromStats(updated, 2.0))
       }
       // the same snapshot through a persisted round trip: tiny logical plans
-      val snap = s"/tmp/q57probe/snap$rep"
+      val snap = graft.core.Scratch.dir("q57probe_snap")
       timeIt("save snapshot")(graft.core.Incremental.save(updated, snap))
       val loaded = graft.core.Incremental.load(spark, snap)
       timeIt("build from loaded stats") {
@@ -82,10 +82,10 @@ object Q57Probe {
         shape("fromStats", graft.core.StoreBuild.scaledNeighborsFromStats(updated, 2.0))
         shape("fromCrosstab", graft.core.StoreBuild.scaledNeighbors(ct, 2.0))
         shape("fromLoaded", graft.core.StoreBuild.scaledNeighborsFromStats(loaded, 2.0))
-        java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plan_loaded.txt"),
+        java.nio.file.Files.writeString(graft.core.Scratch.root.resolve("plan_loaded.txt"),
           graft.core.StoreBuild.scaledNeighborsFromStats(loaded, 2.0)
             .queryExecution.executedPlan.toString)
-        java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plan_ct.txt"),
+        java.nio.file.Files.writeString(graft.core.Scratch.root.resolve("plan_ct.txt"),
           graft.core.StoreBuild.scaledNeighbors(ct, 2.0)
             .queryExecution.executedPlan.toString)
       }

@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
  *  - every table-local key (order/cust/supp/part/event/user/doc/vec)
  *    shifts by k·STRIDE, consistently across fact↔fact foreign keys;
  *    `nationkey` references stay as-is (dims are not replicated);
- *  - `documents.text` gets a per-copy suffix token (and `n_chars` is
- *    recomputed) so the dedup tiers see 10× distinct content, not one
- *    corpus with 10 exact copies of everything;
+ *  - `documents.text` gets a per-copy letter suffix on EVERY word (and
+ *    `n_chars` recomputed) so copies share zero shingles — dedup and
+ *    similarity outputs grow linearly in K instead of quadratically
+ *    (see the per-copy tweak below for the full rationale);
  *  - `embeddings.embedding` is perturbed by a deterministic per-copy,
  *    per-dimension offset (amplitude 0.2) so copies are distinct
  *    DIRECTIONS — near-dup and ANN structure scales instead of
  *    degenerating into cos=1 clone clusters.
  *
- * Used for the sf1 bench probe recorded in BASELINE.md (the driver's
- * /root/testdata is read-only, so sf1 lands under /tmp):
- *   sbt "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/testdata/sf1 10"
+ * Used for the sf1/sf10 bench probes recorded in BASELINE.md (the
+ * driver's /root/testdata is read-only and /tmp gets reaped, so probe
+ * fixtures land under target/scaledata):
+ *   sbt "runMain graft.tools.ScaleData /root/testdata/sf0.1 target/scaledata/sf1 10"
+ *   sbt "runMain graft.tools.ScaleData target/scaledata/sf1 target/scaledata/sf10 10 10"
  */
 object ScaleData {
 
