@@ -742,4 +742,58 @@ object Dedup {
           (acc, r) => acc + r.getField("rm_end") - r.getField("rm_start")),
           lit(0L)).as("n_removed"))
   }
+
+  /**
+   * CCNet-style LINE-level boilerplate dedup (Wenzek et al. 2020 §3.1,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data"): hash every newline-delimited line, count the corpus-wide
+   * DOCUMENT frequency of each line hash, and strike every occurrence of
+   * any line appearing in more than `maxDocFreq` distinct documents —
+   * navigation chrome, cookie banners, and share-bar boilerplate repeat
+   * across pages while body text does not. Document frequency (not
+   * occurrence count) so a line repeated within ONE document is not
+   * boilerplate by itself.
+   *
+   * Scale shape — the document BODY never keys by line hash: what
+   * shuffles on `h` is (id, line_no, hash60) at 28 bytes/row (the
+   * distinct + df aggregation and the semi-join against the hot set all
+   * share that key, so AQE coalesces them onto one exchange family),
+   * and the body pays exactly one keyed exchange — the final `idCol`
+   * join of per-doc strike lists back onto the input row, where
+   * reassembly is a pure Column filter over the split array (no
+   * re-collect of line text). The hot set is bounded by
+   * |lines|/maxDocFreq DISTINCT hashes and is typically tiny (true
+   * boilerplate is few distinct lines); it stays distributed — no
+   * driver collect — and AQE broadcasts the semi-join when it fits.
+   *
+   * Empty lines (consecutive newlines) hash like any other line: past
+   * `maxDocFreq` documents they are struck too — exactly CCNet's
+   * behavior of dropping ubiquitous blank separators.
+   *
+   * Output: (idCol, n_lines, n_removed, textCol) — every input document
+   * appears, kept lines rejoined with '\n' in original order; a
+   * fully-boilerplate document keeps ''.
+   */
+  def lineDedup(docs: DataFrame, maxDocFreq: Long,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be positive")
+    val keyed = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .select(col(idCol), col("line_no"), hash60(col("line")).as("h"))
+    val hot = keyed.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("h"))
+    val strikes = keyed.join(hot, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("line_no")).as("rm"), count(lit(1)).as("n_removed"))
+    docs.join(strikes, Seq(idCol), "left")
+      .select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(
+          filter(split(col(textCol), "\n"),
+            (_, i) => !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)),
+          "\n").as(textCol))
+  }
 }

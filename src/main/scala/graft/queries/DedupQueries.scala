@@ -203,6 +203,37 @@ object DedupQueries extends QueryPack {
       Dedup.exactSubstrDedup(docs(s, dir), ExactSubstrL)
         .orderBy(col("doc_id"))),
 
+    // EXT-D25: CCNet-style LINE-level boilerplate dedup — lines appearing
+    // in more than LineMaxDf distinct documents are boilerplate (nav
+    // chrome, banners) and every occurrence is struck; body lines stay.
+    // The fixture plants the crawl shape deterministically in-query
+    // (q63's pattern): a corpus-wide header line (df = |corpus|), a
+    // per-source footer (df = 25 per source at sf0.01), and the real
+    // token stream re-lined 8 tokens/line (df ≈ duplicate-group size).
+    // Output hashes the reassembled text so the gate covers line order
+    // and separator reconstruction, not just counts.
+    "q160_line_dedup" -> ((s, dir) => {
+      val tk = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val lined = docs(s, dir)
+        .select(col("doc_id"), col("source"), tk.as("tk"))
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(
+              array(lit(LineHeader)),
+              when(size(col("tk")) === 0, array().cast("array<string>"))
+                .otherwise(transform(
+                  sequence(lit(0),
+                    ((size(col("tk")) - 1) / LineTokens).cast("int")),
+                  g => array_join(
+                    slice(col("tk"), g * LineTokens + 1, lit(LineTokens)), " "))),
+              array(concat(lit(LineFooter), col("source"))))).as("text"))
+      Dedup.lineDedup(lined, LineMaxDf)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-D22: incremental ExactSubstr — the crawl-delta face of q138:
     // the base corpus (doc_id % 4 ≠ 1) is represented on disk by its
     // window-HASH set (8 bytes/position, no text), the delta (% 4 = 1)
@@ -282,6 +313,10 @@ object DedupQueries extends QueryPack {
   private val TfidfCosThreshold = 0.3
   private val TfidfMaxDfFrac = 0.2
   private val TfidfMaxDfAbs = 256L
+  private val LineTokens = 8 // q160 re-lined tokens per content line
+  private val LineMaxDf = 5L // q160 boilerplate document-frequency gate
+  private val LineHeader = "corpus shared boilerplate header"
+  private val LineFooter = "footer navigation for "
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -499,6 +534,32 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // CCNet line-dedup replay: plant the same header/content/footer line
+    // structure, hash lines with the same md5-hash60 family, count
+    // DOCUMENT frequency per hash, strike hot lines, and reassemble with
+    // an ordered FILTERed string_agg.
+    "q160_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |lined AS (SELECT doc_id,
+         |    ['$LineHeader']
+         |      || list_transform(range(0, len(tk), $LineTokens),
+         |           g -> array_to_string(list_slice(tk, g + 1, g + $LineTokens), ' '))
+         |      || ['$LineFooter' || source] AS ls
+         |  FROM toks),
+         |lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line,
+         |            ('0x' || substr(md5(ls[i + 1]), 1, 15))::BIGINT AS h
+         |          FROM lined, unnest(range(0, len(ls))) AS t(i)),
+         |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+         |mk AS (SELECT l.doc_id, l.line_no, l.line, (df.df > $LineMaxDf) AS hot
+         |       FROM lines l JOIN df USING (h))
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+         |        FILTER (WHERE NOT hot), '')) AS clean_md5
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Incremental ExactSubstr replay: base window-hash set (the store),
     // then the delta fold — stored hash removes every delta occurrence,

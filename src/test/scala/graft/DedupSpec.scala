@@ -216,4 +216,35 @@ class DedupSpec extends SparkSpec {
     assert(allCand >= 190L, s"expected the planted cluster to dominate, got $allCand")
     assert(repCand <= allCand - 190L, s"rep candidates $repCand vs all $allCand")
   }
+
+  test("lineDedup strikes corpus-frequent lines, keeps order, counts by DOC frequency") {
+    // 'nav bar' is in 3 distinct docs (> maxDocFreq=2) ⇒ struck everywhere,
+    // including BOTH its occurrences in doc 4; 'twice here' repeats within
+    // one doc only (df=1) ⇒ kept — doc frequency, not occurrence count.
+    val lined = Seq(
+      (1L, "nav bar\nalpha body one\nbeta body two"),
+      (2L, "nav bar\ngamma body\ntwice here\ntwice here"),
+      (3L, "delta body\nnav bar"),
+      (4L, "nav bar\nnav bar"),
+      (5L, "epsilon body")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lined, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((3L, 1L, "alpha body one\nbeta body two"))
+    out(2L) shouldBe ((4L, 1L, "gamma body\ntwice here\ntwice here"))
+    out(3L) shouldBe ((2L, 1L, "delta body"))
+    out(4L) shouldBe ((2L, 2L, "")) // fully-boilerplate doc keeps ''
+    out(5L) shouldBe ((1L, 0L, "epsilon body"))
+    out.size shouldBe 5
+  }
+
+  test("lineDedup boundary: df == maxDocFreq survives, df == maxDocFreq+1 is struck") {
+    val lined = Seq(
+      (1L, "edge line\nover line"), (2L, "edge line\nover line"),
+      (3L, "over line\nown body")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lined, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(1L) shouldBe "edge line" // df('edge line')=2 kept; df('over line')=3 struck
+    out(3L) shouldBe "own body"
+  }
 }
