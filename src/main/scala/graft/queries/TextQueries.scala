@@ -300,6 +300,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T52: host-level quality gating — RefinedWeb-style: score docs
+    // individually, aggregate per HOST (`source` is this corpus's
+    // provenance axis), flag the bottom-quartile hosts by mean quality
+    // and gate every document they contributed. Selection is rank-based
+    // under the total order (mean_quality, host) via the two-phase
+    // distributed rank — no unpartitioned window, no float-threshold
+    // boundary for the oracle to disagree on.
+    "q161_host_gate" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("source"), qualityScore(col("text")).as("q"))
+      graft.operators.HostCuration
+        .hostQualityGate(scored, "source", "q", HostBottomFrac)
+        .orderBy(col("source"))
+    }),
+
     // EXT-T11: per-stratum quota sampling — absolute per-language document
     // budgets (vs q49's per-mille rates). WindowGroupLimit prunes map-side.
     "q65_quota_sample" -> ((s, dir) =>
@@ -885,6 +900,7 @@ object TextQueries extends QueryPack {
   private val LangIdN = 3 // q154 char n-gram order
   private val LangIdBuckets = 512 // q154 hashed feature space
   private val LangIdMinG2 = 20.0 // q154 G² feature-selection threshold
+  private val HostBottomFrac = 0.25 // q161 flagged host-tail fraction
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
 
@@ -2004,6 +2020,37 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, lang, quality FROM rk
          |WHERE rnk <= CEIL(n * 0.25)
          |ORDER BY doc_id""".stripMargin,
+
+    // Host-gate replay: the q48 quality formula per doc, per-source mean
+    // (rounded BEFORE ranking), global rank under (mean, source), flag
+    // the bottom ⌈frac·H⌉ hosts.
+    "q161_host_gate" ->
+      s"""WITH hq AS (SELECT source, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |st AS (SELECT source, len(tk)::DOUBLE AS nt,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |       ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END AS sr,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |            / length(text)::DOUBLE END AS pr
+         |  FROM hq),
+         |sq AS (SELECT source,
+         |  GREATEST(0.0, LEAST(1.0, nt / 50.0) * 0.5
+         |              + LEAST(1.0, sr * 4.0) * 0.5
+         |              - LEAST(1.0, pr * 10.0) * 0.25) AS q
+         |  FROM st),
+         |hs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         ROUND(AVG(q), 6) AS mean_quality
+         |       FROM sq GROUP BY 1),
+         |rk AS (SELECT source, n_docs, mean_quality,
+         |         ROW_NUMBER() OVER (ORDER BY mean_quality, source) AS rn,
+         |         COUNT(*) OVER () AS h
+         |       FROM hs)
+         |SELECT source, n_docs, mean_quality,
+         |  (rn <= CEIL($HostBottomFrac * h)) AS flagged
+         |FROM rk ORDER BY source""".stripMargin,
 
     "q79_train_shuffle" ->
       """WITH h AS (SELECT doc_id,

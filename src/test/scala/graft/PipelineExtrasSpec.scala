@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Repetition, Sampling}
+import graft.operators.{HostCuration, Repetition, Sampling}
 import graft.streaming.EventStreams
 
 /** Hand-computed witnesses for the round-3 pipeline extras: repetition
@@ -296,5 +296,35 @@ class PipelineExtrasSpec extends SparkSpec {
     (0.5 +: hiW.toSeq).sliding(2).foreach { case Seq(p, n) => assert(n > p) }
     (0.5 +: loW.toSeq).sliding(2).foreach { case Seq(p, n) => assert(n < p) }
     t.groupBy(_._1).values.foreach(rs => rs.map(_._4).sum shouldBe 1.0 +- 4e-9)
+  }
+
+  test("hostQualityGate flags the bottom-fraction hosts; gateDocs drops exactly their docs") {
+    // 4 hosts by mean quality: spam=0.1, low=0.3, mid=0.6, good=0.9
+    // bottomFrac=0.25 ⇒ ⌈0.25·4⌉ = 1 flagged host: spam
+    val docs = Seq(
+      ("spam", 0.1), ("spam", 0.1),
+      ("low", 0.2), ("low", 0.4),
+      ("mid", 0.6),
+      ("good", 0.8), ("good", 1.0)).toDF("host", "q")
+    val gate = HostCuration.hostQualityGate(docs, "host", "q", 0.25)
+    val m = gate.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    m("spam") shouldBe ((2L, 0.1, true))
+    m("low") shouldBe ((2L, 0.3, false))
+    m("mid") shouldBe ((1L, 0.6, false))
+    m("good") shouldBe ((2L, 0.9, false))
+    val kept = HostCuration.gateDocs(docs, gate, "host")
+      .select("host").as[String].collect()
+    kept should contain noneOf ("spam", "nope")
+    kept.length shouldBe 5
+  }
+
+  test("hostQualityGate: mean ties break by host name; half fraction flags the bottom half") {
+    val docs = Seq(("b", 0.5), ("a", 0.5), ("c", 0.9), ("d", 0.9))
+      .toDF("host", "q")
+    // ties at 0.5: order (a, b) — frac 0.5 ⇒ 2 flagged: a and b
+    val m = HostCuration.hostQualityGate(docs, "host", "q", 0.5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    m shouldBe Map("a" -> true, "b" -> true, "c" -> false, "d" -> false)
   }
 }
