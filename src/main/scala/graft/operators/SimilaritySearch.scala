@@ -777,4 +777,37 @@ object SimilaritySearch {
       .select(col("id").as("vec_id"))
     Dedup.keepCorpus(embs, dropped, "vec_id", comps.count())
   }
+
+  /**
+   * Embedding outlier flags — the mislabeled/noise-document filter used
+   * before contrastive training and semantic clustering: every vector is
+   * scored by cosine to its OWN nearest centroid, and a vector more than
+   * `sigma` sample-stddevs below its cluster's mean self-similarity is
+   * an outlier (far from everything it supposedly belongs with —
+   * corrupted embeddings, off-distribution documents, encoder failures).
+   * Per-CLUSTER statistics, not global: tight and diffuse clusters get
+   * their own fences (a global fence flags whole diffuse clusters).
+   *
+   * Scale: assignment is the IVF shape (centroids broadcast — the same
+   * table every IVF path already ships to executors), cluster stats are
+   * one keyed agg at |centroids| rows rejoined by broadcast; the corpus
+   * shuffles zero times beyond the assignment window's vec_id exchange.
+   * Singleton clusters have NULL stddev ⇒ never outliers (no evidence).
+   *
+   * Output: (vec_id, cent_id, cos_centroid rounded 1e-6, outlier).
+   */
+  def centroidOutliers(embs: DataFrame, centroidMod: Int, sigma: Double): DataFrame = {
+    require(sigma > 0.0, "sigma must be positive")
+    val assigned = centroidRanks(
+        graft.core.Spread.byKey(embs, col("vec_id")),
+        ivfCentroids(embs, centroidMod), 1)
+      .select(col("vec_id"), col("cent_id"), col("cscore"))
+    val stats = assigned.groupBy(col("cent_id"))
+      .agg(avg(col("cscore")).as("mu"), stddev_samp(col("cscore")).as("sd"))
+    assigned.join(broadcast(stats), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        round(col("cscore"), 6).as("cos_centroid"),
+        coalesce(col("cscore") < col("mu") - lit(sigma) * col("sd"), lit(false))
+          .as("outlier"))
+  }
 }

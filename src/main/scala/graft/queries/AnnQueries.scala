@@ -33,6 +33,7 @@ object AnnQueries extends QueryPack {
   private val HybridTopL = 100 // q128 per-list cap
   private val HybridK = 20 // q128 fused output size
   private val ClusterQuota = 25 // q129 per-cluster keep
+  private val OutlierSigma = 2.0 // q162 per-cluster fence width
   private val MmrCandidates = 20 // q135 bounded candidate list
   private val MmrK = 5 // q135 picks
   private val MmrLambda = 0.7 // q135 relevance/diversity balance
@@ -418,6 +419,14 @@ object AnnQueries extends QueryPack {
         .select(col("cent_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("cent_id"), col("vec_id"))),
 
+    // EXT-A26: embedding outlier flags — cosine to own nearest centroid,
+    // per-CLUSTER mean − 2σ fence (tight and diffuse clusters each get
+    // their own); the noise/mislabel filter run before contrastive
+    // training. Singleton clusters (NULL σ) are never outliers.
+    "q162_embed_outliers" -> ((s, dir) =>
+      SimilaritySearch.centroidOutliers(embs(s, dir), CentroidMod, OutlierSigma)
+        .orderBy(col("vec_id"))),
+
     // EXT-A22: contrastive hard-negative mining — per query, the top-5
     // most similar corpus vectors with a DIFFERENT label: the near-
     // boundary negatives contrastive training wants. Same broadcast-
@@ -727,6 +736,25 @@ object AnnQueries extends QueryPack {
          |       FROM asg)
          |SELECT cent_id, vec_id, CAST(rnk AS BIGINT) AS rnk FROM rk
          |WHERE rnk <= $ClusterQuota ORDER BY cent_id, vec_id""".stripMargin,
+
+    // Outlier replay: same assignment CTEs as q129, then per-cluster
+    // mean/stddev_samp and the mean − 2σ fence (NULL σ ⇒ FALSE).
+    "q162_embed_outliers" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |               FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |scored AS (SELECT e.vec_id, c.cent_id,
+         |             ${cosSql("e.embedding", "c.cent_emb")} AS cs
+         |           FROM embeddings e CROSS JOIN cents c),
+         |ranks AS (SELECT vec_id, cent_id, cs,
+         |            ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY cs DESC NULLS LAST, cent_id) AS crnk
+         |          FROM scored),
+         |asg AS (SELECT vec_id, cent_id, cs FROM ranks WHERE crnk = 1),
+         |st AS (SELECT cent_id, AVG(cs) AS mu, STDDEV_SAMP(cs) AS sd
+         |       FROM asg GROUP BY 1)
+         |SELECT a.vec_id, a.cent_id, ROUND(a.cs, 6) AS cos_centroid,
+         |  COALESCE(a.cs < st.mu - $OutlierSigma * st.sd, FALSE) AS outlier
+         |FROM asg a JOIN st USING (cent_id) ORDER BY a.vec_id""".stripMargin,
 
     "q130_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,

@@ -322,4 +322,24 @@ class SimilaritySearchSpec extends SparkSpec {
     dump(graft.store.AnnStore.ivfPqTopK(spark, store, queries, 2, 3)) shouldBe expected
     dump(openedBefore) shouldBe expected // pinned to its resolved version
   }
+
+  test("centroidOutliers flags the far member per cluster; σ=0 clusters and singletons never flag") {
+    import spark.implicits._
+    // centroids (id % 100 == 1): id 1 → [1,0], id 101 → [0,1].
+    // Cluster A: 7 exact [1,0] members (cos 1.0) + id 9 at [0.8,0.6]
+    // (cos 0.8): z = 7/√8 ≈ 2.47 > 2 ⇒ id 9 flagged, inliers not.
+    // Cluster B: two exact [0,1] members — sd = 0, fence = mean ⇒
+    // cs < mean is false for everyone (identical members never flag).
+    val a = Array(1f, 0f); val b = Array(0f, 1f)
+    val vecs = (Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L).map(_ -> a) ++
+      Seq(9L -> Array(0.8f, 0.6f), 101L -> b, 10L -> b))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.centroidOutliers(vecs, 100, 2.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    out(9L) shouldBe ((1L, true))
+    Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L).foreach(id => out(id) shouldBe ((1L, false)))
+    out(101L) shouldBe ((101L, false))
+    out(10L) shouldBe ((101L, false))
+    out.size shouldBe 10
+  }
 }
