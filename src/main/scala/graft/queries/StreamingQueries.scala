@@ -14,6 +14,7 @@ import graft.streaming.EventStreams
 object StreamingQueries extends QueryPack {
 
   private val SessionGapSec = 21600L // 6 hours
+  private val ConvMaxTurns = 5 // q163 transcript head-truncation
   private val FunnelWithinSec = 86400L // view → click attribution window
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
@@ -39,6 +40,16 @@ object StreamingQueries extends QueryPack {
       EventStreams.sessionizeBatch(events(s, dir), SessionGapSec)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // EXT-S18: conversation/transcript assembly — each gap-session
+    // renders as ONE training record: the first ConvMaxTurns turns as
+    // "type@offsetSec" tokens (offsets relative to session start, so
+    // identical dialogues at different wall-clocks render identically),
+    // plus total/kept turn counts. Same single user-keyed exchange as
+    // q33's sessionization.
+    "q163_conversations" -> ((s, dir) =>
+      EventStreams.assembleConversations(events(s, dir), SessionGapSec, ConvMaxTurns)
         .orderBy(col("user_id"), col("session_start"))),
 
     // EXT-S11: weekly cohort retention — users grouped by first-seen
@@ -265,6 +276,36 @@ object StreamingQueries extends QueryPack {
          |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
          |       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
          |FROM numbered GROUP BY user_id, sess
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Conversation replay: q33's session CTEs, then per-session turn
+    // ranks + offsets and an ordered FILTERed string_agg transcript.
+    "q163_conversations" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+         |              > $SessionGapSec
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM flagged),
+         |turns AS (
+         |  SELECT user_id, sess, ts, event_type,
+         |    ROW_NUMBER() OVER ws AS turn_no,
+         |    floor(epoch(ts))::BIGINT
+         |      - floor(epoch(FIRST_VALUE(ts) OVER ws))::BIGINT AS off
+         |  FROM numbered WINDOW ws AS (PARTITION BY user_id, sess
+         |                              ORDER BY ts, event_id))
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |  CAST(COUNT(*) FILTER (WHERE turn_no <= $ConvMaxTurns) AS BIGINT) AS n_kept,
+         |  string_agg(event_type || '@' || off, ' ' ORDER BY turn_no)
+         |    FILTER (WHERE turn_no <= $ConvMaxTurns) AS transcript
+         |FROM turns GROUP BY user_id, sess
          |ORDER BY user_id, session_start""".stripMargin,
 
     "q64_asof_join" ->

@@ -79,17 +79,63 @@ object EventStreams {
   /** Gap-based sessionization, batch path: a session breaks when the gap
     * to the previous event (per user, in whole epoch seconds — the
     * cross-engine-stable comparison) exceeds `gapSec`. */
-  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame =
+    withSessionIds(events, gapSec)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .drop("sess")
+
+  /** Gap-session ids (user_id, …, sess) — the shared kernel of
+    * sessionization, funnel rates, and conversation assembly: one
+    * user-keyed exchange; the lag flag and the running sum share its
+    * partition sort. Gap compares floor-second epochs (engine-identical
+    * and oracle-expressible). */
+  private[graft] def withSessionIds(events: DataFrame, gapSec: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)
     val isNew = when(prev.isNull ||
       col("ts").cast("long") - prev.cast("long") > gapSec, 1L).otherwise(0L)
-    events
-      .withColumn("sess", sum(isNew).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.withColumn("sess", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /**
+   * Conversation/transcript assembly — the chat-log → training-example
+   * step: each gap-session becomes ONE ordered record whose transcript
+   * is the first `maxTurns` turns rendered as "type@offsetSec" tokens
+   * in (ts, event_id) order, with total and kept turn counts. Head
+   * truncation (keep the FIRST turns) is the context-window assembly
+   * convention; offsets are relative to the session start, so
+   * transcripts are translation-invariant — two identical dialogues at
+   * different wall-clock times render identically (what dedup over
+   * assembled conversations needs).
+   *
+   * Scale: the SAME single user-keyed exchange as sessionization — the
+   * session-id running sum, the turn rank, the session-start first(),
+   * and the final per-session aggregate all share the user partition.
+   * Per-session state is bounded by the session length (and the
+   * transcript by `maxTurns` tokens).
+   */
+  def assembleConversations(events: DataFrame, gapSec: Long, maxTurns: Int): DataFrame = {
+    require(maxTurns > 0, "maxTurns must be positive")
+    val wTurn = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts"), col("event_id"))
+    withSessionIds(events, gapSec)
+      .withColumn("turn_no", row_number().over(wTurn))
+      .withColumn("off", col("ts").cast("long") - first(col("ts")).over(wTurn).cast("long"))
       .groupBy(col("user_id"), col("sess"))
-      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_turns"),
+        sum(when(col("turn_no") <= maxTurns, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("turn_no") <= maxTurns,
+              struct(col("turn_no"),
+                concat(col("event_type"), lit("@"), col("off")).as("tok"))))),
+            x => x.getField("tok")),
+          " ").as("transcript"))
       .drop("sess")
   }
 

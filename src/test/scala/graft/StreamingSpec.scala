@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(2), ts(2), 1L, 8.0))
   }
 
+  test("assembleConversations renders ordered head-truncated transcripts with relative offsets") {
+    // user 1, session 1: 6 events 1 minute apart — maxTurns=5 keeps the
+    // first five; offsets are relative to session start. Session 2 (>30
+    // min later) restarts offsets at 0. User 2: single-event session.
+    val evs = (0 to 5).map(i =>
+      Event(i.toLong, ts(i), 1L, s"e$i", 1.0)) ++ Seq(
+      Event(10L, ts(50), 1L, "late", 1.0),
+      Event(11L, ts(7), 2L, "solo", 1.0))
+    val out = EventStreams.assembleConversations(
+        evs.toDF(EventCols: _*), 30 * 60L, maxTurns = 5)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out((1L, ts(0))) shouldBe ((6L, 5L, "e0@0 e1@60 e2@120 e3@180 e4@240"))
+    out((1L, ts(50))) shouldBe ((1L, 1L, "late@0"))
+    out((2L, ts(7))) shouldBe ((1L, 1L, "solo@0"))
+    out.size shouldBe 3
+  }
+
+  test("assembleConversations turn order follows (ts, event_id), not arrival") {
+    val evs = Seq( // same timestamp: event_id breaks the tie
+      Event(2L, ts(1), 1L, "b", 1.0),
+      Event(1L, ts(1), 1L, "a", 1.0),
+      Event(3L, ts(2), 1L, "c", 1.0))
+    val t = EventStreams.assembleConversations(
+        evs.toDF(EventCols: _*), 30 * 60L, maxTurns = 10)
+      .collect().map(_.getString(4))
+    t.toSeq shouldBe Seq("a@0 b@0 c@60")
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) emits the same closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
