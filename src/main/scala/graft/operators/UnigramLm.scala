@@ -203,4 +203,68 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
   }
+
+  /** WordPiece-style GREEDY longest-match-first segmentation (the BERT
+    * tokenizer's algorithm, Devlin et al. 2019 / Song et al. 2021
+    * "Fast WordPiece Tokenization"): at each cursor the LONGEST vocab
+    * piece starting there is taken — no DP, no scores, just membership.
+    * A position with no matching piece (an unseen character) maps the
+    * WHOLE word to the single piece "[UNK]" — WordPiece's word-level
+    * failure convention, which Viterbi (soft-scoring every piece) does
+    * not have. Pure Column: one bounded fold over ≤ length(w) cursor
+    * steps, each probing lengths maxPieceLen..1 against the broadcast
+    * literal vocab map. Requires length(w) ≥ 1. */
+  def greedyPieces(w: Column, vlit: Column, maxPieceLen: Int): Column = {
+    val n = length(w)
+    val st = aggregate(
+      sequence(lit(1), n),
+      struct(lit(0).as("pos"),
+        array().cast("array<string>").as("ps"), lit(false).as("bad")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val done = acc.getField("bad") || pos >= n
+        // longest match: scan maxPieceLen..1, keep the first hit (the
+        // sequence bound is clamped to stay valid even when consumed —
+        // expressions evaluate eagerly on both branches of the `when`)
+        val lbest = aggregate(
+          sequence(greatest(least(lit(maxPieceLen), n - pos), lit(1)),
+            lit(1), lit(-1)),
+          lit(0),
+          (b, l) => when(b > 0, b).otherwise(
+            when(element_at(vlit, w.substr(pos + 1, l)).isNotNull, l)
+              .otherwise(lit(0))))
+        when(done, acc).otherwise(
+          when(lbest === 0,
+            struct(n.as("pos"), array(lit("[UNK]")).as("ps"), lit(true).as("bad")))
+            .otherwise(struct((pos + lbest).as("pos"),
+              concat(acc.getField("ps"),
+                array(w.substr(pos + 1, lbest))).as("ps"),
+              lit(false).as("bad"))))
+      })
+    st.getField("ps")
+  }
+
+  /** ENCODE face of `greedyPieces` — `encodedLengths`' exact shape
+    * (segment the vocabulary word table once, join back to the document
+    * word stream) with greedy longest-match instead of Viterbi. The two
+    * faces share a frozen vocabulary, so their per-document piece
+    * counts are directly comparable — the tokenizer-selection signal.
+    * Output: (idCol, n_words, n_pieces). */
+  def greedyEncodedLengths(docs: DataFrame, vocab: Map[String, Double],
+                           maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "greedyEncodedLengths: vocabulary is empty")
+    val vlit = typedlit(vocab)
+    val lens = Bpe.wordTable(docs, textCol, maxWordLen)
+      .select(col("word"),
+        size(greedyPieces(col("word"), vlit, maxPieceLen)).cast("long").as("n_sub"))
+    docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .join(lens, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
+  }
 }

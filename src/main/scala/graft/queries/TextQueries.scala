@@ -768,6 +768,21 @@ object TextQueries extends QueryPack {
           UniMaxPiece, BpeMaxWordLen)
         .orderBy(col("doc_id"))),
 
+    // EXT-T53: WordPiece-style GREEDY longest-match encode (the BERT
+    // tokenizer algorithm) under the SAME q139-trained frozen vocabulary
+    // as q140's Viterbi — the two faces' per-document piece counts are
+    // directly comparable, the tokenizer-selection signal. Greedy needs
+    // only vocab MEMBERSHIP (no scores), so serving it costs a set, not
+    // a model.
+    "q164_wordpiece_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.greedyEncodedLengths(
+          docs(s, dir),
+          graft.operators.UnigramLm.trainedVocab(
+            docs(s, dir), UniRounds, UniSeed, UniTarget, UniMaxPiece,
+            BpeMaxWordLen),
+          UniMaxPiece, BpeMaxWordLen)
+        .orderBy(col("doc_id"))),
+
     // EXT-T36: DoReMi-lite learned domain weights — multiplicative-
     // weights training of the source mixture on per-domain excess loss
     // under unigram LMs (reference = each domain's own distribution,
@@ -1457,6 +1472,38 @@ object TextQueries extends QueryPack {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q164: the SAME training chain, then GREEDY longest-match under the
+    * final vocabulary — per (word, pos) the longest matching piece is a
+    * relational MAX over vocab-joined substrings; the cursor walk is a
+    * recursive jump-follow. (Every single char is in the vocab by
+    * construction, so the oracle never dead-ends into [UNK].) */
+  private lazy val wordPieceOracleSql: String =
+    s"""WITH RECURSIVE $uniChainCtes,
+       |gc AS (SELECT w.word, p.pos, l.l
+       |       FROM words w,
+       |            unnest(range(0, length(w.word))) AS p(pos),
+       |            unnest(range(1, ${UniMaxPiece + 1})) AS l(l)
+       |       WHERE p.pos + l.l <= length(w.word)
+       |         AND substr(w.word, (p.pos + 1)::INT, l.l::INT)
+       |             IN (SELECT piece FROM v${UniRounds + 1})),
+       |mt AS (SELECT word, pos, MAX(l) AS lbest FROM gc GROUP BY 1, 2),
+       |gwalk AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
+       |  FROM words
+       |  UNION ALL
+       |  SELECT g.word, g.pos + m.lbest, g.np + 1
+       |  FROM gwalk g JOIN mt m ON g.word = m.word AND g.pos = m.pos
+       |  WHERE g.pos < length(g.word)),
+       |encl AS (SELECT word, np AS n_sub FROM gwalk WHERE pos = length(word)),
+       |docw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $BpeMaxWordLen)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(e.n_sub) AS BIGINT) AS n_pieces
+       |FROM docw d JOIN encl e USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** DoReMi oracle: one CTE block per multiplicative-weights round —
     * mixture constant, closed-form p_α over observed pairs, 1e-6-rounded
     * losses, clipped excess, renormalized 1e-9-rounded weights. */
@@ -1507,6 +1554,8 @@ object TextQueries extends QueryPack {
     "q139_unigram_em" -> uniEmOracleSql,
 
     "q140_unigram_encode" -> uniEncodeOracleSql,
+
+    "q164_wordpiece_encode" -> wordPieceOracleSql,
 
     "q141_doremi_mix" -> doremiOracleSql,
 

@@ -72,4 +72,35 @@ class UnigramLmSpec extends SparkSpec {
     fin.length should be <= 5
     fin.filter(_.length == 1).toSet shouldBe Set("a", "b", "c")
   }
+
+  private def greedy(word: String, vocab: Map[String, Double],
+                     maxPiece: Int = 4): Seq[String] =
+    Seq(word).toDF("w")
+      .select(UnigramLm.greedyPieces(col("w"), typedlit(vocab), maxPiece).as("p"))
+      .as[Seq[String]].collect().head
+
+  test("greedyPieces takes the longest match at each cursor; [UNK] on dead-ends") {
+    val v = Map("a" -> -1.0, "b" -> -1.0, "c" -> -1.0,
+      "ab" -> -0.5, "bc" -> -0.5)
+    greedy("abc", v) shouldBe Seq("ab", "c") // ab beats a at pos 0
+    greedy("bc", v) shouldBe Seq("bc")
+    greedy("cab", v) shouldBe Seq("c", "ab")
+    greedy("axb", v) shouldBe Seq("[UNK]") // x unseen → whole word fails
+    // scores are ignored: greedy differs from Viterbi where longest-first
+    // is suboptimal — [ab, c] vs Viterbi's max-prob choice
+    val v2 = Map("a" -> -1.0, "b" -> -9.0, "c" -> -9.0,
+      "ab" -> -1.0, "bc" -> -1.0)
+    greedy("abc", v2) shouldBe Seq("ab", "c") // greedy: -1 + -9
+    viterbi("abc", v2) shouldBe Seq("a", "bc") // viterbi: -1 + -1
+  }
+
+  test("greedyEncodedLengths counts pieces per doc under a frozen vocab") {
+    val v = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -0.5)
+    val docs = Seq((1L, "ab aab b"), (2L, "ba")).toDF("doc_id", "text")
+    val out = UnigramLm.greedyEncodedLengths(docs, v, maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: ab→[ab]=1, aab→[a,ab]=2, b→[b]=1 ⇒ 3 words, 4 pieces
+    out(1L) shouldBe ((3L, 4L))
+    out(2L) shouldBe ((1L, 2L)) // ba→[b,a]
+  }
 }
