@@ -69,4 +69,25 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     nFiles
   }
+
+  /** Parquet write with BLOOM FILTERS on the named columns — the
+    * point-lookup knob for serving/dictionary tables: row groups whose
+    * bloom filter excludes the probed key are skipped without decoding
+    * (min/max stats can't prune high-cardinality UNSORTED keys, blooms
+    * can). `expectedNdv` sizes each filter (per row group); oversizing
+    * wastes footer bytes, undersizing inflates the false-positive rate
+    * toward "never skips". Costs write-side memory ∝ ndv and footer
+    * bytes — reserve it for columns that are genuinely point-probed
+    * (item ids, digests), not for every column. Readers need nothing:
+    * parquet bloom pruning engages automatically under pushed equality
+    * predicates. */
+  def bloomFilteredWrite(df: DataFrame, path: String, bloomCols: Seq[String],
+                         expectedNdv: Long): Unit = {
+    require(bloomCols.nonEmpty, "name at least one bloom column")
+    require(expectedNdv > 0, "expectedNdv must be positive")
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
 }

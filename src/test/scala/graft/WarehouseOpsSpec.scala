@@ -72,6 +72,41 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomFilteredWrite emits parquet blooms for exactly the requested columns; lookups stay exact") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val df = spark.range(0L, 2000L).select(
+      col("id").as("k"), (col("id") * 7L % 1000L).as("v"))
+    graft.operators.Layout.bloomFilteredWrite(df, out, Seq("k"), expectedNdv = 2000L)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(out)
+    val file = p.getFileSystem(conf).listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val byPath = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      // footer carries a bloom for k, none for v
+      assert(byPath("k").getBloomFilterOffset >= 0,
+        "requested column must carry a bloom filter")
+      assert(byPath("v").getBloomFilterOffset < 0,
+        "unrequested column must not pay bloom bytes")
+      // the filter answers membership for every key in THIS file (no
+      // false negatives; other part files carry their own blooms)
+      val bf = reader.getBloomFilterDataReader(block).readBloomFilter(byPath("k"))
+      val ids = spark.read.parquet(out)
+        .where(input_file_name().contains(file.getName))
+        .select("k").as[Long].collect()
+      ids should not be empty
+      ids.foreach(id => assert(bf.findHash(bf.hash(id))))
+    } finally reader.close()
+    // point lookup through the scan stays exact with the pushed predicate
+    spark.read.parquet(out).where(col("k") === 1234L)
+      .select("v").as[Long].collect().toSeq shouldBe Seq(1234L * 7L % 1000L)
+    spark.read.parquet(out).where(col("k") === 999999L).count() shouldBe 0L
+  }
+
   // ---- Ids ---------------------------------------------------------------
 
   test("denseIds is a dense 0-based permutation in the given order") {
