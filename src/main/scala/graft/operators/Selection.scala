@@ -177,15 +177,30 @@ object Selection {
                     rate: Double = 0.5, numBuckets: Int = 256,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    require(iters >= 1, "logisticTrain: iters must be >= 1")
     val spark = docs.sparkSession
-    val fb = graft.core.Caches.cacheOnce(
+    val fb = featureTable(docs, labelPred, numBuckets, idCol, textCol)
+    val (curve, _) = trainLoop(fb, iters, rate, numBuckets)
+    import spark.implicits._
+    curve.toDF("round", "mean_loss")
+  }
+
+  /** The hashed (id, y, bucket, count) feature table both the trainer and
+    * the calibration pass score against — built and cached once. */
+  private def featureTable(docs: DataFrame, labelPred: Column, numBuckets: Int,
+                           idCol: String, textCol: String): DataFrame =
+    graft.core.Caches.cacheOnce(
       docs.select(col(idCol).as("id"),
           when(labelPred, 1.0).otherwise(0.0).as("y"),
           explode(featureBuckets(tokensWs(col(textCol)), numBuckets))
             .as("bucket"))
         .groupBy(col("id"), col("y"), col("bucket"))
         .agg(count(lit(1)).cast("double").as("c")))
+
+  /** The GD rounds: loss curve + final weights (both bounded driver
+    * state — one scalar per round, one weight per bucket). */
+  private def trainLoop(fb: DataFrame, iters: Int, rate: Double,
+                        numBuckets: Int): (Seq[(Long, Double)], Array[Double]) = {
+    require(iters >= 1, "logisticTrain: iters must be >= 1")
     val w = Array.fill(numBuckets)(0.0)
     val curve = Array.newBuilder[(Long, Double)]
     for (iter <- 1 to iters) {
@@ -211,8 +226,45 @@ object Selection {
           w(b) = math.rint((w(b) - rate * r.getDouble(1)) * 1e9) / 1e9
         }
     }
-    import spark.implicits._
-    curve.result().toSeq.toDF("round", "mean_loss")
+    (curve.result().toSeq, w)
+  }
+
+  /**
+   * Calibration report for the trained classifier — the eval face the
+   * trainer lacks: a quality gate that says "0.9" should be RIGHT 90%
+   * of the time, or its threshold means nothing. Trains the same GD
+   * rounds, scores every document under the FINAL weights, and bins the
+   * (1e-6-rounded) probabilities into `bins` equal-width reliability
+   * bins: per bin the document count, mean predicted probability,
+   * observed positive fraction, and their absolute gap — the per-bin
+   * term of expected calibration error (Guo et al. 2017). A perfectly
+   * calibrated classifier has gap ≈ 0 everywhere; over-confidence shows
+   * as mean_p ≫ frac_pos in the top bins.
+   *
+   * Scale: one extra scoring pass over the cached feature table
+   * (weights ship as a literal — no join), then a `bins`-row aggregate.
+   * Output: (bin, n_docs, mean_p, frac_pos, gap), all rounded 1e-6.
+   */
+  def logisticCalibration(docs: DataFrame, labelPred: Column, bins: Int,
+                          iters: Int = 5, rate: Double = 0.5,
+                          numBuckets: Int = 256, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(bins >= 2, "logisticCalibration: need at least 2 bins")
+    val fb = featureTable(docs, labelPred, numBuckets, idCol, textCol)
+    val (_, w) = trainLoop(fb, iters, rate, numBuckets)
+    val wlit = typedlit(w.zipWithIndex.map { case (v, b) => b.toLong -> v }.toMap)
+    fb.groupBy(col("id"), col("y"))
+      .agg(sum(col("c") * element_at(wlit, col("bucket"))).as("z"))
+      .select(col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p6"))
+      .withColumn("bin",
+        least(floor(col("p6") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p6")), 6).as("mean_p"),
+        round(avg(col("y")), 6).as("frac_pos"))
+      .withColumn("gap", round(abs(col("mean_p") - col("frac_pos")), 6))
+      .orderBy(col("bin"))
   }
 
   /** Map-only DSIR scoring column over a FROZEN log-ratio table — the

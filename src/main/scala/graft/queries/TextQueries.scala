@@ -741,6 +741,17 @@ object TextQueries extends QueryPack {
           LrIters, LrRate, LrBuckets)
         .orderBy(col("round"))),
 
+    // EXT-T54: classifier calibration report — q137's trained weights
+    // scored over the corpus, probabilities binned into equal-width
+    // reliability bins with per-bin |mean_p − frac_pos| (the ECE term,
+    // Guo et al. 2017): a quality gate that says "0.9" should be RIGHT
+    // 90% of the time or its threshold means nothing.
+    "q165_calibration" -> ((s, dir) =>
+      graft.operators.Selection.logisticCalibration(
+          docs(s, dir), col("source").isin(DsirTargets: _*), CalBins,
+          LrIters, LrRate, LrBuckets)
+        .orderBy(col("bin"))),
+
     // EXT-T34: unigram-LM (SentencePiece-style) tokenizer training —
     // deterministic hard-EM over the saturating (word, freq) table:
     // seed = all chars + top-40 substrings, each round Viterbi-segments
@@ -898,6 +909,7 @@ object TextQueries extends QueryPack {
   private val LrIters = 5 // q137 gradient-descent rounds
   private val LrRate = 0.5 // q137 learning rate
   private val LrBuckets = 256 // q137 hashed feature space
+  private val CalBins = 10 // q165 reliability bins
   private val UniRounds = 2 // q139 hard-EM rounds
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
@@ -921,6 +933,30 @@ object TextQueries extends QueryPack {
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
+  /** The q137 logistic-GD oracle chain: hashed bigram feature table,
+    * zero weights, LrIters rounds — shared by the loss-curve gate (q137)
+    * and the calibration report (q165). */
+  private lazy val lrChainCtes: String = {
+    val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
+    s"""tfq AS (SELECT doc_id,
+       |  CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |flq AS (SELECT doc_id, y,
+       |          tk || list_transform(range(1, len(tk)),
+       |                               i -> tk[i] || ' ' || tk[i + 1]) AS fs
+       |        FROM tfq),
+       |fb AS (SELECT doc_id, y,
+       |         ('0x' || substr(md5(f), 1, 15))::BIGINT % $LrBuckets AS bucket,
+       |         COUNT(*)::DOUBLE AS c
+       |       FROM flq, unnest(fs) AS u(f)
+       |       GROUP BY 1, 2, 3),
+       |nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM fb),
+       |w0 AS (SELECT unnest(range($LrBuckets)) AS bucket, 0.0 AS wv),
+       |${(1 to LrIters).map(lrRound).mkString(",\n")}""".stripMargin
+  }
+
   private def lrRound(i: Int): String = {
     val pw = s"w${i - 1}"
     s"""z$i AS (SELECT fb.doc_id, fb.y, SUM(fb.c * $pw.wv) AS z
@@ -1799,29 +1835,27 @@ object TextQueries extends QueryPack {
 
     "q146_pack_token_ids" -> packIdsOracleSql,
 
-    "q137_logreg_curve" -> {
-      val targets = DsirTargets.map(t => s"'$t'").mkString(", ")
-      s"""WITH tfq AS (SELECT doc_id,
-         |  CASE WHEN source IN ($targets) THEN 1.0 ELSE 0.0 END AS y,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
-         |  FROM documents),
-         |flq AS (SELECT doc_id, y,
-         |          tk || list_transform(range(1, len(tk)),
-         |                               i -> tk[i] || ' ' || tk[i + 1]) AS fs
-         |        FROM tfq),
-         |fb AS (SELECT doc_id, y,
-         |         ('0x' || substr(md5(f), 1, 15))::BIGINT % $LrBuckets AS bucket,
-         |         COUNT(*)::DOUBLE AS c
-         |       FROM flq, unnest(fs) AS u(f)
-         |       GROUP BY 1, 2, 3),
-         |nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM fb),
-         |w0 AS (SELECT unnest(range($LrBuckets)) AS bucket, 0.0 AS wv),
-         |${(1 to LrIters).map(lrRound).mkString(",\n")}
+    "q137_logreg_curve" ->
+      s"""WITH $lrChainCtes
          |SELECT round, mean_loss FROM (
          |  ${(1 to LrIters).map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")})
-         |ORDER BY round""".stripMargin
-    },
+         |ORDER BY round""".stripMargin,
+
+    // Calibration replay: the q137 chain, one more scoring pass under the
+    // FINAL weights, 1e-6-rounded probabilities into equal-width bins.
+    "q165_calibration" ->
+      s"""WITH $lrChainCtes,
+         |zf AS (SELECT fb.doc_id, fb.y, SUM(fb.c * w$LrIters.wv) AS z
+         |       FROM fb JOIN w$LrIters USING (bucket) GROUP BY 1, 2),
+         |pf AS (SELECT y, ROUND(1 / (1 + exp(-z)), 6) AS p6 FROM zf),
+         |bn AS (SELECT CAST(LEAST(FLOOR(p6 * $CalBins), $CalBins - 1) AS BIGINT)
+         |                AS bin, y, p6 FROM pf),
+         |ag AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         ROUND(AVG(p6), 6) AS mean_p, ROUND(AVG(y), 6) AS frac_pos
+         |       FROM bn GROUP BY 1)
+         |SELECT bin, n_docs, mean_p, frac_pos,
+         |  ROUND(ABS(mean_p - frac_pos), 6) AS gap
+         |FROM ag ORDER BY bin""".stripMargin,
 
     "q125_bigram_nll" ->
       s"""WITH $ToksCte,

@@ -99,4 +99,37 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     again shouldBe w.map { case (k, v) => k -> v._2 }
   }
+
+  test("logisticCalibration: a symmetric corpus stays at p=0.5 — one bin, gap 0") {
+    // identical text with opposite labels ⇒ every bucket's gradient is
+    // exactly zero ⇒ weights stay 0 through every round ⇒ all p = 0.5
+    val docs = Seq((1L, "alpha beta", "seed"), (2L, "alpha beta", "other"))
+      .toDF("doc_id", "text", "source")
+    val out = Selection.logisticCalibration(docs, col("source") === "seed",
+        bins = 10, iters = 3, numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    out.toSeq shouldBe Seq((5L, 2L, 0.5, 0.5, 0.0))
+  }
+
+  test("logisticCalibration separates a separable corpus into calibrated extreme bins") {
+    val docs = ((1L to 4L).map(i => (i, "good solid prose here", "seed")) ++
+      (5L to 8L).map(i => (i, "junk spam noise junk", "other")))
+      .toDF("doc_id", "text", "source")
+    val out = Selection.logisticCalibration(docs, col("source") === "seed",
+        bins = 10, iters = 5, numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    out.map(_._2).sum shouldBe 8L // bins partition the corpus
+    out.foreach { case (bin, _, meanP, fracPos, gap) =>
+      bin should (be >= 0L and be <= 9L)
+      meanP should (be >= bin * 0.1 - 1e-9 and be <= (bin + 1) * 0.1 + 1e-9)
+      gap shouldBe math.rint(math.abs(meanP - fracPos) * 1e6) / 1e6 +- 1e-9
+    }
+    // separable ⇒ the top bin is all positives, the bottom all negatives
+    val byBin = out.sortBy(_._1)
+    byBin.last._4 shouldBe 1.0
+    byBin.head._4 shouldBe 0.0
+    byBin.length should be >= 2
+  }
 }
