@@ -105,6 +105,27 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // EXT-X8: declarative data-quality constraint checks (the Deequ
+    // tier) — the gate run before training jobs consume a landed table:
+    // completeness, key uniqueness, referential integrity (both fact→dim
+    // edges), value bounds, non-emptiness. One aggregate per check, one
+    // anti-join per FK edge; verdicts compare exact counts.
+    "q166_data_quality" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val orders = Tables.read(s, dir, "orders")
+      val customer = Tables.read(s, dir, "customer")
+      val li = Tables.read(s, dir, "lineitem")
+      report(Seq(
+        nullFracCheck(orders, "o_custkey", "orders.o_custkey"),
+        uniqueCheck(orders, "o_orderkey", "orders.o_orderkey"),
+        fkCheck(orders, "o_custkey", customer, "c_custkey",
+          "orders.o_custkey->customer.c_custkey"),
+        fkCheck(li, "l_orderkey", orders, "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey"),
+        minBoundCheck(orders, "o_totalprice", 0.0, "orders.o_totalprice"),
+        rowCountCheck(li, 1L, "lineitem")))
+    }),
+
     // EXT-C10: bloom-pruned semi-join — lineitem pruned by the small-part
     // key set BELOW its shuffle via a broadcast bloom filter, then
     // exactly semi-joined (false positives removed). Result is identical
@@ -446,6 +467,43 @@ object ScaleQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Data-quality replay: one aggregate per check, anti-joins as
+    // NOT-IN-with-NULL-guard, UNION ALL ordered by check name.
+    "q166_data_quality" ->
+      """SELECT "check", metric, passed FROM (
+        |  SELECT 'null_frac:orders.o_custkey' AS "check",
+        |    ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      / GREATEST(COUNT(*), 1)::DOUBLE, 6) AS metric,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:orders.o_orderkey',
+        |    ROUND(COUNT(DISTINCT o_orderkey)::DOUBLE
+        |      / GREATEST(COUNT(*), 1)::DOUBLE, 6),
+        |    COUNT(DISTINCT o_orderkey) = COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'fk:orders.o_custkey->customer.c_custkey',
+        |    COUNT(*) FILTER (WHERE c IS NULL)::DOUBLE,
+        |    COUNT(*) FILTER (WHERE c IS NULL) = 0
+        |  FROM (SELECT c.c_custkey AS c FROM orders o
+        |        LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey',
+        |    COUNT(*) FILTER (WHERE k IS NULL)::DOUBLE,
+        |    COUNT(*) FILTER (WHERE k IS NULL) = 0
+        |  FROM (SELECT o.o_orderkey AS k FROM lineitem l
+        |        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT 'min_bound:orders.o_totalprice',
+        |    COALESCE(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0)::DOUBLE,
+        |    COALESCE(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'row_count:lineitem', COUNT(*)::DOUBLE, COUNT(*) >= 1
+        |  FROM lineitem)
+        |ORDER BY "check"""".stripMargin,
+
     "q133_pagerank" ->
       s"""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src,
          |                   l.l_partkey * 2 + 1 AS dst

@@ -278,4 +278,40 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect() shouldBe
       Array((1L, "a", 1.5), (2L, "b", -0.25))
   }
+
+  test("DataQuality checks flag planted nulls, dup keys, orphans, and bound violations") {
+    import graft.operators.DataQuality._
+    val child = Seq((1L, Option(10L), 5.0), (2L, Option(10L), -1.0),
+      (2L, Option(99L), 3.0), (4L, None, 2.0))
+      .toDF("id", "parent_id", "price")
+    val parent = Seq(10L, 11L).toDF("pid")
+    val rep = report(Seq(
+        nullFracCheck(child, "parent_id", "child.parent_id"),
+        uniqueCheck(child, "id", "child.id"),
+        fkCheck(child, "parent_id", parent, "pid", "child->parent"),
+        minBoundCheck(child, "price", 0.0, "child.price"),
+        rowCountCheck(child, 1L, "child")))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    rep("null_frac:child.parent_id") shouldBe ((0.25, false)) // 1 of 4 null
+    rep("unique:child.id") shouldBe ((0.75, false)) // id 2 duplicated
+    rep("fk:child->parent") shouldBe ((2.0, false)) // orphan 99 + NULL ref
+    rep("min_bound:child.price") shouldBe ((1.0, false)) // one ≤ 0
+    rep("row_count:child") shouldBe ((4.0, true))
+    rep.size shouldBe 5
+  }
+
+  test("DataQuality passes a clean table, every verdict true") {
+    import graft.operators.DataQuality._
+    val child = Seq((1L, 10L, 5.0), (2L, 11L, 3.0)).toDF("id", "parent_id", "price")
+    val parent = Seq(10L, 11L).toDF("pid")
+    val rep = report(Seq(
+        nullFracCheck(child, "parent_id", "t"),
+        uniqueCheck(child, "id", "t"),
+        fkCheck(child, "parent_id", parent, "pid", "t"),
+        minBoundCheck(child, "price", 0.0, "t"),
+        rowCountCheck(child, 2L, "t")))
+      .collect()
+    rep.map(_.getBoolean(2)).forall(identity) shouldBe true
+    rep.length shouldBe 5
+  }
 }
