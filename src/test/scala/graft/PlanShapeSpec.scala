@@ -402,4 +402,43 @@ class PlanShapeSpec extends SparkSpec {
     p should include("url")
     p should not include "payload#" // no payload attribute survives the projection
   }
+
+  test("lineDedup: document text shuffles ONLY on the doc id, never on the line hash") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // disable broadcast so every join shows its shuffle keys — on real
+    // corpora the strike table outgrows the broadcast threshold anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+      val plan = graft.operators.Dedup.lineDedup(docs, 5)
+        .queryExecution.executedPlan
+      val textShuffles = plan.collect {
+        case e: ShuffleExchangeExec if e.child.output.exists(_.name == "text") => e
+      }
+      textShuffles should not be empty // reassembly legitimately keys the body once
+      textShuffles.foreach { e =>
+        e.outputPartitioning match {
+          case h: HashPartitioning =>
+            assert(h.expressions.mkString(",").contains("doc_id"),
+              s"text must only shuffle on the doc id, got: ${h.expressions}")
+          case other => fail(s"unexpected partitioning for the body: $other")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
+  test("centroidOutliers broadcasts the cluster-stats rejoin — no sort-merge on cent_id") {
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val p = planOf(graft.operators.SimilaritySearch.centroidOutliers(vecs, 100, 2.0))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
 }
