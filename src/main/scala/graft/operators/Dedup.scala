@@ -777,13 +777,33 @@ object Dedup {
   def lineDedup(docs: DataFrame, maxDocFreq: Long,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
-    val keyed = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-      .select(col(idCol), col("line_no"), hash60(col("line")).as("h"))
-    val hot = keyed.select(col(idCol), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keyed = lineKeyed(docs, idCol, textCol)
+    val hot = lineDf(keyed, idCol)
       .where(col("df") > maxDocFreq)
       .select(col("h"))
+    lineStrike(docs, keyed, hot, idCol, textCol)
+  }
+
+  /** The (idCol, line_no, hash60) line-key table the line-dedup family
+    * works over — what SHUFFLES in every line-dedup dataflow (28
+    * bytes/row, never line text). */
+  private[graft] def lineKeyed(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .select(col(idCol), col("line_no"), hash60(col("line")).as("h"))
+
+  /** Per-hash DOCUMENT frequency of a line-key table: (h, df). */
+  private[graft] def lineDf(keyed: DataFrame, idCol: String): DataFrame =
+    keyed.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** Strike every occurrence of a hot-hash line and reassemble — shared
+    * by the one-shot pass and the incremental store face. Output:
+    * (idCol, n_lines, n_removed, textCol), every `docs` row present. */
+  private[graft] def lineStrike(docs: DataFrame, keyed: DataFrame,
+                                hot: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val strikes = keyed.join(hot, Seq("h"), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_set(col("line_no")).as("rm"), count(lit(1)).as("n_removed"))

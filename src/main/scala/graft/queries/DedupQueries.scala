@@ -213,22 +213,27 @@ object DedupQueries extends QueryPack {
     // Output hashes the reassembled text so the gate covers line order
     // and separator reconstruction, not just counts.
     "q160_line_dedup" -> ((s, dir) => {
-      val tk = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
-      val lined = docs(s, dir)
-        .select(col("doc_id"), col("source"), tk.as("tk"))
-        .select(col("doc_id"),
-          concat_ws("\n",
-            concat(
-              array(lit(LineHeader)),
-              when(size(col("tk")) === 0, array().cast("array<string>"))
-                .otherwise(transform(
-                  sequence(lit(0),
-                    ((size(col("tk")) - 1) / LineTokens).cast("int")),
-                  g => array_join(
-                    slice(col("tk"), g * LineTokens + 1, lit(LineTokens)), " "))),
-              array(concat(lit(LineFooter), col("source"))))).as("text"))
-      Dedup.lineDedup(lined, LineMaxDf)
+      Dedup.lineDedup(linedDocs(s, dir), LineMaxDf)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXT-D26: incremental line dedup — the crawl-delta face of q160:
+    // the base corpus (doc_id % 4 ≠ 1) persists as its per-line-hash
+    // DOCUMENT-frequency ledger (16 bytes per distinct line, no text);
+    // the delta (% 4 = 1) folds in one pass, striking lines whose
+    // merged (stored + delta) df crosses the gate. Merged df IS the
+    // full-corpus df, so the fold is row-identical to the one-shot q160
+    // pass restricted to delta documents — exactly what the oracle
+    // checks.
+    "q167_line_dedup_delta" -> ((s, dir) => {
+      val lined = linedDocs(s, dir)
+      val out = graft.core.Scratch.dir("graft_linedf_store")
+      graft.store.LineDedupStore.write(
+        lined.where(col("doc_id") % 4 =!= 1), out)
+      graft.store.LineDedupStore.dedupDelta(
+          lined.where(col("doc_id") % 4 === 1), out, LineMaxDf)
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           md5(col("text")).as("clean_md5"))
         .orderBy(col("doc_id"))
@@ -317,6 +322,27 @@ object DedupQueries extends QueryPack {
   private val LineMaxDf = 5L // q160 boilerplate document-frequency gate
   private val LineHeader = "corpus shared boilerplate header"
   private val LineFooter = "footer navigation for "
+
+  /** The q160/q167 crawl-shaped fixture: documents re-lined 8 tokens per
+    * line between a corpus-wide header and a per-source footer (planted
+    * deterministically in-query — the q63 pattern). */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val tk = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), tk.as("tk"))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          concat(
+            array(lit(LineHeader)),
+            when(size(col("tk")) === 0, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0),
+                  ((size(col("tk")) - 1) / LineTokens).cast("int")),
+                g => array_join(
+                  slice(col("tk"), g * LineTokens + 1, lit(LineTokens)), " "))),
+            array(concat(lit(LineFooter), col("source"))))).as("text"))
+  }
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -560,6 +586,32 @@ object DedupQueries extends QueryPack {
          |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
          |        FILTER (WHERE NOT hot), '')) AS clean_md5
          |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Incremental line-dedup replay: merged (store + delta) df equals
+    // full-corpus df, so the oracle is exactly q160's pipeline with the
+    // output restricted to delta documents.
+    "q167_line_dedup_delta" ->
+      s"""WITH toks AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |lined AS (SELECT doc_id,
+         |    ['$LineHeader']
+         |      || list_transform(range(0, len(tk), $LineTokens),
+         |           g -> array_to_string(list_slice(tk, g + 1, g + $LineTokens), ' '))
+         |      || ['$LineFooter' || source] AS ls
+         |  FROM toks),
+         |lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line,
+         |            ('0x' || substr(md5(ls[i + 1]), 1, 15))::BIGINT AS h
+         |          FROM lined, unnest(range(0, len(ls))) AS t(i)),
+         |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+         |mk AS (SELECT l.doc_id, l.line_no, l.line, (df.df > $LineMaxDf) AS hot
+         |       FROM lines l JOIN df USING (h))
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+         |        FILTER (WHERE NOT hot), '')) AS clean_md5
+         |FROM mk WHERE doc_id % 4 = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Incremental ExactSubstr replay: base window-hash set (the store),
     // then the delta fold — stored hash removes every delta occurrence,

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Dedup
+import graft.store.LineDedupStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental line-dedup contract: merged-df strikes against the
+  * persisted per-line-hash document-frequency ledger, the
+  * rebuild-equality law (a delta fold == one-shot lineDedup over
+  * base ∪ delta restricted to delta docs), cross-delta threshold
+  * accumulation, redelivery idempotence, and compaction invariance. */
+class LineDedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MaxDf = 2L
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, String)] =
+    df.select("doc_id", "n_lines", "n_removed", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+
+  test("delta fold equals the one-shot pass restricted to delta docs") {
+    val base = Seq(
+      (1L, "nav bar\nalpha body"),
+      (2L, "nav bar\nbeta body"),
+      (3L, "gamma body\nrare line")).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "nav bar\ndelta body"), // nav bar: df 2 stored + 1 here = 3 > 2 → struck
+      (12L, "rare line\nown words")) // rare line: 1 + 1 = 2 → kept
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstore").toString
+    LineDedupStore.write(base, s"$dir/store")
+    val folded = rows(LineDedupStore.dedupDelta(delta, s"$dir/store", MaxDf))
+    folded shouldBe Seq(
+      (11L, 2L, 1L, "delta body"),
+      (12L, 2L, 0L, "rare line\nown words"))
+    // the law: identical to one-shot lineDedup over base ∪ delta, delta rows
+    val oneShot = rows(Dedup.lineDedup(base.unionByName(delta), MaxDf)
+      .where(col("doc_id") > 10L))
+    folded shouldBe oneShot
+  }
+
+  test("df accumulates across deltas: the threshold crossing strikes later folds only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstore2").toString
+    LineDedupStore.write(
+      Seq((1L, "slow burn\nbase text")).toDF("doc_id", "text"), s"$dir/store")
+    // delta A: df('slow burn') = 1 + 1 = 2 → kept
+    val a = rows(LineDedupStore.dedupDelta(
+      Seq((11L, "slow burn\na words")).toDF("doc_id", "text"),
+      s"$dir/store", MaxDf, deltaId = Some("a")))
+    a shouldBe Seq((11L, 2L, 0L, "slow burn\na words"))
+    // delta B: 2 + 1 = 3 > 2 → struck NOW (A's published copy stands)
+    val b = rows(LineDedupStore.dedupDelta(
+      Seq((21L, "slow burn\nb words")).toDF("doc_id", "text"),
+      s"$dir/store", MaxDf, deltaId = Some("b")))
+    b shouldBe Seq((21L, 2L, 1L, "b words"))
+  }
+
+  test("retry under the same deltaId is exact; compaction preserves counts and decisions") {
+    val spark2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstore3").toString
+    LineDedupStore.write(
+      Seq((1L, "hot line\nx"), (2L, "hot line\ny")).toDF("doc_id", "text"),
+      s"$dir/store")
+    val delta = Seq((11L, "hot line\nz")).toDF("doc_id", "text")
+    val first = rows(LineDedupStore.dedupDelta(delta, s"$dir/store", MaxDf,
+      deltaId = Some("d1")))
+    val retry = rows(LineDedupStore.dedupDelta(delta, s"$dir/store", MaxDf,
+      deltaId = Some("d1")))
+    retry shouldBe first
+    first.head._3 shouldBe 1L // 2 stored + 1 delta > 2 → struck
+    val before = LineDedupStore.counts(spark2, s"$dir/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    LineDedupStore.compact(spark2, s"$dir/store")
+    val after = LineDedupStore.counts(spark2, s"$dir/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    after shouldBe before
+    // a post-compaction fold still sees the accumulated df
+    val c = rows(LineDedupStore.dedupDelta(
+      Seq((31L, "hot line\nw")).toDF("doc_id", "text"), s"$dir/store", MaxDf))
+    c.head._3 shouldBe 1L
+  }
+}
