@@ -81,4 +81,39 @@ class LineDedupStoreSpec extends SparkSpec {
       Seq((31L, "hot line\nw")).toDF("doc_id", "text"), s"$dir/store", MaxDf))
     c.head._3 shouldBe 1L
   }
+
+  test("streaming LineDedupIngest: stream fold == sequential dedupDelta; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstream").toString
+    val streamed = s"$dir/streamed"; val twin = s"$dir/twin"
+    val base = Seq((1L, "promo banner\nbase a"), (2L, "promo banner\nbase b"))
+      .toDF("doc_id", "text")
+    LineDedupStore.write(base, streamed)
+    LineDedupStore.write(base, twin)
+    val b0 = Seq((11L, "promo banner\nfirst delta")) // 2+1 > 2 → struck
+    val b1 = Seq((21L, "promo banner\nsecond delta"), (23L, "fresh line\nalone"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val sq = graft.streaming.LineDedupIngest.start(docs, streamed,
+      s"$dir/kept", s"$dir/ckpt", MaxDf)
+    try {
+      Seq(b0, b1).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+    def twinFold(b: Seq[(Long, String)]) =
+      rows(LineDedupStore.dedupDelta(b.toDF("doc_id", "text"), twin, MaxDf))
+    val (k0, k1) = (twinFold(b0), twinFold(b1))
+    def keptBatch(id: Long) = rows(spark.read.parquet(s"$dir/kept/batch=$id"))
+    keptBatch(0) shouldBe k0
+    keptBatch(1) shouldBe k1
+    k0.head._3 shouldBe 1L // banner struck in the first delta already
+    val countsBefore = LineDedupStore.counts(spark, streamed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // crash-redelivery of batch 0: logical no-op on ledger and kept output
+    graft.streaming.LineDedupIngest.applyBatch(b0.toDF("doc_id", "text"), 0L,
+      streamed, s"$dir/kept", MaxDf)
+    LineDedupStore.counts(spark, streamed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe countsBefore
+    keptBatch(0) shouldBe k0
+  }
 }
