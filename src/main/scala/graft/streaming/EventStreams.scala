@@ -13,6 +13,18 @@ case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
 case class Session(userId: Long, sessionStart: java.sql.Timestamp,
                    sessionEnd: java.sql.Timestamp, nEvents: Long, sumValue: Double)
 
+/** Open-conversation state: the first `maxTurns` rendered turn tokens
+  * plus the running total (state stays bounded by maxTurns whatever the
+  * session length). */
+case class ConvState(userId: Long, sessionStart: java.sql.Timestamp,
+                     sessionEnd: java.sql.Timestamp, nTurns: Long,
+                     turns: Seq[String])
+
+/** A closed (or flushed) assembled conversation — the streaming twin of
+  * `assembleConversations`' output row. */
+case class ConversationRec(userId: Long, sessionStart: java.sql.Timestamp,
+                           nTurns: Long, nKept: Long, transcript: String)
+
 /**
  * Event-time processing over the `events` stream (EXT operators,
  * SURVEY §2.11). Every transform here is written against the UNIFIED
@@ -198,6 +210,68 @@ object EventStreams {
                   open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
                 case None =>
                   open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.sessionEnd.getTime + gapSec * 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /**
+   * Streaming conversation assembly — `assembleConversations`' twin on
+   * the `sessionizeStream` state machine: per user, an open conversation
+   * accumulates its first `maxTurns` rendered "type@offsetSec" tokens
+   * (STATE IS BOUNDED by maxTurns however long the session runs — only
+   * the total count keeps growing); a gap beyond `gapSec` or an
+   * event-time timeout closes it and emits one record. Emits match the
+   * batch face row-for-row on id-ordered arrival (spec-gated).
+   */
+  def assembleConversationsStream(events: Dataset[Event], gapSec: Long,
+                                  maxTurns: Int): Dataset[ConversationRec] = {
+    require(maxTurns > 0, "maxTurns must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def close(s: ConvState): ConversationRec =
+      ConversationRec(s.userId, s.sessionStart, s.nTurns,
+        s.turns.size.toLong, s.turns.mkString(" "))
+    def append(s: ConvState, e: Event): ConvState = {
+      val off = e.ts.getTime / 1000 - s.sessionStart.getTime / 1000
+      val turns = if (s.turns.size < maxTurns)
+        s.turns :+ s"${e.eventType}@$off" else s.turns
+      ConvState(s.userId, s.sessionStart,
+        if (e.ts.after(s.sessionEnd)) e.ts else s.sessionEnd,
+        s.nTurns + 1, turns)
+    }
+    def fresh(userId: Long, e: Event): ConvState =
+      ConvState(userId, e.ts, e.ts, 1L, Seq(s"${e.eventType}@0"))
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[ConvState, ConversationRec](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ConvState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(close(closed))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            var open = state.getOption
+            val out = Seq.newBuilder[ConversationRec]
+            for (e <- sorted) {
+              open match {
+                case Some(s)
+                  if e.ts.getTime / 1000 - s.sessionEnd.getTime / 1000 <= gapSec =>
+                  open = Some(append(s, e))
+                case Some(s) =>
+                  out += close(s)
+                  open = Some(fresh(userId, e))
+                case None =>
+                  open = Some(fresh(userId, e))
               }
             }
             open.foreach { s =>

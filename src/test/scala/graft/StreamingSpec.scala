@@ -109,6 +109,42 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("assembleConversationsStream matches the batch assembly (bounded state, head truncation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // maxTurns=2 exercises the state cap: user 1's first session has 3
+    // turns but state carries only 2 rendered tokens
+    val evs = Seq(
+      Event(1L, ts(0), 1L, "a", 1.0), Event(2L, ts(3), 1L, "b", 1.0),
+      Event(3L, ts(5), 1L, "c", 1.0),
+      Event(4L, ts(50), 1L, "late", 1.0),
+      Event(5L, ts(7), 2L, "solo", 1.0))
+    val sq = EventStreams.assembleConversationsStream(mem.toDS(), 30 * 60L, 2)
+      .writeStream.format("memory").queryName("conv_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      sq.processAllAvailable()
+      mem.addData(Event(99L, Timestamp.valueOf("2024-01-02 10:00:00"), 9L, "x", 0.0))
+      sq.processAllAvailable()
+      mem.addData(Event(100L, Timestamp.valueOf("2024-01-03 10:00:00"), 9L, "x", 0.0))
+      sq.processAllAvailable()
+      val got = spark.table("conv_test")
+        .as[graft.streaming.ConversationRec].collect()
+        .filter(_.userId != 9L)
+        .map(c => (c.userId, c.sessionStart, c.nTurns, c.nKept, c.transcript))
+        .sortBy(r => (r._1, r._2.getTime)).toSeq
+      val expected = EventStreams.assembleConversations(
+          evs.toDF(EventCols: _*), 30 * 60L, 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+        .sortBy(r => (r._1, r._2.getTime)).toSeq
+      got shouldBe expected
+      got.head shouldBe ((1L, ts(0), 3L, 2L, "a@0 b@180")) // capped at 2 of 3
+    } finally sq.stop()
+  }
+
   test("joinWithin runs as a STREAM-STREAM join and matches the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val views = Seq(
