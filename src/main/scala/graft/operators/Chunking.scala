@@ -167,4 +167,52 @@ object Chunking {
         array_sort(collect_list(struct(col("cb"), col("piece")))),
         s => s.getField("piece"))).as("seq"))
   }
+
+  /**
+   * CONTENT-DEFINED chunking (the CDC family: Muthitacharoen et al. 2001
+   * LBFS, Xia et al. 2016 FastCDC) — chunk boundaries cut where the
+   * rolling hash of the trailing `windowTokens`-token window ≡ 0
+   * mod `modK`, so boundaries are a function of LOCAL CONTENT, not
+   * position: insert or delete a token and only the chunks touching the
+   * edit change — every later chunk re-aligns and hashes identically.
+   * Fixed-width chunking (`chunkDocuments`) shifts every downstream
+   * boundary instead, which is why storage dedup and chunk-level corpus
+   * dedup use CDC. Expected chunk length ≈ modK tokens; production CDC
+   * adds min/max clamps against tiny/huge chunks — a stateful scan left
+   * out here to keep the cut rule pure (declare bounds by post-splitting
+   * oversize chunks with `chunkDocuments` if needed).
+   *
+   * Scale: window hashing is the ExactSubstr map-only explode (24-byte
+   * rows); boundary selection is a filter; chunk spans are one lag
+   * window + the token-array join, both on the doc key — one id-keyed
+   * exchange total. Empty documents produce no chunks.
+   *
+   * Output: (idCol, chunk_no, start, n_tokens, chunk_md5) — the hash is
+   * of the space-joined token slice, so identical text regions yield
+   * identical chunk_md5 at ANY offset in ANY document.
+   */
+  def cdcChunks(docs: DataFrame, windowTokens: Int, modK: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(modK > 1, "modK must be > 1 (1 cuts after every window)")
+    val toks = Dedup.substrTokens(docs, idCol, textCol)
+    val wins = Dedup.substrWindowHashes(toks, windowTokens, idCol)
+    val cuts = wins.where(col("h") % modK === 0)
+      .select(col(idCol), (col("pos") + windowTokens).cast("long").as("cut"))
+      .unionByName(toks.where(size(col("tk")) > 0)
+        .select(col(idCol), size(col("tk")).cast("long").as("cut")))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cut"))
+    cuts
+      .withColumn("start", coalesce(lag(col("cut"), 1).over(w), lit(0L)))
+      .withColumn("chunk_no", (row_number().over(w) - 1).cast("long"))
+      .where(col("cut") > col("start"))
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("chunk_no"), col("start"),
+        (col("cut") - col("start")).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start") + 1).cast("int"),
+            (col("cut") - col("start")).cast("int")))).as("chunk_md5"))
+  }
 }

@@ -78,6 +78,15 @@ object TextQueries extends QueryPack {
       graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // EXT-T55: CONTENT-DEFINED chunking (LBFS/FastCDC cut rule) — the
+    // rolling trailing-window hash cuts where h ≡ 0 mod 16, so chunk
+    // boundaries re-align after edits and identical text regions hash
+    // identically at ANY offset (the property q50's fixed widths lack;
+    // what chunk-level dedup keys on).
+    "q168_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.cdcChunks(docs(s, dir), CdcWindow, CdcModK)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
     // EXT-T51: length-bucketed batch shaping — the inference/eval
     // counterpart of sequence packing: q50's chunks bucket by padded
     // width (smallest boundary ≥ length; over-long rows excluded
@@ -910,6 +919,8 @@ object TextQueries extends QueryPack {
   private val LrRate = 0.5 // q137 learning rate
   private val LrBuckets = 256 // q137 hashed feature space
   private val CalBins = 10 // q165 reliability bins
+  private val CdcWindow = 4 // q168 rolling-hash window (tokens)
+  private val CdcModK = 16 // q168 cut modulus ⇒ expected ~16-token chunks
   private val UniRounds = 2 // q139 hard-EM rounds
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
@@ -2178,6 +2189,33 @@ object TextQueries extends QueryPack {
          |  array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
          |FROM starts WHERE start < len(tk)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // CDC replay: trailing-window md5-hash60 per position, cuts where
+    // h ≡ 0 mod K plus the forced end cut, lag-window chunk spans, md5
+    // of the token slice.
+    "q168_cdc_chunks" ->
+      s"""WITH $ToksCte,
+         |wins AS (SELECT doc_id, tk,
+         |           unnest(range(0, len(tk) - ${CdcWindow - 1})) AS pos
+         |         FROM toks WHERE len(tk) >= $CdcWindow),
+         |hashed AS (SELECT doc_id,
+         |    pos, ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $CdcWindow), ' ')), 1, 15))::BIGINT AS h
+         |  FROM wins),
+         |cuts AS (SELECT DISTINCT doc_id, cut FROM (
+         |    SELECT doc_id, pos + $CdcWindow AS cut FROM hashed WHERE h % $CdcModK = 0
+         |    UNION ALL SELECT doc_id, len(tk) FROM toks WHERE len(tk) > 0)),
+         |ch AS (SELECT doc_id, cut,
+         |         COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS start,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) - 1
+         |           AS BIGINT) AS chunk_no
+         |       FROM cuts)
+         |SELECT c.doc_id, c.chunk_no, CAST(c.start AS BIGINT) AS start,
+         |  CAST(c.cut - c.start AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(t.tk, (c.start + 1)::INT, c.cut::INT), ' '))
+         |    AS chunk_md5
+         |FROM ch c JOIN toks t USING (doc_id) WHERE c.cut > c.start
+         |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q49_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

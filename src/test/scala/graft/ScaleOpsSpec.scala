@@ -279,6 +279,41 @@ class ScaleOpsSpec extends SparkSpec {
       Array((1L, "a", 1.5), (2L, "b", -0.25))
   }
 
+  test("cdcChunks tile each document exactly; boundaries re-align after a prefix edit") {
+    // deterministic pseudo-text long enough to contain several cuts
+    def words(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(s"w${r.nextInt(40)}").mkString(" ")
+    }
+    val bodyA = words(7, 240)
+    val docs = Seq((1L, bodyA), (2L, "pre fix ins " + bodyA), (3L, bodyA))
+      .toDF("doc_id", "text")
+    val ch = Chunking.cdcChunks(docs, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // tiling law: dense chunk_no, contiguous spans, full coverage
+    for ((id, cs) <- byDoc) {
+      cs.map(_._2).toSeq shouldBe cs.indices.map(_.toLong).toSeq
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, n1, _), (_, _, s2, _, _)) => s2 shouldBe s1 + n1
+        case _ => ()
+      }
+      val total = if (id == 2L) 243L else 240L
+      cs.map(_._4).sum shouldBe total
+    }
+    byDoc(1L).length should be > 3 // several content cuts at modK=16
+    // identical docs chunk identically
+    byDoc(3L).map(c => (c._2, c._3, c._4, c._5)) shouldBe
+      byDoc(1L).map(c => (c._2, c._3, c._4, c._5))
+    // CONTENT-DEFINED: a 3-token prefix edit may change only the chunks
+    // touching the edit — every later boundary re-aligns, so doc 1's
+    // chunk hashes survive in doc 2 except at most the first
+    val a = byDoc(1L).map(_._5)
+    val b = byDoc(2L).map(_._5).toSet
+    a.count(h => !b.contains(h)) should be <= 1
+  }
+
   test("DataQuality checks flag planted nulls, dup keys, orphans, and bound violations") {
     import graft.operators.DataQuality._
     val child = Seq((1L, Option(10L), 5.0), (2L, Option(10L), -1.0),
