@@ -627,6 +627,48 @@ object Dedup {
   }
 
   /**
+   * Chunk-level corpus dedup over CONTENT-DEFINED boundaries — the
+   * storage-dedup recipe (Venti/LBFS lineage) applied to text: CDC
+   * chunks (`Chunking.cdcChunks`) keep only their first corpus-wide
+   * occurrence by (id, chunk_no); later occurrences drop and documents
+   * reassemble from their kept chunks. The middle tier of the
+   * offset-robustness/cost matrix: fixed spans (`spanDedup`) miss
+   * shifted duplicates entirely, ExactSubstr (`exactSubstrDedup`)
+   * catches every offset at one hashed window PER TOKEN — CDC
+   * re-aligns after edits (shared runs longer than a couple of chunks
+   * dedup at any offset) while hashing one chunk per ~modK tokens.
+   *
+   * Scale: chunking is map-only + one id-keyed exchange; keep-first is
+   * one chunk-hash-keyed rank (16-byte keys, group size = duplicate
+   * count); reassembly slices the token array by kept spans — the
+   * document body never shuffles on content.
+   *
+   * Output: (idCol, textCol, n_removed) — every input document appears,
+   * whitespace-normalized, n_removed in TOKENS; '' if fully duplicate.
+   */
+  def cdcDedup(docs: DataFrame, windowTokens: Int, modK: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = substrTokens(docs, idCol, textCol)
+    val chunks = Chunking.cdcChunks(docs, windowTokens, modK, idCol, textCol)
+    val wFirst = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col(idCol).asc, col("chunk_no").asc)
+    val kept = chunks
+      .withColumn("rnk", row_number().over(wFirst))
+      .where(col("rnk") === 1)
+    val agg = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("start"), col("n_tokens")))).as("spans"),
+        sum(col("n_tokens")).as("kt"))
+    toks.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("spans").isNull, lit(""))
+          .otherwise(concat_ws(" ", flatten(transform(col("spans"),
+            sp => slice(col("tk"), (sp.getField("start") + 1).cast("int"),
+              sp.getField("n_tokens").cast("int")))))).as(textCol),
+        (size(col("tk")) - coalesce(col("kt"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /**
    * Any-offset exact substring dedup — the ExactSubstr protocol of Lee
    * et al. 2022 ("Deduplicating Training Data Makes Language Models
    * Better"), token-granular: every stride-1 window of `windowTokens`

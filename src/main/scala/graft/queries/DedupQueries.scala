@@ -29,6 +29,8 @@ object DedupQueries extends QueryPack {
   private val CentroidMod = 37 // SemDeDup clustering seeds (AnnQueries' family)
   private val SpanTokens = 16 // q74 span-dedup window
   private val ExactSubstrL = 16 // q138 any-offset substring window
+  private val CdcWindow = 4 // q169 rolling-hash window (tokens)
+  private val CdcModK = 16 // q169 cut modulus ⇒ expected ~16-token chunks
   private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
@@ -191,6 +193,16 @@ object DedupQueries extends QueryPack {
     // document-level dedup can't touch.
     "q74_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(docs(s, dir), SpanTokens)
+        .orderBy(col("doc_id"))),
+
+    // EXT-D27: chunk-level dedup over CONTENT-DEFINED boundaries — the
+    // storage-dedup recipe on text: CDC chunks keep-first corpus-wide,
+    // documents reassemble from kept chunks. The middle tier between
+    // q74's fixed spans (miss shifted duplicates) and q138's per-token
+    // windows (catch everything, cost ∝ tokens): re-aligns after edits
+    // at one hash per ~16 tokens.
+    "q169_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedup(docs(s, dir), CdcWindow, CdcModK)
         .orderBy(col("doc_id"))),
 
     // EXT-D21: any-offset exact substring dedup (ExactSubstr, Lee et al.
@@ -559,6 +571,43 @@ object DedupQueries extends QueryPack {
          |FROM toks t LEFT JOIN isldocs i USING (doc_id)
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // CDC-dedup replay: the q168 chunk chain, corpus-wide keep-first per
+    // chunk hash, ordered reassembly of kept spans.
+    "q169_cdc_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |wins AS (SELECT doc_id, tk,
+         |           unnest(range(0, len(tk) - ${CdcWindow - 1})) AS pos
+         |         FROM toks WHERE len(tk) >= $CdcWindow),
+         |hashed AS (SELECT doc_id,
+         |    pos, ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $CdcWindow), ' ')), 1, 15))::BIGINT AS h
+         |  FROM wins),
+         |cuts AS (SELECT DISTINCT doc_id, cut FROM (
+         |    SELECT doc_id, pos + $CdcWindow AS cut FROM hashed WHERE h % $CdcModK = 0
+         |    UNION ALL SELECT doc_id, len(tk) FROM toks WHERE len(tk) > 0)),
+         |ch AS (SELECT doc_id, cut,
+         |         COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS start,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS chunk_no
+         |       FROM cuts),
+         |chx AS (SELECT c.doc_id, c.chunk_no, c.start, c.cut - c.start AS n_tokens,
+         |          md5(array_to_string(
+         |            list_slice(t.tk, (c.start + 1)::INT, c.cut::INT), ' ')) AS cmd5
+         |        FROM ch c JOIN toks t USING (doc_id) WHERE c.cut > c.start),
+         |kept AS (SELECT doc_id, chunk_no, start, n_tokens FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cmd5
+         |                                 ORDER BY doc_id, chunk_no) AS rnk
+         |    FROM chx) WHERE rnk = 1),
+         |reb AS (SELECT k.doc_id,
+         |          string_agg(array_to_string(list_slice(t.tk, (k.start + 1)::INT,
+         |            (k.start + k.n_tokens)::INT), ' '), ' ' ORDER BY k.chunk_no) AS text,
+         |          SUM(k.n_tokens) AS kt
+         |        FROM kept k JOIN toks t USING (doc_id) GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(r.text, '') AS text,
+         |  CAST(len(t.tk) - COALESCE(r.kt, 0) AS BIGINT) AS n_removed
+         |FROM toks t LEFT JOIN reb r USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
     // CCNet line-dedup replay: plant the same header/content/footer line

@@ -217,6 +217,36 @@ class DedupSpec extends SparkSpec {
     assert(repCand <= allCand - 190L, s"rep candidates $repCand vs all $allCand")
   }
 
+  test("cdcDedup removes shifted duplicates that fixed spans miss; exact dups empty; idempotent") {
+    def words(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(s"w${r.nextInt(40)}").mkString(" ")
+    }
+    val body = words(11, 240)
+    val corpus = Seq(
+      (1L, body),
+      (2L, body), // exact dup → fully removed
+      (3L, "totally different shifted " + body)) // shifted dup → re-aligns
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDedup(corpus, 4, 16)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((body, 0L))
+    out(2L) shouldBe (("", 240L))
+    // content-defined boundaries re-align after the 4-token prefix: the
+    // bulk of doc 3's copy dedups despite the offset shift...
+    out(3L)._2 should be > 120L
+    // ...where fixed 16-token spans catch NOTHING of the shifted copy
+    val spans = Dedup.spanDedup(
+        corpus.where(col("doc_id").isin(1L, 3L)), 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans(3L) shouldBe ("totally different shifted " + body)
+    // idempotence: a second pass removes zero tokens
+    val again = Dedup.cdcDedup(
+      Dedup.cdcDedup(corpus, 4, 16), 4, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    again.values.sum shouldBe 0L
+  }
+
   test("lineDedup strikes corpus-frequent lines, keeps order, counts by DOC frequency") {
     // 'nav bar' is in 3 distinct docs (> maxDocFreq=2) ⇒ struck everywhere,
     // including BOTH its occurrences in doc 4; 'twice here' repeats within
