@@ -78,6 +78,55 @@ object TextQueries extends QueryPack {
       graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // EXT-T57: corpus data card (Datasheets for Datasets / Data Cards
+    // reporting tier) — one governance row per source: volume (docs,
+    // tokens), mean quality, language-mix Shannon entropy (mono-source
+    // detection), and corpus-wide exact-duplicate participation rate
+    // (which sources ship copies). Three keyed aggregates + one
+    // digest-keyed semi-join; every metric re-derivable, none sampled.
+    "q171_corpus_card" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"),
+        tokenCountWs(col("text")).cast("long").as("nt"),
+        qualityScore(col("text")).as("q"), md5(col("text")).as("dg"))
+      val totals = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        round(avg(col("q")), 6).as("mean_quality"))
+      val dupDig = d.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select(col("dg"))
+      val dups = d.join(dupDig, Seq("dg"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+      val ent = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .withColumn("n", sum(col("nl")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(round(-sum((col("nl") / col("n")) * log(col("nl") / col("n"))), 6)
+          .as("lang_entropy"))
+      totals.join(ent, Seq("source"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_quality"), col("lang_entropy"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_frac"))
+        .orderBy(col("source"))
+    }),
+
+    // EXT-T56: ROUGE-N overlap evaluation — clipped bigram multiset
+    // precision/recall/F1 per (candidate, reference) pair: the metric
+    // face of near-dup detection and rewrite/summary QA. Pairs here are
+    // (doc, its successor doc) for every doc_id % 5 == 0 — adjacent
+    // fixture docs include planted near-dup pairs, so scores span the
+    // range. All ratios are one division of exact longs (F1 = 2·ov /
+    // (ct + rt)), so engines agree bitwise.
+    "q170_rouge_eval" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val cand = d.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = d.select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      graft.operators.TextMetrics.rougeN(cand.join(ref, Seq("pair_id")), RougeOrder)
+        .orderBy(col("pair_id"))
+    }),
+
     // EXT-T55: CONTENT-DEFINED chunking (LBFS/FastCDC cut rule) — the
     // rolling trailing-window hash cuts where h ≡ 0 mod 16, so chunk
     // boundaries re-align after edits and identical text regions hash
@@ -921,6 +970,7 @@ object TextQueries extends QueryPack {
   private val CalBins = 10 // q165 reliability bins
   private val CdcWindow = 4 // q168 rolling-hash window (tokens)
   private val CdcModK = 16 // q168 cut modulus ⇒ expected ~16-token chunks
+  private val RougeOrder = 2 // q170 n-gram order
   private val UniRounds = 2 // q139 hard-EM rounds
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
@@ -2189,6 +2239,70 @@ object TextQueries extends QueryPack {
          |  array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
          |FROM starts WHERE start < len(tk)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Data-card replay: the q48 quality formula, per-source totals,
+    // language-mix entropy, corpus-wide duplicate participation.
+    "q171_corpus_card" ->
+      s"""WITH dcd AS (SELECT source, lang, md5(text) AS dg,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk, text
+         |  FROM documents),
+         |st AS (SELECT source, lang, dg, CAST(len(tk) AS BIGINT) AS nt,
+         |  GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+         |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END) * 4.0) * 0.5
+         |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |             / length(text)::DOUBLE END) * 10.0) * 0.25) AS q
+         |  FROM dcd),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |          ROUND(AVG(q), 6) AS mean_quality
+         |        FROM st GROUP BY 1),
+         |dd AS (SELECT dg FROM st GROUP BY dg HAVING COUNT(*) > 1),
+         |dup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup
+         |        FROM st WHERE dg IN (SELECT dg FROM dd) GROUP BY 1),
+         |lc AS (SELECT source, lang, COUNT(*)::DOUBLE AS nl,
+         |         SUM(COUNT(*)) OVER (PARTITION BY source)::DOUBLE AS n
+         |       FROM st GROUP BY 1, 2),
+         |ent AS (SELECT source, ROUND(-SUM((nl / n) * ln(nl / n)), 6)
+         |          AS lang_entropy FROM lc GROUP BY 1)
+         |SELECT t.source, t.n_docs, t.n_tokens, t.mean_quality, e.lang_entropy,
+         |  ROUND(COALESCE(d.n_dup, 0)::DOUBLE / t.n_docs::DOUBLE, 6) AS dup_frac
+         |FROM tot t JOIN ent e USING (source) LEFT JOIN dup d USING (source)
+         |ORDER BY t.source""".stripMargin,
+
+    // ROUGE replay: bigram multisets from both sides of each pair, a
+    // full join aligning them, clipped-overlap sums, exact-long ratios.
+    "q170_rouge_eval" ->
+      s"""WITH tkd AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |pr AS (SELECT c.doc_id AS pair_id, c.tk AS ctk, r.tk AS rtk
+         |       FROM tkd c JOIN tkd r ON r.doc_id = c.doc_id + 1
+         |       WHERE c.doc_id % 5 = 0),
+         |cg AS (SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+         |    SELECT pair_id, unnest(CASE WHEN len(ctk) < $RougeOrder THEN []
+         |      ELSE list_transform(range(1, len(ctk) - ${RougeOrder - 2}),
+         |             i -> array_to_string(list_slice(ctk, i, i + ${RougeOrder - 1}), ' ')) END) AS g
+         |    FROM pr) GROUP BY 1, 2),
+         |rg AS (SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS rc FROM (
+         |    SELECT pair_id, unnest(CASE WHEN len(rtk) < $RougeOrder THEN []
+         |      ELSE list_transform(range(1, len(rtk) - ${RougeOrder - 2}),
+         |             i -> array_to_string(list_slice(rtk, i, i + ${RougeOrder - 1}), ' ')) END) AS g
+         |    FROM pr) GROUP BY 1, 2),
+         |j AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+         |        COALESCE(cc, 0) AS cc, COALESCE(rc, 0) AS rc
+         |      FROM cg FULL JOIN rg ON cg.pair_id = rg.pair_id AND cg.g = rg.g),
+         |ag AS (SELECT pair_id, SUM(LEAST(cc, rc)) AS ov,
+         |         SUM(cc) AS ct, SUM(rc) AS rt FROM j GROUP BY 1)
+         |SELECT pair_id,
+         |  ROUND(CASE WHEN ct = 0 THEN 0.0 ELSE ov::DOUBLE / ct::DOUBLE END, 6)
+         |    AS precision,
+         |  ROUND(CASE WHEN rt = 0 THEN 0.0 ELSE ov::DOUBLE / rt::DOUBLE END, 6)
+         |    AS recall,
+         |  ROUND(CASE WHEN ov = 0 THEN 0.0
+         |        ELSE 2.0 * ov::DOUBLE / (ct + rt)::DOUBLE END, 6) AS f1
+         |FROM ag ORDER BY pair_id""".stripMargin,
 
     // CDC replay: trailing-window md5-hash60 per position, cuts where
     // h ≡ 0 mod K plus the forced end cut, lag-window chunk spans, md5

@@ -190,4 +190,22 @@ class TextFunctionsSpec extends SparkSpec {
       nul.getAs[Boolean](f) shouldBe false
     }
   }
+
+  test("rougeN: identical pairs score 1; disjoint 0; clipped multiset counts; empty sides 0") {
+    import graft.operators.TextMetrics
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"), // identical
+      (2L, "a b c", "x y z"), // disjoint
+      (3L, "a b a b a b", "a b"), // clipping: ov=1, ct=5, rt=1
+      (4L, "", "a b")) // empty candidate
+      .toDF("pair_id", "cand", "ref")
+    val m = TextMetrics.rougeN(pairs, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    m(1L) shouldBe ((1.0, 1.0, 1.0))
+    m(2L) shouldBe ((0.0, 0.0, 0.0))
+    m(3L) shouldBe ((0.2, 1.0, 0.333333))
+    m(4L) shouldBe ((0.0, 0.0, 0.0))
+    m.size shouldBe 4
+  }
 }
