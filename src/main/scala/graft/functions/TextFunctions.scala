@@ -290,6 +290,18 @@ object TextFunctions {
       graft.expressions.RollingFingerprint(
         org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * multilingual front step before ANY content keying: precomposed and
+    * decomposed forms of the same text are byte-different but
+    * canonically equal, so digests, line hashes, and shingles split
+    * without it. Evaluated by the native codegen'd `UnicodeNormalize`
+    * expression (ASCII fast path returns the input bytes untouched);
+    * DuckDB's `nfc_normalize` is the oracle twin. */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Declarative-fold witness for `fingerprint` (see above). */
   def fingerprintFold(c: Column): Column =
     aggregate(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{RollingFingerprint, VecDot}
+import graft.expressions.{RollingFingerprint, UnicodeNormalize, VecDot}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (children: Seq[Expression]) => RollingFingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc"),
+      (children: Seq[Expression]) => UnicodeNormalize(children.head)))
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
   }
 }

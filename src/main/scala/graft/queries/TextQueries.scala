@@ -78,6 +78,28 @@ object TextQueries extends QueryPack {
       graft.operators.Chunking.chunkDocuments(docs(s, dir), 64, 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // EXT-T58: Unicode NFC canonicalization dedup — the native codegen'd
+    // `nfc` expression ahead of content keying: the fixture plants a
+    // "café" marker PRECOMPOSED (U+00E9) on even doc_ids and DECOMPOSED
+    // (e + U+0301) on odd — byte-different, canonically equal — so raw
+    // digests split every exact-dup pair of mixed parity while NFC
+    // digests reunite them. Output: per doc, whether NFC changed the
+    // bytes, the canonical digest, and the dedup group id.
+    "q172_nfc_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val marker = when(col("doc_id") % 2 === 0, lit(" caf\u00e9"))
+        .otherwise(lit(" cafe\u0301"))
+      val planted = docs(s, dir)
+        .select(col("doc_id"), concat(col("text"), marker).as("text"))
+      planted
+        .select(col("doc_id"),
+          (col("text") =!= nfcNormalize(col("text"))).as("changed"),
+          md5(nfcNormalize(col("text"))).as("nfc_md5"))
+        .withColumn("canon_id",
+          min(col("doc_id")).over(Window.partitionBy(col("nfc_md5"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-T57: corpus data card (Datasheets for Datasets / Data Cards
     // reporting tier) — one governance row per source: volume (docs,
     // tokens), mean quality, language-mix Shannon entropy (mono-source
@@ -2239,6 +2261,19 @@ object TextQueries extends QueryPack {
          |  array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
          |FROM starts WHERE start < len(tk)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // NFC replay: the same parity-planted composed/decomposed markers,
+    // DuckDB's UAX #15 nfc_normalize as the engine twin.
+    "q172_nfc_dedup" ->
+      """WITH pl AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |                 ELSE ' cafe' || chr(769) END AS text
+        |  FROM documents),
+        |nx AS (SELECT doc_id, (text <> nfc_normalize(text)) AS changed,
+        |         md5(nfc_normalize(text)) AS nfc_md5 FROM pl)
+        |SELECT doc_id, changed, nfc_md5,
+        |  MIN(doc_id) OVER (PARTITION BY nfc_md5) AS canon_id
+        |FROM nx ORDER BY doc_id""".stripMargin,
 
     // Data-card replay: the q48 quality formula, per-source totals,
     // language-mix entropy, corpus-wide duplicate participation.

@@ -191,6 +191,31 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize composes decomposed forms, passes ASCII/NFC through, keeps NULL, runs from SQL") {
+    val rows = Seq(
+      (1L, "café"), // decomposed → composes
+      (2L, "caf\u00e9"), // already NFC → unchanged
+      (3L, "plain ascii"), // ASCII fast path
+      (4L, null)).toDF("id", "t")
+    val out = rows.select(col("id"), nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    out(1L) shouldBe Some("caf\u00e9")
+    out(2L) shouldBe Some("caf\u00e9")
+    out(3L) shouldBe Some("plain ascii")
+    out(4L) shouldBe None
+    // canonically-equal variants now share one digest
+    rows.where(col("t").isNotNull)
+      .select(md5(nfcNormalize(col("t"))))
+      .distinct().count() shouldBe 2L // café + plain ascii
+    // registered for SQL via GraftExtensions
+    spark.sql("SELECT nfc('cafe\u0301')").collect()(0)
+      .getString(0) shouldBe "caf\u00e9"
+    // idempotence
+    rows.where(col("id") === 1L)
+      .select(nfcNormalize(nfcNormalize(col("t"))))
+      .collect()(0).getString(0) shouldBe "caf\u00e9"
+  }
+
   test("rougeN: identical pairs score 1; disjoint 0; clipped multiset counts; empty sides 0") {
     import graft.operators.TextMetrics
     val pairs = Seq(
