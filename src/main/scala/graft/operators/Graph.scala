@@ -81,4 +81,52 @@ object Graph {
     ranks.crossJoin(nTotal)
       .select(col("node"), (col("rank") * col("n")).as("rank_rel"))
   }
+
+  /**
+   * Fixed-iteration synchronous LABEL PROPAGATION (Zhu & Ghahramani
+   * 2002; Raghavan et al. 2007) — the semi-supervised "labels spread
+   * along links" primitive behind host-spam and quality propagation: a
+   * small seed set carries trusted labels (CLAMPED — re-asserted every
+   * round); each round every non-seed node adopts the MAJORITY label
+   * among its labeled neighbors, ties to the smallest label; nodes with
+   * no labeled neighbor yet stay unlabeled. Synchronous rounds + a
+   * total-order tie-break make the whole trajectory deterministic, so
+   * the oracle replays every round as chained CTEs.
+   *
+   * Scale: per round one edge⋈labels keyed join, one (node, label)
+   * map-side-combinable count, and a per-node rank over the few distinct
+   * labels a node sees — the PageRank shuffle bill; loop invariants
+   * (edges, nodes, seeds) cache once.
+   *
+   * Output: (node, label) — NULL for nodes unreached within `iters`.
+   */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val e = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
+    val nodes = graft.core.Caches.cacheOnce(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct())
+    val sd = graft.core.Caches.cacheOnce(
+      seeds.select(col("node"), col("label").as("__seed")))
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"))
+    for (_ <- 1 to iters) {
+      val nb = e
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .where(col("label").isNotNull)
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val wMaj = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label").asc)
+      val maj = nb.withColumn("rnk", row_number().over(wMaj))
+        .where(col("rnk") === 1)
+        .select(col("node"), col("label").as("__prop"))
+      labels = nodes.join(sd, Seq("node"), "left")
+        .join(maj, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), col("__prop")).as("label"))
+    }
+    labels
+  }
 }

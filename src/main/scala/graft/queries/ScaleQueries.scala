@@ -436,6 +436,28 @@ object ScaleQueries extends QueryPack {
     // aggregate map-side by dst — the canonical iterative join/agg the
     // oracle unrolls as chained CTEs. Output: top-20 nodes by
     // N-normalized rank (mean ≈ 1), rounded before ranking.
+    // EXT-X9: fixed-iteration synchronous label propagation — trusted
+    // seed labels (clamped) spread along the customer–part co-purchase
+    // graph; each round non-seed nodes adopt the majority neighbor
+    // label, ties to the smallest. The semi-supervised host-spam /
+    // quality-propagation primitive; fully deterministic, all 3 rounds
+    // replayed as chained CTEs.
+    "q173_label_prop" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val ord = Tables.read(s, dir, "orders")
+      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val edges = cp.unionAll(cp.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ord.where(col("o_custkey") % 19 === 1)
+        .select((col("o_custkey") * 2L).as("node"),
+          (col("o_custkey") % 2).as("label"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, seeds, LpIters)
+        .orderBy(col("node"))
+    }),
+
     "q133_pagerank" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
       val ord = Tables.read(s, dir, "orders")
@@ -453,6 +475,21 @@ object ScaleQueries extends QueryPack {
 
   private val PrIters = 3 // q133 PageRank rounds
   private val PrTopK = 20 // q133 output size
+  private val LpIters = 3 // q173 label-propagation rounds
+
+  /** One label-propagation round as a CTE pair: labeled-neighbor counts
+    * into nbN, the clamped-seed/majority label vector into lN. */
+  private def lpRound(i: Int): String =
+    s"""nb$i AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+       |         FROM ee e JOIN l${i - 1} l ON e.src = l.node
+       |         WHERE l.label IS NOT NULL GROUP BY 1, 2),
+       |mj$i AS (SELECT node, label FROM (
+       |    SELECT node, label,
+       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rnk
+       |    FROM nb$i) WHERE rnk = 1),
+       |l$i AS (SELECT n.node, COALESCE(s.label, m.label) AS label
+       |        FROM nodes n LEFT JOIN seeds s USING (node)
+       |        LEFT JOIN mj$i m ON n.node = m.node)""".stripMargin
 
   /** One PageRank round as a CTE pair: contributions into `cN`, the new
     * rank vector into `rN` (leaky formulation, damping 0.85). */
@@ -467,6 +504,20 @@ object ScaleQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Label-propagation replay: the bipartite co-purchase graph, sparse
+    // clamped seeds, three majority rounds as chained CTEs.
+    "q173_label_prop" ->
+      s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ee AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM ee UNION ALL SELECT dst FROM ee)),
+         |seeds AS (SELECT DISTINCT o_custkey * 2 AS node, o_custkey % 2 AS label
+         |          FROM orders WHERE o_custkey % 19 = 1),
+         |l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node)),
+         |${(1 to LpIters).map(lpRound).mkString(",\n")}
+         |SELECT node, label FROM l$LpIters ORDER BY node""".stripMargin,
+
     // Data-quality replay: one aggregate per check, anti-joins as
     // NOT-IN-with-NULL-guard, UNION ALL ordered by check name.
     "q166_data_quality" ->

@@ -56,4 +56,28 @@ class GraphSpec extends SparkSpec {
     ranks.sum shouldBe 6.0 +- 1e-9 // 6 nodes, mean exactly 1
     ranks.foreach(r => assert(r > 0))
   }
+
+  private def undirected(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+
+  test("labelPropagation walks the hand-computed path: majority spread, ties down, seeds clamped") {
+    // path 1-2-3-4-5 with clamped seeds 1→10 and 5→20, plus an unseeded
+    // island 6-7 that must stay unlabeled
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    def run(iters: Int): Map[Long, Option[Long]] =
+      Graph.labelPropagation(edges, seeds, iters)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // round 2: node 3 sees {10, 20} tied → smallest (10); node 4 still 20
+    run(2) shouldBe Map(
+      1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
+      4L -> Some(20L), 5L -> Some(20L), 6L -> None, 7L -> None)
+    // round 3: node 4 now ties {10 (from 3), 20 (from 5)} → 10; the
+    // clamped seed 5 keeps 20 despite its neighbor majority
+    run(3) shouldBe Map(
+      1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
+      4L -> Some(10L), 5L -> Some(20L), 6L -> None, 7L -> None)
+  }
 }
