@@ -48,4 +48,53 @@ object Profiling {
       .select(col(groupCol), col("p"),
         (col("__vlow") + col("__frac") * (col("__vhigh") - col("__vlow"))).as("q"))
   }
+
+  /**
+   * Key-skew diagnosis — the measurement BEHIND every salting/AQE-skew
+   * decision (`Joins.saltedEquiJoin`, `Correlation.probeSkew`'s gate):
+   * one report row quantifying how unevenly a join/agg key distributes.
+   *   - top1_share / topk_share: the hot key's (top-k keys') row share —
+   *     what a single reducer would carry;
+   *   - p99_over_p50: tail-to-median ratio of per-key counts (exact,
+   *     from the count HISTOGRAM — `histQuantiles`' shape, so no full
+   *     sort of the key table);
+   *   - gini: 0 = uniform, →1 = one key owns everything, computed from
+   *     the rank identity G = 2·Σ rᵢcᵢ / (n·Σc) − (n+1)/n with rᵢ the
+   *     1-based (count, key) rank via the two-phase distributed rank —
+   *     no single-partition stage on the |keys|-row table.
+   * All passes are keyed aggregates over (key) then (count) — the raw
+   * table is scanned once.
+   *
+   * Output: (n_rows, n_keys, top1_share, topk_share, p99_over_p50, gini),
+   * shares and ratios rounded 1e-6.
+   */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val counts = graft.core.Caches.cacheOnce(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("c")))
+    val totals = counts.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("c").desc, col(keyCol).asc).limit(topK)
+      .agg(max(col("c")).as("top1"), sum(col("c")).as("topk"))
+    val qs = histQuantiles(
+        counts.withColumn("__g", lit(1)), "__g", "c", Seq(0.5, 0.99))
+      .groupBy(col("__g"))
+      .agg(min(when(col("p") === 0.5, col("q"))).as("p50"),
+        min(when(col("p") === 0.99, col("q"))).as("p99"))
+      .drop("__g")
+    val ranked = Ids.denseIds(counts, Seq(col("c").asc, col(keyCol).asc), "__r")
+    val giniNum = ranked.agg(sum((col("__r") + 1L) * col("c")).as("rc"))
+    totals.crossJoin(broadcast(top)).crossJoin(broadcast(qs))
+      .crossJoin(broadcast(giniNum))
+      .select(col("n_rows"), col("n_keys"),
+        round(col("top1").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top1_share"),
+        round(col("topk").cast("double") / col("n_rows").cast("double"), 6)
+          .as("topk_share"),
+        round(col("p99") / col("p50"), 6).as("p99_over_p50"),
+        round(lit(2.0) * col("rc").cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double") -
+          (col("n_keys") + 1L).cast("double") / col("n_keys").cast("double"), 6)
+          .as("gini"))
+  }
 }

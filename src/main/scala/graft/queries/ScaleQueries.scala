@@ -436,6 +436,15 @@ object ScaleQueries extends QueryPack {
     // aggregate map-side by dst — the canonical iterative join/agg the
     // oracle unrolls as chained CTEs. Output: top-20 nodes by
     // N-normalized rank (mean ≈ 1), rounded before ranking.
+    // EXT-X10: key-skew diagnosis — the measurement behind every
+    // salting/AQE-skew decision: hot-key shares, exact tail-to-median
+    // per-key-count ratio (histogram path, no full key sort), and the
+    // Gini coefficient via the two-phase distributed rank. One report
+    // row for the l_partkey join key.
+    "q174_key_skew" -> ((s, dir) =>
+      graft.operators.Profiling.keySkew(
+        Tables.read(s, dir, "lineitem"), "l_partkey", topK = 10)),
+
     // EXT-X9: fixed-iteration synchronous label propagation — trusted
     // seed labels (clamped) spread along the customer–part co-purchase
     // graph; each round non-seed nodes adopt the majority neighbor
@@ -504,6 +513,26 @@ object ScaleQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Skew replay: per-key counts, top-k shares, quantile_cont ratio,
+    // the Gini rank identity.
+    "q174_key_skew" ->
+      """WITH kc AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |              CAST(COUNT(*) AS BIGINT) AS n_keys FROM kc),
+        |tp AS (SELECT MAX(c) AS top1, SUM(c) AS topk FROM (
+        |    SELECT c FROM kc ORDER BY c DESC, k LIMIT 10)),
+        |qs AS (SELECT quantile_cont(c, 0.5) AS p50,
+        |              quantile_cont(c, 0.99) AS p99 FROM kc),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS r FROM kc),
+        |gn AS (SELECT SUM(r * c) AS rc FROM rk)
+        |SELECT tt.n_rows, tt.n_keys,
+        |  ROUND(tp.top1::DOUBLE / tt.n_rows::DOUBLE, 6) AS top1_share,
+        |  ROUND(tp.topk::DOUBLE / tt.n_rows::DOUBLE, 6) AS topk_share,
+        |  ROUND(qs.p99 / qs.p50, 6) AS p99_over_p50,
+        |  ROUND(2.0 * gn.rc::DOUBLE / (tt.n_keys * tt.n_rows)::DOUBLE
+        |        - (tt.n_keys + 1)::DOUBLE / tt.n_keys::DOUBLE, 6) AS gini
+        |FROM tt, tp, qs, gn""".stripMargin,
+
     // Label-propagation replay: the bipartite co-purchase graph, sparse
     // clamped seeds, three majority rounds as chained CTEs.
     "q173_label_prop" ->

@@ -279,6 +279,22 @@ class ScaleOpsSpec extends SparkSpec {
       Array((1L, "a", 1.5), (2L, "b", -0.25))
   }
 
+  test("keySkew matches the hand-computed report; uniform keys have gini 0") {
+    // counts: a×6, b×2, c×1, d×1 → ranks asc (c,key): c,d,b,a ⇒
+    // Σ r·c = 1+2+6+24 = 33; G = 2·33/(4·10) − 5/4 = 0.4
+    // counts histogram [1,1,2,6]: p50 = 1.5, p99 = 2 + 0.97·4 = 5.88
+    val skewed = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val r = graft.operators.Profiling.keySkew(skewed, "k", topK = 10).collect()(0)
+    (r.getLong(0), r.getLong(1)) shouldBe ((10L, 4L))
+    r.getDouble(2) shouldBe 0.6 // top1_share
+    r.getDouble(3) shouldBe 1.0 // topk_share (k=10 covers all)
+    r.getDouble(4) shouldBe 3.92 +- 1e-9 // 5.88 / 1.5
+    r.getDouble(5) shouldBe 0.4 // gini
+    val uniform = Seq("e", "e", "f", "f").toDF("k")
+    graft.operators.Profiling.keySkew(uniform, "k")
+      .collect()(0).getDouble(5) shouldBe 0.0
+  }
+
   test("cdcChunks tile each document exactly; boundaries re-align after a prefix edit") {
     // deterministic pseudo-text long enough to contain several cuts
     def words(seed: Int, n: Int): String = {
