@@ -55,9 +55,11 @@ object Profiling {
    * one report row quantifying how unevenly a join/agg key distributes.
    *   - top1_share / topk_share: the hot key's (top-k keys') row share —
    *     what a single reducer would carry;
-   *   - p99_over_p50: tail-to-median ratio of per-key counts (exact,
-   *     from the count HISTOGRAM — `histQuantiles`' shape, so no full
-   *     sort of the key table);
+   *   - p99_over_p50: tail-to-median ratio of per-key counts — exact
+   *     `quantile_cont` semantics, read off the SAME distributed rank
+   *     the Gini pass builds (interpolation rows selected by rank — no
+   *     unpartitioned window, no histogram assumption: correct even
+   *     when every key has a distinct count);
    *   - gini: 0 = uniform, →1 = one key owns everything, computed from
    *     the rank identity G = 2·Σ rᵢcᵢ / (n·Σc) − (n+1)/n with rᵢ the
    *     1-based (count, key) rank via the two-phase distributed rank —
@@ -76,14 +78,27 @@ object Profiling {
       count(lit(1)).as("n_keys"))
     val top = counts.orderBy(col("c").desc, col(keyCol).asc).limit(topK)
       .agg(max(col("c")).as("top1"), sum(col("c")).as("topk"))
-    val qs = histQuantiles(
-        counts.withColumn("__g", lit(1)), "__g", "c", Seq(0.5, 0.99))
-      .groupBy(col("__g"))
-      .agg(min(when(col("p") === 0.5, col("q"))).as("p50"),
-        min(when(col("p") === 0.99, col("q"))).as("p99"))
-      .drop("__g")
-    val ranked = Ids.denseIds(counts, Seq(col("c").asc, col(keyCol).asc), "__r")
+    val ranked = graft.core.Caches.cacheOnce(
+      Ids.denseIds(counts, Seq(col("c").asc, col(keyCol).asc), "__r"))
     val giniNum = ranked.agg(sum((col("__r") + 1L) * col("c")).as("rc"))
+    // quantile_cont over the count distribution, read off the rank:
+    // r_p = 1 + (n−1)·p; interpolate between the values at ⌊r_p⌋/⌈r_p⌉
+    val qs = ranked.crossJoin(broadcast(totals.select(col("n_keys").as("__n"))))
+      .select(col("c").cast("double").as("cv"), (col("__r") + 1L).as("r1"),
+        (lit(1.0) + (col("__n") - 1L) * 0.5).as("r50"),
+        (lit(1.0) + (col("__n") - 1L) * 0.99).as("r99"))
+      .where(col("r1") === floor(col("r50")) || col("r1") === ceil(col("r50")) ||
+        col("r1") === floor(col("r99")) || col("r1") === ceil(col("r99")))
+      .agg(
+        min(when(col("r1") === floor(col("r50")), col("cv"))).as("v50lo"),
+        min(when(col("r1") === ceil(col("r50")), col("cv"))).as("v50hi"),
+        min(when(col("r1") === floor(col("r99")), col("cv"))).as("v99lo"),
+        min(when(col("r1") === ceil(col("r99")), col("cv"))).as("v99hi"),
+        min(col("r50") - floor(col("r50"))).as("f50"),
+        min(col("r99") - floor(col("r99"))).as("f99"))
+      .select(
+        (col("v50lo") + col("f50") * (col("v50hi") - col("v50lo"))).as("p50"),
+        (col("v99lo") + col("f99") * (col("v99hi") - col("v99lo"))).as("p99"))
     totals.crossJoin(broadcast(top)).crossJoin(broadcast(qs))
       .crossJoin(broadcast(giniNum))
       .select(col("n_rows"), col("n_keys"),
