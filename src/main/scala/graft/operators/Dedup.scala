@@ -845,10 +845,19 @@ object Dedup {
     * (idCol, n_lines, n_removed, textCol), every `docs` row present. */
   private[graft] def lineStrike(docs: DataFrame, keyed: DataFrame,
                                 hot: DataFrame, idCol: String,
-                                textCol: String): DataFrame = {
-    val strikes = keyed.join(hot, Seq("h"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_set(col("line_no")).as("rm"), count(lit(1)).as("n_removed"))
+                                textCol: String): DataFrame =
+    lineReassemble(docs,
+      keyed.join(hot, Seq("h"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(collect_set(col("line_no")).as("rm"), count(lit(1)).as("n_removed")),
+      idCol, textCol)
+
+  /** Rebuild documents from a per-doc strike list (idCol, rm:
+    * array<int> of struck line_nos, n_removed) — a pure Column filter
+    * over the split array; shared by every line-granular operator
+    * (boilerplate dedup, incremental store, LM quality filtering). */
+  private[graft] def lineReassemble(docs: DataFrame, strikes: DataFrame,
+                                    idCol: String, textCol: String): DataFrame =
     docs.join(strikes, Seq(idCol), "left")
       .select(col(idCol),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"),
@@ -857,5 +866,4 @@ object Dedup {
           filter(split(col(textCol), "\n"),
             (_, i) => !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)),
           "\n").as(textCol))
-  }
 }

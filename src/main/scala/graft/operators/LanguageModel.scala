@@ -209,4 +209,48 @@ object LanguageModel {
       .select(col(idCol), col("n_trigrams"),
         round(col("nll_sum") / col("n_trigrams").cast("double"), 6).as("nll"))
   }
+
+  /**
+   * LINE-granular LM quality filtering — CCNet's actual filtering
+   * granularity (Wenzek et al. 2020 filter PARAGRAPHS by LM perplexity,
+   * not whole documents): score every newline-delimited line by mean
+   * unigram NLL under the corpus's own saturating vocabulary, strike
+   * the corpus-wide WORST `dropFrac` fraction of lines, and reassemble
+   * each document from its surviving lines — a noisy footer no longer
+   * sinks an otherwise-good page, and a good quote no longer rescues a
+   * spam page it is embedded in.
+   *
+   * Selection is rank-based under the total order (nll rounded 1e-6
+   * DESC, doc, line_no) via the two-phase distributed rank — no
+   * unpartitioned window over the corpus line table, no float-threshold
+   * boundary. Token-less lines (blank separators) carry no LM evidence
+   * and are always kept. Output: (idCol, n_lines, n_removed, textCol) —
+   * every document present, '' if every line was struck.
+   */
+  def lineNllFilter(docs: DataFrame, dropFrac: Double,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(dropFrac > 0.0 && dropFrac < 1.0, "dropFrac must be in (0, 1)")
+    val ltoks = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .select(col(idCol), col("line_no"),
+        explode(tokensWs(col("line"))).as("tok"))
+    val vocab = ltoks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val scored = ltoks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("line_no"))
+      .agg(round(
+        sum(-log(col("cnt").cast("double") / col("n_total").cast("double"))) /
+          count(lit(1)).cast("double"), 6).as("nll"))
+    val ranked = Ids.denseIds(scored,
+      Seq(col("nll").desc, col(idCol).asc, col("line_no").asc), "__rk")
+    val nLines = scored.agg(count(lit(1)).as("__l"))
+    val strikes = ranked.crossJoin(broadcast(nLines))
+      .where(col("__rk") < ceil(lit(dropFrac) * col("__l")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("line_no")).as("rm"), count(lit(1)).as("n_removed"))
+    Dedup.lineReassemble(docs, strikes, idCol, textCol)
+  }
 }

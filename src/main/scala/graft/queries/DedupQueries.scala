@@ -231,6 +231,18 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T59: line-granular LM quality filtering — CCNet's ACTUAL
+    // filtering granularity (paragraph-level perplexity): score every
+    // line by mean unigram NLL under the corpus's own vocabulary,
+    // strike the corpus-wide worst decile of lines (rank-based — no
+    // float threshold), reassemble. A noisy footer no longer sinks a
+    // good page; a good quote no longer rescues a spam page.
+    "q175_line_nll_filter" -> ((s, dir) =>
+      graft.operators.LanguageModel.lineNllFilter(linedDocs(s, dir), LineDropFrac)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // EXT-D26: incremental line dedup — the crawl-delta face of q160:
     // the base corpus (doc_id % 4 ≠ 1) persists as its per-line-hash
     // DOCUMENT-frequency ledger (16 bytes per distinct line, no text);
@@ -334,6 +346,7 @@ object DedupQueries extends QueryPack {
   private val LineMaxDf = 5L // q160 boilerplate document-frequency gate
   private val LineHeader = "corpus shared boilerplate header"
   private val LineFooter = "footer navigation for "
+  private val LineDropFrac = 0.1 // q175 worst-line fraction struck
 
   /** The q160/q167 crawl-shaped fixture: documents re-lined 8 tokens per
     * line between a corpus-wide header and a per-source footer (planted
@@ -629,6 +642,45 @@ object DedupQueries extends QueryPack {
          |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
          |mk AS (SELECT l.doc_id, l.line_no, l.line, (df.df > $LineMaxDf) AS hot
          |       FROM lines l JOIN df USING (h))
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+         |        FILTER (WHERE NOT hot), '')) AS clean_md5
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Line-NLL replay: the planted line structure, per-line mean unigram
+    // NLL over the corpus vocabulary, worst-decile rank strikes, ordered
+    // reassembly.
+    "q175_line_nll_filter" ->
+      s"""WITH toks AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |lined AS (SELECT doc_id,
+         |    ['$LineHeader']
+         |      || list_transform(range(0, len(tk), $LineTokens),
+         |           g -> array_to_string(list_slice(tk, g + 1, g + $LineTokens), ' '))
+         |      || ['$LineFooter' || source] AS ls
+         |  FROM toks),
+         |lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line
+         |          FROM lined, unnest(range(0, len(ls))) AS t(i)),
+         |lt AS (SELECT doc_id, line_no,
+         |         unnest(CASE WHEN length(trim(line)) = 0 THEN []
+         |           ELSE regexp_split_to_array(trim(line), '\\s+') END) AS tok
+         |       FROM lines),
+         |vb AS (SELECT tok, COUNT(*) AS cnt FROM lt GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vb),
+         |sc AS (SELECT doc_id, line_no,
+         |         ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*), 6) AS nll
+         |       FROM lt JOIN vb USING (tok) CROSS JOIN nn GROUP BY 1, 2),
+         |rkl AS (SELECT doc_id, line_no,
+         |          ROW_NUMBER() OVER (ORDER BY nll DESC, doc_id, line_no) AS rn,
+         |          COUNT(*) OVER () AS l
+         |        FROM sc),
+         |strikes AS (SELECT doc_id, line_no FROM rkl
+         |            WHERE rn <= CEIL($LineDropFrac * l)),
+         |mk AS (SELECT l.doc_id, l.line_no, l.line,
+         |         (s.line_no IS NOT NULL) AS hot
+         |       FROM lines l LEFT JOIN strikes s USING (doc_id, line_no))
          |SELECT doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_lines,
          |  CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,

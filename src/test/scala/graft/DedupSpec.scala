@@ -268,6 +268,25 @@ class DedupSpec extends SparkSpec {
     out.size shouldBe 5
   }
 
+  test("lineNllFilter strikes the corpus-worst lines; blank lines carry no evidence and stay") {
+    // vocab over line tokens: the×7 cat×4 dog×3 zzq×1 xxv×1 (N=16).
+    // NLLs: [zzq xxv]=ln16≈2.77 > [the dog]≈1.25 > [the cat]≈1.11.
+    // 8 scored lines, dropFrac 0.2 ⇒ ⌈1.6⌉=2 strikes: [zzq xxv] and the
+    // FIRST [the dog] by (doc, line) tie-break — doc 1 line 1.
+    val docs = Seq(
+      (1L, "the cat\nthe dog\nzzq xxv"),
+      (2L, "the cat\nthe dog"),
+      (3L, "the cat"),
+      (4L, "the cat\n\nthe dog")).toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel.lineNllFilter(docs, 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((3L, 2L, "the cat"))
+    out(2L) shouldBe ((2L, 0L, "the cat\nthe dog"))
+    out(3L) shouldBe ((1L, 0L, "the cat"))
+    out(4L) shouldBe ((3L, 0L, "the cat\n\nthe dog")) // blank line kept
+  }
+
   test("lineDedup boundary: df == maxDocFreq survives, df == maxDocFreq+1 is struck") {
     val lined = Seq(
       (1L, "edge line\nover line"), (2L, "edge line\nover line"),
