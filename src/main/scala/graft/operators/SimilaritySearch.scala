@@ -793,14 +793,21 @@ object SimilaritySearch {
    * one keyed agg at |centroids| rows rejoined by broadcast; the corpus
    * shuffles zero times beyond the assignment window's vec_id exchange.
    * Singleton clusters have NULL stddev ⇒ never outliers (no evidence).
+   * `sampleFilter` bounds the CENTROID panel (index parameters are
+   * fixed, not corpus fractions — the q105 stance): without it the
+   * panel grows with the corpus and assignment cost turns
+   * N·(N/centroidMod), measured 299 s at the sf10 probe vs seconds
+   * bounded.
    *
    * Output: (vec_id, cent_id, cos_centroid rounded 1e-6, outlier).
    */
-  def centroidOutliers(embs: DataFrame, centroidMod: Int, sigma: Double): DataFrame = {
+  def centroidOutliers(embs: DataFrame, centroidMod: Int, sigma: Double,
+                       sampleFilter: Option[Column] = None): DataFrame = {
     require(sigma > 0.0, "sigma must be positive")
+    val base = sampleFilter.map(embs.where).getOrElse(embs)
     val assigned = centroidRanks(
         graft.core.Spread.byKey(embs, col("vec_id")),
-        ivfCentroids(embs, centroidMod), 1)
+        ivfCentroids(base, centroidMod), 1)
       .select(col("vec_id"), col("cent_id"), col("cscore"))
     val stats = assigned.groupBy(col("cent_id"))
       .agg(avg(col("cscore")).as("mu"), stddev_samp(col("cscore")).as("sd"))

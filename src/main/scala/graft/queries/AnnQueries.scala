@@ -422,9 +422,13 @@ object AnnQueries extends QueryPack {
     // EXT-A26: embedding outlier flags — cosine to own nearest centroid,
     // per-CLUSTER mean − 2σ fence (tight and diffuse clusters each get
     // their own); the noise/mislabel filter run before contrastive
-    // training. Singleton clusters (NULL σ) are never outliers.
+    // training. Singleton clusters (NULL σ) are never outliers. The
+    // centroid panel is BOUNDED (q105's stance: index parameters are
+    // fixed, not corpus fractions — a no-op ≤ sf0.1; without it the
+    // sf10 probe measured assignment going N·(N/37)).
     "q162_embed_outliers" -> ((s, dir) =>
-      SimilaritySearch.centroidOutliers(embs(s, dir), CentroidMod, OutlierSigma)
+      SimilaritySearch.centroidOutliers(embs(s, dir), CentroidMod, OutlierSigma,
+          sampleFilter = Some(col("vec_id") < QueryCap))
         .orderBy(col("vec_id"))),
 
     // EXT-A22: contrastive hard-negative mining — per query, the top-5
@@ -741,7 +745,8 @@ object AnnQueries extends QueryPack {
     // mean/stddev_samp and the mean − 2σ fence (NULL σ ⇒ FALSE).
     "q162_embed_outliers" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |               FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |               FROM embeddings
+         |               WHERE vec_id % $CentroidMod = 1 AND vec_id < $QueryCap),
          |scored AS (SELECT e.vec_id, c.cent_id,
          |             ${cosSql("e.embedding", "c.cent_emb")} AS cs
          |           FROM embeddings e CROSS JOIN cents c),
