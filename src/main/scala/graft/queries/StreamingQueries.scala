@@ -15,6 +15,7 @@ object StreamingQueries extends QueryPack {
 
   private val SessionGapSec = 21600L // 6 hours
   private val ConvMaxTurns = 5 // q163 transcript head-truncation
+  private val AsofStaleSec = 7200L // q176 max as-of staleness (2 h)
   private val FunnelWithinSec = 86400L // view → click attribution window
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
@@ -113,6 +114,22 @@ object StreamingQueries extends QueryPack {
           col("asof_event_id"), col("asof_ts"),
           round(col("asof_value"), 6).as("asof_value"),
           (unix_micros(col("left_ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("left_event_id"))
+    }),
+
+    // EXT-S21: as-of join with a STALENESS bound — production
+    // feature-store semantics over q64's exact machinery: a carried
+    // "last view" older than AsofStaleSec behind the click NULLs out
+    // (a three-week-old last-known value is a leak of absence, not a
+    // feature). Same single key shuffle; the bound is a projection.
+    "q176_asof_within" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventStreams.asOfJoinWithin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"), AsofStaleSec)
+        .select(col("user_id"), col("left_event_id"), col("left_ts"),
+          col("asof_event_id"), col("asof_ts"),
+          round(col("asof_value"), 6).as("asof_value"))
         .orderBy(col("user_id"), col("left_event_id"))
     }),
 
@@ -328,6 +345,34 @@ object StreamingQueries extends QueryPack {
         |  ROUND(asof_value, 6) AS asof_value,
         |  epoch_us(left_ts) - epoch_us(asof_ts) AS lag_us
         |FROM w WHERE side = 1 ORDER BY user_id, left_event_id""".stripMargin,
+
+    // Staleness-bounded as-of replay: q64's union-merge window, then the
+    // floor-second freshness gate NULLing all three as-of columns.
+    "q176_asof_within" ->
+      s"""WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id, value AS v
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS side, event_id, NULL AS v
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (SELECT user_id, side, event_id AS left_event_id, ts AS left_ts,
+        |  last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER win AS asof_event_id,
+        |  last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |    OVER win AS asof_ts,
+        |  last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+        |    OVER win AS asof_value
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |                        ROWS UNBOUNDED PRECEDING)),
+        |f AS (SELECT *, asof_ts IS NOT NULL AND
+        |        floor(epoch(left_ts))::BIGINT - floor(epoch(asof_ts))::BIGINT
+        |          <= $AsofStaleSec AS fresh
+        |      FROM w WHERE side = 1)
+        |SELECT user_id, left_event_id, left_ts,
+        |  CASE WHEN fresh THEN asof_event_id END AS asof_event_id,
+        |  CASE WHEN fresh THEN asof_ts END AS asof_ts,
+        |  ROUND(CASE WHEN fresh THEN asof_value END, 6) AS asof_value
+        |FROM f ORDER BY user_id, left_event_id""".stripMargin,
 
     "q44_event_funnel" ->
       s"""SELECT v.user_id, v.event_id AS left_event_id, v.ts AS left_ts,

@@ -325,6 +325,30 @@ object EventStreams {
   }
 
   /**
+   * As-of join with a STALENESS bound — production feature-store
+   * semantics (a "last known balance" that is three weeks old is not a
+   * feature, it is a leak of absence): the carried right row only
+   * attaches if it is at most `maxStalenessSec` behind the left event
+   * (floor-second epochs, the gap convention everywhere in this file);
+   * staler matches NULL out all three as-of columns together, exactly
+   * like no match at all. Same single key shuffle + partition sort as
+   * `asOfJoin` — the bound is a pure post-projection, not a range probe.
+   */
+  def asOfJoinWithin(left: DataFrame, right: DataFrame, maxStalenessSec: Long,
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id",
+                     valueCol: String = "value"): DataFrame = {
+    require(maxStalenessSec >= 0, "maxStalenessSec must be non-negative")
+    val base = asOfJoin(left, right, keyCol, tsCol, idCol, valueCol)
+    val fresh = col("asof_ts").isNotNull &&
+      col("left_ts").cast("long") - col("asof_ts").cast("long") <= maxStalenessSec
+    base.select(col(keyCol), col("left_event_id"), col("left_ts"),
+      when(fresh, col("asof_event_id")).as("asof_event_id"),
+      when(fresh, col("asof_ts")).as("asof_ts"),
+      when(fresh, col("asof_value")).as("asof_value"))
+  }
+
+  /**
    * Time-series resample + forward fill: regularize an irregular event
    * stream onto a fixed daily grid per key — the gap-filling step before
    * any per-period comparison (DAU panels, balance snapshots, feature

@@ -88,6 +88,27 @@ class PipelineExtrasSpec extends SparkSpec {
       (103L, None, None))
   }
 
+  test("asOfJoinWithin NULLs stale matches as one unit; fresh and boundary matches carry") {
+    val views = Seq(
+      (10L, ts("2024-01-01 01:00:00"), 1L, "view", 5.0),
+      (13L, ts("2024-01-01 09:00:00"), 2L, "view", 8.0))
+    val clicks = Seq(
+      (101L, ts("2024-01-01 02:00:00"), 1L, "click", 0.0), // exactly 3600 s: fresh
+      (102L, ts("2024-01-01 04:00:00"), 1L, "click", 0.0), // 3 h stale → NULLs
+      (103L, ts("2024-01-01 09:30:00"), 2L, "click", 0.0)) // 30 min: fresh
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.asOfJoinWithin(df(clicks), df(views), 3600L)
+      .orderBy("left_event_id")
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.isNullAt(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+    out shouldBe Array(
+      (101L, Some(10L), false, Some(5.0)),
+      (102L, None, true, None), // all three as-of columns NULL together
+      (103L, Some(13L), false, Some(8.0)))
+  }
+
   test("quotaPerStratum honors caps and nests as caps shrink") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
