@@ -30,9 +30,9 @@ object DataQuality {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
         count(lit(1)).as("n"))
       .select(lit(s"null_frac:$target").as("check"),
-        round(col("nulls").cast("double") /
+        round(coalesce(col("nulls"), lit(0L)).cast("double") /
           greatest(col("n"), lit(1L)).cast("double"), 6).as("metric"),
-        (col("nulls") === 0L).as("passed"))
+        (coalesce(col("nulls"), lit(0L)) === 0L).as("passed"))
 
   /** Key uniqueness: distinct/count ratio of `c` (NULLs count as
     * violations — a NULL key is not unique evidence); passes when every

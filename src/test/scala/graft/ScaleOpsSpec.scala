@@ -365,4 +365,24 @@ class ScaleOpsSpec extends SparkSpec {
     rep.map(_.getBoolean(2)).forall(identity) shouldBe true
     rep.length shouldBe 5
   }
+
+  test("DataQuality on an EMPTY table: passed is a concrete boolean, never NULL") {
+    import graft.operators.DataQuality._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "price")
+    val rep = report(Seq(
+        nullFracCheck(empty, "id", "e"),
+        uniqueCheck(empty, "id", "e"),
+        minBoundCheck(empty, "price", 0.0, "e"),
+        rowCountCheck(empty, 1L, "e")))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(2), r.getBoolean(2)))).toMap
+    // a scheduler gating on `passed = false` must see real booleans: the
+    // vacuous checks pass (zero nulls / zero dups / zero violations), the
+    // row-count check fails — and none of them is NULL
+    rep.values.foreach { case (isNull, _) => isNull shouldBe false }
+    rep("null_frac:e")._2 shouldBe true
+    rep("unique:e")._2 shouldBe true
+    rep("min_bound:e")._2 shouldBe true
+    rep("row_count:e")._2 shouldBe false
+  }
 }
