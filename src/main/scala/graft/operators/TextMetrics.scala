@@ -38,13 +38,23 @@ object TextMetrics {
     }
     val gc = gramCounts(candCol, "cc")
     val gr = gramCounts(refCol, "rc")
-    gc.join(gr, Seq(idCol, "gram"), "full_outer")
+    val scored = gc.join(gr, Seq(idCol, "gram"), "full_outer")
       .groupBy(col(idCol))
       .agg(
         sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L))))
           .as("ov"),
         sum(coalesce(col("cc"), lit(0L))).as("ct"),
         sum(coalesce(col("rc"), lit(0L))).as("rt"))
+    // A pair whose candidate AND reference are both shorter than n grams
+    // produces no (pair, gram) rows at all — join the scores back onto
+    // the full pair-id set so such pairs surface as all-zero rows (the
+    // documented contract) instead of silently vanishing.
+    pairs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ov"), lit(0L)).as("ov"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("rt"), lit(0L)).as("rt"))
       .select(col(idCol),
         round(when(col("ct") === 0L, 0.0)
           .otherwise(col("ov").cast("double") / col("ct").cast("double")), 6)

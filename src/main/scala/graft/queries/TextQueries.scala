@@ -2330,14 +2330,14 @@ object TextQueries extends QueryPack {
          |      FROM cg FULL JOIN rg ON cg.pair_id = rg.pair_id AND cg.g = rg.g),
          |ag AS (SELECT pair_id, SUM(LEAST(cc, rc)) AS ov,
          |         SUM(cc) AS ct, SUM(rc) AS rt FROM j GROUP BY 1)
-         |SELECT pair_id,
-         |  ROUND(CASE WHEN ct = 0 THEN 0.0 ELSE ov::DOUBLE / ct::DOUBLE END, 6)
-         |    AS precision,
-         |  ROUND(CASE WHEN rt = 0 THEN 0.0 ELSE ov::DOUBLE / rt::DOUBLE END, 6)
-         |    AS recall,
-         |  ROUND(CASE WHEN ov = 0 THEN 0.0
+         |SELECT pr.pair_id,
+         |  ROUND(CASE WHEN COALESCE(ct, 0) = 0 THEN 0.0
+         |        ELSE ov::DOUBLE / ct::DOUBLE END, 6) AS precision,
+         |  ROUND(CASE WHEN COALESCE(rt, 0) = 0 THEN 0.0
+         |        ELSE ov::DOUBLE / rt::DOUBLE END, 6) AS recall,
+         |  ROUND(CASE WHEN COALESCE(ov, 0) = 0 THEN 0.0
          |        ELSE 2.0 * ov::DOUBLE / (ct + rt)::DOUBLE END, 6) AS f1
-         |FROM ag ORDER BY pair_id""".stripMargin,
+         |FROM pr LEFT JOIN ag USING (pair_id) ORDER BY pair_id""".stripMargin,
 
     // CDC replay: trailing-window md5-hash60 per position, cuts where
     // h ≡ 0 mod K plus the forced end cut, lag-window chunk spans, md5

@@ -222,7 +222,8 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "a b c d", "a b c d"), // identical
       (2L, "a b c", "x y z"), // disjoint
       (3L, "a b a b a b", "a b"), // clipping: ov=1, ct=5, rt=1
-      (4L, "", "a b")) // empty candidate
+      (4L, "", "a b"), // empty candidate
+      (5L, "x", "")) // BOTH sides shorter than n: zero gram rows anywhere
       .toDF("pair_id", "cand", "ref")
     val m = TextMetrics.rougeN(pairs, 2)
       .collect().map(r => r.getLong(0) ->
@@ -231,6 +232,8 @@ class TextFunctionsSpec extends SparkSpec {
     m(2L) shouldBe ((0.0, 0.0, 0.0))
     m(3L) shouldBe ((0.2, 1.0, 0.333333))
     m(4L) shouldBe ((0.0, 0.0, 0.0))
-    m.size shouldBe 4
+    // the no-gram pair must still APPEAR (all-zero), not silently vanish
+    m(5L) shouldBe ((0.0, 0.0, 0.0))
+    m.size shouldBe 5
   }
 }
