@@ -99,20 +99,30 @@ object Graph {
    * (edges, nodes, seeds) cache once.
    *
    * Output: (node, label) — NULL for nodes unreached within `iters`.
+   *
+   * Seeds dedupe per node up front (smallest label wins — the same
+   * total-order rule as the in-round tie-break): a duplicated seed row
+   * would otherwise duplicate that node's row in the labels vector via
+   * the left join, inflating its vote in every neighbor-majority count.
+   * Deep runs (10-20 rounds to fixpoint is typical) want
+   * `checkpointEvery` exactly as pageRank does — each round otherwise
+   * nests the previous round's plan and analysis cost grows O(iters).
    */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-                       iters: Int): DataFrame = {
+                       iters: Int, checkpointEvery: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1, "labelPropagation: iters must be >= 1")
+    require(checkpointEvery >= 0,
+      "labelPropagation: checkpointEvery must be >= 0")
     val e = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
     val nodes = graft.core.Caches.cacheOnce(
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct())
     val sd = graft.core.Caches.cacheOnce(
-      seeds.select(col("node"), col("label").as("__seed")))
+      seeds.groupBy(col("node")).agg(min(col("label")).as("__seed")))
     var labels = nodes.join(sd, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val nb = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .where(col("label").isNotNull)
@@ -126,6 +136,15 @@ object Graph {
       labels = nodes.join(sd, Seq("node"), "left")
         .join(maj, Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__prop")).as("label"))
+      // Same lineage seal as pageRank: cache → lazy localCheckpoint →
+      // materialize → release the pinned parent. Values are identical;
+      // only the plan depth (and driver analysis time) is bounded.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val cached = graft.core.Caches.cacheOnce(labels)
+        labels = cached.localCheckpoint(eager = false)
+        labels.count()
+        graft.core.Caches.release(cached)
+      }
     }
     labels
   }

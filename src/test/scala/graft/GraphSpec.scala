@@ -80,4 +80,40 @@ class GraphSpec extends SparkSpec {
       1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
       4L -> Some(10L), 5L -> Some(20L), 6L -> None, 7L -> None)
   }
+
+  test("labelPropagation dedupes seeds per node (min label) — no vote inflation, no duplicate rows") {
+    // star: center 0 with leaves 1 (seeded 30) and 2 (seeded 20, DUPLICATED
+    // 3×). Without seed dedup node 2 appears 3× in the labels vector, so 0
+    // would see votes {20:3, 30:1}; with dedup it's a {20:1, 30:1} tie →
+    // smallest label 20 — which here coincides, so also check the node-2
+    // two-label conflict: (2→20, 2→25) must resolve to min 20 and emit ONE row.
+    val edges = undirected((0L, 1L), (0L, 2L))
+    val seeds = Seq((1L, 30L), (2L, 20L), (2L, 20L), (2L, 20L), (2L, 25L))
+      .toDF("node", "label")
+    val out = Graph.labelPropagation(edges, seeds, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    out.length shouldBe out.map(_._1).distinct.length // one row per node
+    out.toMap shouldBe Map(0L -> 20L, 1L -> 30L, 2L -> 20L)
+  }
+
+  test("labelPropagation checkpointEvery: 15 deep rounds, bounded plan, identical labels") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L))
+    val seeds = Seq((1L, 10L), (8L, 20L)).toDF("node", "label")
+    def labels(iters: Int, cp: Int) =
+      Graph.labelPropagation(edges, seeds, iters, checkpointEvery = cp)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    labels(15, 5) shouldBe labels(15, 0)
+    // plan depth is O(checkpointEvery), not O(iters): one round past a
+    // checkpoint analyzes the same logical-node count at round 6 and 11
+    def nNodes(iters: Int, cp: Int): Int = {
+      var n = 0
+      Graph.labelPropagation(edges, seeds, iters, checkpointEvery = cp)
+        .queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    nNodes(6, 5) shouldBe nNodes(11, 5)
+    nNodes(11, 0) should be > nNodes(6, 0)
+  }
 }
