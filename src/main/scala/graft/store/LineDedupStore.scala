@@ -29,7 +29,14 @@ import graft.operators.Dedup
  * same `deltaId` is exact: the view excludes the delta's own batch, so
  * the retry recomputes identical strikes and overwrites the same
  * directory. `compact` folds batches into the next version's summed
- * base batch.
+ * base batch AND records the folded batch names in a cumulative
+ * `_folded` manifest — df counts SUM, so once a delta's batch is folded
+ * into base, directory exclusion alone can no longer carve it out of
+ * the view. A redelivery whose `deltaId` appears in the manifest
+ * subtracts its own recomputed counts from the stored totals instead
+ * (first-delivery-identical strikes) and does NOT re-append its batch —
+ * without this, a retry racing a compaction would double-count the
+ * delta's lines forever.
  *
  * Scale: the delta pass is one hash-keyed exchange family for the
  * distinct/df/merge joins (28-byte rows) and one id-keyed join for the
@@ -43,9 +50,48 @@ object LineDedupStore {
 
   private def root(storePath: String) = s"$storePath/$LineDf"
 
-  private def requireName(name: String): Unit =
+  private def requireName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"batch name '$name' must be [A-Za-z0-9_]+ — it becomes a directory name")
+    require(name != "base",
+      "batch name 'base' is reserved for the store's fold product — a delta " +
+        "named 'base' would overwrite it and its retry would exclude the " +
+        "whole base view")
+  }
+
+  /** Batch names folded into this version's base batch by compactions —
+    * cumulative across versions; absent file = empty (pre-manifest
+    * stores and fresh v0 trees). One name per line, UTF-8. */
+  private def foldedNames(spark: SparkSession, vdir: String): Set[String] = {
+    val f = Compaction.fs(spark, vdir)
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/_folded")
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeFolded(spark: SparkSession, vdir: String,
+                          names: Set[String]): Unit = {
+    val f = Compaction.fs(spark, vdir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$vdir/_folded"), true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Committed batch NAMES (marker-backed) under a version dir. */
+  private def committedNames(spark: SparkSession, vdir: String): Set[String] = {
+    val f = Compaction.fs(spark, vdir)
+    val base = new org.apache.hadoop.fs.Path(vdir)
+    if (!f.exists(base)) Set.empty
+    else f.listStatus(base).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .collect { case nm if nm.startsWith("_committed_") => nm.drop("_committed_".length) }
+      .toSet
+  }
 
   private def freshName(): String =
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -98,6 +144,14 @@ object LineDedupStore {
       viewOf(spark, s"$r/v$cur", None)
         .groupBy(col("h")).agg(sum(col("df")).as("df"))
         .write.mode("overwrite").parquet(s"$vdir/batch_base")
+      // Record WHICH delta batches this base now contains (cumulative
+      // with earlier folds) BEFORE the marker flips: a dedupDelta retry
+      // consults this manifest to avoid re-appending counts the base
+      // already carries. Crash before commit → old version still served,
+      // manifest unreferenced; crash after → manifest committed with it.
+      writeFolded(spark, vdir,
+        foldedNames(spark, s"$r/v$cur") ++
+          (committedNames(spark, s"$r/v$cur") - "base"))
       DedupStore.touch(Compaction.fs(spark, r), s"$vdir/_committed_base")
       Compaction.commit(spark, r, next)
       Compaction.pruneBelow(spark, r, cur)
@@ -120,10 +174,22 @@ object LineDedupStore {
     requireName(name)
     Compaction.withLease(spark, storePath, s"linedf:delta:$name") {
       val vdir = Compaction.currentDir(spark, rt)
-      val stored = viewOf(spark, vdir, exclude = Some(name))
-        .groupBy(col("h")).agg(sum(col("df")).as("sdf"))
       val keyed = Dedup.lineKeyed(delta, idCol, textCol)
       val ddf = Dedup.lineDf(keyed, idCol)
+      // Redelivery after a compaction folded this delta's batch into
+      // base: the counts can't be excluded by directory anymore, so
+      // subtract the delta's own recomputed df from the stored totals —
+      // (sdf − df) + df reproduces the first delivery's merged df
+      // exactly — and do NOT re-append the batch (base carries it).
+      val folded = foldedNames(spark, vdir).contains(name)
+      val stored0 = viewOf(spark, vdir, exclude = Some(name))
+        .groupBy(col("h")).agg(sum(col("df")).as("sdf"))
+      val stored =
+        if (!folded) stored0
+        else stored0.join(ddf.select(col("h"), col("df").as("__own")),
+            Seq("h"), "left")
+          .select(col("h"),
+            (col("sdf") - coalesce(col("__own"), lit(0L))).as("sdf"))
       val hot = ddf.join(stored, Seq("h"), "left")
         .where(col("df") + coalesce(col("sdf"), lit(0L)) > maxDocFreq)
         .select(col("h"))
@@ -131,8 +197,10 @@ object LineDedupStore {
       // Ingest: the delta's OWN df batch (pre-strike counts — the lines
       // existed in these documents; striking is presentation, the df
       // ledger records what was seen). Batch dir first, marker LAST.
-      ddf.write.mode("overwrite").parquet(s"$vdir/batch_$name")
-      DedupStore.touch(Compaction.fs(spark, rt), s"$vdir/_committed_$name")
+      if (!folded) {
+        ddf.write.mode("overwrite").parquet(s"$vdir/batch_$name")
+        DedupStore.touch(Compaction.fs(spark, rt), s"$vdir/_committed_$name")
+      }
       out
     }
   }

@@ -82,6 +82,52 @@ class LineDedupStoreSpec extends SparkSpec {
     c.head._3 shouldBe 1L
   }
 
+  test("redelivery AFTER a compaction folded the delta: strikes identical, counts not double-counted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstore4").toString
+    LineDedupStore.write(
+      Seq((1L, "hot line\nx"), (2L, "hot line\ny")).toDF("doc_id", "text"),
+      s"$dir/store")
+    val delta = Seq((11L, "hot line\nz"), (12L, "edge line\nq"))
+      .toDF("doc_id", "text")
+    val first = rows(LineDedupStore.dedupDelta(delta, s"$dir/store", MaxDf,
+      deltaId = Some("d1")))
+    first.head._3 shouldBe 1L // hot line: 2 stored + 1 = 3 > 2 → struck
+    val countsAfterFirst = LineDedupStore.counts(spark, s"$dir/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // compact folds batch_d1 into the next version's base...
+    LineDedupStore.compact(spark, s"$dir/store")
+    // ...and the SAME delta is redelivered: directory exclusion can no
+    // longer carve d1 out, so the store must subtract the delta's own
+    // counts — identical strikes ('edge line' df 1+1=2 stays KEPT; a
+    // double-count would see 2+1=3 and strike it) and an unchanged ledger.
+    val retry = rows(LineDedupStore.dedupDelta(delta, s"$dir/store", MaxDf,
+      deltaId = Some("d1")))
+    retry shouldBe first
+    LineDedupStore.counts(spark, s"$dir/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe countsAfterFirst
+    // a second compaction after the redelivery still changes nothing
+    LineDedupStore.compact(spark, s"$dir/store")
+    LineDedupStore.counts(spark, s"$dir/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe countsAfterFirst
+    // and later folds accumulate from the correct (single-counted) totals:
+    // edge line's true stored df is 1 (doc 12 only) → 1 + 1 = 2 ≤ 2 KEPT;
+    // a double-counted ledger would hold 2 → 2 + 1 = 3 > 2 and strike it
+    val c = rows(LineDedupStore.dedupDelta(
+      Seq((31L, "edge line\nw")).toDF("doc_id", "text"), s"$dir/store", MaxDf))
+    c.head._3 shouldBe 0L
+    c.head._4 shouldBe "edge line\nw"
+  }
+
+  test("deltaId 'base' is rejected — it would overwrite the fold product") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lstore5").toString
+    LineDedupStore.write(Seq((1L, "a\nb")).toDF("doc_id", "text"), s"$dir/store")
+    an[IllegalArgumentException] should be thrownBy
+      LineDedupStore.dedupDelta(Seq((2L, "c\nd")).toDF("doc_id", "text"),
+        s"$dir/store", MaxDf, deltaId = Some("base"))
+  }
+
   test("streaming LineDedupIngest: stream fold == sequential dedupDelta; redelivery is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
