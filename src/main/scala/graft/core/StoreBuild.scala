@@ -80,17 +80,31 @@ object StoreBuild {
   def scaledNeighbors(crosstab0: DataFrame, k: Double = 2.0,
                       largeCatalog: Option[Boolean] = None,
                       itemPredicate: Option[Column] = None): DataFrame =
-    fromCrosstab(crosstab0, k, largeCatalog, itemPredicate).neighbors
+    fromCrosstab(crosstab0, k, largeCatalog, itemPredicate, None).neighbors
 
   /** All-items store build from a SUFFICIENT-STATISTICS snapshot
     * (`Incremental.Stats`) — the incremental-ingest composition: after a
     * delta update, the store refresh reuses the merged item-stat and
     * co-moment summaries instead of recomputing them from the cell table
-    * (gated by q57 against the same full-rebuild oracle as q38). */
+    * (gated by q57 against the same full-rebuild oracle as q38).
+    *
+    * NOTE the refresh is inherently Ω(catalog co-occurrence data), never
+    * Ω(delta): the mean+kσ-over-the-COMPLETE-vector semantics couples
+    * every item to every other — corr(a,b) moves whenever b's stats (or
+    * the context count n) move, and a's scaling bounds/threshold
+    * aggregate over ALL partners — so an untouched item's emitted
+    * row-set can change under a delta that never mentions it
+    * (counterexample spec-gated in StoreBuildSpec). The delta-BOUNDED
+    * production pattern is `touched`-selection refresh + stored rows
+    * for the rest (bounded staleness, q177): pass `touched` to rebuild
+    * only those item_a rows at |touched|×avg-degree emission cost (the
+    * catalog-wide per-item stats table — 24 B/item — is still consulted,
+    * as the closed form requires). */
   def scaledNeighborsFromStats(stats: Incremental.Stats, k: Double = 2.0,
-                               largeCatalog: Option[Boolean] = None): DataFrame =
+                               largeCatalog: Option[Boolean] = None,
+                               touched: Option[DataFrame] = None): DataFrame =
     new Build(pinPlan(stats.items), pinPlan(stats.co), pinPlan(stats.n),
-      k, largeCatalog, None).neighbors
+      k, largeCatalog, None, touched).neighbors
 
   /** Cache a folded summary AND seal its lineage behind a leaf scan.
     *
@@ -121,15 +135,16 @@ object StoreBuild {
   def vectorMoments(crosstab0: DataFrame,
                     itemPredicate: Option[Column] = None,
                     largeCatalog: Option[Boolean] = None): DataFrame =
-    fromCrosstab(crosstab0, 2.0, largeCatalog, itemPredicate).moments
+    fromCrosstab(crosstab0, 2.0, largeCatalog, itemPredicate, None).moments
 
   private def fromCrosstab(crosstab0: DataFrame, k: Double,
                            largeCatalog: Option[Boolean],
-                           itemPredicate: Option[Column]): Build = {
+                           itemPredicate: Option[Column],
+                           itemSet: Option[DataFrame]): Build = {
     val ct = Caches.cacheOnce(crosstab0)
     new Build(Correlation.itemStats(ct),
       Caches.cacheOnce(Correlation.sparseCoMoments(ct)),
-      Correlation.nContexts(ct), k, largeCatalog, itemPredicate)
+      Correlation.nContexts(ct), k, largeCatalog, itemPredicate, itemSet)
   }
 
   /** The shared build: per-item stats (item, sx, sxx), upper-triangle
@@ -150,8 +165,20 @@ object StoreBuild {
     * for the absent dense vectors. */
   private final class Build(itemSt: DataFrame, co0: DataFrame, n0: DataFrame,
                             k: Double, largeCatalog: Option[Boolean],
-                            itemPredicate: Option[Column]) {
+                            itemPredicate: Option[Column],
+                            itemSet: Option[DataFrame] = None) {
     val n1 = n0 // 1 row
+
+    // item_a-side restriction, Column- or set-valued: the set form
+    // (single-column `item` frame) is the delta-refresh face — a
+    // LEFT SEMI join keyed on item, so the selection never needs to
+    // fit in a driver-side IN-list. Both compose (predicate AND set).
+    private def restrictItems(df: DataFrame): DataFrame = {
+      val p = itemPredicate.map(df.where(_)).getOrElse(df)
+      itemSet.map(s => p.join(s.select(col("item")), Seq("item"), "left_semi"))
+        .getOrElse(p)
+    }
+    private val restricted = itemPredicate.nonEmpty || itemSet.nonEmpty
 
     // Per-item stats with den/u; D = non-degenerate items (den > 0).
     val d = Caches.cacheOnce(
@@ -162,7 +189,7 @@ object StoreBuild {
 
     // item_a-side selection (complete-vector stats are per-item_a, so the
     // b-side/globals/ranking must stay catalog-wide regardless).
-    val dSel = itemPredicate.map(d.where(_)).getOrElse(d)
+    val dSel = restrictItems(d)
 
     // One global row: ΣU, ΣV, |D|, min/max u.
     val globals = broadcast(d.agg(
@@ -204,11 +231,9 @@ object StoreBuild {
     // anti-join below deliberately keeps the UNRESTRICTED sym: its left
     // side is already selection-only, and the full table is the correct
     // co-occurrence ledger either way.
-    val symA = itemPredicate match {
-      case None    => sym
-      case Some(_) =>
-        sym.join(bcCat(dSel.select(col("item").as("item_a"))), Seq("item_a"), "left_semi")
-    }
+    val symA =
+      if (!restricted) sym
+      else sym.join(bcCat(dSel.select(col("item").as("item_a"))), Seq("item_a"), "left_semi")
     // CACHED: the correlation pipeline feeds BOTH the fused stats shuffle
     // and the sparse-emission branch; as a `def` the symmetric closure +
     // two stat joins + corr arithmetic ran once per consumer (the probe
@@ -358,7 +383,7 @@ object StoreBuild {
     def moments: DataFrame = {
       val degenerate = itemSt.crossJoin(broadcast(n1))
         .where(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0)
-      val degSel = itemPredicate.map(degenerate.where(_)).getOrElse(degenerate)
+      val degSel = restrictItems(degenerate)
         .select(col("item").as("item_a"),
           lit(null).cast("double").as("mean_corr"),
           lit(null).cast("double").as("std_corr"))

@@ -79,6 +79,39 @@ object ParityQueries extends QueryPack {
       |sim AS (SELECT item_a AS item_a_id, item_b AS item_b_id, s AS scaled_score
       |        FROM th WHERE s >= t)""".stripMargin
 
+  /** One complete occurrences→store world under NAME-SUFFIXED CTEs, so
+    * two worlds (pre-delta and post-delta) coexist in one statement —
+    * q177's bounded-staleness oracle replays base-world rows for
+    * untouched items beside merged-world rows for touched ones. */
+  private def worldCtes(sfx: String, occWhere: String, pred: String): String =
+    s"""occ$sfx AS (SELECT l_partkey AS item, l_orderkey AS ctx FROM lineitem
+       |            WHERE $occWhere),
+       |ct$sfx AS (SELECT item, ctx, CAST(COUNT(*) AS DOUBLE) AS cnt
+       |           FROM occ$sfx GROUP BY 1, 2),
+       |nn$sfx AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n FROM ct$sfx),
+       |st$sfx AS (SELECT item, SUM(cnt) AS sx, SUM(cnt*cnt) AS sxx
+       |           FROM ct$sfx GROUP BY 1),
+       |co$sfx AS (SELECT a.item AS item_a, b.item AS item_b, SUM(a.cnt*b.cnt) AS sxy
+       |           FROM ct$sfx a JOIN ct$sfx b ON a.ctx = b.ctx AND a.item < b.item
+       |           GROUP BY 1, 2),
+       |cosym$sfx AS (SELECT item_a, item_b, sxy FROM co$sfx
+       |              UNION ALL SELECT item_b, item_a, sxy FROM co$sfx),
+       |fp$sfx AS (SELECT sa.item AS item_a, sb.item AS item_b,
+       |  (nn.n*COALESCE(c.sxy, 0) - sa.sx*sb.sx)
+       |    / NULLIF(SQRT(nn.n*sa.sxx - sa.sx*sa.sx) * SQRT(nn.n*sb.sxx - sb.sx*sb.sx), 0) AS corr
+       |  FROM st$sfx sa CROSS JOIN st$sfx sb CROSS JOIN nn$sfx nn
+       |  LEFT JOIN cosym$sfx c ON c.item_a = sa.item AND c.item_b = sb.item
+       |  WHERE ($pred) AND sa.item <> sb.item),
+       |sc$sfx AS (SELECT item_a, item_b,
+       |  CASE WHEN MAX(corr) OVER w = MIN(corr) OVER w THEN 0.0
+       |       ELSE (corr - MIN(corr) OVER w) / (MAX(corr) OVER w - MIN(corr) OVER w) END AS s
+       |  FROM fp$sfx WINDOW w AS (PARTITION BY item_a)),
+       |th$sfx AS (SELECT item_a, item_b, s,
+       |  AVG(s) OVER w + 2.0 * STDDEV_SAMP(s) OVER w AS t
+       |  FROM sc$sfx WINDOW w AS (PARTITION BY item_a)),
+       |sim$sfx AS (SELECT item_a AS item_a_id, item_b AS item_b_id, s AS scaled_score
+       |            FROM th$sfx WHERE s >= t)""".stripMargin
+
   // ---- Spark-side shared pieces -------------------------------------------
 
   private def ct(s: SparkSession, dir: String) =
@@ -356,6 +389,38 @@ object ParityQueries extends QueryPack {
           org.apache.spark.sql.types.StructType.fromDDL(
             "item_a BIGINT, item_b BIGINT, corr DOUBLE"))
         .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // EXT-C28: DELTA-BOUNDED store refresh (bounded staleness — the
+    // production pattern q57's exact refresh cannot reach, because the
+    // mean+kσ-over-complete-vector semantics couples every item to every
+    // other through n and the global u-moments; StoreBuildSpec carries
+    // the counterexample). Items TOUCHED by the delta get exact
+    // post-delta rows via the touched-selection build (emission cost
+    // |touched|×avg-degree, catalog-wide stats consulted as the closed
+    // form requires); untouched items keep serving their STORED rows
+    // verbatim — one parquet scan + anti-join, no rebuild (the plan
+    // guard). A scheduled full rebuild (q38) retires the staleness.
+    "q177_store_refresh_touched" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      def occ(p: org.apache.spark.sql.Column) = li.where(p)
+        .select(col("l_partkey").as("item_id"), col("l_orderkey").as("reference_id"))
+      val base = graft.core.Incremental.fromOccurrences(occ(col("l_linenumber") <= 3))
+      val prevDir = graft.core.Scratch.dir("graft_prev_store")
+      graft.core.StoreBuild.scaledNeighborsFromStats(base, 2.0)
+        .write.mode("overwrite").parquet(prevDir)
+      val delta = occ(col("l_linenumber") > 3)
+      val touched = delta.select(col("item_id").as("item")).distinct()
+      val merged = graft.core.Incremental.update(base, delta)
+      val fresh = graft.core.StoreBuild.scaledNeighborsFromStats(
+        merged, 2.0, touched = Some(touched))
+      val kept = s.read.parquet(prevDir)
+        .join(touched.select(col("item").as("item_a_id")),
+          Seq("item_a_id"), "left_anti")
+      fresh.unionByName(kept)
+        .select(col("item_a_id"), col("item_b_id"),
+          round(col("scaled_score"), 6).as("scaled_score"))
+        .orderBy(col("item_a_id"), col("scaled_score").desc_nulls_last, col("item_b_id"))
     })
   )
 
@@ -484,6 +549,18 @@ object ParityQueries extends QueryPack {
          |$StoreCtes
          |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
          |FROM sim ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    // Bounded-staleness refresh replay: merged-world rows for items the
+    // delta touched, base-world rows verbatim for everyone else.
+    "q177_store_refresh_touched" ->
+      s"""WITH touched AS (SELECT DISTINCT l_partkey AS item FROM lineitem
+         |                 WHERE l_linenumber > 3),
+         |${worldCtes("m", "TRUE", "sa.item IN (SELECT item FROM touched)")},
+         |${worldCtes("b", "l_linenumber <= 3",
+                      "sa.item NOT IN (SELECT item FROM touched)")}
+         |SELECT item_a_id, item_b_id, ROUND(scaled_score, 6) AS scaled_score
+         |FROM (SELECT * FROM simm UNION ALL SELECT * FROM simb)
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q09_topk" ->
       s"""$BaseCtes,

@@ -80,6 +80,51 @@ class StoreBuildSpec extends SparkSpec {
     }
   }
 
+  test("touched-set refresh equals the full rebuild restricted to the touched items") {
+    // q177's fresh branch: the DataFrame-valued item selection (semi-join,
+    // never a driver IN-list) must agree row-for-row with the full
+    // post-delta rebuild filtered to the touched item_a side.
+    val rnd = new scala.util.Random(83)
+    val all = Seq.fill(380)((rnd.nextInt(16).toLong + 1, rnd.nextInt(28).toLong + 1))
+    val (base, delta) = all.partition(_._1 % 4 != 0) // items 4,8,12,16 arrive late
+    val snap = graft.core.Incremental.update(
+      graft.core.Incremental.fromOccurrences(base.toDF("item_id", "reference_id")),
+      delta.toDF("item_id", "reference_id"))
+    val touchedDf = delta.map(_._1).distinct.toDF("item")
+    val touchedSet = delta.map(_._1).toSet
+    val got = asMap(StoreBuild.scaledNeighborsFromStats(snap, 2.0,
+      touched = Some(touchedDf)))
+    val want = asMap(StoreBuild.scaledNeighborsFromStats(snap, 2.0))
+      .filter { case ((a, _), _) => touchedSet(a) }
+    got.keySet shouldBe want.keySet
+    got.foreach { case (key, s) =>
+      assert(approx(s, want(key), 1e-12), s"$key: touched=$s full=${want(key)}")
+    }
+  }
+
+  test("global coupling: a delta touching ONLY one item moves an untouched item's scores") {
+    // The counterexample behind q177's bounded-staleness design: the
+    // complete-vector semantics couples items through n, the global
+    // u-moments, and every corr(a, b) with b touched — so an EXACT
+    // refresh can never skip untouched items, and delta-bounded refresh
+    // means serving stored rows (staleness), not recomputing for free.
+    // count vectors over contexts 1..4 — none constant, so every item is
+    // non-degenerate before AND after the delta:
+    //   item 1: (2,1,0,0)   item 2: (1,0,1,0)
+    //   item 3: (0,1,2,0) → (0,1,2,1)   item 4: (0,0,0,1)
+    val occ = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L),
+      (3L, 2L), (3L, 3L), (3L, 3L), (4L, 4L))
+    val delta = Seq((3L, 4L)) // touches item 3 only, in an existing context
+    def scores(rows: Seq[(Long, Long)]): Map[(Long, Long), Double] =
+      asMap(StoreBuild.scaledNeighbors(
+        Crosstab.build(rows.toDF("item_id", "reference_id")), -3.0))
+    val before = scores(occ).filter(_._1._1 == 1L)
+    val after = scores(occ ++ delta).filter(_._1._1 == 1L)
+    before.keySet shouldBe after.keySet // k = -3: every partner emits
+    assert(before.exists { case (key, s) => math.abs(s - after(key)) > 1e-9 },
+      s"item 1 untouched by the delta, yet its scores moved: $before vs $after")
+  }
+
   test("large-catalog plan is output-identical to the small plan") {
     val rnd = new scala.util.Random(19)
     val occ = Seq.fill(400)((rnd.nextInt(15).toLong + 1, rnd.nextInt(30).toLong + 1))
