@@ -38,6 +38,8 @@ object AnnQueries extends QueryPack {
   private val MmrK = 5 // q135 picks
   private val MmrLambda = 0.7 // q135 relevance/diversity balance
   private val NdcgK = 10 // q136 evaluation depth
+  private val TextEncDim = graft.operators.TextEncode.HashDim // q178 width
+  private val TextEncQueryMod = 97 // q178 query panel: doc_id % 97 == 0
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -69,6 +71,25 @@ object AnnQueries extends QueryPack {
       SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))),
+
+    // EXT-A27: text → vectors → top-k END-TO-END — the embedding
+    // inference hook (TextEncode.encodeDocuments, the batched typed
+    // partition face a real neural encoder plugs into) run with the
+    // deterministic feature-hashing encoder, then exact cosine top-k
+    // over the produced vectors. Bounded query panel (mod + stride cap),
+    // so the chain is linear in the corpus.
+    "q178_text_encode_ann" -> ((s, dir) => {
+      val enc = graft.operators.TextEncode.encodeDocuments(
+          Tables.read(s, dir, "documents"),
+          graft.operators.TextEncode.hashingEncoder(TextEncDim))
+        .toDF()
+      val corpus = enc.select(col("doc_id").as("vec_id"), col("embedding"))
+      val qs = corpus.where(col("vec_id") % TextEncQueryMod === 0 &&
+        col("vec_id") < QueryCap)
+      SimilaritySearch.bruteForceTopK(qs, corpus, K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
 
     // EXT-A2: SRP-LSH bucketed approximate top-k (candidates share the
     // 8-bit sign bucket; exact cosine re-ranks inside the bucket).
@@ -877,6 +898,42 @@ object AnnQueries extends QueryPack {
          |       ROUND(crp, 6) AS cos_rp, ROUND(err, 6) AS abs_err,
          |       ROUND(me, 6) AS mean_err
          |FROM f, m ORDER BY 1, 2""".stripMargin,
+
+    // Feature-hashing replay: whitespace tokens → 60-bit md5 bucket mod
+    // dim → counts → L2-normalize → ::REAL (float32 truncation exactly
+    // where the engine truncates), dense list in bucket order, then the
+    // standard ascending-fold cosine + rank. Zero-token docs get the
+    // zero vector → NULL cosine on either side, ranked last like q25.
+    "q178_text_encode_ann" ->
+      s"""WITH tkd AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |       FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS t FROM tkd),
+         |bc AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % $TextEncDim AS b,
+         |         CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+         |l2 AS (SELECT doc_id, SQRT(SUM(c*c)) AS nrm FROM bc GROUP BY 1),
+         |dims AS (SELECT d.doc_id, i.i FROM (SELECT doc_id FROM tkd) d
+         |         CROSS JOIN (SELECT unnest(range(0, $TextEncDim)) AS i) i),
+         |cell AS (SELECT dims.doc_id, dims.i, COALESCE(bc.c, 0.0) AS c
+         |         FROM dims LEFT JOIN bc ON bc.doc_id = dims.doc_id AND bc.b = dims.i),
+         |vec AS (SELECT cell.doc_id,
+         |          list(COALESCE(cell.c / NULLIF(l2.nrm, 0.0), 0.0)::REAL
+         |               ORDER BY cell.i) AS embedding,
+         |          COALESCE(MAX(l2.nrm), 0.0) AS nrm
+         |        FROM cell LEFT JOIN l2 ON l2.doc_id = cell.doc_id
+         |        GROUP BY cell.doc_id),
+         |q AS (SELECT doc_id AS query_id, embedding AS q_emb, nrm AS q_nrm FROM vec
+         |      WHERE doc_id % $TextEncQueryMod = 0 AND doc_id < $QueryCap),
+         |scored AS (SELECT q.query_id, c.doc_id AS vec_id,
+         |             CASE WHEN q.q_nrm = 0.0 OR c.nrm = 0.0 THEN NULL
+         |                  ELSE ${cosSql("q.q_emb", "c.embedding")} END AS cos
+         |           FROM vec c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |       FROM scored)
+         |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q25_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
