@@ -288,4 +288,75 @@ class StoreAtomicitySpec extends SparkSpec {
     DedupStore.compact(spark, store) // and the retry proceeds
     sigIds(store) shouldBe Seq(2L, 4L)
   }
+
+  test("pipeline manifest: one atomic publish pins a consistent version across two stores") {
+    import graft.store.{LineDedupStore, PipelineManifest}
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest1").toString
+    val (sigStore, lineStore, mf) = (s"$dir/sig", s"$dir/line", s"$dir/manifest")
+    DedupStore.write(baseDocs, N, Perms, sigStore)
+    LineDedupStore.write(baseDocs, lineStore)
+    val sigRoot = s"$sigStore/${DedupStore.Signatures}"
+    val lineRoot = s"$lineStore/${LineDedupStore.LineDf}"
+    PipelineManifest.publish(spark, mf,
+      Map("sigs" -> sigRoot, "lines" -> lineRoot)) shouldBe 0L
+    PipelineManifest.current(spark, mf) shouldBe
+      Map("sigs" -> ((sigRoot, 0L)), "lines" -> ((lineRoot, 0L)))
+
+    // both stores advance (delta + compaction) — the manifest, NOT the
+    // stores' own markers, keeps pinned readers on the consistent pair
+    DedupStore.dedupDelta(
+      Seq((11L, "red green blue cyan magenta yellow black white")).toDF("doc_id", "text"),
+      sigStore, N, Perms, Bds, T).count()
+    DedupStore.compact(spark, sigStore)
+    LineDedupStore.compact(spark, lineStore)
+    Compaction.currentVersion(spark, sigRoot) shouldBe Some(1L)
+    PipelineManifest.current(spark, mf)("sigs")._2 shouldBe 0L
+    // the pinned v0 stays on disk (retention rule) and remains readable
+    val pinned = PipelineManifest.pinnedDir(spark, mf, "sigs")
+    pinned shouldBe s"$sigRoot/v0"
+    spark.read.parquet(s"$pinned/batch_base")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 4L)
+
+    // the NEXT publish flips both pins in one step
+    PipelineManifest.publish(spark, mf,
+      Map("sigs" -> sigRoot, "lines" -> lineRoot)) shouldBe 1L
+    PipelineManifest.current(spark, mf) shouldBe
+      Map("sigs" -> ((sigRoot, 1L)), "lines" -> ((lineRoot, 1L)))
+  }
+
+  test("pipeline manifest crash windows: failed resolve and unflipped marker both leave the old manifest served") {
+    import graft.store.{LineDedupStore, PipelineManifest}
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest2").toString
+    val (sigStore, lineStore, mf) = (s"$dir/sig", s"$dir/line", s"$dir/manifest")
+    DedupStore.write(baseDocs, N, Perms, sigStore)
+    LineDedupStore.write(baseDocs, lineStore)
+    val sigRoot = s"$sigStore/${DedupStore.Signatures}"
+    val lineRoot = s"$lineStore/${LineDedupStore.LineDf}"
+    PipelineManifest.publish(spark, mf, Map("sigs" -> sigRoot, "lines" -> lineRoot))
+
+    // (1) a publish naming an UNINITIALIZED store fails before writing —
+    // the crash-between-store-commits case: the pipeline run died before
+    // its second store committed, the retry publish fails loudly, the old
+    // consistent pair keeps serving
+    intercept[java.io.FileNotFoundException] {
+      PipelineManifest.publish(spark, mf,
+        Map("sigs" -> sigRoot, "lines" -> s"$dir/never_committed"))
+    }.getMessage should include("never_committed")
+    PipelineManifest.current(spark, mf) shouldBe
+      Map("sigs" -> ((sigRoot, 0L)), "lines" -> ((lineRoot, 0L)))
+    Compaction.leaseHolder(spark, mf) shouldBe None // released on the failure
+
+    // (2) a fully-written manifest version whose marker never flipped is
+    // invisible: write v1/stores.tsv by hand (the crash-mid-publish image)
+    val f = Compaction.fs(spark, mf)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$mf/v1/stores.tsv"), true)
+    out.write(s"sigs\t$sigRoot\t9\nlines\t$lineRoot\t9".getBytes("UTF-8"))
+    out.close()
+    PipelineManifest.current(spark, mf)("sigs")._2 shouldBe 0L
+    // and the next real publish overwrites the orphan and commits cleanly
+    PipelineManifest.publish(spark, mf,
+      Map("sigs" -> sigRoot, "lines" -> lineRoot)) shouldBe 1L
+    PipelineManifest.current(spark, mf)("sigs")._2 shouldBe 0L // stores still at v0
+    PipelineManifest.pinnedDir(spark, mf, "lines") shouldBe s"$lineRoot/v0"
+  }
 }
