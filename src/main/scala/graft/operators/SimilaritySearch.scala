@@ -817,4 +817,76 @@ object SimilaritySearch {
         coalesce(col("cscore") < col("mu") - lit(sigma) * col("sd"), lit(false))
           .as("outlier"))
   }
+
+  /**
+   * IVF serving AUTO-TUNE (the EXT-C6 auto-probe pattern applied to the
+   * serving knob): measure recall@k for every candidate `nprobe` in
+   * 1..maxNProbe on a bounded query panel against the index's OWN
+   * inverted lists, and choose the cheapest candidate that clears the
+   * recall target — the measured answer to "what nprobe do I deploy",
+   * replacing the folklore default. The target is a RATIONAL
+   * `targetNum/targetDen` and every comparison is exact-integer
+   * (`hits·den ≥ total·num`), so the decision replays bit-identically in
+   * oracle SQL — no float-threshold row-membership anywhere. If no
+   * candidate reaches the target, the rule falls back to the best
+   * measured recall (smallest nprobe on ties, recall being monotone in
+   * nprobe up to rank noise).
+   *
+   * Cost: ONE brute-truth pass over the panel (the q41 machinery), ONE
+   * probe join at maxNProbe tagging each candidate pair with the probe
+   * rank `m` it entered through (a corpus vector lives in exactly one
+   * list, so pairs are unique), then per-candidate top-k cuts over that
+   * cached table — the panel is bounded, so the whole tune is one corpus
+   * pass + panel-sized work, at 100 TB the same bill as serving the
+   * panel once.
+   *
+   * Output: (nprobe, hits, total, recall rounded 1e-6, chosen) —
+   * maxNProbe rows, exactly one chosen.
+   */
+  def tuneNProbe(lists: DataFrame, cents: DataFrame, queries: DataFrame,
+                 k: Int, maxNProbe: Int,
+                 targetNum: Int, targetDen: Int): DataFrame = {
+    require(k >= 1 && maxNProbe >= 1, "tuneNProbe: k and maxNProbe must be >= 1")
+    require(targetDen >= 1 && targetNum >= 0,
+      "tuneNProbe: target must be a non-negative rational")
+    // Ground truth from the index's own vectors: the lists ARE the corpus
+    // (every vector files under exactly one centroid), so the tune needs
+    // no side channel back to the raw embedding table.
+    val corpus = lists.select(col("vec_id"), col("embedding"))
+    val truth = graft.core.Caches.cacheOnce(
+      bruteForceTopK(queries, corpus, k).select(col("query_id"), col("vec_id")))
+    val probes = broadcast(centroidRanks(queries, cents, maxNProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"), col("crnk").as("m")))
+    val scored = graft.core.Caches.cacheOnce(lists.join(probes, Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("m"),
+        cosineWithNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos")))
+    val totalRow = broadcast(truth.agg(count(lit(1)).as("total")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    val stats = (1 to maxNProbe).map { p =>
+      scored.where(col("m") <= p)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("nprobe"), col("hits"))
+    }.reduce(_ unionByName _).crossJoin(totalRow)
+    // Exact-integer decision, two 1-row broadcast aggregates (a
+    // constant-group window would single-partition; these stay planless).
+    val m1 = broadcast(stats.agg(
+      min(when(col("hits") * targetDen >= col("total") * targetNum,
+        col("nprobe"))).as("min_ok"),
+      max(col("hits")).as("max_hits")))
+    val m2 = broadcast(stats.crossJoin(m1).agg(
+      first(col("min_ok")).as("min_ok"),
+      min(when(col("hits") === col("max_hits"), col("nprobe"))).as("best_p")))
+    stats.crossJoin(m2)
+      .select(col("nprobe").cast("int").as("nprobe"), col("hits"), col("total"),
+        round(col("hits").cast("double") / col("total").cast("double"), 6)
+          .as("recall"),
+        (col("nprobe") === coalesce(col("min_ok"), col("best_p"))).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
 }

@@ -40,6 +40,9 @@ object AnnQueries extends QueryPack {
   private val NdcgK = 10 // q136 evaluation depth
   private val TextEncDim = graft.operators.TextEncode.HashDim // q178 width
   private val TextEncQueryMod = 97 // q178 query panel: doc_id % 97 == 0
+  private val TuneMaxNProbe = 4 // q179 candidate grid: nprobe 1..4
+  private val TuneTargetNum = 9 // q179 recall target 9/10, exact-integer
+  private val TuneTargetDen = 10
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -266,6 +269,20 @@ object AnnQueries extends QueryPack {
         .select(col("method"), col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("method"), col("query_id"), col("cos").desc_nulls_last, col("vec_id"))
+    }),
+
+    // EXT-A28: serving-parameter auto-tune — recall@k measured per
+    // candidate nprobe on the bounded query panel AGAINST the persisted
+    // IVF index, then the cheapest candidate clearing the 9/10 target is
+    // chosen by exact-integer comparison (no float thresholds anywhere
+    // in the decision). One brute-truth pass + one maxNProbe probe join;
+    // the per-candidate cuts reuse the cached scored table.
+    "q179_ann_tune" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_ann_tune")
+      val e = embs(s, dir)
+      graft.store.AnnStore.writeIvf(e, SimilaritySearch.ivfCentroids(e, CentroidMod), out)
+      graft.store.AnnStore.tuneNProbe(s, out, querySet(s, dir), K,
+        TuneMaxNProbe, TuneTargetNum, TuneTargetDen)
     }),
 
     // EXT-A9: incremental ANN index refresh — build the persisted index
@@ -946,6 +963,58 @@ object AnnQueries extends QueryPack {
          |       FROM scored)
          |SELECT query_id, vec_id, ROUND(cos, 6) AS cos FROM rk WHERE rnk <= $K
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    // Auto-tune replay: brute truth over the panel, IVF assignment +
+    // probe ranks (q34's CTEs) kept to crnk ≤ maxNProbe with the probe
+    // rank riding as m, per-candidate top-k cuts from the same scored
+    // table, exact-integer decision (hits·10 ≥ total·9, min/argmax).
+    "q179_ann_tune" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id,
+         |             crnk AS m
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap
+         |             AND crnk <= $TuneMaxNProbe),
+         |scored AS (SELECT p.query_id, l.vec_id, p.m,
+         |             ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |           FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |           WHERE l.vec_id <> p.query_id),
+         |ps AS (SELECT unnest(range(1, ${TuneMaxNProbe + 1})) AS p),
+         |topp AS (SELECT p, query_id, vec_id FROM (
+         |           SELECT ps.p, s.query_id, s.vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY ps.p, s.query_id
+         |               ORDER BY s.cos DESC NULLS LAST, s.vec_id) AS rnk
+         |           FROM scored s JOIN ps ON s.m <= ps.p) WHERE rnk <= $K),
+         |h AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS hits
+         |      FROM topp JOIN bt USING (query_id, vec_id) GROUP BY 1),
+         |stats AS (SELECT ps.p, COALESCE(h.hits, 0) AS hits,
+         |            (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS total
+         |          FROM ps LEFT JOIN h USING (p)),
+         |dec AS (SELECT MIN(CASE WHEN hits * $TuneTargetDen >= total * $TuneTargetNum
+         |                        THEN p END) AS min_ok,
+         |               MAX(hits) AS max_hits FROM stats),
+         |dec2 AS (SELECT min_ok,
+         |           (SELECT MIN(p) FROM stats, dec WHERE hits = max_hits) AS best_p
+         |         FROM dec)
+         |SELECT p::INT AS nprobe, hits, total,
+         |  ROUND(hits::DOUBLE / total::DOUBLE, 6) AS recall,
+         |  p = COALESCE(min_ok, best_p) AS chosen
+         |FROM stats, dec2 ORDER BY 1""".stripMargin,
 
     "q34_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb

@@ -362,4 +362,16 @@ object AnnStore {
       readTree(spark, s"$storePath/$IvfLists"),
       spark.read.parquet(s"$storePath/$IvfCentroids"),
       queries, nprobe, k)
+
+  /** Measure-and-choose the serving `nprobe` AGAINST the persisted index
+    * (`SimilaritySearch.tuneNProbe` over the stored lists + centroids) —
+    * the deploy-time answer to what q55's serving face should be called
+    * with. */
+  def tuneNProbe(spark: SparkSession, storePath: String, queries: DataFrame,
+                 k: Int, maxNProbe: Int,
+                 targetNum: Int, targetDen: Int): DataFrame =
+    SimilaritySearch.tuneNProbe(
+      readTree(spark, s"$storePath/$IvfLists"),
+      spark.read.parquet(s"$storePath/$IvfCentroids"),
+      queries, k, maxNProbe, targetNum, targetDen)
 }

@@ -342,4 +342,36 @@ class SimilaritySearchSpec extends SparkSpec {
     out(10L) shouldBe ((101L, false))
     out.size shouldBe 10
   }
+
+  test("tuneNProbe: cheapest candidate clearing the rational target; argmax fallback when unreachable") {
+    // hand-walked 2-D fixture — centroids c100=[1,0], c200=[0,1];
+    // a=[1,0]→list 100, b=[.6,.8] and c=[0,1]→list 200;
+    // query [.8,.6] probes c100 first (cos .8) then c200 (cos .6).
+    // Brute truth top-2 = {b (cos .96), a (cos .8)}.
+    // nprobe 1 → candidates {a} → hits 1/2; nprobe 2 → {a,b,c} → hits 2/2.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_emb")
+      .withColumn("cent_nrm", SimilaritySearch.l2Norm(col("cent_emb")))
+    val queries = Seq((50L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val lists = SimilaritySearch.ivfLists(corpus, cents)
+    def run(num: Int, den: Int) =
+      SimilaritySearch.tuneNProbe(lists, cents, queries, 2, 2, num, den)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // target 9/10: nprobe 1 misses (recall .5), nprobe 2 clears → chosen 2
+    val strict = run(9, 10)
+    strict(1) shouldBe ((1L, 2L, 0.5, false))
+    strict(2) shouldBe ((2L, 2L, 1.0, true))
+    // target 1/2: nprobe 1 already clears (exact-integer 1·2 ≥ 2·1) → chosen 1
+    val loose = run(1, 2)
+    loose(1)._4 shouldBe true
+    loose(2)._4 shouldBe false
+    // unreachable target 11/10: fall back to best measured recall → 2
+    val unreach = run(11, 10)
+    unreach(1)._4 shouldBe false
+    unreach(2)._4 shouldBe true
+  }
 }
