@@ -78,6 +78,62 @@ object LanguageModel {
         round(col("nll_sum") / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /**
+   * Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+   * Chen & Goodman 1999 interpolated form) — the smoothing that actually
+   * wins n-gram evaluations, one rung above Jelinek–Mercer
+   * (`bigramNegLogProb`) and the backoff trigram: the lower-order
+   * distribution is the CONTINUATION probability (how many distinct
+   * contexts a word follows — "Francisco" is frequent but only ever
+   * follows "San", so its continuation mass is tiny), which is exactly
+   * the distinction a quality scorer wants between genuinely productive
+   * words and frozen-collocation tails:
+   *
+   *   p(w₂|w₁) = (c(w₁w₂) − D + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)
+   *   P_cont(w₂) = N₁₊(·w₂) / |{distinct bigram types}|
+   *
+   * with absolute discount D ∈ (0,1), c(w₁·) the CONTEXT count (Σ over
+   * followers — keeps Σ_w₂ p = 1 exactly), N₁₊(w₁·)/N₁₊(·w₂) the
+   * distinct follower/context type counts. Scored over the training
+   * corpus itself (the q120/q125 stance), so every bigram has c ≥ 1 > D
+   * and the max(·−D, 0) clip never binds — every quantity is exact
+   * integer counts + one discount literal, replayable bitwise in SQL.
+   *
+   * Shape: the q125 bill exactly — one doc-partitioned lag window, the
+   * SATURATING bigram table with three keyed aggregates over it (context
+   * stats, continuation counts, 1-row type total), two token-key joins
+   * back, one per-document aggregate. Output: (idCol, n_bigrams, nll),
+   * documents with < 2 tokens produce no row.
+   */
+  def kneserNeyBigramNll(docs: DataFrame, discount: Double = 0.75,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = docs.select(col(idCol),
+      posexplode(tokensWs(col(textCol))).as(Seq("pos", "tok")))
+    val pairs = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+      .where(col("prev").isNotNull)
+    val bi = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy(col("prev"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val cont = bi.groupBy(col("tok")).agg(count(lit(1)).as("nb"))
+    val types = bi.agg(count(lit(1)).as("btypes"))
+    val p = (col("c12").cast("double") - lit(discount) +
+      lit(discount) * col("nf").cast("double") *
+        (col("nb").cast("double") / col("btypes").cast("double"))) /
+      col("c1").cast("double")
+    pairs
+      .join(bi, Seq("prev", "tok"))
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("tok"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(-log(p)).as("nll_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("nll_sum") / col("n_bigrams").cast("double"), 6).as("nll"))
+  }
+
   /** CCNet-style perplexity tiering (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * score every document under ITS OWN language's unigram LM, then

@@ -39,6 +39,28 @@ class CorpusStatsSpec extends SparkSpec {
     got.contains(3L) shouldBe false // single token: no bigrams, no row
   }
 
+  test("kneserNeyBigramNll matches the hand-walked interpolated-discount arithmetic") {
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1 → ctx a: c1=3 nf=2; b: c1=1 nf=1
+    // cont: nb=1 for each of a,b,c; btypes=3; D=0.75:
+    //   p(b|a) = (2−.75 + .75·2·(1/3))/3 = 1.75/3
+    //   p(a|b) = (1−.75 + .75·1·(1/3))/1 = 0.5
+    //   p(c|a) = (1−.75 + .75·2·(1/3))/3 = 0.25
+    // sanity: Σ_w p(w|a) over the full vocab (incl. clipped p(a|a) = 0.5/3)
+    // is exactly 1 — the context-count denominator keeps KN normalized.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyBigramNll(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got(1L)._1 shouldBe 3L
+    approx(got(1L)._2,
+      -(2 * math.log(1.75 / 3) + math.log(0.5)) / 3, 1e-6) shouldBe true
+    got(2L)._1 shouldBe 1L
+    approx(got(2L)._2, -math.log(0.25), 1e-6) shouldBe true
+    got.contains(3L) shouldBe false // single token: no bigrams, no row
+    // the continuation distinction: after "a", the frequent follower b is
+    // cheaper than the one-off c
+    got(2L)._2 should be > -(math.log(1.75 / 3))
+  }
+
   test("perplexityTiers splits each language at its own tercile cutoffs") {
     // en: doc i = one token repeated (7−i)× → nll strictly increases
     // with i (rarer token). m = 6 → cut1 = 2nd-smallest nll, cut2 = 4th:
