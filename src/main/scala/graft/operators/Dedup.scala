@@ -111,6 +111,95 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+   * the MOSS algorithm): hash every k-gram, slide a window of `window`
+   * consecutive k-gram hashes, and select each window's MINIMUM hash
+   * (rightmost position on ties — the robust-winnowing rule that makes
+   * the selection a function of local content). Guarantees: any shared
+   * run of ≥ window+k−1 tokens yields at least one SHARED fingerprint
+   * (the detection floor), and ~1/window of positions are selected (the
+   * density bound) — the local-selection property MinHash (global min
+   * per permutation) does not have, which is why plagiarism/clone
+   * detection keys on winnowing: it localizes WHERE the overlap is.
+   *
+   * The min-with-rightmost-tie selection is ONE window `min` over a
+   * packed integer: combined = h₄₀·2²⁰ + (2²⁰−1−pos) — minimum hash
+   * first, then maximum position, decoded by shift/mask; both engines
+   * do identical exact-integer arithmetic (docs are capped at 2²⁰
+   * k-gram positions — far above any real document; enforced loudly).
+   * One doc-keyed exchange for the trailing window; hashes, never text.
+   *
+   * Output: (idCol, h, pos) — DISTINCT selected fingerprints with the
+   * position they cover (adjacent windows mostly re-select the same
+   * minimum; the distinct is what the density bound prices).
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int, window: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, "winnowFingerprints: k must be >= 1")
+    require(window >= 1, "winnowFingerprints: window must be >= 1")
+    val tk = tokensWs(col(textCol))
+    val grams = when(size(tk) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - k),
+        i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+    val hashed = graft.core.Spread.byKey(docs, col(idCol))
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"),
+        when(col("pos") > lit(1048575L), raise_error(lit(
+          "winnowFingerprints: document exceeds 2^20 k-gram positions — " +
+            "chunk it first (Chunking.cdcChunks)")).cast("long"))
+          .otherwise(
+            conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") *
+              lit(1048576L) + (lit(1048575L) - col("pos"))).as("combined"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    hashed
+      .withColumn("sel", min(col("combined")).over(w))
+      .where(col("pos") >= window - 1)
+      .select(col(idCol), shiftright(col("sel"), 20).as("h"),
+        (lit(1048575L) - (col("sel") % lit(1048576L))).as("pos"))
+      .distinct()
+  }
+
+  /**
+   * Winnowing overlap pairs — the MOSS report: documents sharing ≥
+   * `minShared` selected fingerprint hashes, with the Jaccard of their
+   * fingerprint-hash sets. `maxHashDegree` drops hashes selected in more
+   * documents than the cap (a fingerprint in thousands of documents is
+   * license-header boilerplate, not copying — `jaccardPairs`'
+   * `maxShingleDegree` stance). Exact-integer share threshold; inverted-
+   * index join on the hash, fingerprint sets only, never text.
+   * Output: (doc_a, doc_b, shared, jaccard), a < b.
+   */
+  def winnowPairs(docs: DataFrame, k: Int, window: Int, minShared: Long,
+                  maxHashDegree: Option[Int] = None,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, "winnowPairs: minShared must be >= 1")
+    val fp0 = winnowFingerprints(docs, k, window, idCol, textCol)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    val fp = graft.core.Caches.cacheOnce(maxHashDegree match {
+      case Some(d) =>
+        val deg = fp0.groupBy("h").agg(count(lit(1)).as("deg"))
+        fp0.join(deg.where(col("deg") <= d).select("h"), Seq("h"), "left_semi")
+      case None => fp0
+    })
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = fp.select(col("id").as("doc_a"), col("h"))
+      .join(fp.select(col("id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double")).as("jaccard"))
+  }
+
   /** MinHash signatures: (id, sig array<long> of length numPerms), built
     * RELATIONALLY: explode the shingle set once, then numPerms codegen'd
     * `min` aggregates in one hash-aggregate pass. (The tempting nested-HOF

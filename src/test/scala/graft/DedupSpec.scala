@@ -296,4 +296,50 @@ class DedupSpec extends SparkSpec {
     out(1L) shouldBe "edge line" // df('edge line')=2 kept; df('over line')=3 struck
     out(3L) shouldBe "own body"
   }
+
+  test("winnowFingerprints: rightmost-min tie rule and ~1/window density on a constant doc") {
+    import graft.operators.Dedup
+    // all tokens equal → every 2-gram hashes identically → every window's
+    // minimum ties → the rule must pick the RIGHTMOST position, so the
+    // selected positions are exactly W-1..m-1 under ONE distinct hash
+    val doc = Seq((1L, "a a a a a a a a")).toDF("doc_id", "text") // 8 toks, m=7 2-grams
+    val fp = Dedup.winnowFingerprints(doc, 2, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    fp.map(_._1).distinct.length shouldBe 1 // one gram content, one hash
+    fp.map(_._2).sorted.toSeq shouldBe (2L to 6L) // rightmost per window
+  }
+
+  test("winnowPairs: a shared run of window+k-1 tokens is guaranteed a shared fingerprint") {
+    import graft.operators.Dedup
+    val run = "copied span of text goes exactly here now" // 8 tokens ≥ w+k-1 = 8
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run"),
+      (2L, s"$run delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely unrelated words with zero overlap present")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, 4, 5, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the guarantee: (1,2) share the run → at least one shared fingerprint
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) should be >= 1L
+    // doc 3 shares no k-gram with anyone → never reported
+    pairs.keySet.foreach { case (a, b) => Seq(a, b) should not contain 3L }
+  }
+
+  test("winnowPairs: minShared floors the report and maxHashDegree drops boilerplate hashes") {
+    import graft.operators.Dedup
+    val banner = "standard license header line one two three four"
+    val docs = (1L to 4L).map(i => (i, s"$banner unique$i tail$i word$i after$i"))
+      .toDF("doc_id", "text")
+    // every doc shares only the banner fingerprints; with the degree cap
+    // below the 4-doc fan-out those hashes drop and NO pair is reported
+    Dedup.winnowPairs(docs, 4, 5, 1L, maxHashDegree = Some(3))
+      .count() shouldBe 0L
+    // without the cap the banner makes every pair; a high minShared floor
+    // keeps only pairs sharing at least 2 fingerprints
+    val all = Dedup.winnowPairs(docs, 4, 5, 1L)
+    all.count() should be >= 1L
+    val floored = Dedup.winnowPairs(docs, 4, 5, 100L)
+    floored.count() shouldBe 0L
+  }
 }
