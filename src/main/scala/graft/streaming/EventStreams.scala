@@ -152,6 +152,48 @@ object EventStreams {
   }
 
   /**
+   * Dialogue UNROLLING — conversations → supervised training pairs: for
+   * every turn t ≥ 2 of each gap-session, emit (context = the up-to-
+   * `maxContext` turns preceding t rendered as "type@offsetSec" tokens,
+   * target = turn t's token) — the standard SFT-example expansion of a
+   * chat log, where one n-turn conversation yields n−1 next-turn
+   * prediction examples under a bounded context window. Offsets stay
+   * relative to the session start (the `assembleConversations`
+   * translation-invariance, so identical dialogues at different
+   * wall-clocks unroll identically — what dedup over examples keys on).
+   *
+   * Scale: the SAME single user-keyed exchange as sessionization — the
+   * session ids, turn ranks, offsets, and the bounded-frame context
+   * aggregate all share the user partition sort; per-row state is
+   * bounded by `maxContext` tokens. Output: (user_id, session_start,
+   * turn_no, context, target).
+   */
+  def unrollDialogues(events: DataFrame, gapSec: Long,
+                      maxContext: Int): DataFrame = {
+    require(maxContext > 0, "maxContext must be positive")
+    val wTurn = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts"), col("event_id"))
+    // bounded trailing frame = the context window; collect_list over a
+    // window frame has no order guarantee, so tokens carry their turn_no
+    // and sort structurally (the assembleConversations trick)
+    val wCtx = wTurn.rowsBetween(-maxContext, -1)
+    withSessionIds(events, gapSec)
+      .withColumn("turn_no", row_number().over(wTurn).cast("long"))
+      .withColumn("session_start", first(col("ts")).over(wTurn))
+      .withColumn("off",
+        col("ts").cast("long") - col("session_start").cast("long"))
+      .withColumn("tok", concat(col("event_type"), lit("@"), col("off")))
+      .withColumn("context", array_join(
+        transform(
+          array_sort(collect_list(struct(col("turn_no"), col("tok"))).over(wCtx)),
+          x => x.getField("tok")),
+        " "))
+      .where(col("turn_no") >= 2)
+      .select(col("user_id"), col("session_start"), col("turn_no"),
+        col("context"), col("tok").as("target"))
+  }
+
+  /**
    * Event debouncing — keep only the LEADING EDGE of each burst: an
    * event survives iff the previous event of the same key is more than
    * `debounceSec` behind (or absent). Equivalent to keeping each

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     t.toSeq shouldBe Seq("a@0 b@0 c@60")
   }
 
+  test("unrollDialogues emits one (context, target) pair per turn ≥ 2 under the bounded window") {
+    // user 1: 5-turn session 1 minute apart, then a new session after the
+    // gap; user 2: single-turn session (no pairs). maxContext = 2.
+    val evs = (0 to 4).map(i => Event(i.toLong, ts(i), 1L, s"e$i", 1.0)) ++ Seq(
+      Event(10L, ts(50), 1L, "s2a", 1.0), Event(11L, ts(51), 1L, "s2b", 1.0),
+      Event(20L, ts(7), 2L, "solo", 1.0))
+    val out = EventStreams.unrollDialogues(evs.toDF(EventCols: _*), 30 * 60L, 2)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)) ->
+        ((r.getString(3), r.getString(4)))).toMap
+    // turn 2 sees 1 turn of context; turns 3+ exactly the trailing 2
+    out((1L, ts(0), 2L)) shouldBe (("e0@0", "e1@60"))
+    out((1L, ts(0), 3L)) shouldBe (("e0@0 e1@60", "e2@120"))
+    out((1L, ts(0), 4L)) shouldBe (("e1@60 e2@120", "e3@180"))
+    out((1L, ts(0), 5L)) shouldBe (("e2@120 e3@180", "e4@240"))
+    // the second session restarts offsets AND context at its own start
+    out.values.map(_._2) should contain("s2b@60")
+    out.filter(_._2._2 == "s2b@60").head._2._1 shouldBe "s2a@0"
+    // 5-turn session → 4 pairs; 2-turn session → 1; solo → 0
+    out.size shouldBe 5
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) emits the same closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
