@@ -27,10 +27,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet-footer caches, so the first
-    // timed queries don't absorb session warmup (q05 exercises the
-    // scan→aggregate→self-join→sort shapes the correlation family shares)
-    for (w <- Seq("q03_crosstab", "q05_corr_sparse"))
+    // untimed warmup: JIT + codegen + parquet-footer caches AND the
+    // shared cacheOnce subplans, one warmup per fixture family — q05 the
+    // lineitem correlation shapes, q16 the documents text family, q25
+    // the embeddings norms — so the shared-cache build lands in an
+    // UNTIMED query instead of whichever timed query alphabetically
+    // touches it first (r9 lesson: q94-q96 medians swung 1-3 s purely
+    // from materialization order when new queries shifted that order)
+    for (w <- Seq("q03_crosstab", "q05_corr_sparse", "q16_text_stats",
+        "q25_ann_brute"))
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }

@@ -31,6 +31,10 @@ object DedupQueries extends QueryPack {
   private val ExactSubstrL = 16 // q138 any-offset substring window
   private val CdcWindow = 4 // q169 rolling-hash window (tokens)
   private val CdcModK = 16 // q169 cut modulus ⇒ expected ~16-token chunks
+  private val WinnowK = 4 // q181 k-gram size
+  private val WinnowWindow = 5 // q181 selection window ⇒ ~1/5 density
+  private val WinnowMinShared = 2L // q181 report floor (shared fingerprints)
+  private val WinnowMaxDegree = 50 // q181 boilerplate-hash cap
   private lazy val planes = SimilaritySearch.hyperplanes(SrpPlanes, Dim)
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
@@ -54,6 +58,18 @@ object DedupQueries extends QueryPack {
     "q20_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-D28: winnowing overlap pairs (the MOSS fingerprint scheme) —
+    // per-window rightmost-minimum k-gram hash selection via one packed
+    // integer min, then the inverted-index pair report. The guarantee
+    // the other tiers lack: any shared run of ≥ window+k−1 tokens
+    // produces a SHARED fingerprint, and selection density is ~1/window.
+    "q181_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), WinnowK, WinnowWindow, WinnowMinShared,
+          Some(WinnowMaxDegree))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
@@ -772,6 +788,38 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Winnowing replay: packed-integer window minima (min hash, rightmost
+    // tie via the position complement), shift/mask decode, distinct
+    // fingerprint sets, degree cap, inverted-index pair counts.
+    "q181_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |       FROM documents),
+         |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk) - ${WinnowK - 1})) AS pos
+         |        FROM toks WHERE len(tk) >= $WinnowK),
+         |hh AS (SELECT doc_id, pos,
+         |         ('0x' || substr(md5(array_to_string(
+         |             list_slice(tk, pos + 1, pos + $WinnowK), ' ')), 1, 10))::BIGINT
+         |           * 1048576 + (1048575 - pos) AS combined
+         |       FROM pos),
+         |sel AS (SELECT doc_id, pos,
+         |          MIN(combined) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN ${WinnowWindow - 1} PRECEDING AND CURRENT ROW) AS s
+         |        FROM hh),
+         |fp AS (SELECT DISTINCT doc_id, s >> 20 AS h FROM sel
+         |       WHERE pos >= ${WinnowWindow - 1}),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= $WinnowMaxDegree),
+         |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM fpc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(COUNT(*) AS BIGINT) AS shared
+         |          FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  ROUND(shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE, 6) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE shared >= $WinnowMinShared ORDER BY 1, 2""".stripMargin,
 
     "q20_jaccard_pairs" ->
       s"""WITH $ShingleCtes,

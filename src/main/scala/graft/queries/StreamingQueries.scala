@@ -15,6 +15,7 @@ object StreamingQueries extends QueryPack {
 
   private val SessionGapSec = 21600L // 6 hours
   private val ConvMaxTurns = 5 // q163 transcript head-truncation
+  private val SftMaxContext = 3 // q183 context window (turns)
   private val AsofStaleSec = 7200L // q176 max as-of staleness (2 h)
   private val FunnelWithinSec = 86400L // view → click attribution window
 
@@ -52,6 +53,15 @@ object StreamingQueries extends QueryPack {
     "q163_conversations" -> ((s, dir) =>
       EventStreams.assembleConversations(events(s, dir), SessionGapSec, ConvMaxTurns)
         .orderBy(col("user_id"), col("session_start"))),
+
+    // EXT-S22: dialogue unrolling — conversations → SFT training pairs:
+    // every turn t ≥ 2 becomes (context = up to maxContext preceding
+    // turns as "type@offsetSec" tokens, target = turn t), offsets
+    // session-relative so identical dialogues unroll identically. Same
+    // single user-keyed exchange as q163's assembly.
+    "q183_sft_pairs" -> ((s, dir) =>
+      EventStreams.unrollDialogues(events(s, dir), SessionGapSec, SftMaxContext)
+        .orderBy(col("user_id"), col("session_start"), col("turn_no"))),
 
     // EXT-S11: weekly cohort retention — users grouped by first-seen
     // epoch-week, distinct-user counts at each week offset since the
@@ -297,6 +307,40 @@ object StreamingQueries extends QueryPack {
 
     // Conversation replay: q33's session CTEs, then per-session turn
     // ranks + offsets and an ordered FILTERed string_agg transcript.
+    // Unrolling replay: q163's session/turn CTEs + a bounded trailing
+    // window string_agg as the context, turns t ≥ 2 only.
+    "q183_sft_pairs" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+         |              > $SessionGapSec
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM flagged),
+         |turns AS (
+         |  SELECT user_id, sess, ts, event_id,
+         |    ROW_NUMBER() OVER ws AS turn_no,
+         |    FIRST_VALUE(ts) OVER ws AS session_start,
+         |    event_type || '@' ||
+         |      (floor(epoch(ts))::BIGINT
+         |        - floor(epoch(FIRST_VALUE(ts) OVER ws))::BIGINT) AS tok
+         |  FROM numbered WINDOW ws AS (PARTITION BY user_id, sess
+         |                              ORDER BY ts, event_id)),
+         |ctx AS (
+         |  SELECT user_id, session_start, turn_no, tok,
+         |    string_agg(tok, ' ') OVER (
+         |      PARTITION BY user_id, sess ORDER BY turn_no
+         |      ROWS BETWEEN $SftMaxContext PRECEDING AND 1 PRECEDING) AS context
+         |  FROM turns)
+         |SELECT user_id, session_start, turn_no, context, tok AS target
+         |FROM ctx WHERE turn_no >= 2
+         |ORDER BY user_id, session_start, turn_no""".stripMargin,
+
     "q163_conversations" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, event_type,

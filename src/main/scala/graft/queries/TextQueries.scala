@@ -456,6 +456,23 @@ object TextQueries extends QueryPack {
       graft.operators.Retrieval.bm25TopK(
         Tables.read(s, dir, "documents"), Bm25Terms, 15)),
 
+    // EXT-T61: incremental BM25 index — build the persisted inverted
+    // file (postings + doclens + batch stats) from the base corpus, fold
+    // a crawl delta as an append batch, and SERVE the query from the
+    // store: term-pushed postings scan, serve-time df, exact summed
+    // scalars. The gate is the equality law — store-served top-k over
+    // base ∪ delta must match the one-shot full-corpus BM25 (q108's
+    // oracle) bitwise, which holds because dl sums are integer-exact
+    // across any batch split.
+    "q182_bm25_index" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_bm25")
+      val d = Tables.read(s, dir, "documents")
+      graft.store.Bm25Store.write(d.where(col("doc_id") % 5 =!= 0), out)
+      graft.store.Bm25Store.append(d.where(col("doc_id") % 5 === 0), out,
+        batchName = Some("delta1"))
+      graft.store.Bm25Store.topK(s, out, Bm25Terms, 15)
+    }),
+
     // EXT-T25: distributed BPE merge training — the first five merges of
     // a byte-pair-encoding tokenizer, trained corpus-side. The corpus
     // collapses ONCE to the (word, freq) vocabulary table (which
@@ -511,6 +528,19 @@ object TextQueries extends QueryPack {
     // lag window builds transitions map-side; the count tables saturate.
     "q125_bigram_nll" -> ((s, dir) =>
       graft.operators.LanguageModel.bigramNegLogProb(
+          Tables.read(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // EXT-T60: interpolated Kneser–Ney bigram scoring — the smoothing
+    // that wins n-gram evaluations, completing the LM ladder (q120
+    // unigram → q125 JM bigram → q145 backoff trigram → KN): the
+    // lower-order mass is the CONTINUATION probability (distinct
+    // left-context types), so frozen-collocation tails ("Francisco")
+    // stop inflating their own unigram backoff. Self-scored corpus →
+    // every count ≥ 1 → the discount clip never binds; exact-integer
+    // counts throughout.
+    "q180_kneser_ney" -> ((s, dir) =>
+      graft.operators.LanguageModel.kneserNeyBigramNll(
           Tables.read(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
@@ -981,6 +1011,28 @@ object TextQueries extends QueryPack {
   }
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
+
+  /** Full-corpus BM25 replay — shared by q108 (one-shot operator) and
+    * q182 (store-served equality law over base ∪ delta). */
+  private lazy val Bm25OracleSql =
+    s"""WITH tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+       |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1)
+       |SELECT doc_id,
+       |  ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 15""".stripMargin
   private val BpeMerges = 5
   private val BpeMaxWordLen = 12
   private val DsirTargets = Seq("src1", "src2", "src3")
@@ -1940,6 +1992,35 @@ object TextQueries extends QueryPack {
          |  ROUND(ABS(mean_p - frac_pos), 6) AS gap
          |FROM ag ORDER BY bin""".stripMargin,
 
+    // Kneser–Ney replay: bigram counts, context sums + distinct-follower
+    // counts, distinct-context (continuation) counts, the 1-row type
+    // total, then the interpolated-discount probability per position.
+    "q180_kneser_ney" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, p.tok AS tok, p.pos AS pos FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |           i -> {'tok': tk[i], 'pos': i})) AS p FROM toks)),
+         |pairs AS (SELECT doc_id, tok,
+         |            lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |          FROM tok),
+         |pr AS (SELECT doc_id, prev, tok FROM pairs WHERE prev IS NOT NULL),
+         |bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM pr GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1,
+         |          CAST(COUNT(*) AS BIGINT) AS nf FROM bi GROUP BY 1),
+         |cont AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nb FROM bi GROUP BY 1),
+         |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM bi)
+         |SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(SUM(-ln((c12::DOUBLE - 0.75
+         |            + 0.75 * nf::DOUBLE * (nb::DOUBLE / btypes::DOUBLE))
+         |           / c1::DOUBLE)) / COUNT(*)::DOUBLE, 6) AS nll
+         |FROM pr
+         |JOIN bi ON pr.prev = bi.prev AND pr.tok = bi.tok
+         |JOIN ctx ON pr.prev = ctx.prev
+         |JOIN cont ON pr.tok = cont.tok
+         |CROSS JOIN ty
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q125_bigram_nll" ->
       s"""WITH $ToksCte,
          |tok AS (SELECT doc_id, p.tok AS tok, p.pos AS pos FROM (
@@ -2053,25 +2134,11 @@ object TextQueries extends QueryPack {
         |    AS epochs
         |FROM s, t ORDER BY source""".stripMargin,
 
-    "q108_bm25_topk" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
-         |  FROM documents),
-         |dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
-         |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
-         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |       GROUP BY 1, 2),
-         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1)
-         |SELECT doc_id,
-         |  ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
-         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id
-         |LIMIT 15""".stripMargin,
+    "q108_bm25_topk" -> Bm25OracleSql,
+
+    // The equality law IS the gate: the store-served result over
+    // base ∪ delta replays as the one-shot full-corpus BM25.
+    "q182_bm25_index" -> Bm25OracleSql,
 
     "q45_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",

@@ -49,7 +49,11 @@ class PlanSweepSpec extends SparkSpec {
     "q38_store_all_items" -> "StoreBuild small-catalog rank (all-items build)",
     // q46 routes through the same build but its RETURNED plan is the
     // parquet read-back of the written store — nothing to exempt there
-    "q57_incremental_store" -> "StoreBuild small-catalog rank (fed from the stats snapshot)"
+    "q57_incremental_store" -> "StoreBuild small-catalog rank (fed from the stats snapshot)",
+    // q177 runs the SAME build twice (base store write + touched-only
+    // refresh); its untouched branch is a parquet read-back + anti-join —
+    // the exempted shapes all come from the two build passes
+    "q177_store_refresh_touched" -> "StoreBuild small-catalog rank (base build + touched refresh)"
   )
 
   private def unwrapped(p: SparkPlan): SparkPlan = p match {
