@@ -819,6 +819,69 @@ object SimilaritySearch {
   }
 
   /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+   * Parallel Corpus Mining with Multilingual Sentence Embeddings") — the
+   * operator that builds machine-translation training pairs from two
+   * unaligned corpora: raw cosine over-fires in dense regions (a hub
+   * sentence is "closest" to everything), so each candidate pair scores
+   * by its cosine RELATIVE to both endpoints' neighborhoods,
+   *
+   *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+   *
+   * with avgₖ the mean cosine of the endpoint's k nearest candidates,
+   * and each source keeps its best-margin target above `threshold`.
+   *
+   * Scale path: candidates come from a shared SRP sign bucket (the
+   * lshTopK blocking — never src × tgt), both neighborhood ranks and
+   * the final argmax are endpoint-partitioned windows over that
+   * candidate table, and the k-cosine means are ORDERED folds
+   * (sort_array → left fold) so the arithmetic is engine-identical —
+   * a plain SUM over doubles would drift with aggregation order right
+   * where near-tie margins sit. The argmax ranks on the 1e-6-ROUNDED
+   * margin (tgt-id tiebreak), the bruteForceTopKRounded stance: the
+   * boundary itself must be engine-reproducible.
+   *
+   * Output: (src_id, tgt_id, margin rounded 1e-6) — at most one row per
+   * source; sources whose bucket holds no target simply emit nothing.
+   */
+  def marginMinePairs(src: DataFrame, tgt: DataFrame, planes: Seq[Seq[Int]],
+                      k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, "marginMinePairs: k must be >= 1")
+    val sb = withBucket(graft.core.Spread.byKey(src, col("vec_id")), planes)
+      .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+        l2Norm(col("embedding")).as("s_nrm"), col("bucket"))
+    val tb = withBucket(graft.core.Spread.byKey(tgt, col("vec_id")), planes)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
+        l2Norm(col("embedding")).as("t_nrm"), col("bucket"))
+    val cand = graft.core.Caches.cacheOnce(sb.join(tb, Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        cosineWithNorms(col("s_emb"), col("t_emb"),
+          col("s_nrm"), col("t_nrm")).as("cos")))
+    def foldMean(c: Column): Column =
+      aggregate(sort_array(c), lit(0.0), (a, x) => a + x) / size(c).cast("double")
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc_nulls_last, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos").desc_nulls_last, col("src_id"))
+    val fwd = cand.withColumn("r", row_number().over(wS)).where(col("r") <= k)
+      .groupBy(col("src_id"))
+      .agg(foldMean(collect_list(col("cos"))).as("avg_s"))
+    val bwd = cand.withColumn("r", row_number().over(wT)).where(col("r") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(foldMean(collect_list(col("cos"))).as("avg_t"))
+    val margins = cand
+      .join(fwd, Seq("src_id"))
+      .join(bwd, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos") / ((col("avg_s") + col("avg_t")) / 2.0), 6).as("margin"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc_nulls_last, col("tgt_id"))
+    margins.withColumn("rb", row_number().over(wBest))
+      .where(col("rb") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+  }
+
+  /**
    * IVF serving AUTO-TUNE (the EXT-C6 auto-probe pattern applied to the
    * serving knob): measure recall@k for every candidate `nprobe` in
    * 1..maxNProbe on a bounded query panel against the index's OWN

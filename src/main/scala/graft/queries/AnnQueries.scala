@@ -43,6 +43,8 @@ object AnnQueries extends QueryPack {
   private val TuneMaxNProbe = 4 // q179 candidate grid: nprobe 1..4
   private val TuneTargetNum = 9 // q179 recall target 9/10, exact-integer
   private val TuneTargetDen = 10
+  private val MarginK = 4 // q184 neighborhood size
+  private val MarginThreshold = 1.0 // q184 mining cutoff
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -283,6 +285,19 @@ object AnnQueries extends QueryPack {
       graft.store.AnnStore.writeIvf(e, SimilaritySearch.ivfCentroids(e, CentroidMod), out)
       graft.store.AnnStore.tuneNProbe(s, out, querySet(s, dir), K,
         TuneMaxNProbe, TuneTargetNum, TuneTargetDen)
+    }),
+
+    // EXT-A29: margin-based bitext mining (Artetxe & Schwenk) — parallel-
+    // pair extraction from two unaligned corpora (even/odd vec_id halves
+    // as src/tgt): SRP-bucket blocking for candidates, neighborhood-
+    // normalized margin scoring with ORDERED-fold k-cosine means, best
+    // target per source above the margin threshold.
+    "q184_bitext_margin" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilaritySearch.marginMinePairs(
+          e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+          planes, MarginK, MarginThreshold)
+        .orderBy(col("src_id"))
     }),
 
     // EXT-A9: incremental ANN index refresh — build the persisted index
@@ -1015,6 +1030,40 @@ object AnnQueries extends QueryPack {
          |  ROUND(hits::DOUBLE / total::DOUBLE, 6) AS recall,
          |  p = COALESCE(min_ok, best_p) AS chosen
          |FROM stats, dec2 ORDER BY 1""".stripMargin,
+
+    // Margin-mining replay: SRP buckets, blocked candidates, per-endpoint
+    // top-k ranks, ORDERED-fold means, rounded-margin argmax + threshold.
+    "q184_bitext_margin" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |            FROM embeddings),
+         |sb AS (SELECT vec_id AS src_id, embedding AS s_emb, bucket FROM bk
+         |       WHERE vec_id % 2 = 0),
+         |tb AS (SELECT vec_id AS tgt_id, embedding AS t_emb, bucket FROM bk
+         |       WHERE vec_id % 2 = 1),
+         |cand AS (SELECT src_id, tgt_id, ${cosSql("s_emb", "t_emb")} AS cos
+         |         FROM sb JOIN tb USING (bucket)),
+         |fr AS (SELECT src_id, tgt_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |           ORDER BY cos DESC NULLS LAST, tgt_id) AS r FROM cand),
+         |fwd AS (SELECT src_id,
+         |          list_reduce(list_prepend(0.0, list_sort(list(cos))),
+         |            (x, y) -> x + y) / COUNT(*) AS avg_s
+         |        FROM fr WHERE r <= $MarginK GROUP BY src_id),
+         |br AS (SELECT src_id, tgt_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY tgt_id
+         |           ORDER BY cos DESC NULLS LAST, src_id) AS r FROM cand),
+         |bwd AS (SELECT tgt_id,
+         |          list_reduce(list_prepend(0.0, list_sort(list(cos))),
+         |            (x, y) -> x + y) / COUNT(*) AS avg_t
+         |        FROM br WHERE r <= $MarginK GROUP BY tgt_id),
+         |m AS (SELECT src_id, tgt_id,
+         |        ROUND(cos / ((avg_s + avg_t) / 2), 6) AS margin
+         |      FROM cand JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+         |best AS (SELECT src_id, tgt_id, margin,
+         |           ROW_NUMBER() OVER (PARTITION BY src_id
+         |             ORDER BY margin DESC NULLS LAST, tgt_id) AS rb FROM m)
+         |SELECT src_id, tgt_id, margin FROM best
+         |WHERE rb = 1 AND margin >= $MarginThreshold ORDER BY src_id""".stripMargin,
 
     "q34_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb

@@ -343,6 +343,31 @@ class SimilaritySearchSpec extends SparkSpec {
     out.size shouldBe 10
   }
 
+  test("marginMinePairs: hub targets lose to margin, best pair per source, threshold gates") {
+    // single shared bucket (one all-positive plane); k = 2. Hand-walked:
+    //   cos(s1,·) = (t1 1.0, t2 0.8, t3 0.0); cos(s2,·) = (0.6, 0.96, 0.8)
+    //   avg_s = (0.9, 0.88); avg_t = (0.8, 0.88, 0.4)
+    //   s1 → t1 (margin ≈ 1.176); s2 → t3 (1.25) — the MARGIN picks t3
+    //   over the higher-cosine hub t2 (0.96 cos but margin ≈ 1.091),
+    //   which is exactly the hubness correction the criterion exists for.
+    val onePlane = Seq(Seq(1, 1))
+    val src = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    def mine(thr: Double) =
+      graft.operators.SimilaritySearch.marginMinePairs(src, tgt, onePlane, 2, thr)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = mine(1.0)
+    got.keySet shouldBe Set(10L, 20L)
+    got(10L)._1 shouldBe 1L
+    got(10L)._2 shouldBe 1.176471 +- 1e-3
+    got(20L)._1 shouldBe 3L // margin beats the hub t2 despite lower cosine
+    got(20L)._2 shouldBe 1.25 +- 1e-3
+    // a higher threshold gates s1 out, keeps s2
+    mine(1.2).keySet shouldBe Set(20L)
+  }
+
   test("tuneNProbe: cheapest candidate clearing the rational target; argmax fallback when unreachable") {
     // hand-walked 2-D fixture — centroids c100=[1,0], c200=[0,1];
     // a=[1,0]→list 100, b=[.6,.8] and c=[0,1]→list 200;
