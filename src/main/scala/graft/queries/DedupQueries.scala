@@ -31,6 +31,7 @@ object DedupQueries extends QueryPack {
   private val ExactSubstrL = 16 // q138 any-offset substring window
   private val CdcWindow = 4 // q169 rolling-hash window (tokens)
   private val CdcModK = 16 // q169 cut modulus ⇒ expected ~16-token chunks
+  private val LedgerMinWords = 10 // q185 length gate
   private val WinnowK = 4 // q181 k-gram size
   private val WinnowWindow = 5 // q181 selection window ⇒ ~1/5 density
   private val WinnowMinShared = 2L // q181 report floor (shared fingerprints)
@@ -71,6 +72,30 @@ object DedupQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("shared"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-T62: per-document rejection ledger — every train document's
+    // FIRST rejecting stage in pipeline order (too_short → exact_dup →
+    // contaminated) or 'kept': the per-row observability face of q149's
+    // funnel counts, short-circuit semantics included (a too-short page
+    // never reaches dedup, so its verdict is the length gate even when
+    // it is also a duplicate).
+    "q185_rejection_ledger" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.where(col("doc_id") % 17 =!= 0)
+      val bench = d.where(col("doc_id") % 17 === 0)
+      val tooShort = train.where(
+        size(graft.functions.TextFunctions.tokensWs(col("text"))) < LedgerMinWords)
+        .select(col("doc_id"))
+      val exactDup = Dedup.exactDroppedIds(train, None, "doc_id", "text")
+        .select(col("id").as("doc_id"))
+      val contaminated = graft.operators.Decontamination
+        .contaminated(train, bench, ShingleN).select(col("doc_id"))
+      graft.operators.CurationLedger.rejectionLedger(train, Seq(
+          "too_short" -> tooShort,
+          "exact_dup" -> exactDup,
+          "contaminated" -> contaminated))
+        .orderBy(col("doc_id"))
+    }),
 
     // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
     "q21_minhash_lsh" -> ((s, dir) =>
@@ -787,6 +812,40 @@ object DedupQueries extends QueryPack {
          |FROM toks t LEFT JOIN isldocs i USING (doc_id)
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Ledger replay: the three stage id-sets as CTEs (length gate, digest
+    // rank, benchmark shingle overlap), first-match CASE in declared order.
+    "q185_rejection_ledger" ->
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |  FROM documents),
+         |train AS (SELECT doc_id, text, tk FROM toks WHERE doc_id % 17 <> 0),
+         |short AS (SELECT doc_id FROM train WHERE len(tk) < $LedgerMinWords),
+         |dup AS (SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                                      ORDER BY doc_id) AS rnk
+         |    FROM train) WHERE rnk > 1),
+         |shs AS (SELECT doc_id, list_distinct(list_transform(
+         |    CASE WHEN len(tk) < $ShingleN THEN []
+         |         ELSE list_transform(range(1, len(tk) - ${ShingleN - 2}),
+         |                i -> array_to_string(list_slice(tk, i, i + ${ShingleN - 1}), ' ')) END,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs
+         |  FROM toks),
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |bench AS (SELECT DISTINCT g FROM shd WHERE doc_id % 17 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM shd JOIN bench USING (g)
+         |         WHERE doc_id % 17 <> 0)
+         |SELECT t.doc_id,
+         |  CASE WHEN s.doc_id IS NOT NULL THEN 'too_short'
+         |       WHEN d.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS verdict
+         |FROM train t
+         |LEFT JOIN short s USING (doc_id)
+         |LEFT JOIN dup d USING (doc_id)
+         |LEFT JOIN cont c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
     // Winnowing replay: packed-integer window minima (min hash, rightmost

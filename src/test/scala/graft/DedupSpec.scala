@@ -297,6 +297,23 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe "own body"
   }
 
+  test("rejectionLedger: first rejecting stage wins in declared order; untouched docs keep") {
+    import graft.operators.CurationLedger
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val stageA = Seq(2L, 3L).toDF("doc_id") // rejects 2 and 3
+    val stageB = Seq(3L, 4L).toDF("doc_id") // 3 already rejected upstream
+    val out = CurationLedger.rejectionLedger(docs,
+        Seq("rule_a" -> stageA, "rule_b" -> stageB))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "kept", 2L -> "rule_a",
+      3L -> "rule_a", // short-circuit: the FIRST stage owns the verdict
+      4L -> "rule_b")
+    an[IllegalArgumentException] should be thrownBy
+      CurationLedger.rejectionLedger(docs, Seq("x" -> stageA, "x" -> stageB))
+    an[IllegalArgumentException] should be thrownBy
+      CurationLedger.rejectionLedger(docs, Seq.empty)
+  }
+
   test("winnowFingerprints: rightmost-min tie rule and ~1/window density on a constant doc") {
     import graft.operators.Dedup
     // all tokens equal → every 2-gram hashes identically → every window's
