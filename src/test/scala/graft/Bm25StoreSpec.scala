@@ -55,6 +55,34 @@ class Bm25StoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
   }
 
+  test("streaming Bm25Ingest: stream fold == sequential appends; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25stream").toString
+    val streamed = s"$dir/streamed"; val twin = s"$dir/twin"
+    val base = docs.where(col("doc_id") <= 3)
+    Bm25Store.write(base, streamed)
+    Bm25Store.write(base, twin)
+    val b0 = Seq((4L, "unrelated words entirely here"), (5L, ""))
+    val b1 = Seq((6L, "spark spark spark vector"), (7L, "stream stream vector"))
+    val mem = MemoryStream[(Long, String)]
+    val sq = graft.streaming.Bm25Ingest.start(
+      mem.toDF().toDF("doc_id", "text"), streamed, s"$dir/ckpt")
+    try {
+      Seq(b0, b1).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+    Seq(b0, b1).foreach(b =>
+      Bm25Store.append(b.toDF("doc_id", "text"), twin))
+    def top(store: String) = Bm25Store.topK(spark, store, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    top(streamed) shouldBe top(twin)
+    val before = top(streamed)
+    // crash-redelivery of batch 0: overwrites its own dirs, serving unchanged
+    graft.streaming.Bm25Ingest.applyBatch(b0.toDF("doc_id", "text"), 0L, streamed)
+    top(streamed) shouldBe before
+    Bm25Store.stats(spark, streamed).collect()(0).getLong(0) shouldBe 7L
+  }
+
   test("empty-query and reserved batch name fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25s3").toString
     val store = s"$dir/store"
