@@ -818,6 +818,16 @@ object SimilaritySearch {
           .as("outlier"))
   }
 
+  /** First-`m`-dimensions view of an embedding table — the
+    * matryoshka-serving projection (Kusupati et al. 2022: MRL-trained
+    * embeddings keep their semantics in every prefix, so serving can
+    * trade dims for kernel/shuffle cost). Map-only; cosine re-normalizes
+    * per pair, so no re-scaling is needed. */
+  def prefixDims(embs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "prefixDims: m must be >= 1")
+    embs.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+  }
+
   /**
    * Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
    * Parallel Corpus Mining with Multilingual Sentence Embeddings") — the

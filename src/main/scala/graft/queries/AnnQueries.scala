@@ -45,6 +45,7 @@ object AnnQueries extends QueryPack {
   private val TuneTargetDen = 10
   private val MarginK = 4 // q184 neighborhood size
   private val MarginThreshold = 1.0 // q184 mining cutoff
+  private val TruncDims = Seq(8, 16, 32) // q186 prefix widths (of Dim 64)
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -298,6 +299,36 @@ object AnnQueries extends QueryPack {
           e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
           planes, MarginK, MarginThreshold)
         .orderBy(col("src_id"))
+    }),
+
+    // EXT-A30: matryoshka truncation evaluation — recall@k of brute
+    // serving under each PREFIX of the embedding (8/16/32 of 64 dims)
+    // against the full-dim truth: the measured dims-vs-recall table
+    // behind MRL-style serving, where shrinking the vector shrinks every
+    // downstream kernel and shuffle by the same factor. Exact-integer
+    // hits; one truth pass, one brute pass per candidate width over the
+    // bounded panel.
+    "q186_matryoshka_eval" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = querySet(s, dir)
+      val truth = graft.core.Caches.cacheOnce(
+        SimilaritySearch.bruteForceTopK(q, e, K)
+          .select(col("query_id"), col("vec_id")))
+      val totalRow = broadcast(truth.agg(count(lit(1)).as("total")))
+      TruncDims.map { m =>
+        SimilaritySearch.bruteForceTopK(
+            SimilaritySearch.prefixDims(q, m),
+            SimilaritySearch.prefixDims(e, m), K)
+          .select(col("query_id"), col("vec_id"))
+          .join(truth, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("m"), col("hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(totalRow)
+        .select(col("m"), col("hits"), col("total"),
+          round(col("hits").cast("double") / col("total").cast("double"), 6)
+            .as("recall"))
+        .orderBy(col("m"))
     }),
 
     // EXT-A9: incremental ANN index refresh — build the persisted index
@@ -1030,6 +1061,39 @@ object AnnQueries extends QueryPack {
          |  ROUND(hits::DOUBLE / total::DOUBLE, 6) AS recall,
          |  p = COALESCE(min_ok, best_p) AS chosen
          |FROM stats, dec2 ORDER BY 1""".stripMargin,
+
+    // Matryoshka replay: full-dim truth ranks, per-width sliced cosine
+    // ranks (one dims-list join), exact-integer hit counts per width.
+    "q186_matryoshka_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |ms AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS m),
+         |tq AS (SELECT ms.m, vec_id AS query_id,
+         |         list_slice(embedding, 1, ms.m) AS q_emb
+         |       FROM embeddings, ms
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |tscored AS (SELECT tq.m, tq.query_id, c.vec_id,
+         |              ${cosSql("tq.q_emb", "list_slice(c.embedding, 1, tq.m)")} AS cos
+         |            FROM embeddings c JOIN tq ON c.vec_id <> tq.query_id),
+         |topm AS (SELECT m, query_id, vec_id FROM (
+         |           SELECT m, query_id, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY m, query_id
+         |                                ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |           FROM tscored) WHERE rnk <= $K),
+         |h AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS hits
+         |      FROM topm JOIN bt USING (query_id, vec_id) GROUP BY 1)
+         |SELECT ms.m, COALESCE(h.hits, 0) AS hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS total,
+         |  ROUND(COALESCE(h.hits, 0)::DOUBLE /
+         |        (SELECT COUNT(*) FROM bt)::DOUBLE, 6) AS recall
+         |FROM ms LEFT JOIN h USING (m) ORDER BY ms.m""".stripMargin,
 
     // Margin-mining replay: SRP buckets, blocked candidates, per-endpoint
     // top-k ranks, ORDERED-fold means, rounded-margin argmax + threshold.

@@ -343,6 +343,19 @@ class SimilaritySearchSpec extends SparkSpec {
     out.size shouldBe 10
   }
 
+  test("prefixDims: prefix slice; full-width truncation is the identity for serving") {
+    import graft.operators.SimilaritySearch
+    val e = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (3L, Array(1.0f, 2.0f, 2.9f, 4.1f))).toDF("vec_id", "embedding")
+    SimilaritySearch.prefixDims(e, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap shouldBe Map(
+      1L -> Seq(1.0f, 2.0f), 2L -> Seq(4.0f, 3.0f), 3L -> Seq(1.0f, 2.0f))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.bruteForceTopK(df, df, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    top(SimilaritySearch.prefixDims(e, 4)) shouldBe top(e)
+  }
+
   test("marginMinePairs: hub targets lose to margin, best pair per source, threshold gates") {
     // single shared bucket (one all-positive plane); k = 2. Hand-walked:
     //   cos(s1,·) = (t1 1.0, t2 0.8, t3 0.0); cos(s2,·) = (0.6, 0.96, 0.8)
