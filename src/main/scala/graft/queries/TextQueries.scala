@@ -605,6 +605,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("pack_id"))
     }),
 
+    // EXT-J5: packed token-id BINARY shards (the Megatron .bin layout a
+    // training loader mmaps: raw little-endian int32 ids + a queryable
+    // parquet index) — materialize hashed-id training sequences, write
+    // them through the distributed shard sink, read them back via
+    // seek-reads, and present the round-tripped rows; the gate replays
+    // the PACKING in SQL, so the bytes on disk must reconstruct exactly.
+    "q187_token_shards" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ids = d.select(col("doc_id"), col("lang"),
+          transform(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => pmod(graft.functions.TextFunctions.hash60(t),
+              lit(ShardVocabMod)).cast("int")).as("ids"))
+        .withColumn("shard", pmod(
+          graft.functions.TextFunctions.hash60(col("doc_id").cast("string")),
+          lit(PackShards.toLong)))
+      val packed = graft.operators.Chunking.packIdSequences(
+          ids, PackSeqLen, Seq("lang", "shard"), "doc_id", "ids")
+        .select(concat_ws(":", col("lang"), col("shard"), col("pack_id"))
+          .as("seq_key"), col("seq"))
+      val out = graft.core.Scratch.dir("graft_tokshards")
+      graft.sources.TokenShards.write(packed, out, idsCol = "seq")
+      graft.sources.TokenShards.read(s, out)
+        .withColumn("p", split(col("seq_key"), ":"))
+        .select(element_at(col("p"), 1).as("lang"),
+          element_at(col("p"), 2).cast("long").as("shard"),
+          element_at(col("p"), 3).cast("long").as("pack_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          concat_ws(" ", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
     // EXT-T42: tokenizer evaluation — per-language fertility (pieces per
     // word) and compression (chars per piece) of the q116-trained
     // merges: the go/no-go numbers before committing a vocabulary to a
@@ -1058,6 +1089,7 @@ object TextQueries extends QueryPack {
   private val TierBudget = 1000000L // q150 token budget
   private val PackSeqLen = 256 // q146 training-sequence length
   private val PackShards = 4 // q146 packing shards per language (scale knob)
+  private val ShardVocabMod = 32768L // q187 hashed-id vocabulary size
   private val PreTokMaxLen = 16 // q153/q155 pre-token length cap
   private val LangIdN = 3 // q154 char n-gram order
   private val LangIdBuckets = 512 // q154 hashed feature space
@@ -1969,6 +2001,34 @@ object TextQueries extends QueryPack {
     "q155_pretok_eval" -> preTokEvalOracleSql,
 
     "q146_pack_token_ids" -> packIdsOracleSql,
+
+    // Shard-sink replay: hashed ids + the q146 packing recurrence — the
+    // round-tripped binary bytes must reconstruct these exact rows.
+    "q187_token_shards" ->
+      s"""WITH $ToksCte,
+         |dl AS (SELECT doc_id, lang,
+         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |           % $PackShards AS shard,
+         |         list_transform(tk,
+         |           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $ShardVocabMod) AS ids,
+         |         CAST(len(tk) AS BIGINT) AS n
+         |       FROM toks WHERE len(tk) > 0),
+         |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |        FROM dl),
+         |spans AS (SELECT lang, shard, cb, n, ids,
+         |            unnest(range(cb // $PackSeqLen, (cb + n - 1) // $PackSeqLen + 1)) AS pack_id
+         |          FROM cum),
+         |sl AS (SELECT lang, shard, pack_id, cb,
+         |         list_slice(ids, (greatest(pack_id * $PackSeqLen, cb) - cb + 1)::INT,
+         |                    (least((pack_id + 1) * $PackSeqLen, cb + n) - cb)::INT) AS piece
+         |       FROM spans),
+         |packs AS (SELECT lang, shard, pack_id, flatten(list(piece ORDER BY cb)) AS seq
+         |          FROM sl GROUP BY 1, 2, 3)
+         |SELECT lang, shard, CAST(pack_id AS BIGINT) AS pack_id,
+         |       CAST(len(seq) AS BIGINT) AS n_tokens,
+         |       array_to_string(list_transform(seq, x -> x::VARCHAR), ' ') AS ids
+         |FROM packs ORDER BY lang, shard, pack_id""".stripMargin,
 
     "q137_logreg_curve" ->
       s"""WITH $lrChainCtes
