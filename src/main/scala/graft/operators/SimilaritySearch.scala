@@ -892,6 +892,69 @@ object SimilaritySearch {
   }
 
   /**
+   * Greedy k-center coreset selection (Gonzalez 1985; the
+   * farthest-point-traversal coreset used for diverse subset selection —
+   * Sener & Savarese 2018 applied it to data selection): seed with the
+   * smallest id, then repeatedly pick the candidate FARTHEST from the
+   * selected set (max over candidates of min cosine-distance to any
+   * pick = min of MAX cosine; rounded 1e-6 before the argmin, id
+   * tiebreak) — the 2-approximation to the k-center cover, i.e. the k
+   * rows that best SPREAD over the panel. The dual of MMR: no relevance
+   * term, pure coverage; the sampler that keeps a fine-tuning subset
+   * from collapsing onto the densest mode.
+   *
+   * Sequential by nature, so it only ever runs over a BOUNDED candidate
+   * panel (the mmrDiversify stance): each step is one crossJoin of the
+   * ≤|panel| remaining rows against the ≤k picked vectors plus one
+   * TakeOrdered(1) whose single row returns to the driver — the
+   * Lloyd-round pattern, one bounded row per round, over the cached
+   * panel.
+   *
+   * Output: (step 1..k, vec_id, max_cos rounded — NULL for the seed).
+   */
+  def kCenterSelect(candidates: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kCenterSelect: k must be >= 1")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = candidates.sparkSession
+    val cand = graft.core.Caches.cacheOnce(
+      candidates.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm")))
+    val outSchema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("max_cos", DoubleType, nullable = true)))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val ids = picked.map(_.get(1))
+      val win =
+        if (ids.isEmpty)
+          cand.orderBy(col("vec_id")).limit(1)
+            .select(col("vec_id"), lit(null).cast("double").as("max_cos"))
+            .collect()
+        else {
+          val selVecs = broadcast(cand.where(col("vec_id").isin(ids.toSeq: _*))
+            .select(col("embedding").as("s_emb"), col("nrm").as("s_nrm")))
+          cand.where(!col("vec_id").isin(ids.toSeq: _*))
+            .crossJoin(selVecs)
+            .select(col("vec_id"),
+              cosineWithNorms(col("embedding"), col("s_emb"),
+                col("nrm"), col("s_nrm")).as("sim"))
+            .groupBy(col("vec_id"))
+            .agg(round(max(col("sim")), 6).as("max_cos"))
+            .orderBy(col("max_cos").asc_nulls_last, col("vec_id")).limit(1)
+            .collect()
+        }
+      if (win.isEmpty) exhausted = true
+      else picked += Row.fromSeq(step.toLong +: win(0).toSeq)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .BufferHasAsJava(picked).asJava), outSchema)
+  }
+
+  /**
    * IVF serving AUTO-TUNE (the EXT-C6 auto-probe pattern applied to the
    * serving knob): measure recall@k for every candidate `nprobe` in
    * 1..maxNProbe on a bounded query panel against the index's OWN

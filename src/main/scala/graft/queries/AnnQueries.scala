@@ -46,6 +46,24 @@ object AnnQueries extends QueryPack {
   private val MarginK = 4 // q184 neighborhood size
   private val MarginThreshold = 1.0 // q184 mining cutoff
   private val TruncDims = Seq(8, 16, 32) // q186 prefix widths (of Dim 64)
+  private val KCenterK = 5 // q188 coreset size
+
+  /** One unrolled k-center greedy step for the q188 oracle: pick `i`
+    * (the candidate with the SMALLEST rounded max-cosine to the running
+    * selection `sel(i-1)`, id tiebreak). */
+  private def kcStep(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""s$i AS (SELECT ${i}::BIGINT AS step, vec_id, mc AS max_cos FROM (
+       |  SELECT c.vec_id,
+       |    ROUND(MAX(${cosSql("c.embedding", "p.embedding")}), 6) AS mc
+       |  FROM kcand c, kcand p
+       |  WHERE p.vec_id IN (SELECT vec_id FROM $prev)
+       |    AND c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |  GROUP BY c.vec_id)
+       |  ORDER BY mc ASC NULLS LAST, vec_id LIMIT 1),
+       |sel$i AS (SELECT * FROM $prev UNION ALL
+       |          SELECT step, vec_id, max_cos FROM s$i)""".stripMargin
+  }
 
   /** One unrolled MMR greedy step for the q135 oracle: pick `i`, fed by
     * the running selection `sel(i-1)`. */
@@ -330,6 +348,15 @@ object AnnQueries extends QueryPack {
             .as("recall"))
         .orderBy(col("m"))
     }),
+
+    // EXT-A31: greedy k-center coreset selection (farthest-point
+    // traversal) over the bounded query panel — the pure-coverage dual
+    // of q135's MMR: the k rows that best SPREAD over the panel, the
+    // sampler that keeps a fine-tuning subset off the densest mode.
+    // Driver sees one bounded row per round (the Lloyd pattern).
+    "q188_kcenter_coreset" -> ((s, dir) =>
+      SimilaritySearch.kCenterSelect(querySet(s, dir), KCenterK)
+        .orderBy(col("step"))),
 
     // EXT-A9: incremental ANN index refresh — build the persisted index
     // over a base corpus (vec_id % 5 ≠ 3), then APPEND the delta
@@ -1061,6 +1088,15 @@ object AnnQueries extends QueryPack {
          |  ROUND(hits::DOUBLE / total::DOUBLE, 6) AS recall,
          |  p = COALESCE(min_ok, best_p) AS chosen
          |FROM stats, dec2 ORDER BY 1""".stripMargin,
+
+    // k-center replay: seed = min id, then the unrolled greedy steps.
+    "q188_kcenter_coreset" ->
+      s"""WITH kcand AS (SELECT vec_id, embedding FROM embeddings
+         |               WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |sel1 AS (SELECT 1::BIGINT AS step, MIN(vec_id) AS vec_id,
+         |                NULL::DOUBLE AS max_cos FROM kcand),
+         |${(2 to KCenterK).map(kcStep).mkString(",\n")}
+         |SELECT step, vec_id, max_cos FROM sel$KCenterK ORDER BY step""".stripMargin,
 
     // Matryoshka replay: full-dim truth ranks, per-width sliced cosine
     // ranks (one dims-list join), exact-integer hit counts per width.

@@ -356,6 +356,28 @@ class SimilaritySearchSpec extends SparkSpec {
     top(SimilaritySearch.prefixDims(e, 4)) shouldBe top(e)
   }
 
+  test("kCenterSelect walks the farthest-point traversal: seed = min id, then max-spread picks") {
+    import graft.operators.SimilaritySearch
+    // 2-D panel: a=[1,0], b=[0,1], c=diag, d≈a. Greedy: seed a (min id);
+    // step 2 picks b (cos 0 to a — the farthest); step 3 picks c (0.707
+    // beats d's ≈1); d (the near-duplicate of a) goes LAST — exactly the
+    // redundancy the coreset exists to defer.
+    val cand = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7071068f, 0.7071068f)), (4L, Array(0.999f, 0.0447f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.kCenterSelect(cand, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    out.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    out(0)._3.isNaN shouldBe true // seed carries no distance
+    out(1)._3 shouldBe 0.0 +- 1e-6
+    out(2)._3 shouldBe 0.7071068 +- 1e-4
+    out(3)._3 should be > 0.99 // the near-dup's max cos to the selected set
+    // k beyond the panel: selection exhausts gracefully
+    SimilaritySearch.kCenterSelect(cand, 10).count() shouldBe 4L
+  }
+
   test("marginMinePairs: hub targets lose to margin, best pair per source, threshold gates") {
     // single shared bucket (one all-positive plane); k = 2. Hand-walked:
     //   cos(s1,·) = (t1 1.0, t2 0.8, t3 0.0); cos(s2,·) = (0.6, 0.96, 0.8)
