@@ -97,6 +97,57 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-D29: cross-source duplication matrix — which sources copy from
+    // which: for every source pair (a < b), the number of distinct
+    // content digests present in BOTH (and each side's digest universe
+    // for rates). The governance face of exact dedup: a high-overlap
+    // pair means one feed mirrors another and deserves source-level
+    // dedup before document-level passes pay for it. Digest-keyed
+    // aggregates only — text never shuffles.
+    "q189_source_overlap" -> ((s, dir) => {
+      val ds = docs(s, dir).select(md5(col("text")).as("digest"), col("source"))
+        .distinct()
+      val sizes = ds.groupBy("source").agg(count(lit(1)).as("n_digests"))
+      val shared = ds.select(col("digest"), col("source").as("source_a"))
+        .join(ds.select(col("digest"), col("source").as("source_b")), Seq("digest"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("shared"))
+      // the COMPLETE matrix: zero-shared pairs are the (good) norm and
+      // belong in the report — the source list is tiny, so the pair
+      // frame is broadcast-size at any corpus scale
+      sizes.select(col("source").as("source_a"), col("n_digests").as("n_a"))
+        .join(sizes.select(col("source").as("source_b"), col("n_digests").as("n_b")),
+          col("source_a") < col("source_b"))
+        .join(shared, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("shared"), lit(0L)).as("shared"),
+          round(coalesce(col("shared"), lit(0L)).cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // EXT-D30: n-gram novelty scoring — per document, the fraction of
+    // its distinct shingles whose FIRST corpus occurrence (min doc id —
+    // the ingestion-order proxy) is this document: ~1 means genuinely
+    // new content, ~0 means everything was already said. The
+    // contribution-ordering signal dedup-aware curricula and
+    // "data freshness" dashboards read; one gram-keyed min aggregate +
+    // one join over the same (id, g) table the Jaccard tier builds —
+    // hashes shuffle, text never does.
+    "q190_gram_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(docs(s, dir), ShingleN)
+      val first = sh.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+      sh.join(first, Seq("g"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+            .as("novel_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
     "q21_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidates(
@@ -813,6 +864,36 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Novelty replay: distinct doc shingles, first-occurrence min id per
+    // gram, per-doc novel fraction.
+    "q190_gram_novelty" ->
+      s"""WITH $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |fo AS (SELECT g, MIN(doc_id) AS first_id FROM shd GROUP BY 1)
+         |SELECT shd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  ROUND(CAST(SUM(CASE WHEN fo.first_id = shd.doc_id THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / COUNT(*)::DOUBLE, 6) AS novel_frac
+         |FROM shd JOIN fo USING (g)
+         |GROUP BY shd.doc_id ORDER BY shd.doc_id""".stripMargin,
+
+    // Overlap-matrix replay: distinct (digest, source), per-source digest
+    // universes, digest-joined source pairs, shared / min-universe rate.
+    "q189_source_overlap" ->
+      s"""WITH ds AS (SELECT DISTINCT md5(text) AS digest, source FROM documents),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |            CAST(COUNT(*) AS BIGINT) AS shared
+         |          FROM ds a JOIN ds b ON a.digest = b.digest
+         |            AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT sa.source AS source_a, sb.source AS source_b,
+         |  COALESCE(p.shared, 0) AS shared,
+         |  ROUND(COALESCE(p.shared, 0)::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE, 6)
+         |    AS overlap
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
+         |ORDER BY 1, 2""".stripMargin,
 
     // Ledger replay: the three stage id-sets as CTEs (length gate, digest
     // rank, benchmark shingle overlap), first-match CASE in declared order.
