@@ -148,6 +148,31 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-X11: persisted HLL distinct ledger — per-language distinct
+    // content digests maintained incrementally (base write + crawl-delta
+    // append of kilobyte sketches; served by lossless register union),
+    // gated the q69 way: the served estimates are asserted in-engine
+    // against exact distinct counts (|est/exact − 1| ≤ 0.1 — default
+    // lgK=12 runs ~1.6%), and the output carries the exact side + the
+    // asserted booleans for the oracle.
+    "q191_hll_ledger" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), md5(col("text")).as("digest"))
+      val out = graft.core.Scratch.dir("graft_hll")
+      graft.store.DistinctLedger.write(
+        d.where(substring(col("digest"), 1, 1) =!= "a"), out, "lang", "digest")
+      graft.store.DistinctLedger.append(
+        d.where(substring(col("digest"), 1, 1) === "a"), out, "lang", "digest",
+        batchName = Some("delta1"))
+      val exact = d.distinct().groupBy(col("lang"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      graft.store.DistinctLedger.estimates(s, out)
+        .join(exact, col("scope") === col("lang"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("distinct_est").cast("double") /
+            col("exact_distinct").cast("double") - 1.0) <= 0.1).as("est_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
     "q21_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidates(
@@ -864,6 +889,14 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Ledger replay: the exact distinct side; the estimate rides only
+    // through the asserted boolean (TRUE for every language, or the
+    // engine-side comparison itself failed).
+    "q191_hll_ledger" ->
+      """SELECT lang, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+        |       TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Novelty replay: distinct doc shingles, first-occurrence min id per
     // gram, per-doc novel fraction.
