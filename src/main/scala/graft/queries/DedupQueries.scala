@@ -173,6 +173,40 @@ object DedupQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // EXT-T63: contamination ATTRIBUTION — q67 says a train document
+    // overlaps the benchmark; this says WHICH benchmark item leaked
+    // (most shared distinct n-grams, smallest benchmark id on ties) —
+    // what an auditor needs to adjudicate a leak and what a scrub
+    // report cites. Benchmark grams broadcast (benchmarks are bounded);
+    // the corpus pays the same shingle pass q67 already prices.
+    "q192_contamination_map" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tg = Dedup.shingleSets(d.where(col("doc_id") % 17 =!= 0), ShingleN)
+      val bg = Dedup.shingleSets(d.where(col("doc_id") % 17 === 0), ShingleN)
+        .select(col("id").as("bench_id"), col("g"))
+      val shared = tg.join(broadcast(bg), Seq("g"))
+        .groupBy(col("id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("n_shared").desc, col("bench_id").asc)
+      shared.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+        .select(col("id").as("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXT-D31: line document-frequency histogram — the exact distribution
+    // of per-line-hash df (doc_freq → how many distinct lines): THE
+    // diagnostic that chooses EXT-D25's maxDocFreq knob (the histogram's
+    // knee separates content from boilerplate — header df=|corpus|,
+    // footers df=|source|, content df≈dup-group size). Same lined corpus
+    // as q160; one distinct + two keyed aggregates, hashes only.
+    "q193_line_df_hist" -> ((s, dir) =>
+      Dedup.lineDf(
+          Dedup.lineKeyed(linedDocs(s, dir), "doc_id", "text"), "doc_id")
+        .groupBy(col("df").as("doc_freq"))
+        .agg(count(lit(1)).as("n_line_hashes"))
+        .orderBy(col("doc_freq"))),
+
     // EXT-D3: MinHash signatures → LSH banding → candidate pairs.
     "q21_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidates(
@@ -889,6 +923,41 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN reb r ON t.doc_id = r.doc_id
          |LEFT JOIN rm ON t.doc_id = rm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Attribution replay: shared-gram counts per (train, bench) pair,
+    // argmax by (count desc, bench id).
+    "q192_contamination_map" ->
+      s"""WITH $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |shared AS (SELECT t.doc_id, b.doc_id AS bench_id,
+         |             CAST(COUNT(*) AS BIGINT) AS n_shared
+         |           FROM shd t JOIN shd b ON t.g = b.g
+         |           WHERE t.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+         |           GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, n_shared FROM (
+         |  SELECT doc_id, bench_id, n_shared,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY n_shared DESC, bench_id) AS rnk
+         |  FROM shared) WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    // df-histogram replay: q160's lined corpus, per-hash document
+    // frequency, then the exact (df → line count) histogram.
+    "q193_line_df_hist" ->
+      s"""WITH toks AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |lined AS (SELECT doc_id,
+         |    ['$LineHeader']
+         |      || list_transform(range(0, len(tk), $LineTokens),
+         |           g -> array_to_string(list_slice(tk, g + 1, g + $LineTokens), ' '))
+         |      || ['$LineFooter' || source] AS ls
+         |  FROM toks),
+         |lines AS (SELECT doc_id,
+         |            ('0x' || substr(md5(ls[i + 1]), 1, 15))::BIGINT AS h
+         |          FROM lined, unnest(range(0, len(ls))) AS t(i)),
+         |df AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |       FROM lines GROUP BY 1)
+         |SELECT doc_freq, CAST(COUNT(*) AS BIGINT) AS n_line_hashes
+         |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Ledger replay: the exact distinct side; the estimate rides only
     // through the asserted boolean (TRUE for every language, or the
