@@ -90,4 +90,27 @@ object Layout {
         .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
     }.parquet(path)
   }
+
+  /** Deterministic multi-epoch shuffle order — the data-loader step after
+    * the token-shard write (EXT-J5): training wants each epoch to visit
+    * the corpus in a DIFFERENT pseudo-random order, reproducibly across
+    * reruns, partitionings, and engines. Each epoch keys every row with
+    * the engine's hash-permutation family (`hashPermOf`, epoch = the
+    * permutation index — no RNG state, so the order is a pure function of
+    * (id, epoch)) and `step` is the global 0-based consumption index
+    * under (epoch, key, id). No unpartitioned window anywhere: the rank
+    * is `Ids.denseIds`' two-phase distributed numbering, so the sort that
+    * defines the order is a range exchange, exactly the shuffle a shard
+    * writer needs anyway. Requires `idCol` unique (the usual training-set
+    * contract) for a total order. */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, "epochOrder: epochs must be >= 1")
+    import graft.functions.TextFunctions.{hash60, hashPermOf, HashPermMod}
+    val reps = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__k",
+        hashPermOf(hash60(col(idCol).cast("string")) % HashPermMod, col("epoch")))
+    Ids.denseIds(reps, Seq(col("epoch"), col("__k"), col(idCol)), "step")
+      .select(col("epoch"), col(idCol), col("step"))
+  }
 }

@@ -280,4 +280,35 @@ class WarehouseOpsSpec extends SparkSpec {
     got(0) shouldBe ((1L, 4L, 5L)) // to(1) to(1) go(1) tog(2)
     got(1) shouldBe ((2L, 2L, 2L))
   }
+
+  test("epochOrder: every epoch is a full permutation, steps globally dense") {
+    val n = 40
+    val df = (1L to n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = graft.operators.Layout.epochOrder(df, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 3 * n
+    out.map(_._3).sorted.toSeq shouldBe (0L until 3L * n).toSeq
+    (0L to 2L).foreach { e =>
+      val ids = out.filter(_._1 == e).map(_._2)
+      ids.sorted.toSeq shouldBe (1L to n.toLong).toSeq
+      // epoch blocks are contiguous in step order
+      val steps = out.filter(_._1 == e).map(_._3)
+      steps.min shouldBe e * n
+      steps.max shouldBe (e + 1) * n - 1
+    }
+  }
+
+  test("epochOrder: epochs differ, reruns and partitionings agree") {
+    val df = (1L to 64L).map(i => (i, i)).toDF("doc_id", "x")
+    def order(d: org.apache.spark.sql.DataFrame, e: Long) =
+      graft.operators.Layout.epochOrder(d, "doc_id", 2)
+        .where(col("epoch") === e).orderBy("step")
+        .collect().map(_.getLong(1)).toSeq
+    val e0 = order(df, 0L)
+    val e1 = order(df, 1L)
+    e0 should not be e1 // different epoch → different visit order
+    e0 should not be (1L to 64L).toSeq // and not the identity order
+    order(df.repartition(7), 0L) shouldBe e0 // layout-independent
+    order(df, 0L) shouldBe e0 // rerun-stable
+  }
 }
