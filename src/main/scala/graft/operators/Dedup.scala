@@ -112,6 +112,40 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment pairs — the subset-duplication signal Jaccard
+   * structurally misses (Lee et al. 2022 §4: a document embedded inside a
+   * longer one has |A∩B|/|A| ≈ 1 but arbitrarily low Jaccard as B grows).
+   * Same inverted-index join as `jaccardPairs`, but the intersection
+   * normalizes by EACH side's own size and both directions report
+   * independently. Output: (inner_id, outer_id, containment) — "inner's
+   * shingles are `containment`-covered by outer", containment ≥ threshold,
+   * inner ≠ outer; a fully-embedded quote/article scores 1.0 as inner.
+   */
+  def containmentPairs(shingles: DataFrame, threshold: Double,
+                       maxShingleDegree: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0, "containmentPairs: threshold must be > 0 — " +
+      "at 0 every co-shingled pair reports in both directions")
+    val sh = graft.core.Caches.cacheOnce(maxShingleDegree match {
+      case Some(d) =>
+        val deg = shingles.groupBy("g").agg(count(lit(1)).as("deg"))
+        shingles.join(deg.where(col("deg") <= d).select("g"), Seq("g"), "left_semi")
+      case None => shingles
+    })
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("id").as("doc_a"), col("g"))
+    val b = sh.select(col("id").as("doc_b"), col("g"))
+    val inter = a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+    inter.select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+        (col("inter").cast("double") / col("sz_a").cast("double")).as("containment"))
+      .unionAll(inter.select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+        (col("inter").cast("double") / col("sz_b").cast("double")).as("containment")))
+      .where(col("containment") >= threshold)
+  }
+
+  /**
    * WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
    * the MOSS algorithm): hash every k-gram, slide a window of `window`
    * consecutive k-gram hashes, and select each window's MINIMUM hash

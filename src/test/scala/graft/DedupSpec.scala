@@ -359,4 +359,27 @@ class DedupSpec extends SparkSpec {
     val floored = Dedup.winnowPairs(docs, 4, 5, 100L)
     floored.count() shouldBe 0L
   }
+
+  test("containmentPairs: embedded document scores 1.0 as inner, asymmetric") {
+    import graft.operators.Dedup
+    val short = "alpha beta gamma delta epsilon" // 3 trigram shingles
+    val docs = Seq(
+      (1L, short), // fully embedded in 2
+      (2L, s"prefix words here $short and a long suffix tail follows now"),
+      (3L, "totally different content with no shared runs at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(Dedup.shingleSets(docs, 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs((1L, 2L)) shouldBe 1.0 +- 1e-9 // all of 1's shingles appear in 2
+    // the reverse direction is diluted by 2's extra shingles → below 0.5
+    pairs.keySet should not contain ((2L, 1L))
+    pairs.keySet.flatMap(k => Set(k._1, k._2)) should not contain 3L
+  }
+
+  test("containmentPairs rejects a zero threshold") {
+    import graft.operators.Dedup
+    val sh = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.containmentPairs(Dedup.shingleSets(sh, 3), 0.0)
+  }
 }
