@@ -432,4 +432,36 @@ object TextFunctions {
         regexp_replace(c, EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
+
+  // ── Encoding-artifact (mojibake) detection ─────────────────────────────
+  //
+  // The ftfy-tier curation signal: crawl text that was UTF-8 but got
+  // decoded as Latin-1/cp1252 somewhere upstream carries characteristic
+  // two-byte ghosts ("Ã©" for é, "â€™" for ’), and lossy decodes leave
+  // U+FFFD replacement chars. A document full of these is corrupt at the
+  // BYTES level — no amount of downstream quality scoring fixes it, so
+  // pipelines gate on it early. The pattern is a pure literal alternation
+  // (identical in Java regex and RE2); scoring is map-only Column math.
+
+  /** Common double-decode ghosts + the replacement character. Written as
+    * explicit code points (NOT source literals — a transcoding editor
+    * would silently corrupt the very bytes this detects): "Ã·" pairs are
+    * U+00C3 + the é/è/ü/ä/ö/ñ/ï/á/ó Latin-1 low byte, the cp1252
+    * three-char ghosts are â (U+00E2) € (U+20AC) + ™/œ/“ for ’/“/–,
+    * and U+FFFD is the replacement character. */
+  val MojibakePattern: String = Seq(
+    "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC", "\u00C3\u00A4",
+    "\u00C3\u00B6", "\u00C3\u00B1", "\u00C3\u00AF", "\u00C3\u00A1",
+    "\u00C3\u00B3",
+    "\u00E2\u20AC\u2122", "\u00E2\u20AC\u0153", "\u00E2\u20AC\u201C",
+    "\u00C2\u00B7", "\u00C2\u00B0", "\uFFFD").mkString("|")
+
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c, lit(MojibakePattern)).cast("long")
+
+  /** Artifacts per character (0.0 on empty text), 1e-6-rounded so the
+    * flag boundary is engine-reproducible. */
+  def mojibakeRatio(c: Column): Column =
+    round(when(length(c) === 0, 0.0)
+      .otherwise(mojibakeCount(c).cast("double") / length(c).cast("double")), 6)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EvalMetrics
+
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Boolean)], k: Int): Map[Long, Option[Double]] =
+    EvalMetrics.passAtK(rows.toDF("pid", "ok"), "pid", "ok", k)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toMap
+
+  test("pass@3 matches the hand-computed estimator") {
+    // n=10, c=3: 1 − (7·6·5)/(10·9·8) = 1 − 210/720 = 0.708333
+    val p1 = (1 to 10).map(i => (1L, i <= 3))
+    // n=10, c=0: pass = 0
+    val p2 = (1 to 10).map(_ => (2L, false))
+    // n=10, c=10: pass = 1
+    val p3 = (1 to 10).map(_ => (3L, true))
+    // n=4, c=2 < k=3 incorrect survivors: n−c=2 < 3 → a factor is 0 → 1
+    val p4 = Seq((4L, true), (4L, true), (4L, false), (4L, false))
+    // n=2 < k → undefined
+    val p5 = Seq((5L, true), (5L, false))
+    val got = run(p1 ++ p2 ++ p3 ++ p4 ++ p5, 3)
+    got(1L).get shouldBe 0.708333 +- 1e-9
+    got(2L).get shouldBe 0.0
+    got(3L).get shouldBe 1.0
+    got(4L).get shouldBe 1.0
+    got(5L) shouldBe None
+  }
+
+  test("pass@1 reduces to the success rate") {
+    val rows = (1 to 10).map(i => (1L, i <= 4))
+    run(rows, 1)(1L).get shouldBe 0.4 +- 1e-9
+  }
+
+  test("plan is one hash aggregate — no window, no join") {
+    val plan = EvalMetrics.passAtK(
+        Seq((1L, true)).toDF("pid", "ok"), "pid", "ok", 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+}

@@ -236,4 +236,24 @@ class TextFunctionsSpec extends SparkSpec {
     m(5L) shouldBe ((0.0, 0.0, 0.0))
     m.size shouldBe 5
   }
+
+  test("mojibake: clean text scores 0, ghosts and U+FFFD are counted, ratio rounds") {
+    import org.apache.spark.sql.functions.col
+    val ghostE = "\u00C3\u00A9" // é double-decoded
+    val ghostQ = "\u00E2\u20AC\u2122" // \u2019 double-decoded (cp1252)
+    val rows = Seq(
+      (1L, "a perfectly clean line of text"),
+      (2L, s"caf$ghostE latte"), // 1 artifact, 11 chars
+      (3L, s"it${ghostQ}s \uFFFD broken $ghostE$ghostE"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        mojibakeCount(col("text")).as("n"),
+        mojibakeRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got(1L) shouldBe ((0L, 0.0))
+    got(2L)._1 shouldBe 1L
+    got(2L)._2 shouldBe 1.0 / 11.0 +- 1e-6
+    got(3L)._1 shouldBe 4L
+    got(4L) shouldBe ((0L, 0.0))
+  }
 }
