@@ -38,6 +38,7 @@ object AnnQueries extends QueryPack {
   private val MmrK = 5 // q135 picks
   private val MmrLambda = 0.7 // q135 relevance/diversity balance
   private val NdcgK = 10 // q136 evaluation depth
+  private val PcaRounds = 6 // q199 power-iteration steps
   private val TextEncDim = graft.operators.TextEncode.HashDim // q178 width
   private val TextEncQueryMod = 97 // q178 query panel: doc_id % 97 == 0
   private val TuneMaxNProbe = 4 // q179 candidate grid: nprobe 1..4
@@ -602,6 +603,27 @@ object AnnQueries extends QueryPack {
           Seq("dense" -> dense, "fused" -> fused, "sparse" -> sparse),
           rel, NdcgK)
         .orderBy(col("list"))
+    }),
+
+    // EXT-A33: corpus covariance of the embedding column — the ONE pass
+    // behind PCA/whitening/drift-axis analysis: a typed Aggregator folds
+    // each vector into a d + d(d+1)/2 + 1 double buffer (map-side
+    // partials, no shuffle key — partial aggregation IS the plan), and
+    // the d×d summary is driver-side from there. Entries round 1e-9 —
+    // the contract every derived face (q199) builds on.
+    "q198_embed_cov" -> ((s, dir) =>
+      graft.operators.Pca.covarianceLong(embs(s, dir), "embedding", Dim)
+        .orderBy(col("dim_i"), col("dim_j"))),
+
+    // EXT-A34: dominant principal axis by power iteration — the
+    // trajectory (v, λ) over PcaRounds steps on q198's rounded
+    // covariance, each round 1e-9-rounded so the whole chain replays in
+    // unrolled oracle SQL (the q137 driver-loop convention; the full
+    // Jacobi basis is spec-gated in PcaSpec against this λ).
+    "q199_pca_power" -> ((s, dir) => {
+      val (_, _, cov) = graft.operators.Pca.moments(embs(s, dir), "embedding", Dim)
+      graft.operators.Pca.powerIteration(s, cov, PcaRounds)
+        .orderBy(col("round"), col("dim"))
     })
   )
 
@@ -613,6 +635,32 @@ object AnnQueries extends QueryPack {
   private val PoolChunks = 8
 
   // DuckDB mirrors -----------------------------------------------------------
+
+  /** Shared covariance oracle chain, ending in `cvu(di, dj, nb, cov)` —
+    * the q198 one-pass moments replayed relationally (dimension-exploded
+    * sums + pair products), entries 1e-9-rounded exactly as
+    * `Pca.moments` rounds them; q199's power iteration builds on it. */
+  private lazy val covCtes: String =
+    s"""cvv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |        FROM embeddings WHERE embedding IS NOT NULL),
+       |cvn AS (SELECT count(*)::DOUBLE AS nd, count(*)::BIGINT AS nb FROM cvv),
+       |cvx AS (SELECT vec_id, i, e[i] AS xi FROM cvv, range(1, ${Dim + 1}) t(i)),
+       |cvs AS (SELECT i, SUM(xi) AS sx FROM cvx GROUP BY 1),
+       |cvp AS (SELECT a.i AS di, b.i AS dj, SUM(a.xi * b.xi) AS sp
+       |        FROM cvx a JOIN cvx b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |        GROUP BY 1, 2),
+       |cvu AS (SELECT di, dj, nb,
+       |          ROUND((sp - sa.sx * sb.sx / cvn.nd) / (cvn.nd - 1.0), 9) AS cov
+       |        FROM cvp JOIN cvs sa ON cvp.di = sa.i
+       |        JOIN cvs sb ON cvp.dj = sb.i CROSS JOIN cvn)""".stripMargin
+
+  /** One unrolled power-iteration round for the q199 oracle: A·v under
+    * v(r−1), λ = ‖A·v‖₂ rounded 1e-9, v(r) = A·v/λ rounded 1e-9. */
+  private def pcaRoundCte(r: Int): String =
+    s"""pa$r AS (SELECT c.di AS dim, SUM(c.cov * v.v) AS av
+       |         FROM cvf c JOIN pv${r - 1} v ON c.dj = v.dim GROUP BY 1),
+       |pl$r AS (SELECT ROUND(sqrt(SUM(av * av)), 9) AS lam FROM pa$r),
+       |pv$r AS (SELECT dim, ROUND(av / lam, 9) AS v FROM pa$r, pl$r)""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
@@ -1632,6 +1680,28 @@ object AnnQueries extends QueryPack {
          |       FROM bt b LEFT JOIN it i
          |         ON b.query_id = i.query_id AND b.vec_id = i.vec_id GROUP BY 1)
          |SELECT rl.query_id, rl.recall_lsh, ri.recall_ivf
-         |FROM rl JOIN ri ON rl.query_id = ri.query_id ORDER BY 1""".stripMargin
+         |FROM rl JOIN ri ON rl.query_id = ri.query_id ORDER BY 1""".stripMargin,
+
+    "q198_embed_cov" ->
+      s"""WITH $covCtes
+         |SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+         |       nb AS n, cov
+         |FROM cvu ORDER BY dim_i, dim_j""".stripMargin,
+
+    // Power-iteration replay: symmetrize the rounded covariance, uniform
+    // 1e-9-rounded init, PcaRounds unrolled (A·v, λ, normalize) rounds.
+    "q199_pca_power" ->
+      s"""WITH $covCtes,
+         |cvf AS (SELECT di, dj, cov FROM cvu
+         |        UNION ALL SELECT dj, di, cov FROM cvu WHERE di <> dj),
+         |pv0 AS (SELECT i AS dim, ROUND(1.0 / sqrt(${Dim}.0), 9) AS v
+         |        FROM range(1, ${Dim + 1}) t(i)),
+         |${(1 to PcaRounds).map(pcaRoundCte).mkString(",\n")}
+         |SELECT round, CAST(dim AS BIGINT) AS dim, v, lambda FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round, dim, v, 0.0 AS lambda FROM pv0
+         |  ${(1 to PcaRounds).map(r =>
+              s"UNION ALL SELECT CAST($r AS BIGINT), dim, v, lam FROM pv$r, pl$r")
+             .mkString("\n  ")})
+         |ORDER BY round, dim""".stripMargin
   )
 }

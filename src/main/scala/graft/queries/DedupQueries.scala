@@ -15,6 +15,7 @@ object DedupQueries extends QueryPack {
 
   private val ShingleN = 3
   private val JaccardThreshold = 0.5
+  private val ContainThreshold = 0.6 // q202 one-sided coverage gate
   private val NumPerms = 16
   private val Bands = 4 // × 4 rows/band
   private val SimHashMaxDist = 2
@@ -60,6 +61,18 @@ object DedupQueries extends QueryPack {
       Dedup.jaccardPairs(Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXT-D32: asymmetric containment pairs — the subset-duplication
+    // signal Jaccard structurally misses (a document embedded in a longer
+    // one scores |A∩B|/|A| ≈ 1 as inner with arbitrarily low Jaccard):
+    // q20's inverted-index intersection, each side normalized by its OWN
+    // shingle count, both directions reported independently.
+    "q202_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Dedup.shingleSets(docs(s, dir), ShingleN),
+          ContainThreshold)
+        .select(col("inner_id"), col("outer_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("inner_id"), col("outer_id"))),
 
     // EXT-D28: winnowing overlap pairs (the MOSS fingerprint scheme) —
     // per-window rightmost-minimum k-gram hash selection via one packed
@@ -1073,6 +1086,23 @@ object DedupQueries extends QueryPack {
          |       ROUND(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
          |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardThreshold
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q202_containment" ->
+      s"""WITH $ShingleCtes,
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |dirs AS (SELECT doc_a AS inner_id, doc_b AS outer_id,
+         |           i::DOUBLE / sa.n::DOUBLE AS c
+         |         FROM inter JOIN sz sa ON doc_a = sa.doc_id
+         |         UNION ALL
+         |         SELECT doc_b, doc_a, i::DOUBLE / sb.n::DOUBLE
+         |         FROM inter JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT inner_id, outer_id, ROUND(c, 6) AS containment
+         |FROM dirs WHERE c >= $ContainThreshold
          |ORDER BY 1, 2""".stripMargin,
 
     "q21_minhash_lsh" ->

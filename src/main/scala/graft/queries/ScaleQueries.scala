@@ -479,12 +479,91 @@ object ScaleQueries extends QueryPack {
         .select(col("node"), round(col("rank_rel"), 6).as("rank_rel"))
         .orderBy(col("rank_rel").desc, col("node"))
         .limit(PrTopK)
+    }),
+
+    // EXT-C30: deterministic multi-epoch shuffle order — the data-loader
+    // step after the token-shard write (q187): each epoch visits the
+    // corpus in a different hash-permutation order (pure function of
+    // (id, epoch), no RNG state — rerun/partitioning/engine stable), and
+    // `step` is the global consumption index assigned by the two-phase
+    // distributed rank (no unpartitioned window, no driver sort).
+    "q197_epoch_order" -> ((s, dir) =>
+      graft.operators.Layout.epochOrder(
+          Tables.read(s, dir, "documents"), "doc_id", ShuffleEpochs)
+        .orderBy(col("step"))),
+
+    // EXT-C31: persisted quantile-histogram ledger — incremental
+    // distribution state (HdrHistogram log-linear buckets, ≤ ~1 k rows
+    // per scope) under the versioned marker-last protocol: base write +
+    // delta append, then store-served p50/p90/p99 gated in-engine
+    // against the exact quantile (the q69/q191 pattern). Counts add
+    // exactly, so the fold is LOSSLESS — ledger ≡ one-shot histogram of
+    // the union (split-invariance spec-gated); the only approximation is
+    // the fixed bucket width (midpoint read-off ≤ 1/32 of the value).
+    "q200_quantile_ledger" -> ((s, dir) => {
+      import graft.store.QuantileLedger
+      val store = graft.core.Scratch.dir("graft_qledger")
+      val li = Tables.read(s, dir, "lineitem").select(
+        col("l_returnflag").as("scope"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey"))
+      QuantileLedger.write(li.where(col("l_orderkey") % 4 =!= 0),
+        store, "scope", "cents")
+      QuantileLedger.append(li.where(col("l_orderkey") % 4 === 0),
+        store, "scope", "cents", Some("d1"))
+      val est = QuantileLedger.quantiles(s, store, QPs)
+      val exact = graft.operators.Profiling.histQuantiles(
+          li.select(col("scope"), col("cents")), "scope", "cents", QPs)
+        .select(col("scope"), col("p"), col("q").as("q_exact"))
+      est.join(exact, Seq("scope", "p"))
+        .select(col("scope"), col("p"), col("n"),
+          round(col("q_est"), 6).as("q_est"),
+          round(col("q_exact"), 6).as("q_exact"),
+          round(abs(col("q_est") - col("q_exact")) / col("q_exact"), 6)
+            .as("rel_err"))
+        .withColumn("within_bound", col("rel_err") <= QBound)
+        .orderBy(col("scope"), col("p"))
+    }),
+
+    // EXT-C32: persisted count-min frequency ledger — the third
+    // mergeable ledger (distinct = q191 HLL, quantiles = q200 histogram,
+    // frequencies = this): relational CMS cells under the marker-last
+    // protocol, base write + delta append (cell counts add — the fold is
+    // lossless, CMS linearity), store-served point estimates for the
+    // exact top-10 token panel gated one-sided (est ≥ exact always) with
+    // the measured slack reported against the corpus size.
+    "q201_cms_ledger" -> ((s, dir) => {
+      import graft.store.FrequencyLedger
+      import graft.functions.TextFunctions.tokensWs
+      val store = graft.core.Scratch.dir("graft_cmsledger")
+      val toks = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), explode(tokensWs(col("text"))).as("tok"))
+      FrequencyLedger.write(toks.where(col("doc_id") % 2 === 0), store, "tok")
+      FrequencyLedger.append(toks.where(col("doc_id") % 2 === 1), store,
+        "tok", Some("d1"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      val panel = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+      val est = FrequencyLedger.estimates(s, store, panel, "tok")
+        .select(col("key").as("tok"), col("est"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      panel.join(est, Seq("tok")).crossJoin(broadcast(total))
+        .select(col("tok"), col("exact_cnt"), col("est"),
+          (col("est") >= col("exact_cnt")).as("over"),
+          round((col("est") - col("exact_cnt")).cast("double")
+            / col("n").cast("double"), 6).as("slack"))
+        .withColumn("tight", col("slack") <= CmsSlackBound)
+        .orderBy(col("exact_cnt").desc, col("tok"))
     })
   )
 
   private val PrIters = 3 // q133 PageRank rounds
   private val PrTopK = 20 // q133 output size
   private val LpIters = 3 // q173 label-propagation rounds
+  private val ShuffleEpochs = 3 // q197 training epochs
+  private val QPs = Seq(0.5, 0.9, 0.99) // q200 served quantiles
+  private val QBound = 0.07 // q200 relative-error gate (1/32 midpoint + rank slack)
+  private val CmsTopK = 10 // q201 probe panel size
+  private val CmsSlackBound = 0.02 // q201 collision-slack gate (vs E ≤ 1/Width)
 
   /** One label-propagation round as a CTE pair: labeled-neighbor counts
     * into nbN, the clamped-seed/majority label vector into lN. */
@@ -801,7 +880,92 @@ object ScaleQueries extends QueryPack {
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
         |         AS uid,
         |       doc_id, source
-        |FROM documents ORDER BY uid""".stripMargin
+        |FROM documents ORDER BY uid""".stripMargin,
+
+    // Epoch-shuffle replay: the hash-permutation key (hash60 reduced mod
+    // 2^31−1, a = 2·epoch+1, b = 1000003·(epoch+1)) and the flat rank the
+    // two-phase distributed numbering must equal.
+    "q197_epoch_order" ->
+      s"""WITH ep AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch
+         |            FROM documents),
+         |ky AS (SELECT doc_id, epoch,
+         |  ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 2147483647)
+         |    * (epoch * 2 + 1) + (epoch + 1) * 1000003) % 2147483647 AS k
+         |  FROM ep)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         |  CAST(row_number() OVER (ORDER BY epoch, k, doc_id) - 1 AS BIGINT)
+         |    AS step
+         |FROM ky ORDER BY step""".stripMargin,
+
+    // Quantile-ledger replay: the fold is lossless (counts add), so the
+    // served state ≡ the one-shot histogram of base ∪ delta = ALL of
+    // lineitem; replay the log-linear bucket arithmetic, the
+    // rank-over-cumulative selection, the midpoint read-off, and the
+    // exact-quantile gate.
+    "q200_quantile_ledger" -> {
+      val ps = QPs.map(p =>
+        s"""SELECT scope, ${p}::DOUBLE AS p,
+           |       quantile_cont(cents, $p) AS q_exact
+           |FROM lic GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH lic AS (SELECT l_returnflag AS scope,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+         |hb AS (SELECT scope,
+         |  CASE WHEN cents <= 32 THEN cents
+         |       ELSE CAST(32 + (length(bin(cents)) - 6) * 16
+         |            + floor((cents::DOUBLE - power(2, length(bin(cents)) - 1))
+         |                    / power(2, length(bin(cents)) - 5)) + 1 AS BIGINT)
+         |  END AS bucket, count(*)::BIGINT AS cnt FROM lic GROUP BY 1, 2),
+         |cm AS (SELECT scope, bucket, cnt,
+         |        SUM(cnt) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+         |        SUM(cnt) OVER (PARTITION BY scope) AS n FROM hb),
+         |pv AS (SELECT unnest([${QPs.mkString(", ")}]) AS p),
+         |sel AS (SELECT scope, p, MIN(bucket) AS qb, CAST(MAX(n) AS BIGINT) AS n
+         |        FROM cm, pv
+         |        WHERE cum::DOUBLE >= 1.0 + (n::DOUBLE - 1.0) * p GROUP BY 1, 2),
+         |est AS (SELECT scope, p, n,
+         |  CASE WHEN qb <= 32 THEN qb::DOUBLE
+         |       ELSE power(2, floor((qb - 33) / 16.0) + 5)
+         |          + ((qb - 33) % 16) * power(2, floor((qb - 33) / 16.0) + 1)
+         |          + power(2, floor((qb - 33) / 16.0)) END AS q_est FROM sel),
+         |ex AS ($ps)
+         |SELECT e.scope, e.p, e.n, ROUND(e.q_est, 6) AS q_est,
+         |  ROUND(x.q_exact, 6) AS q_exact,
+         |  ROUND(ABS(e.q_est - x.q_exact) / x.q_exact, 6) AS rel_err,
+         |  ROUND(ABS(e.q_est - x.q_exact) / x.q_exact, 6) <= $QBound
+         |    AS within_bound
+         |FROM est e JOIN ex x ON e.scope = x.scope AND e.p = x.p
+         |ORDER BY e.scope, e.p""".stripMargin
+    },
+
+    // CMS-ledger replay: the fold is lossless (cell counts add), so the
+    // served sketch ≡ one sketch of ALL tokens; replay the keyed-hash
+    // cell placement, the min-over-rows estimate for the exact top-10
+    // panel, and the one-sided + slack gates.
+    "q201_cms_ledger" -> {
+      val hashCol = "((('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)" +
+        " * (r * 2 + 1) + (r + 1) * 1000003) % 2147483647 % 1024"
+      s"""WITH tk AS (SELECT doc_id, unnest(
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+         |  FROM documents),
+         |nt AS (SELECT count(*)::DOUBLE AS n FROM tk),
+         |ex AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tk GROUP BY 1),
+         |top AS (SELECT tok, exact_cnt FROM ex
+         |        ORDER BY exact_cnt DESC, tok LIMIT $CmsTopK),
+         |rc AS (SELECT r, $hashCol AS c, count(*)::BIGINT AS cnt
+         |       FROM tk, range(0, 4) t(r) GROUP BY 1, 2),
+         |pr AS (SELECT tok, exact_cnt, r, $hashCol AS c
+         |       FROM top, range(0, 4) t(r)),
+         |es AS (SELECT pr.tok, pr.exact_cnt,
+         |         MIN(COALESCE(rc.cnt, 0)) AS est
+         |       FROM pr LEFT JOIN rc ON pr.r = rc.r AND pr.c = rc.c
+         |       GROUP BY 1, 2)
+         |SELECT tok, exact_cnt, est, est >= exact_cnt AS over,
+         |  ROUND((est - exact_cnt)::DOUBLE / nt.n, 6) AS slack,
+         |  ROUND((est - exact_cnt)::DOUBLE / nt.n, 6) <= $CmsSlackBound AS tight
+         |FROM es, nt ORDER BY exact_cnt DESC, tok""".stripMargin
+    }
   )
 
   /** Morton-interleave of two `bits`-bit ints as portable SQL — the same

@@ -1021,7 +1021,82 @@ object TextQueries extends QueryPack {
           (col("n_content") > 0 && col("gopher_pass") &&
             col("doc_id") === col("keep_id")).as("selected"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // EXT-P1: preference-pair mining (the DPO/RLHF reward-data shape) —
+    // fixed-size candidate groups (PrefCandK consecutive doc ids = one
+    // prompt's responses; group COUNT grows with the corpus, group SIZE
+    // stays bounded), quality-scored, chosen = argmax / rejected =
+    // argmin with deterministic tie-breaks, margin-gated. ONE
+    // map-side-combinable hash aggregate — no window, no sort, no join.
+    "q194_pref_pairs" -> ((s, dir) =>
+      graft.operators.Preference.preferencePairs(
+          docs(s, dir).select(
+            expr(s"doc_id div $PrefCandK").as("prompt_id"), col("doc_id"),
+            round(qualityScore(col("text")), 6).as("score")),
+          "prompt_id", "doc_id", "score", PrefMinMargin)
+        .orderBy(col("prompt_id"))),
+
+    // EXT-P2: Bradley–Terry source strengths from the q194 pairs — the
+    // arena-leaderboard model fit on the corpus's own preference data:
+    // chosen/rejected sources ride the pair aggregate as carried payload
+    // (no corpus-sized join back), the outcome log reduces to a
+    // players²-bounded count matrix, and Hunter's MM iteration replays
+    // driver-side with 1e-9-rounded rounds (the q137/q141 convention).
+    "q195_bt_strength" -> ((s, dir) => {
+      val pp = graft.operators.Preference.preferencePairs(
+        docs(s, dir).select(
+          expr(s"doc_id div $PrefCandK").as("prompt_id"), col("doc_id"),
+          round(qualityScore(col("text")), 6).as("score"), col("source")),
+        "prompt_id", "doc_id", "score", PrefMinMargin, Seq("source"))
+      graft.operators.Preference.bradleyTerry(s,
+          pp.select(col("chosen_source").as("winner"),
+            col("rejected_source").as("loser")),
+          "winner", "loser", BtRounds)
+        .orderBy(col("round"), col("player"))
+    }),
+
+    // EXT-T64: C4-style blocklist gate — token-exact bad-word filtering
+    // as ONE codegen'd map-only projection (HOF filter over the token
+    // array, list inlined in the plan): zero shuffles, streams with the
+    // scan. The table-sized-list face (`Blocklist.hitsJoin`) is law-gated
+    // against this one in BlocklistSpec.
+    "q196_blocklist" -> ((s, dir) =>
+      graft.operators.Blocklist.flags(
+          docs(s, dir), "text", Seq("doc_id"), BlockWords)
+        .orderBy(col("doc_id"))),
+
+    // EXT-T65: encoding-artifact (mojibake) scoring — the ftfy-tier gate
+    // on byte-level corruption (UTF-8-as-Latin-1 ghosts, U+FFFD): the
+    // fixture corpus is clean, so artifacts are PLANTED on every 7th
+    // document (the q63/q144 planting pattern — the oracle plants the
+    // identical suffix) and the scorer must flag exactly those. Pure
+    // literal-alternation regex (Java/RE2-identical), map-only.
+    "q203_mojibake" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{mojibakeCount, mojibakeRatio}
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(MojiSuffix))).otherwise(col("text")).as("t"))
+      planted.select(col("doc_id"),
+          length(col("t")).cast("long").as("n_chars"),
+          mojibakeCount(col("t")).as("n_moji"),
+          mojibakeRatio(col("t")).as("moji_ratio"))
+        .withColumn("flagged", col("n_moji") > 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXT-T66: unbiased pass@k (Chen et al. 2021 eq. 1) — the eval-suite
+    // estimator over per-sample outcome logs: problems = consecutive
+    // doc-id groups of 10 samples, "correct" = 1e-6-rounded quality above
+    // the threshold; pass@3 = 1 − Π (n−c−j)/(n−j), factors multiplied in
+    // ascending-j order so the oracle replays the identical sequence.
+    "q204_pass_at_k" -> ((s, dir) =>
+      graft.operators.EvalMetrics.passAtK(
+          docs(s, dir).select(
+            expr(s"doc_id div $PassSamples").as("problem_id"),
+            (round(qualityScore(col("text")), 6) > PassThreshold).as("ok")),
+          "problem_id", "ok", PassK)
+        .orderBy(col("problem_id")))
   )
 
   /** The deterministic page wrap shared by q144/q149 (the q63 planting
@@ -1084,6 +1159,15 @@ object TextQueries extends QueryPack {
   private val DoremiEta = 1.0 // q141 update step size
   private val GopherMinWords = 20 // q142 word-count floor
   private val HtmlMinWords = 5 // q144 content-block word floor
+  private val PrefCandK = 4 // q194 candidates per prompt group
+  private val PrefMinMargin = 0.05 // q194 minimum chosen−rejected gap
+  private val BtRounds = 4 // q195 Bradley–Terry MM rounds
+  private val BlockWords = Seq("slow", "big", "merge") // q196 blocklist
+  private val MojiSuffix = // q203 planted artifacts (explicit code points)
+    " caf\u00C3\u00A9 na\u00C3\u00AFve \u00E2\u20AC\u0153quoted\u00E2\u20AC\u2122 x\uFFFD"
+  private val PassSamples = 10 // q204 samples per problem
+  private val PassK = 3 // q204 estimator depth
+  private val PassThreshold = 0.55 // q204 correctness gate on quality
   private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
   private val CcnetSampleMod = 4L // q147 cutoff-sample rate (1 in 4)
   private val TierBudget = 1000000L // q150 token budget
@@ -1179,6 +1263,54 @@ object TextQueries extends QueryPack {
        |       FROM pf LEFT JOIN lr ON pf.bucket = lr.bucket
        |       GROUP BY 1)""".stripMargin
   }
+
+  /** Shared preference-pair oracle chain, ending in `pp(prompt_id,
+    * chosen_id, chosen_score, chosen_source, rejected_id, rejected_score,
+    * rejected_source, margin)` — the q194 mining replayed with rank-1
+    * windows (chosen: score DESC, id ASC; rejected: score ASC, id DESC),
+    * reused by q195's Bradley–Terry fit. */
+  private lazy val prefCtes: String =
+    s"""ptk AS (SELECT doc_id, source, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |psc AS (SELECT doc_id, doc_id // $PrefCandK AS prompt_id, source,
+       |  ROUND(GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+       |    + LEAST(1.0, CASE WHEN len(tk) = 0 THEN 0.0
+       |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END * 4.0) * 0.5
+       |    - LEAST(1.0, CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+       |             / length(text)::DOUBLE END * 10.0) * 0.25), 6) AS score
+       |  FROM ptk),
+       |prk AS (SELECT prompt_id, doc_id, source, score,
+       |  row_number() OVER (PARTITION BY prompt_id
+       |                     ORDER BY score DESC, doc_id ASC) AS rc,
+       |  row_number() OVER (PARTITION BY prompt_id
+       |                     ORDER BY score ASC, doc_id DESC) AS rr,
+       |  count(*) OVER (PARTITION BY prompt_id) AS n FROM psc),
+       |pp AS (SELECT c.prompt_id,
+       |  c.doc_id AS chosen_id, c.score AS chosen_score,
+       |  c.source AS chosen_source,
+       |  r.doc_id AS rejected_id, r.score AS rejected_score,
+       |  r.source AS rejected_source,
+       |  ROUND(c.score - r.score, 6) AS margin
+       |  FROM (SELECT * FROM prk WHERE rc = 1 AND n >= 2) c
+       |  JOIN (SELECT * FROM prk WHERE rr = 1) r USING (prompt_id)
+       |  WHERE ROUND(c.score - r.score, 6) >= $PrefMinMargin)""".stripMargin
+
+  /** One unrolled Bradley–Terry MM round for the q195 oracle: per-player
+    * denominator under w(i−1), the ½-pseudo-win numerator, the
+    * 1e-9-rounded normalized update. */
+  private def btRoundCte(i: Int): String =
+    s"""d$i AS (SELECT p.player AS player, SUM(n.n / (wa.w + wb.w)) AS den
+       |        FROM players p JOIN nij n ON (n.a = p.player OR n.b = p.player)
+       |        JOIN w${i - 1} wa ON wa.player = n.a
+       |        JOIN w${i - 1} wb ON wb.player = n.b
+       |        GROUP BY 1),
+       |r$i AS (SELECT d.player, (COALESCE(wins.wi, 0) + 0.5) / d.den AS rw
+       |        FROM d$i d LEFT JOIN wins ON wins.player = d.player),
+       |w$i AS (SELECT player, ROUND(rw / (SELECT SUM(rw) FROM r$i), 9) AS w
+       |        FROM r$i)""".stripMargin
 
   // DuckDB mirrors -----------------------------------------------------------
 
@@ -2668,6 +2800,78 @@ object TextQueries extends QueryPack {
          |SELECT da.tok AS term_a, db.tok AS term_b, ROUND(corr, 6) AS corr
          |FROM rk JOIN dict da ON rk.item_a = da.h JOIN dict db ON rk.item_b = db.h
          |WHERE rnk <= 3
-         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin
+         |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
+
+    "q194_pref_pairs" ->
+      s"""WITH $prefCtes
+         |SELECT prompt_id, chosen_id, chosen_score, rejected_id,
+         |       rejected_score, margin
+         |FROM pp ORDER BY prompt_id""".stripMargin,
+
+    // Bradley–Terry replay: q194's pairs → source-level outcome log →
+    // players/wins/pairwise-count tables → BtRounds unrolled MM rounds,
+    // each 1e-9-rounded (mirrors Preference.bradleyTerry exactly).
+    "q195_bt_strength" ->
+      s"""WITH $prefCtes,
+         |g AS (SELECT chosen_source AS w, rejected_source AS l FROM pp
+         |      WHERE chosen_source <> rejected_source),
+         |players AS (SELECT DISTINCT player FROM
+         |  (SELECT w AS player FROM g UNION ALL SELECT l AS player FROM g)),
+         |np AS (SELECT count(*)::DOUBLE AS np FROM players),
+         |nij AS (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+         |          count(*)::DOUBLE AS n FROM g GROUP BY 1, 2),
+         |wins AS (SELECT w AS player, count(*)::DOUBLE AS wi FROM g GROUP BY 1),
+         |w0 AS (SELECT player, ROUND(1.0 / np, 9) AS w FROM players, np),
+         |${(1 to BtRounds).map(btRoundCte).mkString(",\n")}
+         |SELECT round, player, strength FROM (
+         |  ${(0 to BtRounds).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS round, player, w AS strength FROM w$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY round, player""".stripMargin,
+
+    "q203_mojibake" -> {
+      import graft.functions.TextFunctions.MojibakePattern
+      val m = s"len(regexp_extract_all(t, '$MojibakePattern'))"
+      s"""WITH pl AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || '$MojiSuffix'
+         |       ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, length(t)::BIGINT AS n_chars,
+         |  $m::BIGINT AS n_moji,
+         |  ROUND(CASE WHEN length(t) = 0 THEN 0.0
+         |        ELSE $m::DOUBLE / length(t)::DOUBLE END, 6) AS moji_ratio,
+         |  $m > 0 AS flagged
+         |FROM pl ORDER BY doc_id""".stripMargin
+    },
+
+    // pass@k replay: the q194 quality chain regrouped into 10-sample
+    // problems, then the identical ascending-j factor product.
+    "q204_pass_at_k" -> {
+      val factors = (0 until PassK).map(j =>
+        s"(GREATEST(n - c - $j, 0)::DOUBLE / (n - $j)::DOUBLE)").mkString(" * ")
+      s"""WITH $prefCtes,
+         |grp AS (SELECT doc_id // $PassSamples AS problem_id,
+         |          score > $PassThreshold AS ok FROM psc),
+         |ag AS (SELECT problem_id, count(*)::BIGINT AS n,
+         |         SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c
+         |       FROM grp GROUP BY 1)
+         |SELECT problem_id, n, c,
+         |  CASE WHEN n < $PassK THEN NULL
+         |       ELSE ROUND(1.0 - $factors, 6) END AS pass_at_$PassK
+         |FROM ag ORDER BY problem_id""".stripMargin
+    },
+
+    "q196_blocklist" -> {
+      val inList = BlockWords.map(_.toLowerCase).distinct.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH $ToksCte,
+         |lt AS (SELECT doc_id, list_transform(tk, t -> lower(t)) AS lt FROM toks)
+         |SELECT doc_id, len(lt)::BIGINT AS n_tokens,
+         |  len(list_filter(lt, t -> t IN ($inList)))::BIGINT AS n_hits,
+         |  len(list_filter([$inList], w -> list_contains(lt, w)))::BIGINT
+         |    AS n_distinct_hits,
+         |  len(list_filter(lt, t -> t IN ($inList))) > 0 AS flagged
+         |FROM lt ORDER BY doc_id""".stripMargin
+    }
   )
 }
