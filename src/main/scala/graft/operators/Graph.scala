@@ -148,4 +148,59 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Per-node triangle counts by DEGREE-ORIENTED wedge join (the
+   * compact-forward algorithm; Chiba & Nishizeki 1985, Schank 2007 —
+   * what every distributed triangle system implements): orient each
+   * undirected edge from its lower-(degree, id) endpoint to the higher,
+   * build wedges only from each node's OUT-edges, and close them
+   * against the oriented edge list. Orientation is THE scale move: a
+   * hub of degree d contributes O(d²) wedges un-oriented but only
+   * O(out-deg²) oriented, and out-degree is bounded by the graph's
+   * arboricity (≈√m worst case) — the difference between a power-law
+   * graph finishing and its biggest hub exploding one reducer.
+   *
+   * Input: (src, dst) edge list — direction, duplicates, and self-loops
+   * are normalized away. Output: (node, n_tri), nodes with ≥ 1 triangle
+   * (each triangle credits all three corners once). Plan: one distinct,
+   * one degree aggregate, the wedge self-join keyed on the wedge
+   * center, one closing join, one explode + count.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = graft.core.Caches.cacheOnce(
+      edges.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    // (deg, id) total-order rank decides orientation; carrying the
+    // endpoint degrees forward lets the wedge join compare ranks without
+    // touching the degree table again
+    val oriented = graft.core.Caches.cacheOnce(und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dv")))
+    // wedges (u; x, y) with rank(x) < rank(y), closed by oriented (x, y)
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val closed = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+      "left_semi")
+    val corners = closed.select(explode(array(col("u"), col("x"), col("y")))
+      .as("node"))
+    corners.groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    // release order is not load-bearing: cacheOnce entries are released
+    // by the session-level cache sweep (Caches.clearAll) after the run
+  }
 }

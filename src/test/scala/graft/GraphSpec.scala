@@ -116,4 +116,43 @@ class GraphSpec extends SparkSpec {
     nNodes(6, 5) shouldBe nNodes(11, 5)
     nNodes(11, 0) should be > nNodes(6, 0)
   }
+
+  test("triangleCounts: hand-computed diamond — two triangles sharing an edge") {
+    import spark.implicits._
+    // K4 minus (3,4): triangles {1,2,3} and {1,2,4}; 1 and 2 corner both
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("triangleCounts normalizes direction, duplicates, self-loops; square has none") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    Graph.triangleCounts(square).count() shouldBe 0L
+  }
+
+  test("triangleCounts matches a brute-force witness on a random graph (seed 11)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = und.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if adj((a, b)) && adj((b, c)) && adj((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe brute
+  }
 }
