@@ -438,4 +438,36 @@ object EventStreams {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("v_day"), ignoreNulls = true).over(wFill).as("v_close"))
   }
+
+  /**
+   * Retention cohort matrix — the standard product-analytics rollup:
+   * users cohorted by first-seen day, each cohort's later activity
+   * reported as (cohort_date, day_offset, n_active, n_cohort,
+   * retention). Offset 0 is the cohort itself (retention 1 by
+   * construction); only offsets with activity appear.
+   *
+   * Plan shape: the first-seen aggregate and the distinct (user, day)
+   * activity table share the user key, so Catalyst reuses one exchange
+   * for their join; the matrix aggregate is (cohorts × offsets) rows —
+   * tiny — and cohort sizes broadcast back onto it. The event body
+   * never shuffles twice.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val acts = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val first = acts.groupBy(col("u")).agg(min(col("day")).as("cohort_date"))
+    val matrix = acts.join(first, Seq("u"))
+      .groupBy(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("u")).as("n_active"))
+    val sizes = first.groupBy(col("cohort_date"))
+      .agg(countDistinct(col("u")).as("n_cohort"))
+    matrix.join(broadcast(sizes), Seq("cohort_date"))
+      .select(col("cohort_date"), col("day_offset").cast("long").as("day_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
 }

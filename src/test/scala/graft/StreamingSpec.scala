@@ -374,4 +374,23 @@ class StreamingSpec extends SparkSpec {
       online.select(max(col("psi_total"))).head().getDouble(0) should be > 0.1
     } finally sq.stop()
   }
+
+  test("retentionCohorts: hand-computed matrix, duplicate events collapse") {
+    import spark.implicits._
+    def ts(day: Int, h: Int = 9) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // cohort d1: users 1,2 — u1 returns d2 and d3, u2 returns d3 (twice)
+    // cohort d2: user 3 — never returns
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(3)), (2L, ts(3, 15)),
+      (3L, ts(2))).toDF("user_id", "ts")
+    val got = graft.streaming.EventStreams.retentionCohorts(events)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    got shouldBe Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 2L, 1.0)),
+      ("2024-01-02", 0L) -> ((1L, 1L, 1.0)))
+  }
 }
