@@ -553,6 +553,27 @@ object ScaleQueries extends QueryPack {
             / col("n").cast("double"), 6).as("slack"))
         .withColumn("tight", col("slack") <= CmsSlackBound)
         .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
+    // EXT-X12: degree-oriented triangle counting over the REPEAT
+    // co-purchase graph (parts sharing ≥ 2 orders — one-off
+    // co-occurrence is noise, and the threshold keeps the projection
+    // sparse: ~3.4 avg degree here vs ~300 unthresholded). Orientation
+    // bounds each node's wedge fan-out by its out-degree (≤ O(√m)) —
+    // the move that keeps power-law hubs off a single reducer.
+    "q205_triangles" -> ((s, dir) => {
+      val p = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+      val e = p.as("x").join(p.as("y"), Seq("o"))
+        .where(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("o"), col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= TriMinOrders)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.triangleCounts(e)
+        .orderBy(col("node"))
     })
   )
 
@@ -564,6 +585,7 @@ object ScaleQueries extends QueryPack {
   private val QBound = 0.07 // q200 relative-error gate (1/32 midpoint + rank slack)
   private val CmsTopK = 10 // q201 probe panel size
   private val CmsSlackBound = 0.02 // q201 collision-slack gate (vs E ≤ 1/Width)
+  private val TriMinOrders = 2 // q205 repeat-co-purchase edge floor
 
   /** One label-propagation round as a CTE pair: labeled-neighbor counts
     * into nbN, the clamped-seed/majority label vector into lN. */
@@ -965,7 +987,32 @@ object ScaleQueries extends QueryPack {
          |  ROUND((est - exact_cnt)::DOUBLE / nt.n, 6) AS slack,
          |  ROUND((est - exact_cnt)::DOUBLE / nt.n, 6) <= $CmsSlackBound AS tight
          |FROM es, nt ORDER BY exact_cnt DESC, tok""".stripMargin
-    }
+    },
+
+    // Triangle replay: repeat-co-purchase edges, (degree, id)-oriented,
+    // wedge join closed against the oriented list, corners exploded.
+    "q205_triangles" ->
+      s"""WITH p AS (SELECT l_orderkey AS o, l_partkey FROM lineitem),
+         |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b, x.o
+         |       FROM p x JOIN p y USING (o) WHERE x.l_partkey < y.l_partkey),
+         |e AS (SELECT a, b FROM e0 GROUP BY 1, 2
+         |      HAVING COUNT(*) >= $TriMinOrders),
+         |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |d AS (SELECT a AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+         |ori AS (SELECT
+         |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS u,
+         |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS v,
+         |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dv
+         |  FROM e JOIN d da ON e.a = da.node JOIN d db ON e.b = db.node),
+         |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+         |      FROM ori o1 JOIN ori o2 ON o1.u = o2.u
+         |      WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+         |t AS (SELECT w.u, w.x, w.y FROM w
+         |      JOIN ori ON ori.u = w.x AND ori.v = w.y),
+         |corners AS (SELECT u AS node FROM t UNION ALL SELECT x FROM t
+         |            UNION ALL SELECT y FROM t)
+         |SELECT node, COUNT(*)::BIGINT AS n_tri FROM corners
+         |GROUP BY 1 ORDER BY node""".stripMargin
   )
 
   /** Morton-interleave of two `bits`-bit ints as portable SQL — the same

@@ -181,7 +181,19 @@ object StreamingQueries extends QueryPack {
           events(s, dir), col("event_type") === "error")
         .select(col("user_id"), round(col("value"), 6).as("value"),
           col("valid_from"), col("valid_to"), col("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("value")))
+        .orderBy(col("user_id"), col("valid_from"), col("value"))),
+
+    // EXT-S25: retention cohort matrix — the standard product-analytics
+    // rollup: users cohorted by first-seen day, later activity per
+    // (cohort, day-offset) with cohort-size-normalized retention. The
+    // first-seen aggregate and the distinct activity table share the
+    // user key (one exchange serves both); the matrix is cohorts ×
+    // offsets rows and cohort sizes broadcast onto it.
+    "q206_retention" -> ((s, dir) =>
+      EventStreams.retentionCohorts(events(s, dir))
+        .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_active"), col("n_cohort"), col("retention"))
+        .orderBy(col("cohort"), col("day_offset")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -424,6 +436,22 @@ object StreamingQueries extends QueryPack {
          |FROM events v JOIN events c ON v.user_id = c.user_id
          |WHERE v.event_type = 'view' AND c.event_type = 'click'
          |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '$FunnelWithinSec seconds'
-         |ORDER BY 1, 2, 4""".stripMargin
+         |ORDER BY 1, 2, 4""".stripMargin,
+
+    "q206_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |fs AS (SELECT u, MIN(day) AS cohort_date FROM acts GROUP BY 1),
+        |mx AS (SELECT cohort_date,
+        |         date_diff('day', cohort_date, day)::BIGINT AS day_offset,
+        |         COUNT(DISTINCT u)::BIGINT AS n_active
+        |       FROM acts JOIN fs USING (u) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_date, COUNT(DISTINCT u)::BIGINT AS n_cohort
+        |       FROM fs GROUP BY 1)
+        |SELECT strftime(mx.cohort_date, '%Y-%m-%d') AS cohort,
+        |  day_offset, n_active, n_cohort,
+        |  ROUND(n_active::DOUBLE / n_cohort::DOUBLE, 6) AS retention
+        |FROM mx JOIN sz USING (cohort_date)
+        |ORDER BY cohort, day_offset""".stripMargin
   )
 }
