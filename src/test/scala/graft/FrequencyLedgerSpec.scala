@@ -64,4 +64,27 @@ class FrequencyLedgerSpec extends SparkSpec {
     FrequencyLedger.append(Seq("y").toDF("k"), store, "k")
     est(store, Seq("y"))("y") shouldBe 2L
   }
+
+  test("streaming LedgerIngest: stream fold == one-shot; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmss").toString
+    val store = s"$dir/store"; val whole = s"$dir/whole"
+    val b0 = Seq("a", "a", "b")
+    val b1 = Seq("a", "c", "c")
+    FrequencyLedger.write(b0.toDF("k"), store, "k")
+    val mem = MemoryStream[String]
+    val sq = graft.streaming.LedgerIngest.startFrequencies(
+      mem.toDF().toDF("k"), store, s"$dir/ckpt", "k")
+    try {
+      mem.addData(b1: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    FrequencyLedger.write((b0 ++ b1).toDF("k"), whole, "k")
+    val keys = Seq("a", "b", "c")
+    est(store, keys) shouldBe est(whole, keys)
+    val before = est(store, keys)
+    graft.streaming.LedgerIngest.applyFrequencyBatch(
+      b1.toDF("k"), 0L, store, "k") // crash redelivery
+    est(store, keys) shouldBe before
+  }
 }

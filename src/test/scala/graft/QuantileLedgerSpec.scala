@@ -97,4 +97,27 @@ class QuantileLedgerSpec extends SparkSpec {
       assert(math.abs(est(k) - q) / q <= 0.07, s"$k est=${est(k)} exact=$q")
     }
   }
+
+  test("streaming LedgerIngest: stream fold == one-shot; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_qhs").toString
+    val store = s"$dir/store"; val whole = s"$dir/whole"
+    val b0 = (1L to 150L).map(i => ("a", i))
+    val b1 = (151L to 400L).map(i => ("a", i))
+    QuantileLedger.write(spark.emptyDataFrame
+      .select(lit("x").as("k"), lit(1L).as("v")).where(lit(false)), store, "k", "v")
+    val mem = MemoryStream[(String, Long)]
+    val sq = graft.streaming.LedgerIngest.startQuantiles(
+      mem.toDF().toDF("k", "v"), store, s"$dir/ckpt", "k", "v")
+    try {
+      Seq(b0, b1).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+    QuantileLedger.write((b0 ++ b1).toDF("k", "v"), whole, "k", "v")
+    served(store) shouldBe served(whole)
+    val before = served(store)
+    graft.streaming.LedgerIngest.applyQuantileBatch(
+      b0.toDF("k", "v"), 0L, store, "k", "v") // crash redelivery
+    served(store) shouldBe before
+  }
 }
