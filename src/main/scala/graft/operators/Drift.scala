@@ -94,6 +94,37 @@ object Drift {
     * vocabulary and thousands of sources — never materializes; cost is
     * one (source, token) aggregate plus two saturating side tables.
     * Output: (source, n_toks, n_vocab, kl), kl rounded 1e-6. */
+  /**
+   * Robust time-series anomaly flags by median absolute deviation — the
+   * ops-monitoring face of the drift tier (PSI compares two snapshots;
+   * this watches ONE series for outlier points): per series key, the
+   * median of the daily values and the MAD around it, each point flagged
+   * when |x − median| > k · MAD (the Hampel identifier; with k ≈ 3·1.4826
+   * it matches the classic 3σ rule on Gaussian data but survives the
+   * very outliers it hunts, which a mean/stddev fence does not).
+   *
+   * Scale shape: the input here is an already-aggregated series table
+   * (key × grid rows — e.g. `resampleDailyFfill`'s output or a daily
+   * count rollup), so the per-key percentile windows run over bounded
+   * groups; the corpus-sized aggregation happened upstream. Zero-MAD
+   * series (constant but for spikes) flag any deviation at all.
+   * Output: input keys + (value, med, mad, flagged).
+   */
+  def madOutliers(series: DataFrame, keyCol: String, valueCol: String,
+                  k: Double = 4.4478): DataFrame = {
+    require(k > 0.0, "madOutliers: k must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    val v = col(valueCol).cast("double")
+    val withMed = series.withColumn("med", percentile(v, lit(0.5)).over(w))
+    val withMad = withMed.withColumn("mad",
+      percentile(abs(v - col("med")), lit(0.5)).over(w))
+    withMad.select(series.columns.map(col) ++ Seq(
+      round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+      when(col("mad") === 0.0, abs(v - col("med")) > 0.0)
+        .otherwise(abs(v - col("med")) > lit(k) * col("mad")).as("flagged")): _*)
+  }
+
   def sourceTokenKl(docs: DataFrame, srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokensWs

@@ -230,4 +230,33 @@ class CorpusStatsSpec extends SparkSpec {
     // a source matching the corpus mixture drifts less than a skewed one
     assert(got("s3")._3 < got("s2")._3)
   }
+
+  test("madOutliers: Hampel fence flags the spike, survives the outlier itself") {
+    import spark.implicits._
+    // series A: steady 10s with one spike — mean/σ would be dragged by
+    // the spike; the median fence must not be. med=10, dev(100)=90,
+    // MAD=0? values: 10,10,10,11,9,100 → med 10, devs 0,0,0,1,1,90 →
+    // MAD = 0.5 → fence 4.4478·0.5 ≈ 2.2 → only the spike flags.
+    val a = Seq(10L, 10L, 10L, 11L, 9L, 100L).zipWithIndex
+      .map { case (v, i) => ("A", s"d$i", v) }
+    // series B: constant — zero MAD; any deviation at all must flag
+    val b = Seq(5L, 5L, 5L, 7L).zipWithIndex.map { case (v, i) => ("B", s"d$i", v) }
+    val got = graft.operators.Drift.madOutliers(
+        (a ++ b).toDF("k", "day", "n"), "k", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    got(("A", "d5"))._3 shouldBe true // the spike
+    Seq("d0", "d1", "d2", "d3", "d4").foreach(d => got(("A", d))._3 shouldBe false)
+    got(("A", "d0"))._1 shouldBe 10.0
+    got(("A", "d0"))._2 shouldBe 0.5
+    got(("B", "d3"))._3 shouldBe true // zero-MAD series: any deviation flags
+    got(("B", "d0"))._3 shouldBe false
+  }
+
+  test("madOutliers rejects a non-positive fence") {
+    import spark.implicits._
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Drift.madOutliers(
+        Seq(("A", 1L)).toDF("k", "n"), "k", "n", 0.0)
+  }
 }
