@@ -83,6 +83,64 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank — random-walk-with-restart relevance to a seed
+   * set (Haveliwala 2002; the recommendation/trust-propagation face of
+   * the rank tier): the teleport mass lands on the seeds instead of
+   * uniformly, r_{i+1}(v) = (1−d)·p(v) + d·Σ_{u→v} r_i(u)/outdeg(u)
+   * with p uniform over the in-graph seeds and r₀ = p. Same per-round
+   * shuffle bill and `checkpointEvery` lineage seal as `pageRank`; the
+   * teleport vector is one cached (node, p) table. Seeds outside the
+   * graph are ignored; at least one must be present. Output:
+   * (node, rank_rel) with rank_rel = N·rank, directly comparable to
+   * `pageRank`'s scale (nodes unreachable from the seeds hold 0).
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    require(checkpointEvery >= 0,
+      "personalizedPageRank: checkpointEvery must be >= 0")
+    val e = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
+    val nodes = graft.core.Caches.cacheOnce(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct())
+    val nTotal = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    val outdeg = graft.core.Caches.cacheOnce(
+      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg")))
+    val inGraphSeeds = nodes.join(
+      seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+    val nSeeds = broadcast(inGraphSeeds.agg(count(lit(1)).cast("double").as("ns")))
+    val tele = graft.core.Caches.cacheOnce(
+      nodes.join(inGraphSeeds.withColumn("__s", lit(1)), Seq("node"), "left")
+        .crossJoin(nSeeds)
+        .select(col("node"),
+          when(col("__s").isNotNull, lit(1.0) / col("ns"))
+            .otherwise(lit(0.0)).as("p")))
+    require(tele.where(col("p") > 0.0).limit(1).count() == 1L,
+      "personalizedPageRank: no seed node present in the graph")
+    var ranks = tele.select(col("node"), col("p").as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("m"))
+      ranks = tele.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val cached = graft.core.Caches.cacheOnce(ranks)
+        ranks = cached.localCheckpoint(eager = false)
+        ranks.count()
+        graft.core.Caches.release(cached)
+      }
+    }
+    ranks.crossJoin(nTotal)
+      .select(col("node"), (col("rank") * col("n")).as("rank_rel"))
+  }
+
+  /**
    * Fixed-iteration synchronous LABEL PROPAGATION (Zhu & Ghahramani
    * 2002; Raghavan et al. 2007) — the semi-supervised "labels spread
    * along links" primitive behind host-spam and quality propagation: a

@@ -117,6 +117,37 @@ class GraphSpec extends SparkSpec {
     nNodes(11, 0) should be > nNodes(6, 0)
   }
 
+  test("personalizedPageRank: seeded-all equals pageRank; teleport localizes mass") {
+    import spark.implicits._
+    // two communities bridged by one edge: 1-2-3 and 4-5-6, bridge 3-4
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val all = edges.select(col("src").as("node")).distinct()
+    val pr = Graph.pageRank(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pprAll = Graph.personalizedPageRank(edges, all, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.foreach { case (n, v) => pprAll(n) shouldBe v +- 1e-12 }
+    // seeding community {1,2,3} keeps its mass above the far community's
+    val seeded = Graph.personalizedPageRank(edges, Seq(1L, 2L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(1L, 2L).map(seeded).min should be > Seq(5L, 6L).map(seeded).max
+    // total mass is conserved (N·Σrank/N = Σ rank_rel / N = 1)
+    seeded.values.sum / 6.0 shouldBe 1.0 +- 1e-9
+  }
+
+  test("personalizedPageRank: out-of-graph seeds drop; all-out-of-graph errors") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, Seq(1L, 99L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) should be > got(2L)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.personalizedPageRank(edges, Seq(99L).toDF("node"), 2)
+  }
+
   test("triangleCounts: hand-computed diamond — two triangles sharing an edge") {
     import spark.implicits._
     // K4 minus (3,4): triangles {1,2,3} and {1,2,4}; 1 and 2 corner both
