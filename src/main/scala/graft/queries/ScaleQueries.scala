@@ -574,6 +574,27 @@ object ScaleQueries extends QueryPack {
         .select(col("src"), col("dst"))
       graft.operators.Graph.triangleCounts(e)
         .orderBy(col("node"))
+    }),
+
+    // EXT-X14: personalized PageRank — random-walk-with-restart
+    // relevance to a seed cohort over the symmetrized co-purchase graph
+    // (q133's fixture, q173's seed rule): the teleport mass lands on the
+    // seeds, so the top ranks ARE the cohort's recommendation
+    // neighborhood. Same per-round shuffle bill as q133.
+    "q208_ppr" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val ord = Tables.read(s, dir, "orders")
+      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      val edges = cp.unionAll(cp.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ord.where(col("o_custkey") % 19 === 1)
+        .select((col("o_custkey") * 2L).as("node")).distinct()
+      graft.operators.Graph.personalizedPageRank(edges, seeds, PrIters)
+        .select(col("node"), round(col("rank_rel"), 6).as("rank_rel"))
+        .orderBy(col("rank_rel").desc, col("node"))
+        .limit(PrTopK)
     })
   )
 
@@ -611,6 +632,18 @@ object ScaleQueries extends QueryPack {
        |        GROUP BY 1),
        |r$i AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c$i.m, 0) AS rank
        |        FROM nodes LEFT JOIN c$i USING (node) CROSS JOIN nn)""".stripMargin
+  }
+
+  /** One unrolled personalized-PageRank round for the q208 oracle:
+    * contributions as in q133, teleport onto the seed vector `tp`. */
+  private def pprRound(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""c$i AS (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
+       |        FROM ee JOIN $prev ON ee.src = $prev.node
+       |                JOIN od ON ee.src = od.src
+       |        GROUP BY 1),
+       |r$i AS (SELECT tp.node, 0.15 * tp.p + 0.85 * COALESCE(c$i.m, 0) AS rank
+       |        FROM tp LEFT JOIN c$i USING (node))""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1012,7 +1045,29 @@ object ScaleQueries extends QueryPack {
          |corners AS (SELECT u AS node FROM t UNION ALL SELECT x FROM t
          |            UNION ALL SELECT y FROM t)
          |SELECT node, COUNT(*)::BIGINT AS n_tri FROM corners
-         |GROUP BY 1 ORDER BY node""".stripMargin
+         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q208_ppr" ->
+      s"""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+         |                   l.l_partkey * 2 + 1 AS dst
+         |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ee AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+         |nodes AS (SELECT DISTINCT src AS node FROM ee),
+         |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM ee GROUP BY 1),
+         |sg AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders
+         |       WHERE o_custkey % 19 = 1),
+         |sgi AS (SELECT sg.node FROM sg JOIN nodes USING (node)),
+         |ns AS (SELECT COUNT(*)::DOUBLE AS ns FROM sgi),
+         |tp AS (SELECT nodes.node,
+         |         CASE WHEN sgi.node IS NOT NULL THEN 1.0 / ns.ns
+         |              ELSE 0.0 END AS p
+         |       FROM nodes LEFT JOIN sgi USING (node) CROSS JOIN ns),
+         |r0 AS (SELECT node, p AS rank FROM tp),
+         |${(1 to PrIters).map(pprRound).mkString(",\n")}
+         |SELECT node, ROUND(r$PrIters.rank * nn.n, 6) AS rank_rel
+         |FROM r$PrIters CROSS JOIN nn
+         |ORDER BY rank_rel DESC, node LIMIT $PrTopK""".stripMargin
   )
 
   /** Morton-interleave of two `bits`-bit ints as portable SQL — the same

@@ -18,6 +18,7 @@ object StreamingQueries extends QueryPack {
   private val SftMaxContext = 3 // q183 context window (turns)
   private val AsofStaleSec = 7200L // q176 max as-of staleness (2 h)
   private val FunnelWithinSec = 86400L // view → click attribution window
+  private val MadK = 4.4478 // q207 Hampel fence (≈3σ-equivalent: 3·1.4826)
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
 
@@ -193,7 +194,21 @@ object StreamingQueries extends QueryPack {
       EventStreams.retentionCohorts(events(s, dir))
         .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort"),
           col("day_offset"), col("n_active"), col("n_cohort"), col("retention"))
-        .orderBy(col("cohort"), col("day_offset")))
+        .orderBy(col("cohort"), col("day_offset"))),
+
+    // EXT-X13: robust daily-volume anomaly flags (Hampel/MAD) — the
+    // ops-monitoring face of the drift tier: PSI compares two snapshots,
+    // this watches one series for outlier points with a fence that
+    // survives the very outliers it hunts (a mean/σ fence does not).
+    // The corpus-sized work is the daily rollup; the percentile windows
+    // run over bounded (type × day) series rows.
+    "q207_event_anomalies" -> ((s, dir) => {
+      val series = events(s, dir).groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Drift.madOutliers(series, "event_type", "n", MadK)
+        .orderBy(col("event_type"), col("day"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -452,6 +467,27 @@ object StreamingQueries extends QueryPack {
         |  day_offset, n_active, n_cohort,
         |  ROUND(n_active::DOUBLE / n_cohort::DOUBLE, 6) AS retention
         |FROM mx JOIN sz USING (cohort_date)
-        |ORDER BY cohort, day_offset""".stripMargin
+        |ORDER BY cohort, day_offset""".stripMargin,
+
+    // MAD replay: per-type median of daily counts, median absolute
+    // deviation, Hampel fence on the UNROUNDED med/mad (rounding is
+    // presentation only — the flag must not move with it).
+    "q207_event_anomalies" ->
+      s"""WITH s AS (SELECT event_type,
+         |             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |             count(*)::BIGINT AS n
+         |           FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, quantile_cont(n::DOUBLE, 0.5) AS med
+         |      FROM s GROUP BY 1),
+         |d AS (SELECT s.event_type, day, n, med,
+         |        ABS(n::DOUBLE - med) AS dev
+         |      FROM s JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+         |       FROM d GROUP BY 1)
+         |SELECT d.event_type, day, n, ROUND(med, 6) AS med,
+         |  ROUND(mad, 6) AS mad,
+         |  CASE WHEN mad = 0 THEN dev > 0 ELSE dev > $MadK * mad END AS flagged
+         |FROM d JOIN md USING (event_type)
+         |ORDER BY event_type, day""".stripMargin
   )
 }
