@@ -76,11 +76,11 @@ object Pca {
       .select(agg.toColumn.as[Mom])
   }
 
-  /** One corpus pass → (n, mean vector, sample covariance matrix),
-    * covariance entries rounded 1e-9 (the cross-engine contract for
-    * everything derived from them). NULL vectors are excluded. */
-  def moments(df: DataFrame, vecCol: String, d: Int): (Long, Array[Double], Array[Array[Double]]) = {
-    val mom = momentsDs(df, vecCol, d).head()
+  /** Mean + 1e-9-rounded sample covariance from a raw moment buffer —
+    * shared by the one-shot pass and the additive `MomentsLedger`
+    * (raw moments are exactly additive across batches, so both paths
+    * reach the IDENTICAL matrix). */
+  def covFromRaw(mom: Mom, d: Int): (Array[Double], Array[Array[Double]]) = {
     require(mom.n >= 2, "pca: need at least 2 vectors")
     val n = mom.n.toDouble
     def rnd9(x: Double) = math.rint(x * 1e9) / 1e9
@@ -98,16 +98,14 @@ object Pca {
       }
       i += 1
     }
-    (mom.n, mean, cov)
+    (mean, cov)
   }
 
-  /** Long-form sample covariance: (dim_i, dim_j, n, cov) for i ≤ j,
-    * 1-based dims, cov rounded 1e-9 — the oracle-checkable face. */
-  def covarianceLong(df: DataFrame, vecCol: String, d: Int): DataFrame = {
-    val spark = df.sparkSession
-    val (n, _, cov) = moments(df, vecCol, d)
+  /** Long-form (dim_i, dim_j, n, cov) rows from a raw moment buffer. */
+  def covarianceLongFromRaw(spark: SparkSession, mom: Mom, d: Int): DataFrame = {
+    val (_, cov) = covFromRaw(mom, d)
     val rows = for (i <- 0 until d; j <- i until d)
-      yield Row((i + 1).toLong, (j + 1).toLong, n, cov(i)(j))
+      yield Row((i + 1).toLong, (j + 1).toLong, mom.n, cov(i)(j))
     val schema = StructType(Seq(
       StructField("dim_i", LongType, nullable = false),
       StructField("dim_j", LongType, nullable = false),
@@ -115,6 +113,20 @@ object Pca {
       StructField("cov", DoubleType, nullable = false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** One corpus pass → (n, mean vector, sample covariance matrix),
+    * covariance entries rounded 1e-9 (the cross-engine contract for
+    * everything derived from them). NULL vectors are excluded. */
+  def moments(df: DataFrame, vecCol: String, d: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val mom = momentsDs(df, vecCol, d).head()
+    val (mean, cov) = covFromRaw(mom, d)
+    (mom.n, mean, cov)
+  }
+
+  /** Long-form sample covariance: (dim_i, dim_j, n, cov) for i ≤ j,
+    * 1-based dims, cov rounded 1e-9 — the oracle-checkable face. */
+  def covarianceLong(df: DataFrame, vecCol: String, d: Int): DataFrame =
+    covarianceLongFromRaw(df.sparkSession, momentsDs(df, vecCol, d).head(), d)
 
   /** Power-iteration trajectory on the (already 1e-9-rounded) covariance:
     * v₀ = 1/√d̂ with d̂ forced to an exact-binary value via the 1e-9 grid,
