@@ -112,6 +112,55 @@ object Dedup {
   }
 
   /**
+   * LSH band-plan auto-tune — the (bands, rows-per-band) decision made
+   * from the collision S-curve instead of folklore: a (b, r) split
+   * catches a pair of true similarity s with probability
+   * p(s) = 1 − (1 − sʳ)ᵇ, so feasibility is two-sided — catch enough at
+   * the operating threshold (p(sHigh) ≥ minCatch) AND stay quiet on
+   * noise (p(sLow) ≤ maxNoise; r = 1 "catches everything" only by
+   * flooding the band join with junk pairs). Among feasible splits the
+   * cheapest (fewest bands — bands multiply the banding stage's shuffle
+   * volume) wins. Driver-side closed form over the divisor grid of
+   * `numPerms` (bounded — index parameters, not data); the MEASURED
+   * validation of the chosen split against the exact-Jaccard truth set
+   * is the q210 gate's other half. Probabilities round 1e-6 BEFORE the
+   * feasibility comparison so the decision replays in oracle SQL.
+   *
+   * Output: (bands, rows_per_band, p_catch, p_noise, feasible, chosen).
+   */
+  def tuneLshPlan(spark: org.apache.spark.sql.SparkSession, numPerms: Int,
+                  sHigh: Double, sLow: Double,
+                  minCatch: Double, maxNoise: Double): DataFrame = {
+    require(numPerms >= 2, "tuneLshPlan: numPerms must be >= 2")
+    require(sLow < sHigh, "tuneLshPlan: sLow must be below sHigh")
+    def rnd6(x: Double) = math.rint(x * 1e6) / 1e6
+    val grid = (1 to numPerms).filter(numPerms % _ == 0).map { b =>
+      val r = numPerms / b
+      val pc = rnd6(1.0 - math.pow(1.0 - math.pow(sHigh, r), b))
+      val pn = rnd6(1.0 - math.pow(1.0 - math.pow(sLow, r), b))
+      (b.toLong, r.toLong, pc, pn, pc >= minCatch && pn <= maxNoise)
+    }
+    val feasible = grid.filter(_._5).map(_._1)
+    require(feasible.nonEmpty,
+      s"tuneLshPlan: no feasible (bands, rows) split of $numPerms — " +
+        "raise numPerms or relax the catch/noise bounds")
+    val chosen = feasible.min
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bands", LongType, nullable = false),
+      StructField("rows_per_band", LongType, nullable = false),
+      StructField("p_catch", DoubleType, nullable = false),
+      StructField("p_noise", DoubleType, nullable = false),
+      StructField("feasible", BooleanType, nullable = false),
+      StructField("chosen", BooleanType, nullable = false)))
+    val rows = grid.map { case (b, r, pc, pn, f) =>
+      Row(b, r, pc, pn, f, b == chosen)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /**
    * ASYMMETRIC containment pairs — the subset-duplication signal Jaccard
    * structurally misses (Lee et al. 2022 §4: a document embedded inside a
    * longer one has |A∩B|/|A| ≈ 1 but arbitrarily low Jaccard as B grows).

@@ -376,6 +376,32 @@ class DedupSpec extends SparkSpec {
     pairs.keySet.flatMap(k => Set(k._1, k._2)) should not contain 3L
   }
 
+  test("tuneLshPlan: S-curve feasibility is two-sided; cheapest feasible wins") {
+    import graft.operators.Dedup
+    val grid = Dedup.tuneLshPlan(spark, 16, 0.5, 0.1, 0.85, 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    grid.keySet shouldBe Set(1L, 2L, 4L, 8L, 16L)
+    // hand-computed: p(s) = 1 − (1 − s^r)^b, rounded 1e-6
+    grid(8L)._2 shouldBe 0.899887 // 1 − (1 − 0.25)^8
+    grid(8L)._3 shouldBe 0.077255 // 1 − (1 − 0.01)^8
+    grid(8L)._4 shouldBe true
+    grid(8L)._5 shouldBe true // only feasible split
+    // r = 1 catches everything but floods with noise — infeasible
+    grid(16L)._2 should be > 0.99
+    grid(16L)._4 shouldBe false
+    // r = 4 misses the catch floor — infeasible from the other side
+    grid(4L)._4 shouldBe false
+    grid.values.count(_._5) shouldBe 1
+  }
+
+  test("tuneLshPlan errors when no split is feasible") {
+    import graft.operators.Dedup
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.tuneLshPlan(spark, 4, 0.5, 0.4, 0.99, 0.01)
+  }
+
   test("containmentPairs rejects a zero threshold") {
     import graft.operators.Dedup
     val sh = Seq((1L, "a b c d")).toDF("doc_id", "text")
