@@ -624,6 +624,23 @@ object AnnQueries extends QueryPack {
       val (_, _, cov) = graft.operators.Pca.moments(embs(s, dir), "embedding", Dim)
       graft.operators.Pca.powerIteration(s, cov, PcaRounds)
         .orderBy(col("round"), col("dim"))
+    }),
+
+    // EXT-A35: persisted moment ledger — INCREMENTAL PCA: raw moments
+    // are additive, so each embedding delta folds as one kilobyte row
+    // under the marker-last protocol and the served covariance equals
+    // the one-shot q198 matrix (the oracle IS q198's SQL — base ∪ delta
+    // = the whole corpus). The fourth mergeable ledger.
+    "q209_moments_ledger" -> ((s, dir) => {
+      import graft.store.MomentsLedger
+      val store = graft.core.Scratch.dir("graft_momledger")
+      val e = embs(s, dir)
+      MomentsLedger.write(e.where(col("vec_id") % 3 =!= 0), store,
+        "embedding", Dim)
+      MomentsLedger.append(e.where(col("vec_id") % 3 === 0), store,
+        "embedding", Dim, Some("d1"))
+      MomentsLedger.covarianceLong(s, store, Dim)
+        .orderBy(col("dim_i"), col("dim_j"))
     })
   )
 
@@ -1683,6 +1700,14 @@ object AnnQueries extends QueryPack {
          |FROM rl JOIN ri ON rl.query_id = ri.query_id ORDER BY 1""".stripMargin,
 
     "q198_embed_cov" ->
+      s"""WITH $covCtes
+         |SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+         |       nb AS n, cov
+         |FROM cvu ORDER BY dim_i, dim_j""".stripMargin,
+
+    // The ledger's base ∪ delta is the whole corpus and the fold is
+    // additive, so the served matrix replays as the one-shot q198 chain.
+    "q209_moments_ledger" ->
       s"""WITH $covCtes
          |SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
          |       nb AS n, cov

@@ -16,6 +16,9 @@ object DedupQueries extends QueryPack {
   private val ShingleN = 3
   private val JaccardThreshold = 0.5
   private val ContainThreshold = 0.6 // q202 one-sided coverage gate
+  private val LshNoiseSim = 0.1 // q210 junk-similarity operating point
+  private val LshMinCatch = 0.85 // q210 catch floor at JaccardThreshold
+  private val LshMaxNoise = 0.2 // q210 collision ceiling at LshNoiseSim
   private val NumPerms = 16
   private val Bands = 4 // × 4 rows/band
   private val SimHashMaxDist = 2
@@ -462,6 +465,38 @@ object DedupQueries extends QueryPack {
           round(col("n_hit").cast("double") /
             when(col("n_true") === 0, lit(null)).otherwise(col("n_true")), 6)
             .as("recall"))
+    }),
+
+    // EXT-D33: LSH band-plan auto-tune — the (bands, rows) knob decided
+    // from the collision S-curve with a TWO-SIDED feasibility rule
+    // (catch ≥ minCatch at the operating threshold, noise ≤ maxNoise at
+    // the junk threshold — r = 1 "catches everything" only by flooding
+    // the band join), cheapest feasible split chosen, and the chosen
+    // split VALIDATED: measured candidate recall against the
+    // exact-Jaccard truth set rides the chosen row (the q179 pattern).
+    "q210_lsh_tune" -> ((s, dir) => {
+      val grid = Dedup.tuneLshPlan(s, NumPerms, JaccardThreshold,
+        LshNoiseSim, LshMinCatch, LshMaxNoise)
+      val pick = grid.where(col("chosen")).head()
+      val (b, r) = (pick.getLong(0).toInt, pick.getLong(1).toInt)
+      val truth = Dedup.jaccardPairs(
+        Dedup.shingleSets(docs(s, dir), ShingleN), JaccardThreshold)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.lshCandidates(
+          Dedup.minHashSignatures(docs(s, dir), ShingleN, NumPerms), b, r)
+        .select("doc_a", "doc_b")
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      val measured = truth.agg(count(lit(1)).as("mt"))
+        .crossJoin(hits.agg(count(lit(1)).as("mh")))
+      grid.crossJoin(broadcast(measured))
+        .select(col("bands"), col("rows_per_band"), col("p_catch"),
+          col("p_noise"), col("feasible"), col("chosen"),
+          when(col("chosen"), col("mt")).as("n_true"),
+          when(col("chosen"), col("mh")).as("n_hit"),
+          when(col("chosen"), round(col("mh").cast("double") /
+            when(col("mt") === 0, lit(null)).otherwise(col("mt")), 6))
+            .as("recall"))
+        .orderBy(col("bands"))
     }),
 
     // EXT-D5 (scale path): the SAME operator with SRP-bucket blocking —
@@ -1104,6 +1139,65 @@ object DedupQueries extends QueryPack {
          |SELECT inner_id, outer_id, ROUND(c, 6) AS containment
          |FROM dirs WHERE c >= $ContainThreshold
          |ORDER BY 1, 2""".stripMargin,
+
+    // LSH-tune replay: the S-curve grid (feasibility on the 1e-6-rounded
+    // probabilities), the statically-derived chosen split's band chain,
+    // and the measured recall against the exact-Jaccard truth set. The
+    // chosen (bands, rows) is recomputed at SQL-generation time with the
+    // same closed form the engine runs — any drift fails the gate loudly.
+    "q210_lsh_tune" -> {
+      val divisors = (1 to NumPerms).filter(NumPerms % _ == 0)
+      def rnd6(x: Double) = math.rint(x * 1e6) / 1e6
+      val feasibleB = divisors.filter { b =>
+        val r = NumPerms / b
+        rnd6(1 - math.pow(1 - math.pow(JaccardThreshold, r), b)) >= LshMinCatch &&
+          rnd6(1 - math.pow(1 - math.pow(LshNoiseSim, r), b)) <= LshMaxNoise
+      }
+      val cb = feasibleB.min
+      val cr = NumPerms / cb
+      s"""WITH $ShingleCtes,
+         |grid AS (SELECT b, $NumPerms // b AS r
+         |         FROM (VALUES ${divisors.map(d => s"($d)").mkString(", ")}) t(b)),
+         |gp AS (SELECT b, r,
+         |  ROUND(1 - power(1 - power($JaccardThreshold, r), b), 6) AS p_catch,
+         |  ROUND(1 - power(1 - power($LshNoiseSim, r), b), 6) AS p_noise
+         |  FROM grid),
+         |gf AS (SELECT b, r, p_catch, p_noise,
+         |  p_catch >= $LshMinCatch AND p_noise <= $LshMaxNoise AS feasible
+         |  FROM gp),
+         |sg2 AS (SELECT doc_id, list_transform(range(0, $NumPerms), i ->
+         |    list_min(list_transform(gs,
+         |      g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
+         |  FROM shs WHERE len(gs) > 0),
+         |bd2 AS (SELECT doc_id, b,
+         |    md5(array_to_string(list_slice(sg, b * $cr + 1, b * $cr + $cr), ':')) AS bk
+         |  FROM sg2, unnest(range(0, $cb)) AS t(b)),
+         |cd2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bd2 a JOIN bd2 b
+         |        ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |shd AS (SELECT doc_id, unnest(gs) AS g FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz sa ON doc_a = sa.doc_id
+         |          JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE
+         |                >= $JaccardThreshold),
+         |hits AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |         WHERE EXISTS (SELECT 1 FROM cd2 c
+         |                       WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+         |ms AS (SELECT (SELECT COUNT(*)::BIGINT FROM truth) AS mt,
+         |              (SELECT COUNT(*)::BIGINT FROM hits) AS mh)
+         |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+         |  p_catch, p_noise, feasible, b = $cb AS chosen,
+         |  CASE WHEN b = $cb THEN mt END AS n_true,
+         |  CASE WHEN b = $cb THEN mh END AS n_hit,
+         |  CASE WHEN b = $cb THEN ROUND(mh::DOUBLE / NULLIF(mt, 0), 6) END
+         |    AS recall
+         |FROM gf, ms ORDER BY bands""".stripMargin
+    },
 
     "q21_minhash_lsh" ->
       s"""WITH $ShingleCtes,
