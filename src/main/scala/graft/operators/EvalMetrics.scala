@@ -38,4 +38,54 @@ object EvalMetrics {
       when(col("n") < k, lit(null).cast("double"))
         .otherwise(round(lit(1.0) - prod, 6)).as(s"pass_at_$k"))
   }
+
+  /**
+   * Exact paired sign test — "is system A actually better than system
+   * B, or is the eval too small to tell?": given one row per evaluation
+   * unit with both systems' metrics, count strict wins each way (ties
+   * carry no information and drop, the standard convention) and report
+   * the EXACT two-sided binomial p-value under the null that wins are
+   * coin flips: p = min(1, 2·Σ_{k ≤ min(w_a, w_b)} C(n_d, k)/2^{n_d}).
+   *
+   * The metric comparison is one corpus aggregate; the binomial tail is
+   * driver-side EXACT integer arithmetic (BigInt Pascal recurrence) on
+   * the collected (wins_a, wins_b) — bounded state. The tail sum must
+   * fit an exact double, so n_d ≤ 52 is required — evaluation panels
+   * are index-parameter-sized by design (q41's is), and past ~50
+   * differing pairs a sign test is not the binding analysis anyway.
+   * Output: one row (n_pairs, n_diff, wins_a, wins_b, p_value 1e-9).
+   */
+  def pairedSignTest(pairs: DataFrame, metricA: String, metricB: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val a = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col(metricA) > col(metricB), 1L).otherwise(0L)).as("wins_a"),
+      sum(when(col(metricB) > col(metricA), 1L).otherwise(0L)).as("wins_b"))
+      .head()
+    val (np, wa, wb) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    val nd = wa + wb
+    require(nd <= 52, s"pairedSignTest: $nd differing pairs — the exact " +
+      "binomial tail needs n_diff <= 52 (evaluation panels are bounded)")
+    val p = if (nd == 0L) 1.0
+    else {
+      val m = math.min(wa, wb)
+      var c = BigInt(1)
+      var s = BigInt(1) // k = 0 term
+      for (k <- 1L to m) {
+        c = c * BigInt(nd - k + 1) / BigInt(k)
+        s += c
+      }
+      math.min(1.0, 2.0 * (s.toDouble / math.pow(2.0, nd.toDouble)))
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("n_diff", LongType, nullable = false),
+      StructField("wins_a", LongType, nullable = false),
+      StructField("wins_b", LongType, nullable = false),
+      StructField("p_value", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(np, nd, wa, wb, math.rint(p * 1e9) / 1e9)), schema)
+  }
 }

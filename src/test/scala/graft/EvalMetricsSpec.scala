@@ -36,6 +36,30 @@ class EvalMetricsSpec extends SparkSpec {
     run(rows, 1)(1L).get shouldBe 0.4 +- 1e-9
   }
 
+  private def signTest(rows: Seq[(Double, Double)]) = {
+    val r = EvalMetrics.pairedSignTest(
+      rows.toDF("a", "b"), "a", "b").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("pairedSignTest: hand-computed exact binomial tails; ties drop") {
+    // 5 wins for a, 2 for b, 1 tie: p = 2·(C(7,0)+C(7,1)+C(7,2))/2^7
+    //                                 = 2·29/128 = 0.453125
+    val rows = Seq.fill(5)((1.0, 0.0)) ++ Seq.fill(2)((0.0, 1.0)) :+ ((0.5, 0.5))
+    signTest(rows) shouldBe ((8L, 7L, 5L, 2L, 0.453125))
+    // 9-0 sweep: p = 2·C(9,0)/2^9 = 2/512
+    signTest(Seq.fill(9)((1.0, 0.0))) shouldBe ((9L, 9L, 9L, 0L, 0.00390625))
+    // all ties: nothing to test — p = 1
+    signTest(Seq.fill(4)((0.3, 0.3))) shouldBe ((4L, 0L, 0L, 0L, 1.0))
+    // even split: the two-sided cap engages (2·P(X ≤ n/2) > 1)
+    signTest(Seq.fill(2)((1.0, 0.0)) ++ Seq.fill(2)((0.0, 1.0)))._5 shouldBe 1.0
+  }
+
+  test("pairedSignTest rejects unboundedly many differing pairs") {
+    val rows = (1 to 60).map(i => (i.toDouble, 0.0))
+    an[IllegalArgumentException] should be thrownBy signTest(rows)
+  }
+
   test("plan is one hash aggregate — no window, no join") {
     val plan = EvalMetrics.passAtK(
         Seq((1L, true)).toDF("pid", "ok"), "pid", "ok", 3)
