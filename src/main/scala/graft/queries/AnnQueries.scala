@@ -631,6 +631,26 @@ object AnnQueries extends QueryPack {
     // under the marker-last protocol and the served covariance equals
     // the one-shot q198 matrix (the oracle IS q198's SQL — base ∪ delta
     // = the whole corpus). The fourth mergeable ledger.
+    // EXT-T67: exact paired sign test over q41's per-query recalls — the
+    // "is LSH actually better than IVF here, or is the panel too small
+    // to tell" number every system comparison needs: strict wins each
+    // way (ties drop), exact two-sided binomial p-value from a BigInt
+    // Pascal recurrence on the panel-bounded win counts.
+    "q211_sign_test" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = graft.core.Caches.cacheOnce(
+        ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K)))
+      val lt = ids(SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K))
+      val it = ids(SimilaritySearch.ivfTopK(querySet(s, dir), embs(s, dir), CentroidMod, NProbe, K))
+      def recallOf(ann: DataFrame, name: String) = bt
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6).as(name))
+      graft.operators.EvalMetrics.pairedSignTest(
+        recallOf(lt, "recall_lsh").join(recallOf(it, "recall_ivf"), Seq("query_id")),
+        "recall_lsh", "recall_ivf")
+    }),
+
     "q209_moments_ledger" -> ((s, dir) => {
       import graft.store.MomentsLedger
       val store = graft.core.Scratch.dir("graft_momledger")
@@ -817,6 +837,55 @@ object AnnQueries extends QueryPack {
          |            FROM serve l JOIN rqprobes p ON l.cent_id = p.cent_id
          |            WHERE l.vec_id <> p.query_id)""".stripMargin
 
+
+  /** q41's per-query recall chain (brute-force truth, SRP-LSH, IVF),
+    * ending in `rl(query_id, recall_lsh)` / `ri(query_id, recall_ivf)` —
+    * shared by the recall report (q41) and the sign test (q211). */
+  private lazy val annRecallCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM bscored) WHERE rnk <= $K),
+         |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |       FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
+         |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
+         |lt AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM lscored) WHERE rnk <= $K),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
+         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
+         |                       c.cent_id) AS crnk
+         |          FROM embeddings e CROSS JOIN cents c),
+         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
+         |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
+         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+         |            WHERE l.vec_id <> p.query_id),
+         |it AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |         FROM iscored) WHERE rnk <= $K),
+         |rl AS (SELECT b.query_id, ROUND(COUNT(l.vec_id)::DOUBLE / $K, 6) AS recall_lsh
+         |       FROM bt b LEFT JOIN lt l
+         |         ON b.query_id = l.query_id AND b.vec_id = l.vec_id GROUP BY 1),
+         |ri AS (SELECT b.query_id, ROUND(COUNT(i.vec_id)::DOUBLE / $K, 6) AS recall_ivf
+         |       FROM bt b LEFT JOIN it i
+         |         ON b.query_id = i.query_id AND b.vec_id = i.vec_id GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q136_ndcg_eval" -> {
@@ -1652,52 +1721,38 @@ object AnnQueries extends QueryPack {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_ann_recall" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
-         |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
-         |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
-         |         SELECT query_id, vec_id,
-         |           ROW_NUMBER() OVER (PARTITION BY query_id
-         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
-         |         FROM bscored) WHERE rnk <= $K),
-         |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-         |       FROM embeddings),
-         |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
-         |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
-         |lscored AS (SELECT lq.query_id, c.vec_id, ${cosSql("lq.q_emb", "c.embedding")} AS cos
-         |            FROM bk c JOIN lq ON c.bucket = lq.bucket WHERE c.vec_id <> lq.query_id),
-         |lt AS (SELECT query_id, vec_id FROM (
-         |         SELECT query_id, vec_id,
-         |           ROW_NUMBER() OVER (PARTITION BY query_id
-         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
-         |         FROM lscored) WHERE rnk <= $K),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
-         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
-         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
-         |                       c.cent_id) AS crnk
-         |          FROM embeddings e CROSS JOIN cents c),
-         |lists AS (SELECT cent_id, vec_id, embedding FROM ranks WHERE crnk = 1),
-         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
-         |           FROM ranks WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap AND crnk <= $NProbe),
-         |iscored AS (SELECT p.query_id, l.vec_id, ${cosSql("p.q_emb", "l.embedding")} AS cos
-         |            FROM lists l JOIN probes p ON l.cent_id = p.cent_id
-         |            WHERE l.vec_id <> p.query_id),
-         |it AS (SELECT query_id, vec_id FROM (
-         |         SELECT query_id, vec_id,
-         |           ROW_NUMBER() OVER (PARTITION BY query_id
-         |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
-         |         FROM iscored) WHERE rnk <= $K),
-         |rl AS (SELECT b.query_id, ROUND(COUNT(l.vec_id)::DOUBLE / $K, 6) AS recall_lsh
-         |       FROM bt b LEFT JOIN lt l
-         |         ON b.query_id = l.query_id AND b.vec_id = l.vec_id GROUP BY 1),
-         |ri AS (SELECT b.query_id, ROUND(COUNT(i.vec_id)::DOUBLE / $K, 6) AS recall_ivf
-         |       FROM bt b LEFT JOIN it i
-         |         ON b.query_id = i.query_id AND b.vec_id = i.vec_id GROUP BY 1)
+      s"""WITH $annRecallCtes
          |SELECT rl.query_id, rl.recall_lsh, ri.recall_ivf
          |FROM rl JOIN ri ON rl.query_id = ri.query_id ORDER BY 1""".stripMargin,
+
+    // Sign-test replay: q41's per-query recall chain, strict-win counts,
+    // then the exact binomial tail via a Pascal-triangle recursion
+    // (BIGINT-exact — n_diff is panel-bounded) and the two-sided cap.
+    "q211_sign_test" ->
+      s"""WITH RECURSIVE $annRecallCtes,
+         |pr AS (SELECT rl.query_id, recall_lsh, recall_ivf
+         |       FROM rl JOIN ri ON rl.query_id = ri.query_id),
+         |ag AS (SELECT count(*)::BIGINT AS n_pairs,
+         |         SUM(CASE WHEN recall_lsh > recall_ivf THEN 1 ELSE 0 END)::BIGINT
+         |           AS wins_a,
+         |         SUM(CASE WHEN recall_ivf > recall_lsh THEN 1 ELSE 0 END)::BIGINT
+         |           AS wins_b
+         |       FROM pr),
+         |pas(i, vals) AS (
+         |  SELECT 0, [1::BIGINT]
+         |  UNION ALL
+         |  SELECT i + 1, list_transform(range(1, i + 3),
+         |    j -> COALESCE(vals[(j - 1)::INT], 0) + COALESCE(vals[j::INT], 0))
+         |  FROM pas, ag WHERE i < wins_a + wins_b),
+         |lastrow AS (SELECT vals FROM pas, ag WHERE i = wins_a + wins_b),
+         |ts AS (SELECT list_sum(list_slice(vals, 1,
+         |         (LEAST(wins_a, wins_b) + 1)::INT))::BIGINT AS s
+         |       FROM lastrow, ag)
+         |SELECT n_pairs, wins_a + wins_b AS n_diff, wins_a, wins_b,
+         |  ROUND(CASE WHEN wins_a + wins_b = 0 THEN 1.0
+         |        ELSE LEAST(1.0, 2 * ts.s::DOUBLE
+         |                        / power(2, wins_a + wins_b)) END, 9) AS p_value
+         |FROM ag, ts""".stripMargin,
 
     "q198_embed_cov" ->
       s"""WITH $covCtes
