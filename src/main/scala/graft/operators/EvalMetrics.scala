@@ -88,4 +88,48 @@ object EvalMetrics {
     spark.createDataFrame(java.util.Arrays.asList(
       Row(np, nd, wa, wb, math.rint(p * 1e9) / 1e9)), schema)
   }
+
+  /**
+   * Deterministic bootstrap confidence interval for a panel metric's
+   * mean — the error bar every recall/NDCG point estimate should ship
+   * with: `reps` resamples of the n panel units WITH replacement, each
+   * draw indexed by the engine's keyed hash family instead of RNG state
+   * (draw j picks unit hashPerm(j) mod n — reproducible across engines,
+   * reruns, partitionings), percentile CI over the 1e-9-rounded
+   * resample means.
+   *
+   * The panel collects to the driver (evaluation panels are
+   * index-parameter-sized — the same bound `pairedSignTest` documents)
+   * and re-enters the plan as a broadcast literal; the reps × n draw
+   * table and the per-rep means stay relational, so a larger reps knob
+   * costs executor time, not driver memory. Output: one row
+   * (n_units, n_reps, mean, ci_lo, ci_hi), bounds at (alpha/2,
+   * 1 − alpha/2) with `quantile_cont` interpolation.
+   */
+  def bootstrapCi(units: DataFrame, idCol: String, metricCol: String,
+                  reps: Int, alpha: Double = 0.05): DataFrame = {
+    require(reps >= 10, "bootstrapCi: reps must be >= 10")
+    require(alpha > 0.0 && alpha < 1.0, "bootstrapCi: alpha in (0, 1)")
+    import graft.functions.TextFunctions.{hash60, hashPermOf, HashPermMod}
+    val spark = units.sparkSession
+    val panel = units.select(col(idCol), col(metricCol).cast("double"))
+      .orderBy(col(idCol)).collect()
+    val n = panel.length
+    require(n >= 2, "bootstrapCi: need at least 2 panel units")
+    require(n <= 100000, "bootstrapCi: panel too large to broadcast — " +
+      "evaluation panels are bounded by design")
+    val ms = panel.map(_.getDouble(1)).toSeq
+    val draws = spark.range(reps.toLong * n).select(
+      (col("id") / n).cast("long").as("rep"),
+      element_at(typedlit(ms),
+        (hashPermOf(hash60(col("id").cast("string")) % HashPermMod, lit(0))
+          % n + 1).cast("int")).as("m"))
+    val means = draws.groupBy(col("rep")).agg(round(avg(col("m")), 9).as("mm"))
+    means.agg(
+        lit(n.toLong).as("n_units"),
+        lit(reps.toLong).as("n_reps"),
+        round(lit(ms.sum / n), 6).as("mean"),
+        round(percentile(col("mm"), lit(alpha / 2.0)), 6).as("ci_lo"),
+        round(percentile(col("mm"), lit(1.0 - alpha / 2.0)), 6).as("ci_hi"))
+  }
 }

@@ -60,6 +60,36 @@ class EvalMetricsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy signTest(rows)
   }
 
+  private def ci(rows: Seq[(Long, Double)], reps: Int = 100) = {
+    val r = EvalMetrics.bootstrapCi(rows.toDF("id", "m"), "id", "m", reps)
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+  }
+
+  test("bootstrapCi: constant metric collapses; bounds bracket; rerun-stable") {
+    val const = (1L to 20L).map(i => (i, 0.7))
+    ci(const) shouldBe ((20L, 100L, 0.7, 0.7, 0.7))
+    val spread = (1L to 20L).map(i => (i, if (i <= 10) 0.0 else 1.0))
+    val (n, _, mean, lo, hi) = ci(spread)
+    n shouldBe 20L
+    mean shouldBe 0.5
+    lo should be < mean
+    hi should be > mean
+    lo should be >= 0.0
+    hi should be <= 1.0
+    ci(spread) shouldBe ci(spread) // hash-driven draws: no RNG state
+    // a tighter panel gives a narrower interval
+    val tight = (1L to 20L).map(i => (i, if (i <= 10) 0.45 else 0.55))
+    val (_, _, _, tlo, thi) = ci(tight)
+    (thi - tlo) should be < (hi - lo)
+  }
+
+  test("bootstrapCi rejects degenerate inputs") {
+    an[IllegalArgumentException] should be thrownBy ci(Seq((1L, 0.5)))
+    an[IllegalArgumentException] should be thrownBy
+      ci((1L to 5L).map(i => (i, 0.5)), reps = 5)
+  }
+
   test("plan is one hash aggregate — no window, no join") {
     val plan = EvalMetrics.passAtK(
         Seq((1L, true)).toDF("pid", "ok"), "pid", "ok", 3)
