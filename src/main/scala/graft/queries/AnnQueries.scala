@@ -39,6 +39,8 @@ object AnnQueries extends QueryPack {
   private val MmrLambda = 0.7 // q135 relevance/diversity balance
   private val NdcgK = 10 // q136 evaluation depth
   private val PcaRounds = 6 // q199 power-iteration steps
+  private val BootReps = 200 // q212 bootstrap resamples
+  private val BootMaxN = 1000 // q212 oracle's static panel cap (range bound)
   private val TextEncDim = graft.operators.TextEncode.HashDim // q178 width
   private val TextEncQueryMod = 97 // q178 query panel: doc_id % 97 == 0
   private val TuneMaxNProbe = 4 // q179 candidate grid: nprobe 1..4
@@ -649,6 +651,24 @@ object AnnQueries extends QueryPack {
       graft.operators.EvalMetrics.pairedSignTest(
         recallOf(lt, "recall_lsh").join(recallOf(it, "recall_ivf"), Seq("query_id")),
         "recall_lsh", "recall_ivf")
+    }),
+
+    // EXT-T68: deterministic bootstrap CI — the error bar the q41 point
+    // estimate should ship with: hash-indexed resamples (no RNG state),
+    // percentile CI over 1e-9-rounded resample means. The panel is
+    // bounded; the reps × n draw table stays relational.
+    "q212_bootstrap_ci" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = graft.core.Caches.cacheOnce(
+        ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K)))
+      val lt = ids(SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K))
+      val rec = bt
+        .join(lt.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6)
+          .as("recall_lsh"))
+      graft.operators.EvalMetrics.bootstrapCi(rec, "query_id", "recall_lsh",
+        BootReps)
     }),
 
     "q209_moments_ledger" -> ((s, dir) => {
@@ -1753,6 +1773,27 @@ object AnnQueries extends QueryPack {
          |        ELSE LEAST(1.0, 2 * ts.s::DOUBLE
          |                        / power(2, wins_a + wins_b)) END, 9) AS p_value
          |FROM ag, ts""".stripMargin,
+
+    // Bootstrap replay: q41's LSH-recall panel as an ordered list, the
+    // keyed-hash draw for each of reps × n slots (static range bound +
+    // filter — DuckDB's range() takes no lateral column), 1e-9-rounded
+    // resample means, quantile_cont CI bounds.
+    "q212_bootstrap_ci" ->
+      s"""WITH $annRecallCtes,
+         |arr AS (SELECT list(recall_lsh ORDER BY query_id) AS ms,
+         |          count(*)::BIGINT AS n, ROUND(AVG(recall_lsh), 6) AS mean
+         |        FROM rl),
+         |draws AS (SELECT g.range // arr.n AS rep,
+         |    ms[(((('0x' || substr(md5(g.range::VARCHAR), 1, 15))::BIGINT
+         |          % 2147483647) + 1000003) % 2147483647 % arr.n + 1)::INT] AS m
+         |  FROM arr, range(0, $BootReps * $BootMaxN) g
+         |  WHERE g.range < $BootReps * arr.n),
+         |means AS (SELECT rep, ROUND(AVG(m), 9) AS mm FROM draws GROUP BY 1)
+         |SELECT arr.n AS n_units, CAST($BootReps AS BIGINT) AS n_reps,
+         |  arr.mean AS mean,
+         |  ROUND(quantile_cont(mm, 0.025), 6) AS ci_lo,
+         |  ROUND(quantile_cont(mm, 0.975), 6) AS ci_hi
+         |FROM means, arr GROUP BY 1, 2, 3""".stripMargin,
 
     "q198_embed_cov" ->
       s"""WITH $covCtes
