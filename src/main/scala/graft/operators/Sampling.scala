@@ -170,6 +170,74 @@ object Sampling {
    * `excess` the clipped pre-update excess loss, `weight` the
    * post-update renormalized weight.
    */
+  /**
+   * Neyman-optimal sample allocation (Neyman 1934 — the survey-sampling
+   * design rule): a fixed evaluation/labeling budget split across strata
+   * ∝ N_h·σ_h, which minimizes the variance of the stratified mean —
+   * high-spread strata earn more of the budget than proportional
+   * allocation gives them, uniform strata less. The integer split uses
+   * largest-remainder apportionment (floor every 1e-6-rounded quota,
+   * hand the leftover units to the largest fractional parts, ties to
+   * the alphabetically-first stratum) so allocations sum EXACTLY to the
+   * budget and replay in oracle SQL.
+   *
+   * One corpus aggregate (count + sample stddev per stratum); the
+   * apportionment runs driver-side on the collected stratum table
+   * (bounded — strata are sources/languages, index parameters). All
+   * strata with zero spread everywhere → proportional-to-size fallback
+   * (the Neyman weights all vanish). An allocation may exceed its
+   * stratum's population when the budget is large relative to a small
+   * high-variance stratum; `feasible` flags it (capping-and-
+   * redistributing is a different design decision the caller owns).
+   * Output: (stratum, n_rows, sd, quota, alloc, feasible).
+   */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, "neymanAllocation: budget must be > 0")
+    val spark = df.sparkSession
+    def rnd6(x: Double) = math.rint(x * 1e6) / 1e6
+    val stats = df
+      .groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(stddev_samp(col(valueCol).cast("double")), lit(0.0)).as("sd"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "neymanAllocation: empty input")
+    val tot = stats.map { case (_, n, sd) => n * sd }.sum // sorted fold
+    val quotas = stats.map { case (s, n, sd) =>
+      val q = if (tot == 0.0) budget.toDouble * n / stats.map(_._2).sum
+      else budget * (n * sd) / tot
+      (s, n, sd, rnd6(q))
+    }
+    val based = quotas.map { case (s, n, sd, q) =>
+      (s, n, sd, q, math.floor(q).toLong)
+    }
+    var rem = budget - based.map(_._5).sum
+    // largest fractional part first; on the (pathological) over-floor
+    // side, take units back from the SMALLEST fractional parts
+    val order =
+      if (rem >= 0) based.sortBy { case (s, _, _, q, b) => (-(q - b), s) }
+      else based.sortBy { case (s, _, _, q, b) => (q - b, s) }
+    val step = if (rem >= 0) 1L else -1L
+    rem = math.abs(rem)
+    val alloc = order.zipWithIndex.map { case ((s, n, sd, q, b), i) =>
+      (s, n, sd, q, b + (if (i < rem) step else 0L))
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("stratum", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("sd", DoubleType, nullable = false),
+      StructField("quota", DoubleType, nullable = false),
+      StructField("alloc", LongType, nullable = false),
+      StructField("feasible", BooleanType, nullable = false)))
+    val rows = alloc.sortBy(_._1).map { case (s, n, sd, q, a) =>
+      Row(s, n, rnd6(sd), q, a, a <= n)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def doremiWeights(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                     rounds: Int, eta: Double = 1.0,
                     sourceCol: String = "source",

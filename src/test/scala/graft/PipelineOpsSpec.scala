@@ -63,4 +63,32 @@ class PipelineOpsSpec extends SparkSpec {
     out.filter(_._1 == 2L).toSeq shouldBe Seq((2L, 0L, 2L, "x y"))
     out.count(_._1 == 3L) shouldBe 0
   }
+
+  test("neymanAllocation: budget follows N·σ, sums exactly, flags infeasible strata") {
+    import graft.operators.Sampling
+    // stratum a: 4 rows, sd = sqrt(variance of 0,0,10,10 sample) ≈ 5.773503
+    // stratum b: 4 rows, constant → sd 0 (earns nothing under Neyman)
+    // stratum c: 2 rows, sd of (0, 20) = 14.142136 — small but wild
+    val rows = Seq(("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0),
+      ("c", 0.0), ("c", 20.0)).toDF("s", "v")
+    val got = Sampling.neymanAllocation(rows, "s", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(4), r.getBoolean(5)))).toMap
+    got("b")._3 shouldBe 0L // zero spread, zero budget
+    got("a")._3 + got("c")._3 shouldBe 10L // exact apportionment
+    // weights: a = 4·5.7735 = 23.094, c = 2·14.1421 = 28.284 → c gets more
+    got("c")._3 should be > got("a")._3
+    // c's allocation exceeds its 2 rows → infeasible flag
+    got("c")._4 shouldBe false
+    got("a")._4 shouldBe true
+  }
+
+  test("neymanAllocation: all-constant strata fall back to proportional") {
+    import graft.operators.Sampling
+    val rows = Seq.fill(6)(("a", 1.0)) ++ Seq.fill(2)(("b", 2.0))
+    val got = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    got shouldBe Map("a" -> 6L, "b" -> 2L)
+  }
 }
