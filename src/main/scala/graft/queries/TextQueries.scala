@@ -1085,6 +1085,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXT-T69: Neyman-optimal labeling-budget allocation — a fixed eval/
+    // annotation budget split across language strata ∝ N_h·σ_h (the
+    // variance-minimizing stratified design), integerized by
+    // largest-remainder apportionment so allocations sum EXACTLY to the
+    // budget. One corpus aggregate; apportionment on the bounded
+    // stratum table driver-side.
+    "q213_neyman_alloc" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+          Tables.read(s, dir, "documents"), "lang", "n_chars", NeymanBudget)
+        .orderBy(col("stratum"))),
+
     // EXT-T66: unbiased pass@k (Chen et al. 2021 eq. 1) — the eval-suite
     // estimator over per-sample outcome logs: problems = consecutive
     // doc-id groups of 10 samples, "correct" = 1e-6-rounded quality above
@@ -1168,6 +1179,7 @@ object TextQueries extends QueryPack {
   private val PassSamples = 10 // q204 samples per problem
   private val PassK = 3 // q204 estimator depth
   private val PassThreshold = 0.55 // q204 correctness gate on quality
+  private val NeymanBudget = 100L // q213 labeling budget (units)
   private val BackoffAlpha = 0.4 // q145 Stupid-Backoff constant
   private val CcnetSampleMod = 4L // q147 cutoff-sample rate (1 in 4)
   private val TierBudget = 1000000L // q150 token budget
@@ -2843,6 +2855,30 @@ object TextQueries extends QueryPack {
          |  $m > 0 AS flagged
          |FROM pl ORDER BY doc_id""".stripMargin
     },
+
+    // Neyman replay: per-stratum count + sample stddev, 1e-6-rounded
+    // quotas (zero-spread fallback included), largest-remainder
+    // apportionment via the fractional-part rank.
+    "q213_neyman_alloc" ->
+      s"""WITH st AS (SELECT lang AS stratum, count(*)::BIGINT AS n_rows,
+         |        COALESCE(stddev_samp(n_chars::DOUBLE), 0) AS sd
+         |      FROM documents GROUP BY 1),
+         |tw AS (SELECT SUM(n_rows * sd) AS tot, SUM(n_rows)::DOUBLE AS tn
+         |       FROM st),
+         |q AS (SELECT stratum, n_rows, ROUND(sd, 6) AS sd6,
+         |        ROUND(CASE WHEN tot = 0 THEN $NeymanBudget * n_rows / tn
+         |              ELSE $NeymanBudget * (n_rows * sd) / tot END, 6) AS quota
+         |      FROM st, tw),
+         |b AS (SELECT *, FLOOR(quota)::BIGINT AS base,
+         |        quota - FLOOR(quota) AS frac FROM q),
+         |rm AS (SELECT $NeymanBudget - SUM(base) AS rem FROM b),
+         |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY frac DESC, stratum)
+         |        AS rk FROM b)
+         |SELECT stratum, n_rows, sd6 AS sd, quota,
+         |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc,
+         |  base + CASE WHEN rk <= rem THEN 1 ELSE 0 END <= n_rows AS feasible
+         |FROM r, rm ORDER BY stratum""".stripMargin,
 
     // pass@k replay: the q194 quality chain regrouped into 10-sample
     // problems, then the identical ascending-j factor product.
