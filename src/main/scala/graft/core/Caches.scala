@@ -20,10 +20,36 @@ import org.apache.spark.storage.StorageLevel
  */
 object Caches {
 
+  // Thread-local scope stack for `scoped`: cacheOnce registers each plan
+  // it NEWLY persisted (never one it found already cached) so the scope
+  // can release exactly its own caches on exit.
+  private val scope = new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
   /** Persist MEMORY_AND_DISK unless an equal plan is already cached. */
   def cacheOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
-    else df
+    if (df.storageLevel == StorageLevel.NONE) {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      Option(scope.get()).foreach(_ += p)
+      p
+    } else df
+
+  /** Run `body`, then release ONLY the caches `cacheOnce` created inside
+    * it (on this thread). The micro-batch discipline for long-lived
+    * sessions: a streaming `foreachBatch` must not leak per-batch caches,
+    * but `clearAll` would also evict caches owned by concurrent serving
+    * queries on the same session — `scoped` releases the batch's own
+    * handles and nothing else. Nests: an inner scope releases its caches
+    * and restores the outer scope's tracking. */
+  def scoped[T](body: => T): T = {
+    val prev = scope.get()
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    scope.set(buf)
+    try body
+    finally {
+      scope.set(prev)
+      buf.foreach(release)
+    }
+  }
 
   /** Release one cached plan (no-op if it is not cached). Library users
     * embedding a single pipeline in a long-lived session can release its

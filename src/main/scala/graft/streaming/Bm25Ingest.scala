@@ -25,10 +25,12 @@ object Bm25Ingest {
   /** One document micro-batch into the index; exposed so a nightly batch
     * job shares the exact stream code path. */
   def applyBatch(batch: DataFrame, batchId: Long, storePath: String,
-                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    Bm25Store.append(batch, storePath, Some(s"stream$batchId"), idCol, textCol)
-    Caches.clearAll(batch.sparkSession)
-  }
+                 idCol: String = "doc_id", textCol: String = "text"): Unit =
+    // Scoped, not clearAll: release only this batch's caches so
+    // concurrent serving queries on the same session keep theirs.
+    Caches.scoped {
+      Bm25Store.append(batch, storePath, Some(s"stream$batchId"), idCol, textCol)
+    }
 
   /** Start the index ingest: `docs` is a STREAMING DataFrame with
     * (idCol, textCol) columns; the store must already exist

@@ -34,13 +34,15 @@ object DedupIngest {
                  keptPath: String, n: Int, numPerms: Int, bands: Int,
                  estThreshold: Double, idCol: String = "doc_id",
                  textCol: String = "text",
-                 maxBandDegree: Option[Int] = None): Unit = {
-    val kept = DedupStore.dedupDelta(batch, storePath, n, numPerms, bands,
-      estThreshold, idCol, textCol, deltaId = Some(s"stream$batchId"),
-      maxBandDegree = maxBandDegree)
-    kept.write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
-    Caches.clearAll(batch.sparkSession)
-  }
+                 maxBandDegree: Option[Int] = None): Unit =
+    // Scoped, not clearAll: release only this batch's caches so
+    // concurrent serving queries on the same session keep theirs.
+    Caches.scoped {
+      val kept = DedupStore.dedupDelta(batch, storePath, n, numPerms, bands,
+        estThreshold, idCol, textCol, deltaId = Some(s"stream$batchId"),
+        maxBandDegree = maxBandDegree)
+      kept.write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    }
 
   /** Start the crawl-dedup ingest: `docs` is a STREAMING DataFrame with
     * (idCol, textCol) columns; the store must already exist

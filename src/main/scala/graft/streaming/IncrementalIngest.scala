@@ -85,14 +85,16 @@ object IncrementalIngest {
     // last uncommitted batch after the marker already advanced — a batch
     // at or below the marker is already folded in, so skip it.
     if (latestVersion(spark, statePath).exists(_ >= batchId)) return
-    val next = loadLatest(spark, statePath) match {
-      case Some(prev) => Incremental.updateCells(prev, cells)
-      case None => Incremental.fromCells(cells.where(org.apache.spark.sql.functions.col("cnt") > 0))
+    // Scoped, not clearAll: the snapshot is durable after save, so the
+    // fold's own cached subplans are released here — but concurrent
+    // serving queries on the same session keep theirs.
+    Caches.scoped {
+      val next = loadLatest(spark, statePath) match {
+        case Some(prev) => Incremental.updateCells(prev, cells)
+        case None => Incremental.fromCells(cells.where(org.apache.spark.sql.functions.col("cnt") > 0))
+      }
+      Incremental.save(next, s"$statePath/v$batchId")
     }
-    Incremental.save(next, s"$statePath/v$batchId")
-    // Snapshot is durable — drop the fold's cached subplans so a
-    // long-running ingest does not accumulate cache entries.
-    Caches.clearAll(spark)
     val p = new Path(marker(statePath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -28,18 +28,21 @@ object LedgerIngest {
   /** One micro-batch into the quantile-histogram ledger; exposed so a
     * nightly batch job shares the exact stream code path. */
   def applyQuantileBatch(batch: DataFrame, batchId: Long, storePath: String,
-                         scopeCol: String, valueCol: String): Unit = {
-    QuantileLedger.append(batch, storePath, scopeCol, valueCol,
-      Some(s"stream$batchId"))
-    Caches.clearAll(batch.sparkSession)
-  }
+                         scopeCol: String, valueCol: String): Unit =
+    // Scoped, not clearAll: release only caches this batch created —
+    // "serving keeps running throughout" means concurrent readers on the
+    // same session must keep their own cached state.
+    Caches.scoped {
+      QuantileLedger.append(batch, storePath, scopeCol, valueCol,
+        Some(s"stream$batchId"))
+    }
 
   /** One micro-batch into the count-min frequency ledger. */
   def applyFrequencyBatch(batch: DataFrame, batchId: Long, storePath: String,
-                          keyCol: String): Unit = {
-    FrequencyLedger.append(batch, storePath, keyCol, Some(s"stream$batchId"))
-    Caches.clearAll(batch.sparkSession)
-  }
+                          keyCol: String): Unit =
+    Caches.scoped {
+      FrequencyLedger.append(batch, storePath, keyCol, Some(s"stream$batchId"))
+    }
 
   /** Start quantile-ledger ingest: `rows` is a STREAMING DataFrame with
     * (scopeCol, valueCol); the ledger must already exist

@@ -29,12 +29,14 @@ object LineDedupIngest {
     * exposed so a nightly batch job shares the exact stream code path. */
   def applyBatch(batch: DataFrame, batchId: Long, storePath: String,
                  keptPath: String, maxDocFreq: Long,
-                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val cleaned = LineDedupStore.dedupDelta(batch, storePath, maxDocFreq,
-      idCol, textCol, deltaId = Some(s"stream$batchId"))
-    cleaned.write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
-    Caches.clearAll(batch.sparkSession)
-  }
+                 idCol: String = "doc_id", textCol: String = "text"): Unit =
+    // Scoped, not clearAll: release only this batch's caches so
+    // concurrent serving queries on the same session keep theirs.
+    Caches.scoped {
+      val cleaned = LineDedupStore.dedupDelta(batch, storePath, maxDocFreq,
+        idCol, textCol, deltaId = Some(s"stream$batchId"))
+      cleaned.write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    }
 
   /** Start the crawl line-dedup ingest: `docs` is a STREAMING DataFrame
     * with (idCol, textCol) columns; the store must already exist
