@@ -107,17 +107,24 @@ object EvalMetrics {
    * 1 − alpha/2) with `quantile_cont` interpolation.
    */
   def bootstrapCi(units: DataFrame, idCol: String, metricCol: String,
-                  reps: Int, alpha: Double = 0.05): DataFrame = {
+                  reps: Int, alpha: Double = 0.05,
+                  maxN: Int = 100000): DataFrame = {
     require(reps >= 10, "bootstrapCi: reps must be >= 10")
     require(alpha > 0.0 && alpha < 1.0, "bootstrapCi: alpha in (0, 1)")
+    require(maxN >= 2, "bootstrapCi: maxN must be >= 2")
     import graft.functions.TextFunctions.{hash60, hashPermOf, HashPermMod}
     val spark = units.sparkSession
     val panel = units.select(col(idCol), col(metricCol).cast("double"))
       .orderBy(col(idCol)).collect()
     val n = panel.length
     require(n >= 2, "bootstrapCi: need at least 2 panel units")
-    require(n <= 100000, "bootstrapCi: panel too large to broadcast — " +
+    require(n <= maxN, s"bootstrapCi: panel of $n units exceeds cap $maxN — " +
       "evaluation panels are bounded by design")
+    // A NULL metric must error, not silently read as 0.0 (getDouble's
+    // unboxing default) — a NULL panel row means the upstream join lost
+    // a unit, and counting it as 0 would skew the mean and both bounds.
+    require(panel.forall(!_.isNullAt(1)),
+      s"bootstrapCi: NULL $metricCol in the panel — exclude or fix upstream")
     val ms = panel.map(_.getDouble(1)).toSeq
     val draws = spark.range(reps.toLong * n).select(
       (col("id") / n).cast("long").as("rep"),

@@ -78,9 +78,22 @@ object Preference {
    */
   def bradleyTerry(spark: SparkSession, outcomes: DataFrame,
                    winnerCol: String, loserCol: String,
-                   rounds: Int): DataFrame = {
+                   rounds: Int, maxPlayers: Int = 10000): DataFrame = {
     require(rounds >= 1, "bradleyTerry: rounds must be >= 1")
+    require(maxPlayers >= 2, "bradleyTerry: maxPlayers must be >= 2")
     def rnd9(x: Double) = math.rint(x * 1e9) / 1e9
+    // Enforce the players² driver bound BEFORE collecting the matrix —
+    // the one collect whose bound is a property of the DATA, not a
+    // parameter, so it must raise loudly instead of OOMing the driver
+    // when someone points it at a corpus-sized player column.
+    val nPlayers = outcomes
+      .select(explode(array(col(winnerCol).cast("string"),
+        col(loserCol).cast("string"))).as("p"))
+      .agg(count_distinct(col("p"))).head().getLong(0)
+    require(nPlayers <= maxPlayers,
+      s"bradleyTerry: $nPlayers distinct players exceeds maxPlayers=" +
+        s"$maxPlayers — the MM fit collects a players² count matrix " +
+        "driver-side; raise maxPlayers only if players² fits in driver memory")
     val games = outcomes
       .where(col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).cast("string").as("w"),

@@ -170,6 +170,33 @@ object Sampling {
    * `excess` the clipped pre-update excess loss, `weight` the
    * post-update renormalized weight.
    */
+  /** Largest-remainder apportionment of `budget` units across `quotas`
+    * (stratum → fractional quota, caller-sorted by stratum): floor every
+    * quota, hand leftover units to the largest fractional parts (ties to
+    * the alphabetically-first stratum). On the pathological OVER-floor
+    * side — possible only when 1e-6 quota rounding pushes several quotas
+    * up across an integer, so Σfloor exceeds the budget — units are taken
+    * back from the SMALLEST fractional parts among strata with base > 0
+    * (a zero-base stratum has nothing to give back; decrementing it would
+    * allocate a negative count). The strata that caused the over-floor
+    * all rounded UP to an integer, so they have base ≥ 1 and fractional
+    * part exactly 0 — the takeback naturally lands on them first.
+    * Returns allocations aligned with the input order; Σ = budget. */
+  private[graft] def apportion(quotas: Seq[(String, Double)],
+                               budget: Long): Seq[Long] = {
+    val based = quotas.map { case (s, q) => (s, q, math.floor(q).toLong) }
+    val rem = budget - based.map(_._3).sum
+    val order =
+      if (rem >= 0) based.sortBy { case (s, q, b) => (-(q - b), s) }
+      else based.filter(_._3 > 0).sortBy { case (s, q, b) => (q - b, s) }
+    require(rem >= 0 || order.size >= -rem,
+      s"apportion: over-floor remainder ${-rem} exceeds the " +
+        s"${order.size} strata with nonzero base — cannot apportion")
+    val step = if (rem >= 0) 1L else -1L
+    val adjust = order.take(math.abs(rem).toInt).map(_._1).toSet
+    based.map { case (s, _, b) => b + (if (adjust(s)) step else 0L) }
+  }
+
   /**
    * Neyman-optimal sample allocation (Neyman 1934 — the survey-sampling
    * design rule): a fixed evaluation/labeling budget split across strata
@@ -209,20 +236,9 @@ object Sampling {
       else budget * (n * sd) / tot
       (s, n, sd, rnd6(q))
     }
-    val based = quotas.map { case (s, n, sd, q) =>
-      (s, n, sd, q, math.floor(q).toLong)
-    }
-    var rem = budget - based.map(_._5).sum
-    // largest fractional part first; on the (pathological) over-floor
-    // side, take units back from the SMALLEST fractional parts
-    val order =
-      if (rem >= 0) based.sortBy { case (s, _, _, q, b) => (-(q - b), s) }
-      else based.sortBy { case (s, _, _, q, b) => (q - b, s) }
-    val step = if (rem >= 0) 1L else -1L
-    rem = math.abs(rem)
-    val alloc = order.zipWithIndex.map { case ((s, n, sd, q, b), i) =>
-      (s, n, sd, q, b + (if (i < rem) step else 0L))
-    }
+    val alloc = quotas.map { case (s, n, sd, q) => (s, n, sd, q) }
+      .zip(apportion(quotas.map { case (s, _, _, q) => (s, q) }, budget))
+      .map { case ((s, n, sd, q), a) => (s, n, sd, q, a) }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

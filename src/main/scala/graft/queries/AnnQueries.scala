@@ -667,8 +667,11 @@ object AnnQueries extends QueryPack {
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6)
           .as("recall_lsh"))
+      // maxN = BootMaxN: the oracle's draw table is statically bounded at
+      // BootReps × BootMaxN rows, so a larger panel must fail loudly here
+      // rather than silently lose draws on the oracle side.
       graft.operators.EvalMetrics.bootstrapCi(rec, "query_id", "recall_lsh",
-        BootReps)
+        BootReps, maxN = BootMaxN)
     }),
 
     "q209_moments_ledger" -> ((s, dir) => {
@@ -713,11 +716,16 @@ object AnnQueries extends QueryPack {
 
   /** One unrolled power-iteration round for the q199 oracle: A·v under
     * v(r−1), λ = ‖A·v‖₂ rounded 1e-9, v(r) = A·v/λ rounded 1e-9. */
+  // MATERIALIZED: pa/pl/pv each reference the previous round's CTEs more
+  // than once and DuckDB inlines non-materialized CTEs per reference —
+  // the unrolled power iteration otherwise re-evaluates exponentially
+  // (q199 OOM'd at an 8 GB cap on a Dim×Dim table; same fix as the
+  // Bradley–Terry rounds).
   private def pcaRoundCte(r: Int): String =
-    s"""pa$r AS (SELECT c.di AS dim, SUM(c.cov * v.v) AS av
+    s"""pa$r AS MATERIALIZED (SELECT c.di AS dim, SUM(c.cov * v.v) AS av
        |         FROM cvf c JOIN pv${r - 1} v ON c.dj = v.dim GROUP BY 1),
-       |pl$r AS (SELECT ROUND(sqrt(SUM(av * av)), 9) AS lam FROM pa$r),
-       |pv$r AS (SELECT dim, ROUND(av / lam, 9) AS v FROM pa$r, pl$r)""".stripMargin
+       |pl$r AS MATERIALIZED (SELECT ROUND(sqrt(SUM(av * av)), 9) AS lam FROM pa$r),
+       |pv$r AS MATERIALIZED (SELECT dim, ROUND(av / lam, 9) AS v FROM pa$r, pl$r)""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),

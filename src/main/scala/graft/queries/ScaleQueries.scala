@@ -611,14 +611,14 @@ object ScaleQueries extends QueryPack {
   /** One label-propagation round as a CTE pair: labeled-neighbor counts
     * into nbN, the clamped-seed/majority label vector into lN. */
   private def lpRound(i: Int): String =
-    s"""nb$i AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+    s"""nb$i AS MATERIALIZED (SELECT e.dst AS node, l.label, COUNT(*) AS c
        |         FROM ee e JOIN l${i - 1} l ON e.src = l.node
        |         WHERE l.label IS NOT NULL GROUP BY 1, 2),
-       |mj$i AS (SELECT node, label FROM (
+       |mj$i AS MATERIALIZED (SELECT node, label FROM (
        |    SELECT node, label,
        |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rnk
        |    FROM nb$i) WHERE rnk = 1),
-       |l$i AS (SELECT n.node, COALESCE(s.label, m.label) AS label
+       |l$i AS MATERIALIZED (SELECT n.node, COALESCE(s.label, m.label) AS label
        |        FROM nodes n LEFT JOIN seeds s USING (node)
        |        LEFT JOIN mj$i m ON n.node = m.node)""".stripMargin
 
@@ -626,11 +626,11 @@ object ScaleQueries extends QueryPack {
     * rank vector into `rN` (leaky formulation, damping 0.85). */
   private def prRound(i: Int): String = {
     val prev = s"r${i - 1}"
-    s"""c$i AS (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
+    s"""c$i AS MATERIALIZED (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
        |        FROM ee JOIN $prev ON ee.src = $prev.node
        |                JOIN od ON ee.src = od.src
        |        GROUP BY 1),
-       |r$i AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c$i.m, 0) AS rank
+       |r$i AS MATERIALIZED (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c$i.m, 0) AS rank
        |        FROM nodes LEFT JOIN c$i USING (node) CROSS JOIN nn)""".stripMargin
   }
 
@@ -638,11 +638,11 @@ object ScaleQueries extends QueryPack {
     * contributions as in q133, teleport onto the seed vector `tp`. */
   private def pprRound(i: Int): String = {
     val prev = s"r${i - 1}"
-    s"""c$i AS (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
+    s"""c$i AS MATERIALIZED (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
        |        FROM ee JOIN $prev ON ee.src = $prev.node
        |                JOIN od ON ee.src = od.src
        |        GROUP BY 1),
-       |r$i AS (SELECT tp.node, 0.15 * tp.p + 0.85 * COALESCE(c$i.m, 0) AS rank
+       |r$i AS MATERIALIZED (SELECT tp.node, 0.15 * tp.p + 0.85 * COALESCE(c$i.m, 0) AS rank
        |        FROM tp LEFT JOIN c$i USING (node))""".stripMargin
   }
 

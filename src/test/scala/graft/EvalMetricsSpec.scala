@@ -90,6 +90,25 @@ class EvalMetricsSpec extends SparkSpec {
       ci((1L to 5L).map(i => (i, 0.5)), reps = 5)
   }
 
+  test("bootstrapCi rejects NULL metrics instead of counting them as 0.0") {
+    val withNull = Seq((1L, java.lang.Double.valueOf(0.5)),
+      (2L, null.asInstanceOf[java.lang.Double]), (3L, java.lang.Double.valueOf(0.7)))
+      .toDF("id", "m")
+    val e = the[IllegalArgumentException] thrownBy
+      EvalMetrics.bootstrapCi(withNull, "id", "m", 100).collect()
+    e.getMessage should include("NULL")
+  }
+
+  test("bootstrapCi enforces the caller's panel cap") {
+    val panel = (1L to 30L).map(i => (i, 0.5)).toDF("id", "m")
+    val e = the[IllegalArgumentException] thrownBy
+      EvalMetrics.bootstrapCi(panel, "id", "m", 100, maxN = 20).collect()
+    e.getMessage should include("cap 20")
+    // at or under the cap the fit runs
+    EvalMetrics.bootstrapCi(panel, "id", "m", 100, maxN = 30)
+      .collect().head.getLong(0) shouldBe 30L
+  }
+
   test("plan is one hash aggregate — no window, no join") {
     val plan = EvalMetrics.passAtK(
         Seq((1L, true)).toDF("pid", "ok"), "pid", "ok", 3)

@@ -91,4 +91,27 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     got shouldBe Map("a" -> 6L, "b" -> 2L)
   }
+
+  test("apportion: over-floor takeback skips zero-base strata, never negative") {
+    import graft.operators.Sampling
+    // under-floor (normal): leftover unit to the largest fractional part,
+    // the a/b tie at .4 broken to the alphabetically-first stratum
+    Sampling.apportion(Seq("a" -> 1.4, "b" -> 1.4, "c" -> 0.2), 3L) shouldBe
+      Seq(2L, 1L, 0L)
+    // over-floor (1e-6-rounding pathology): quotas rounded UP to integers
+    // so Σfloor = 3 > budget 2; the zero-base stratum z (quota 0.0, the
+    // smallest fractional part) must NOT be decremented to -1 — takeback
+    // lands on base>0 strata only, alphabetically-first on frac ties
+    val over = Sampling.apportion(
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "z" -> 0.0), 2L)
+    over shouldBe Seq(0L, 1L, 1L, 0L)
+    over.foreach(_ should be >= 0L)
+    over.sum shouldBe 2L
+    // a takeback one unit deep is absorbed by the lone base>0 stratum…
+    Sampling.apportion(Seq("a" -> 1.0, "z" -> 0.0), 0L) shouldBe Seq(0L, 0L)
+    // …but one deeper than the base>0 strata can absorb raises instead
+    // of going negative
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.apportion(Seq("a" -> 2.0, "z" -> 0.0), 0L)
+  }
 }

@@ -92,6 +92,16 @@ class PreferenceSpec extends SparkSpec {
       Preference.bradleyTerry(spark, selfOnly, "winner", "loser", 1)
   }
 
+  test("bradleyTerry raises on a player set past maxPlayers before collecting") {
+    val g = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("winner", "loser")
+    val e = the[IllegalArgumentException] thrownBy
+      Preference.bradleyTerry(spark, g, "winner", "loser", 1, maxPlayers = 2)
+    e.getMessage should include("players² count matrix")
+    // at the cap the fit runs
+    Preference.bradleyTerry(spark, g, "winner", "loser", 1, maxPlayers = 3)
+      .where(col("round") === 1L).count() shouldBe 3L
+  }
+
   test("preferencePairs plan is one hash aggregate — no window, no join") {
     val df = scored((1L, 10L, 0.9), (1L, 11L, 0.2))
     val plan = Preference.preferencePairs(df, "prompt_id", "doc_id", "score", 0.05)

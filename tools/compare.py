@@ -3,7 +3,7 @@
 the engine): run each oracle SQL in DuckDB over the sf parquet tables and
 compare against the Verify.scala parquet dumps (columns sorted by name,
 values compared after the queries' own rounding conventions)."""
-import json, math, sys
+import json, math, sys, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -17,6 +17,13 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Cap + spill: on a busy machine (Spark test JVM co-tenant) an
+    # uncapped DuckDB grabs ~80% of RAM and an allocation failure inside
+    # one heavy oracle replay reads as a correctness FAIL (q195, r10).
+    # The cap bounds the oracle's footprint and temp_directory lets the
+    # heavy chains spill instead of dying.
+    con.execute("SET memory_limit='8GB'")
+    con.execute(f"SET temp_directory='{out_dir}/duckdb_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -30,8 +37,10 @@ def main(sf_dir, out_dir):
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "err": None}
         record[name] = rec
+        t0 = time.time()
         try:
             odf = con.execute(sql).fetchdf()
+            rec["oracle_sec"] = round(time.time() - t0, 1)
         except Exception as e:
             rec["err"] = f"duckdb error: {e}"
             print(f"FAIL {name}: {rec['err']}")
@@ -63,7 +72,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at {i}:\n  oracle {a}\n  spark  {b}")
             continue
         rec["hash_match"] = True
-        print(f"OK   {name} ({len(odf)} rows)")
+        print(f"OK   {name} ({len(odf)} rows, {rec['oracle_sec']}s oracle)")
         n_ok += 1
     with open(f"{out_dir}/correctness.json", "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
