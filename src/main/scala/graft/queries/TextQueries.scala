@@ -689,15 +689,7 @@ object TextQueries extends QueryPack {
       val d = Tables.read(s, dir, "documents")
       val h = (col("doc_id") % 4).cast("string")
       val host = concat(lit("site"), h, lit(".example.com"))
-      val nl = lit("\n")
-      val body = concat(
-        lit("User-agent: fancybot"), nl, lit("Disallow: /"), nl, nl,
-        lit("User-agent: extra"), nl, lit("User-agent: *"), nl,
-        lit("Disallow: /private"), h, nl,
-        lit("Allow: /private"), h, lit("/ok"), nl,
-        lit("Allow: /tie"), nl, lit("Disallow: /tie"), nl,
-        lit("Disallow:"), nl, lit("# note"), nl, lit("Sitemap: https://x"))
-      val robots = d.select(host.as("host"), body.as("body")).distinct()
+      val robots = d.select(host.as("host"), robotsBodyOf(h).as("body")).distinct()
       val path = when(col("doc_id") % 5 === 0, lit("/tie/x"))
         .when(col("doc_id") % 3 === 0, concat(lit("/private"), h, lit("/ok/page")))
         .when(col("doc_id") % 3 === 1, concat(lit("/private"), h, lit("/secret")))
@@ -721,15 +713,7 @@ object TextQueries extends QueryPack {
       val d = Tables.read(s, dir, "documents")
       val h = (col("doc_id") % 4).cast("string")
       val host = concat(lit("site"), h, lit(".example.com"))
-      val nl = lit("\n")
-      val body = concat(
-        lit("User-agent: fancybot"), nl, lit("Disallow: /"), nl, nl,
-        lit("User-agent: extra"), nl, lit("User-agent: *"), nl,
-        lit("Disallow: /private"), h, nl,
-        lit("Allow: /private"), h, lit("/ok"), nl,
-        lit("Allow: /tie"), nl, lit("Disallow: /tie"), nl,
-        lit("Disallow:"), nl, lit("# note"), nl, lit("Sitemap: https://x"))
-      val robots = d.select(host.as("host"), body.as("body")).distinct()
+      val robots = d.select(host.as("host"), robotsBodyOf(h).as("body")).distinct()
       val path = when(col("doc_id") % 5 === 0, lit("/tie/x"))
         .when(col("doc_id") % 3 === 0, concat(lit("/private"), h, lit("/ok/page")))
         .when(col("doc_id") % 3 === 1, concat(lit("/private"), h, lit("/secret")))
@@ -1096,6 +1080,45 @@ object TextQueries extends QueryPack {
           Tables.read(s, dir, "documents"), "lang", "n_chars", NeymanBudget)
         .orderBy(col("stratum"))),
 
+    // EXT-E2E (a): crawl-to-shards — the END of the composition chain:
+    // the selected corpus packed into hashed-token-id training sequences
+    // per (lang, shard) and round-tripped through the binary token-shard
+    // sink, so the artifact a training loader mmaps is exactly what the
+    // funnel selected. The oracle replays every stage AND the packing.
+    "q214_crawl_to_shards" -> ((s, dir) => {
+      val sel = crawlFunnel(s, dir).where(col("selected"))
+      val ids = sel.select(col("doc_id"), col("lang"),
+          transform(tokensWs(col("content")),
+            t => pmod(hash60(t), lit(ShardVocabMod)).cast("int")).as("ids"))
+        .withColumn("shard", pmod(hash60(col("doc_id").cast("string")),
+          lit(PackShards.toLong)))
+      val packed = graft.operators.Chunking.packIdSequences(
+          ids, PackSeqLen, Seq("lang", "shard"), "doc_id", "ids")
+        .select(concat_ws(":", col("lang"), col("shard"), col("pack_id"))
+          .as("seq_key"), col("seq"))
+      val out = graft.core.Scratch.dir("graft_crawlshards")
+      graft.sources.TokenShards.write(packed, out, idsCol = "seq")
+      graft.sources.TokenShards.read(s, out)
+        .withColumn("p", split(col("seq_key"), ":"))
+        .select(element_at(col("p"), 1).as("lang"),
+          element_at(col("p"), 2).cast("long").as("shard"),
+          element_at(col("p"), 3).cast("long").as("pack_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          concat_ws(" ", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
+    // EXT-E2E (b): the per-document funnel audit of the same chain —
+    // every stage flag surfaced so attrition is attributable per stage
+    // (the number a pipeline report leads with).
+    "q215_crawl_funnel" -> ((s, dir) =>
+      crawlFunnel(s, dir).select(col("doc_id"), col("lang"), col("canonical"),
+          col("allowed"), col("n_content"), col("n_moji"), col("gopher_pass"),
+          col("is_canonical"), col("fuzzy_dup"), col("is_bench"),
+          col("contaminated"), col("n_tokens"), col("survivor"),
+          col("in_budget"), col("selected"))
+        .orderBy(col("doc_id"))),
+
     // EXT-T66: unbiased pass@k (Chen et al. 2021 eq. 1) — the eval-suite
     // estimator over per-sample outcome logs: problems = consecutive
     // doc-id groups of 10 samples, "correct" = 1e-6-rounded quality above
@@ -1110,21 +1133,181 @@ object TextQueries extends QueryPack {
         .orderBy(col("problem_id")))
   )
 
-  /** The deterministic page wrap shared by q144/q149 (the q63 planting
-    * pattern): nav links, heading, the text's halves as paragraphs, a
-    * list, entities, a comment + script, a link-heavy footer. */
-  private def wrappedPage: org.apache.spark.sql.Column = {
-    val half = floor(length(col("text")) / 2).cast("int")
+  /** The deterministic page wrap shared by q144/q149/q214 (the q63
+    * planting pattern): nav links, heading, the text's halves as
+    * paragraphs, a list, entities, a comment + script, a link-heavy
+    * footer. Parameterized on the text column so the crawl composition
+    * can wrap PLANTED text (moji artifacts) with the same scaffold. */
+  private def wrappedPageOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val half = floor(length(t) / 2).cast("int")
     concat(
       lit("<html><head><title>t</title><style>p{x}</style></head><body>"),
       lit("<div><a href=\"/\">home page</a> <a href=\"/a\">about us</a></div>"),
       lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
-      lit("<p>"), col("text").substr(lit(1), half), lit("</p>"),
+      lit("<p>"), t.substr(lit(1), half), lit("</p>"),
       lit("<ul><li>item one</li><li>item two</li></ul>"),
-      lit("<p>"), col("text").substr(half + 1, length(col("text"))),
+      lit("<p>"), t.substr(half + 1, length(t)),
       lit(" &amp; more &#39;quoted&#39; tail</p>"),
       lit("<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>"),
       lit("<div><a href=\"/c\">contact</a> copyright notice</div></body></html>"))
+  }
+
+  private def wrappedPage: org.apache.spark.sql.Column = wrappedPageOf(col("text"))
+
+  /** The planted robots.txt body shared by q156/q157/q214: a foreign
+    * agent group, a two-agent group naming `*`, prefix rules with an
+    * Allow/Disallow tie, an empty Disallow, a comment, an unknown field. */
+  private def robotsBodyOf(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nl = lit("\n")
+    concat(
+      lit("User-agent: fancybot"), nl, lit("Disallow: /"), nl, nl,
+      lit("User-agent: extra"), nl, lit("User-agent: *"), nl,
+      lit("Disallow: /private"), h, nl,
+      lit("Allow: /private"), h, lit("/ok"), nl,
+      lit("Allow: /tie"), nl, lit("Disallow: /tie"), nl,
+      lit("Disallow:"), nl, lit("# note"), nl, lit("Sitemap: https://x"))
+  }
+
+  /**
+   * EXT-E2E: the crawl-to-shards composition chain shared by q214 (the
+   * packed-shard artifact) and q215 (the per-document funnel audit) —
+   * every individually-gated crawl stage chained under ONE plan:
+   *
+   *   WARC round-trip (q152) → URL canonicalization (q151) → robots
+   *   gate (q156) → HTML boilerplate extraction (q144) → mojibake
+   *   hygiene (q203) → Gopher rule battery (q142) → exact canonical
+   *   dedup (q149) → MinHash-LSH near-dup (q61's candidate tier) →
+   *   benchmark decontamination (q67) → per-language token budgets
+   *   (q80) → packed token-id shards (q187).
+   *
+   * Stage flags are computed POPULATION-WIDE (independently per stage,
+   * the q149 convention) so funnel attrition is auditable per stage;
+   * the exceptions are `in_budget` — the budget consumes only documents
+   * surviving every earlier gate, in content-stable hash order — and
+   * `selected` = survivor ∧ in_budget.
+   *
+   * Scale shape: the payload travels driver-free (WARC framing is
+   * per-partition), every per-document stage is map-only, the dedup /
+   * decontamination joins carry hashes (never text), the near-dup
+   * candidate join is banded (Σ|bucket|², not corpus²), and the budget
+   * window partitions by language. One multi-consumer subtree (the
+   * extracted corpus) is cached once.
+   */
+  private def crawlFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{UrlFunctions => UF}
+    import graft.operators.Dedup
+    val d = Tables.read(s, dir, "documents")
+    val id = col("doc_id")
+    val h = (id % 4).cast("string")
+    // robots-relevant path variants (the q156 plant) + a unique /doc<id>
+    // suffix so records join back after the WARC round-trip
+    val path = concat(
+      when(id % 5 === 0, lit("/tie/x"))
+        .when(id % 3 === 0, concat(lit("/private"), h, lit("/ok/page")))
+        .when(id % 3 === 1, concat(lit("/private"), h, lit("/secret")))
+        .otherwise(lit("/public/page")),
+      lit("/doc"), id.cast("string"))
+    // raw frontier URL: scheme/host case noise, default ports, www,
+    // tracking params, fragments — everything canonicalization strips
+    val rawUrl = concat(
+      when(id % 2 === 0, "HTTP").otherwise(lit("https")), lit("://"),
+      when(id % 3 === 0, "WWW.").otherwise(lit("")),
+      lit("Site"), h, lit(".Example.COM"),
+      when(id % 2 === 0, ":80").otherwise(lit(":443")),
+      path,
+      lit("?utm_source=feed&fbclid"),
+      when(id % 5 === 0, "#frag").otherwise(lit("")))
+    // moji artifacts arrive FROM the crawl: planted before the page wrap
+    val planted = when(id % 7 === 0, concat(col("text"), lit(MojiSuffix)))
+      .otherwise(col("text"))
+    val staged = d.select(rawUrl.as("url"),
+      lit("2026-01-01T00:00:00Z").as("ts"), wrappedPageOf(planted).as("payload"))
+    val out = graft.core.Scratch.dir("graft_crawl")
+    graft.sources.Warc.save(staged, out)
+    val back = graft.sources.Warc.read(s, out)
+      .select(col("url"),
+        regexp_extract(col("url"), "/doc([0-9]+)", 1).cast("long").as("doc_id"),
+        col("payload").cast("string").as("page"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val canon = back.select(col("doc_id"), col("lang"), col("page"),
+        UF.canonicalUrl(col("url")).as("canonical"),
+        UF.urlHost(col("url")).as("host"))
+      .withColumn("path",
+        regexp_extract(col("canonical"), "^[a-z]+://[^/]+(/[^?]*)", 1))
+    // robots gate over the canonical frontier (the REAL parser against
+    // the planted bodies; the oracle replays the star-group rule table)
+    val robots = canon
+      .select(col("host"),
+        robotsBodyOf(regexp_extract(col("host"), "^site([0-9])", 1)).as("body"))
+      .distinct()
+    val verdict = graft.operators.Robots.evaluate(
+        canon.select(col("doc_id"), col("host"), col("path")),
+        graft.operators.Robots.parseRules(robots), "host", "path", "doc_id")
+      .select(col("doc_id"), col("allowed"))
+    // extraction + the per-document stage flags
+    val ex = graft.core.Caches.cacheOnce(
+      canon.join(verdict, Seq("doc_id"))
+        .withColumn("x", graft.functions.HtmlFunctions.extractContent(
+          col("page"), HtmlMinWords, HtmlMaxLink, HtmlMinStop))
+        .select(col("doc_id"), col("lang"), col("canonical"), col("allowed"),
+          col("x.n_content").as("n_content"), col("x.content").as("content"))
+        .withColumn("n_moji", mojibakeCount(col("content")))
+        .withColumn("moji_clean", col("n_moji") === 0L)
+        .withColumn("gopher_pass",
+          gopherStats(col("content"), GopherMinWords).getField("pass"))
+        .withColumn("digest",
+          when(col("n_content") === 0,
+            concat(lit("empty:"), col("doc_id").cast("string")))
+            .otherwise(md5(canonicalText(col("content")))))
+        .withColumn("n_tokens", tokenCountWs(col("content")).cast("long")))
+    val keepW = Window.partitionBy(col("digest"))
+    val exact = ex.withColumn("keep_id", min(col("doc_id")).over(keepW))
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    // fuzzy near-dup: banded MinHash candidates over the EXTRACTED
+    // content, signature-agreement refine, later doc of a pair dropped
+    val sig = graft.core.Caches.cacheOnce(Dedup.minHashSignatures(
+      ex.select(col("doc_id"), col("content")),
+      CrawlShingleN, CrawlPerms, "doc_id", "content"))
+    val bands = Dedup.lshBands(sig, CrawlBands, CrawlPerms / CrawlBands)
+    val fuzzyDropped = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
+      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), Seq("ida"))
+      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), Seq("idb"))
+      .where(Dedup.estSim(col("siga"), col("sigb"), CrawlPerms) >= CrawlEstSim)
+      .select(col("idb").as("doc_id")).distinct()
+    // benchmark decontamination over the same extracted content
+    val isBench = col("doc_id") % CrawlBenchMod === 0
+    val contam = graft.operators.Decontamination.contaminated(
+        ex.where(!isBench).select(col("doc_id"), col("content")),
+        ex.where(isBench).select(col("doc_id"), col("content")),
+        CrawlDecontamN, "doc_id", "content")
+      .select(col("doc_id"))
+    val flags = exact
+      .join(fuzzyDropped.withColumn("fz", lit(true)), Seq("doc_id"), "left")
+      .withColumn("fuzzy_dup", coalesce(col("fz"), lit(false))).drop("fz")
+      .join(contam.withColumn("ct", lit(true)), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("ct"), lit(false))).drop("ct")
+      .withColumn("is_bench", isBench)
+      .withColumn("survivor",
+        col("allowed") && col("n_content") > 0 && col("moji_clean") &&
+          col("gopher_pass") && col("is_canonical") && !col("fuzzy_dup") &&
+          !col("is_bench") && !col("contaminated"))
+    // per-language token budget over the survivors, hash order (q80)
+    val wB = Window.partitionBy(col("lang"))
+      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val budget = flags.where(col("survivor"))
+      .withColumn("cumb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .withColumn("in_b", col("cumb") <
+        when(col("lang") === "en", CrawlBudgetEn).otherwise(CrawlBudgetDefault))
+      .select(col("doc_id"), col("in_b"))
+    flags.join(budget, Seq("doc_id"), "left")
+      .withColumn("in_budget", coalesce(col("in_b"), lit(false))).drop("in_b")
+      .withColumn("selected", col("survivor") && col("in_budget"))
   }
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -1193,6 +1376,16 @@ object TextQueries extends QueryPack {
   private val HostBottomFrac = 0.25 // q161 flagged host-tail fraction
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
+  private val CrawlShingleN = 3 // q214/q215 near-dup MinHash shingles
+  private val CrawlDecontamN = 8 // q214/q215 scrub collision grams (the
+  // 13-gram-protocol scale — 3-grams flag 83% of this corpus, a
+  // decontamination gate must catch leaked ITEMS, not shared phrases)
+  private val CrawlPerms = 16 // q214/q215 MinHash permutations
+  private val CrawlBands = 4 // × 4 rows/band
+  private val CrawlEstSim = 0.5 // q214/q215 near-dup signature cutoff
+  private val CrawlBenchMod = 17 // every 17th doc plays the benchmark set
+  private val CrawlBudgetEn = 4000L // q214/q215 en token budget
+  private val CrawlBudgetDefault = 1500L // q214/q215 other-language budget
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -1222,17 +1415,17 @@ object TextQueries extends QueryPack {
 
   private def lrRound(i: Int): String = {
     val pw = s"w${i - 1}"
-    s"""z$i AS (SELECT fb.doc_id, fb.y, SUM(fb.c * $pw.wv) AS z
+    s"""z$i AS MATERIALIZED (SELECT fb.doc_id, fb.y, SUM(fb.c * $pw.wv) AS z
        |        FROM fb JOIN $pw USING (bucket) GROUP BY 1, 2),
-       |p$i AS (SELECT doc_id, y, 1 / (1 + exp(-z)) AS p FROM z$i),
+       |p$i AS MATERIALIZED (SELECT doc_id, y, 1 / (1 + exp(-z)) AS p FROM z$i),
        |l$i AS (SELECT ${i}::BIGINT AS round,
        |          ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)
        |            AS mean_loss
        |        FROM p$i),
-       |g$i AS (SELECT fb.bucket, SUM(fb.c * (p$i.p - fb.y)) / nn.n AS g
+       |g$i AS MATERIALIZED (SELECT fb.bucket, SUM(fb.c * (p$i.p - fb.y)) / nn.n AS g
        |        FROM fb JOIN p$i USING (doc_id) CROSS JOIN nn
        |        GROUP BY fb.bucket, nn.n),
-       |w$i AS (SELECT $pw.bucket,
+       |w$i AS MATERIALIZED (SELECT $pw.bucket,
        |          ROUND($pw.wv - $LrRate * COALESCE(g$i.g, 0), 9) AS wv
        |        FROM $pw LEFT JOIN g$i USING (bucket))""".stripMargin
   }
@@ -1313,15 +1506,20 @@ object TextQueries extends QueryPack {
   /** One unrolled Bradley–Terry MM round for the q195 oracle: per-player
     * denominator under w(i−1), the ½-pseudo-win numerator, the
     * 1e-9-rounded normalized update. */
+  // MATERIALIZED: each round references the previous round's CTE several
+  // times (wa, wb, the scalar normalizer) — DuckDB inlines non-
+  // materialized CTEs per reference, so the unrolled chain re-evaluates
+  // exponentially (measured: w1 0.3s, w2 2.2s, w4 OOM at an 8 GB cap on a
+  // 20-player table). Materializing each round makes it linear.
   private def btRoundCte(i: Int): String =
-    s"""d$i AS (SELECT p.player AS player, SUM(n.n / (wa.w + wb.w)) AS den
+    s"""d$i AS MATERIALIZED (SELECT p.player AS player, SUM(n.n / (wa.w + wb.w)) AS den
        |        FROM players p JOIN nij n ON (n.a = p.player OR n.b = p.player)
        |        JOIN w${i - 1} wa ON wa.player = n.a
        |        JOIN w${i - 1} wb ON wb.player = n.b
        |        GROUP BY 1),
-       |r$i AS (SELECT d.player, (COALESCE(wins.wi, 0) + 0.5) / d.den AS rw
+       |r$i AS MATERIALIZED (SELECT d.player, (COALESCE(wins.wi, 0) + 0.5) / d.den AS rw
        |        FROM d$i d LEFT JOIN wins ON wins.player = d.player),
-       |w$i AS (SELECT player, ROUND(rw / (SELECT SUM(rw) FROM r$i), 9) AS w
+       |w$i AS MATERIALIZED (SELECT player, ROUND(rw / (SELECT SUM(rw) FROM r$i), 9) AS w
        |        FROM r$i)""".stripMargin
 
   // DuckDB mirrors -----------------------------------------------------------
@@ -1375,29 +1573,29 @@ object TextQueries extends QueryPack {
     * round machinery over whatever `w0` the caller supplies. */
   private def bpeChainSql(base: String, nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq,
          |          unnest(list_transform(range(1, len(toks)),
          |                 i -> {'l': toks[i], 'r': toks[i + 1]})) AS p
          |        FROM w${k - 1})
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |ex$k AS (SELECT word, freq, p.tok AS tok, p.pos AS pos FROM (
+         |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |ex$k AS MATERIALIZED (SELECT word, freq, p.tok AS tok, p.pos AS pos FROM (
          |  SELECT word, freq, unnest(list_transform(range(1, len(toks) + 1),
          |           i -> {'tok': toks[i], 'pos': i})) AS p FROM w${k - 1})),
-         |m$k AS (SELECT e.*, (tok = b.lhs AND COALESCE(
+         |m$k AS MATERIALIZED (SELECT e.*, (tok = b.lhs AND COALESCE(
          |          lead(tok) OVER (PARTITION BY word ORDER BY pos) = b.rhs,
          |          FALSE)) AS mtch
          |        FROM ex$k e, b$k b),
-         |g$k AS (SELECT *, CASE WHEN mtch THEN pos - ROW_NUMBER()
+         |g$k AS MATERIALIZED (SELECT *, CASE WHEN mtch THEN pos - ROW_NUMBER()
          |          OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp
          |        FROM m$k),
-         |mm$k AS (SELECT *, (mtch AND (pos - MIN(pos)
+         |mm$k AS MATERIALIZED (SELECT *, (mtch AND (pos - MIN(pos)
          |           OVER (PARTITION BY word, grp)) % 2 = 0) AS m FROM g$k),
-         |pv$k AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word
+         |pv$k AS MATERIALIZED (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word
          |           ORDER BY pos), FALSE) AS pm FROM mm$k),
-         |w$k AS (SELECT word, freq,
+         |w$k AS MATERIALIZED (SELECT word, freq,
          |          list(CASE WHEN m THEN b.lhs || b.rhs ELSE tok END
          |               ORDER BY pos) AS toks
          |        FROM pv$k, b$k b WHERE NOT pm GROUP BY word, freq)""".stripMargin
@@ -1461,10 +1659,13 @@ object TextQueries extends QueryPack {
        |       ELSE 'tail' END AS tier
        |FROM sc LEFT JOIN cuts USING (lang))""".stripMargin
 
-  /** The q144/q149 HTML-extraction CTE chain: derive the identical
-    * wrapped page, strip scaffold, split blocks, classify, and surface
+  /** The q144/q149/q214 HTML-extraction CTE chain: derive the identical
+    * wrapped page over `src` (doc_id + text), strip scaffold, split
+    * blocks, classify, and surface
     * `extracted(doc_id, n_blocks, n_content, content)`. */
-  private lazy val htmlCtes: String =
+  private lazy val htmlCtes: String = htmlCtesOver("documents")
+
+  private def htmlCtesOver(src: String): String =
     s"""html AS (SELECT doc_id,
        |  '<html><head><title>t</title><style>p{x}</style></head><body>' ||
        |  '<div><a href="/">home page</a> <a href="/a">about us</a></div>' ||
@@ -1475,7 +1676,7 @@ object TextQueries extends QueryPack {
        |  ' &amp; more &#39;quoted&#39; tail</p>' ||
        |  '<!-- hidden comment --><script>var x = 1; if (a < b) { }</script>' ||
        |  '<div><a href="/c">contact</a> copyright notice</div></body></html>' AS h
-       |  FROM documents),
+       |  FROM $src),
        |scaff AS (SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
        |    '(?s)<!--.*?-->', ' ', 'g'),
@@ -1560,6 +1761,143 @@ object TextQueries extends QueryPack {
        |    COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
        |    n_stop >= 2 AS r_stop
        |  FROM gstats)""".stripMargin
+
+  /** The q214/q215 oracle chain: every crawl stage replayed over the
+    * planted corpus, ending in
+    * `fun3(doc_id, lang, canonical, allowed, n_content, n_moji,
+    * moji_clean, gopher_pass, is_canonical, fuzzy_dup, is_bench,
+    * contaminated, n_tokens, survivor, in_budget, selected)`.
+    * Stage sources: moji plant (q203) → page wrap + extraction
+    * (htmlCtesOver) → URL canonical closed form (the q151 rules applied
+    * to the planted noise) → robots star-group rule table + longest-
+    * match/Allow-wins (q156's semantics over the planted body) → Gopher
+    * battery (gopherCtes) → exact keep-first (q149) → MinHash bands +
+    * agreement refine (q61's tier) → benchmark gram hits (q67) →
+    * per-language budget window (q80). */
+  private lazy val crawlCtes: String = {
+    import graft.functions.TextFunctions.MojibakePattern
+    s"""pdocs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$MojiSuffix' ELSE text END
+       |      AS text
+       |  FROM documents),
+       |${htmlCtesOver("pdocs")},
+       |canon AS (SELECT doc_id, (doc_id % 4)::VARCHAR AS h,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+       |      'site' || (doc_id % 4) || '.example.com' ||
+       |      (CASE WHEN doc_id % 5 = 0 THEN '/tie/x'
+       |            WHEN doc_id % 3 = 0 THEN '/private' || (doc_id % 4) || '/ok/page'
+       |            WHEN doc_id % 3 = 1 THEN '/private' || (doc_id % 4) || '/secret'
+       |            ELSE '/public/page' END) || '/doc' || doc_id AS canonical,
+       |    (CASE WHEN doc_id % 5 = 0 THEN '/tie/x'
+       |          WHEN doc_id % 3 = 0 THEN '/private' || (doc_id % 4) || '/ok/page'
+       |          WHEN doc_id % 3 = 1 THEN '/private' || (doc_id % 4) || '/secret'
+       |          ELSE '/public/page' END) || '/doc' || doc_id AS path
+       |  FROM documents),
+       |rr AS (SELECT h, unnest([
+       |    struct_pack(p := '/private' || h, a := FALSE),
+       |    struct_pack(p := '/private' || h || '/ok', a := TRUE),
+       |    struct_pack(p := '/tie', a := TRUE),
+       |    struct_pack(p := '/tie', a := FALSE)]) AS r
+       |  FROM (SELECT DISTINCT (doc_id % 4)::VARCHAR AS h FROM documents)),
+       |rmatch AS (SELECT c.doc_id, r.r.a AS a, length(r.r.p) AS l
+       |           FROM canon c JOIN rr r
+       |             ON r.h = c.h AND starts_with(c.path, r.r.p)),
+       |rwin AS (SELECT doc_id, a FROM (
+       |    SELECT doc_id, a,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY l DESC, a DESC)
+       |        AS rk
+       |    FROM rmatch) WHERE rk = 1),
+       |csrc AS (SELECT e.doc_id, d.lang, e.n_content, e.content AS text
+       |         FROM extracted e JOIN documents d USING (doc_id)),
+       |${gopherCtes("csrc")},
+       |ctoks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |            ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |          FROM csrc),
+       |cshs AS (SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN len(tk) < $CrawlShingleN THEN []
+       |         ELSE list_transform(range(1, len(tk) - ${CrawlShingleN - 2}),
+       |           i -> array_to_string(list_slice(tk, i, i + ${CrawlShingleN - 1}), ' ')) END,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs
+       |  FROM ctoks),
+       |csig AS (SELECT doc_id, list_transform(range(0, $CrawlPerms), i ->
+       |    list_min(list_transform(gs,
+       |      g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
+       |  FROM cshs WHERE len(gs) > 0),
+       |cbands AS (SELECT doc_id, b,
+       |    md5(array_to_string(list_slice(sg,
+       |      b * ${CrawlPerms / CrawlBands} + 1,
+       |      b * ${CrawlPerms / CrawlBands} + ${CrawlPerms / CrawlBands}), ':')) AS bk
+       |  FROM csig, unnest(range(0, $CrawlBands)) AS t(b)),
+       |fz AS (SELECT DISTINCT cd.db AS doc_id FROM
+       |    (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |     FROM cbands a JOIN cbands b
+       |       ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id) cd
+       |    JOIN csig sa ON sa.doc_id = cd.da
+       |    JOIN csig sb ON sb.doc_id = cd.db
+       |  WHERE len(list_filter(list_transform(range(1, ${CrawlPerms + 1}),
+       |          i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE
+       |        / $CrawlPerms.0 >= $CrawlEstSim),
+       |dshs AS (SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN len(tk) < $CrawlDecontamN THEN []
+       |         ELSE list_transform(range(1, len(tk) - ${CrawlDecontamN - 2}),
+       |           i -> array_to_string(list_slice(tk, i, i + ${CrawlDecontamN - 1}), ' ')) END,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs
+       |  FROM ctoks),
+       |bgr AS (SELECT DISTINCT g FROM
+       |    (SELECT doc_id, unnest(gs) AS g FROM dshs
+       |     WHERE doc_id % $CrawlBenchMod = 0)),
+       |ctm AS (SELECT DISTINCT t.doc_id FROM
+       |    (SELECT doc_id, unnest(gs) AS g FROM dshs
+       |     WHERE doc_id % $CrawlBenchMod <> 0) t
+       |  JOIN bgr USING (g)),
+       |cdg AS (SELECT doc_id,
+       |    CASE WHEN n_content = 0 THEN 'empty:' || doc_id
+       |         ELSE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) END
+       |      AS digest
+       |  FROM csrc),
+       |ckeep AS (SELECT digest, MIN(doc_id) AS keep_id FROM cdg GROUP BY 1),
+       |moji AS (SELECT doc_id,
+       |    len(regexp_extract_all(text, '$MojibakePattern'))::BIGINT AS n_moji
+       |  FROM csrc),
+       |fun2 AS (SELECT c.doc_id, c.lang, cn.canonical,
+       |    COALESCE(w.a, TRUE) AS allowed, c.n_content, m.n_moji,
+       |    (m.n_moji = 0) AS moji_clean,
+       |    (g.r_words AND g.r_meanlen AND g.r_symbol AND g.r_bullet
+       |     AND g.r_ellipsis AND g.r_alpha AND g.r_stop) AS gopher_pass,
+       |    (c.doc_id = k.keep_id) AS is_canonical,
+       |    (f.doc_id IS NOT NULL) AS fuzzy_dup,
+       |    (c.doc_id % $CrawlBenchMod = 0) AS is_bench,
+       |    (x.doc_id IS NOT NULL) AS contaminated,
+       |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |    (COALESCE(w.a, TRUE) AND c.n_content > 0 AND m.n_moji = 0
+       |     AND (g.r_words AND g.r_meanlen AND g.r_symbol AND g.r_bullet
+       |          AND g.r_ellipsis AND g.r_alpha AND g.r_stop)
+       |     AND c.doc_id = k.keep_id AND f.doc_id IS NULL
+       |     AND c.doc_id % $CrawlBenchMod <> 0 AND x.doc_id IS NULL)
+       |      AS survivor
+       |  FROM csrc c
+       |  JOIN canon cn USING (doc_id)
+       |  LEFT JOIN rwin w USING (doc_id)
+       |  JOIN gflags g USING (doc_id)
+       |  JOIN cdg USING (doc_id)
+       |  JOIN ckeep k USING (digest)
+       |  JOIN moji m USING (doc_id)
+       |  JOIN ctoks t USING (doc_id)
+       |  LEFT JOIN fz f USING (doc_id)
+       |  LEFT JOIN ctm x USING (doc_id)),
+       |bdg AS (SELECT doc_id,
+       |    (COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |        ORDER BY hv, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     < CASE WHEN lang = 'en' THEN $CrawlBudgetEn
+       |            ELSE $CrawlBudgetDefault END) AS in_b
+       |  FROM (SELECT doc_id, lang, n_tokens,
+       |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |        FROM fun2 WHERE survivor)),
+       |fun3 AS (SELECT f.*, COALESCE(b.in_b, FALSE) AS in_budget,
+       |    (f.survivor AND COALESCE(b.in_b, FALSE)) AS selected
+       |  FROM fun2 f LEFT JOIN bdg b USING (doc_id))""".stripMargin
+  }
 
   /** The q148 oracle: the same merge-chain CTEs, aggregated per language
     * (fertility = pieces per word, compression = chars per piece). */
@@ -1749,7 +2087,7 @@ object TextQueries extends QueryPack {
        |       FROM v0c)""".stripMargin
 
   private def uniRoundCtes(r: Int, prev: String): String =
-    s"""m$r AS (SELECT MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS mp FROM $prev),
+    s"""m$r AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece), list(logp ORDER BY piece)) AS mp FROM $prev),
        |dp$r AS (
        |  SELECT word, freq, 0 AS i, [0.0]::DOUBLE[] AS dp, [0]::BIGINT[] AS bp FROM words
        |  UNION ALL
@@ -1770,20 +2108,20 @@ object TextQueries extends QueryPack {
        |    list_prepend(substr(word, (bp[pos + 1] + 1)::INT, (pos - bp[pos + 1])::INT), pieces), bp
        |  FROM walk$r WHERE pos > 0),
        |seg$r AS (SELECT word, freq, unnest(pieces) AS piece FROM walk$r WHERE pos = 0),
-       |c$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM seg$r GROUP BY 1),
-       |k$r AS (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+       |c$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM seg$r GROUP BY 1),
+       |k$r AS MATERIALIZED (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
        |         FROM $prev v LEFT JOIN c$r c USING (piece)
        |         WHERE COALESCE(c.cnt, 0) > 0 OR len(v.piece) = 1),
-       |v$r AS (SELECT piece, cnt, ROUND(ln((cnt + 1.0) /
+       |v$r AS MATERIALIZED (SELECT piece, cnt, ROUND(ln((cnt + 1.0) /
        |           ((SELECT CAST(SUM(cnt) AS DOUBLE) FROM k$r) + (SELECT COUNT(*) FROM k$r))), 9) AS logp
        |         FROM k$r)""".stripMargin
 
   private lazy val uniPruneCtes: String =
-    s"""mk AS (SELECT piece, cnt FROM (
+    s"""mk AS MATERIALIZED (SELECT piece, cnt FROM (
        |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
        |    FROM k$UniRounds WHERE len(piece) > 1)
        |  WHERE rn <= $UniTarget - (SELECT COUNT(*) FROM k$UniRounds WHERE len(piece) = 1)),
-       |fk AS (SELECT piece, cnt FROM k$UniRounds WHERE len(piece) = 1
+       |fk AS MATERIALIZED (SELECT piece, cnt FROM k$UniRounds WHERE len(piece) = 1
        |       UNION ALL SELECT piece, cnt FROM mk),
        |v${UniRounds + 1} AS (SELECT piece, cnt, ROUND(ln((cnt + 1.0) /
        |         ((SELECT CAST(SUM(cnt) AS DOUBLE) FROM fk) + (SELECT COUNT(*) FROM fk))), 9) AS logp
@@ -1856,23 +2194,23 @@ object TextQueries extends QueryPack {
     * losses, clipped excess, renormalized 1e-9-rounded weights. */
   private lazy val doremiOracleSql: String = {
     val rounds = (1 to DoremiRounds).map { r =>
-      s"""ca$r AS (SELECT SUM(w.w / (n.n + vv.v)::DOUBLE) AS c
+      s"""ca$r AS MATERIALIZED (SELECT SUM(w.w / (n.n + vv.v)::DOUBLE) AS c
          |         FROM w${r - 1} w JOIN nd n USING (source) CROSS JOIN vv),
-         |pa$r AS (SELECT d.tok,
+         |pa$r AS MATERIALIZED (SELECT d.tok,
          |           SUM(w.w * d.cnt::DOUBLE / (n.n + vv.v)::DOUBLE)
          |             + (SELECT c FROM ca$r) AS p
          |         FROM dt d JOIN nd n USING (source)
          |         JOIN w${r - 1} w USING (source) CROSS JOIN vv
          |         GROUP BY d.tok),
-         |l$r AS (SELECT d.source,
+         |l$r AS MATERIALIZED (SELECT d.source,
          |          ROUND(SUM((d.cnt::DOUBLE / n.n::DOUBLE) * -ln(p.p)), 6) AS l
          |        FROM dt d JOIN pa$r p USING (tok) JOIN nd n USING (source)
          |        GROUP BY 1),
-         |e$r AS (SELECT l.source, GREATEST(l.l - s.lstar, 0) AS ex
+         |e$r AS MATERIALIZED (SELECT l.source, GREATEST(l.l - s.lstar, 0) AS ex
          |        FROM l$r l JOIN ls s USING (source)),
-         |u$r AS (SELECT e.source, e.ex, w.w * (1 + $DoremiEta * e.ex) AS wu
+         |u$r AS MATERIALIZED (SELECT e.source, e.ex, w.w * (1 + $DoremiEta * e.ex) AS wu
          |        FROM e$r e JOIN w${r - 1} w USING (source)),
-         |w$r AS (SELECT source, ex,
+         |w$r AS MATERIALIZED (SELECT source, ex,
          |          ROUND(wu / (SELECT SUM(wu) FROM u$r), 9) AS w FROM u$r)""".stripMargin
     }
     val union = (1 to DoremiRounds).map(r =>
@@ -2873,12 +3211,62 @@ object TextQueries extends QueryPack {
          |        quota - FLOOR(quota) AS frac FROM q),
          |rm AS (SELECT $NeymanBudget - SUM(base) AS rem FROM b),
          |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY frac DESC, stratum)
-         |        AS rk FROM b)
+         |        AS rk,
+         |        CASE WHEN base > 0 THEN ROW_NUMBER() OVER
+         |          (PARTITION BY base > 0 ORDER BY frac ASC, stratum)
+         |        END AS rkn FROM b),
+         |a AS (SELECT stratum, n_rows, sd6, quota,
+         |        base + CASE WHEN rem >= 0 AND rk <= rem THEN 1
+         |                    WHEN rem < 0 AND rkn <= -rem THEN -1
+         |                    ELSE 0 END AS alloc
+         |      FROM r, rm)
          |SELECT stratum, n_rows, sd6 AS sd, quota,
-         |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
-         |    AS alloc,
-         |  base + CASE WHEN rk <= rem THEN 1 ELSE 0 END <= n_rows AS feasible
-         |FROM r, rm ORDER BY stratum""".stripMargin,
+         |  CAST(alloc AS BIGINT) AS alloc, alloc <= n_rows AS feasible
+         |FROM a ORDER BY stratum""".stripMargin,
+
+    // Crawl-to-shards replay: the full stage chain, then the q187
+    // packing shape over the selected corpus.
+    "q214_crawl_to_shards" ->
+      s"""WITH $crawlCtes,
+         |sids AS (SELECT f.doc_id, f.lang,
+         |    ('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % $PackShards AS shard,
+         |    list_transform(t.tk,
+         |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $ShardVocabMod)
+         |      AS ids,
+         |    CAST(len(t.tk) AS BIGINT) AS n
+         |  FROM fun3 f JOIN ctoks t USING (doc_id)
+         |  WHERE f.selected AND len(t.tk) > 0),
+         |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang, shard
+         |          ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cb
+         |        FROM sids),
+         |spans AS (SELECT lang, shard, cb, n, ids,
+         |            unnest(range(cb // $PackSeqLen, (cb + n - 1) // $PackSeqLen + 1))
+         |              AS pack_id
+         |          FROM cum),
+         |sl AS (SELECT lang, shard, pack_id, cb,
+         |         list_slice(ids, (greatest(pack_id * $PackSeqLen, cb) - cb + 1)::INT,
+         |                    (least((pack_id + 1) * $PackSeqLen, cb + n) - cb)::INT)
+         |           AS piece
+         |       FROM spans),
+         |packs AS (SELECT lang, shard, pack_id, flatten(list(piece ORDER BY cb))
+         |            AS seq
+         |          FROM sl GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(shard AS BIGINT) AS shard,
+         |       CAST(pack_id AS BIGINT) AS pack_id,
+         |       CAST(len(seq) AS BIGINT) AS n_tokens,
+         |       array_to_string(list_transform(seq, x -> x::VARCHAR), ' ') AS ids
+         |FROM packs ORDER BY lang, shard, pack_id""".stripMargin,
+
+    // Funnel-audit replay: the same chain, per-document stage flags.
+    "q215_crawl_funnel" ->
+      s"""WITH $crawlCtes
+         |SELECT doc_id, lang, canonical, allowed, n_content, n_moji,
+         |  gopher_pass, is_canonical, fuzzy_dup, is_bench, contaminated,
+         |  n_tokens, survivor, in_budget, selected
+         |FROM fun3 ORDER BY doc_id""".stripMargin,
 
     // pass@k replay: the q194 quality chain regrouped into 10-sample
     // problems, then the identical ascending-j factor product.
