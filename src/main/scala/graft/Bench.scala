@@ -24,6 +24,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.local.dir", graft.core.Scratch.localDir)
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,9 +34,13 @@ object Bench {
     // the embeddings norms — so the shared-cache build lands in an
     // UNTIMED query instead of whichever timed query alphabetically
     // touches it first (r9 lesson: q94-q96 medians swung 1-3 s purely
-    // from materialization order when new queries shifted that order)
+    // from materialization order when new queries shifted that order;
+    // r10 lesson: q47/q56/q57/q75 swung ±10-20 s for the same reason —
+    // so the tfidf-crosstab, LSH-signature/recall, and store-write
+    // cache families each get their own warmup too)
     for (w <- Seq("q03_crosstab", "q05_corr_sparse", "q16_text_stats",
-        "q25_ann_brute"))
+        "q25_ann_brute", "q56_tfidf_terms", "q47_dedup_recall",
+        "q57_incremental_store", "q75_ann_store_refresh"))
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }

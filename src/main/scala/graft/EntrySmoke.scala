@@ -8,6 +8,7 @@ object EntrySmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.local.dir", graft.core.Scratch.localDir)
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.local.dir", graft.core.Scratch.localDir)
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

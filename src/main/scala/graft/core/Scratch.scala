@@ -69,16 +69,34 @@ object Scratch {
     p.toString
   }
 
+  /** Directory for `spark.sql.warehouse.dir` — Spark otherwise creates
+    * `./spark-warehouse` in the process working directory, i.e. the repo
+    * root for every sbt-forked run. */
+  def warehouseDir: String = {
+    val p = root.resolve("spark-warehouse")
+    Files.createDirectories(p)
+    p.toString
+  }
+
   /** Point `java.io.tmpdir` at the scratch root unless the caller already
     * pinned it somewhere safe (anything outside /tmp counts). Must run
     * before the first use of the JVM temp machinery, so call it at the
-    * top of `main`. */
+    * top of `main`. Also pins Derby's home (the JDBC spec's embedded
+    * metastore writes `derby.log` into the working directory otherwise —
+    * repo-root noise and a reaper hazard). */
   def pinTmpdir(): Unit = {
     val cur = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     if (cur == "/tmp" || cur.startsWith("/tmp/")) {
       val p = root.resolve("tmp")
       Files.createDirectories(p)
       System.setProperty("java.io.tmpdir", p.toString)
+    }
+    if (!sys.props.contains("derby.system.home")) {
+      val d = root.resolve("derby")
+      Files.createDirectories(d)
+      System.setProperty("derby.system.home", d.toString)
+      System.setProperty("derby.stream.error.file",
+        d.resolve("derby.log").toString)
     }
   }
 }

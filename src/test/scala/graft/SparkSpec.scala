@@ -14,6 +14,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.local.dir", graft.core.Scratch.localDir)
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
