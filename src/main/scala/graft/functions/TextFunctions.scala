@@ -464,4 +464,38 @@ object TextFunctions {
   def mojibakeRatio(c: Column): Column =
     round(when(length(c) === 0, 0.0)
       .otherwise(mojibakeCount(c).cast("double") / length(c).cast("double")), 6)
+
+  /** Ghost → intended character, same explicit-code-point discipline as
+    * [[MojibakePattern]] (é è ü ä ö ñ ï á ó, then ’ “ – · °; U+FFFD has
+    * no recoverable intent and is dropped). Ordered map: Ã-pairs, the
+    * â€-triples, and Â-pairs start with distinct lead bytes, so the
+    * replacements never overlap and the chain order is immaterial —
+    * but it is fixed here so engine and oracle replay identically. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "\u00C3\u00A9" -> "\u00E9",
+    "\u00C3\u00A8" -> "\u00E8",
+    "\u00C3\u00BC" -> "\u00FC",
+    "\u00C3\u00A4" -> "\u00E4",
+    "\u00C3\u00B6" -> "\u00F6",
+    "\u00C3\u00B1" -> "\u00F1",
+    "\u00C3\u00AF" -> "\u00EF",
+    "\u00C3\u00A1" -> "\u00E1",
+    "\u00C3\u00B3" -> "\u00F3",
+    "\u00E2\u20AC\u2122" -> "\u2019",
+    "\u00E2\u20AC\u0153" -> "\u201C",
+    "\u00E2\u20AC\u201C" -> "\u2013",
+    "\u00C2\u00B7" -> "\u00B7",
+    "\u00C2\u00B0" -> "\u00B0",
+    "\uFFFD" -> "")
+
+  /** Mojibake REPAIR — the fix-side twin of the detector (the ftfy
+    * stance: a recoverable double-decode ghost should be repaired, not
+    * cost the document): one chained LITERAL `replace` per ghost (the
+    * codegen'd StringReplace, semantics identical to SQL `replace`),
+    * map-only; `mojibakeCount(mojibakeRepair(c))` is 0 by construction
+    * for every pattern the detector knows. */
+  def mojibakeRepair(c: Column): Column =
+    MojibakeRepairs.foldLeft(c) { case (acc, (ghost, fix)) =>
+      replace(acc, lit(ghost), lit(fix))
+    }
 }

@@ -168,6 +168,53 @@ object Chunking {
         s => s.getField("piece"))).as("seq"))
   }
 
+  /** Packing WITH PROVENANCE — `packIdSequences` plus the per-pack
+    * document-boundary map a training loader actually needs: attention
+    * masks must not cross document boundaries inside a packed sequence
+    * (the "eod-masking" convention), and data attribution needs to know
+    * which document produced which positions. Output adds `spans`:
+    * array<struct<doc: long, start: int, len: int>> in position order —
+    * `start` is the 0-based offset inside THIS pack, and Σ len =
+    * len(seq). A document straddling pack boundaries contributes one
+    * span to each pack it touches, so the loader reconstructs full
+    * provenance by (doc, pack, start). Same plan shape as
+    * `packIdSequences` (the span struct rides the existing explode and
+    * aggregate — no extra pass, no extra shuffle); `idCol` must be a
+    * numeric document id. */
+  def packIdSequencesWithSpans(docIds: DataFrame, seqLen: Int,
+                               strataCols: Seq[String], idCol: String,
+                               idsCol: String): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    import org.apache.spark.sql.expressions.Window
+    val strata = strataCols.map(col)
+    val w = Window.partitionBy(strata: _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val sized = docIds
+      .withColumn("n", size(col(idsCol)).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+    val spans = sized
+      .withColumn("pack_id", explode(sequence(
+        expr(s"cb div $seqLen"), expr(s"(cb + n - 1) div $seqLen"))))
+      .withColumn("lo", greatest(col("pack_id") * seqLen, col("cb")))
+      .withColumn("hi", least((col("pack_id") + 1) * seqLen, col("cb") + col("n")))
+      .select(strata :+ col("pack_id") :+ col("cb") :+
+        slice(col(idsCol), (col("lo") - col("cb") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("piece") :+
+        struct(col(idCol).cast("long").as("doc"),
+          (col("lo") - col("pack_id") * seqLen).cast("int").as("start"),
+          (col("hi") - col("lo")).cast("int").as("len")).as("span"): _*)
+    spans.groupBy(strata :+ col("pack_id"): _*)
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("cb"), col("piece")))),
+          s => s.getField("piece"))).as("seq"),
+        transform(
+          array_sort(collect_list(struct(col("cb"), col("span")))),
+          s => s.getField("span")).as("spans"))
+  }
+
   /**
    * CONTENT-DEFINED chunking (the CDC family: Muthitacharoen et al. 2001
    * LBFS, Xia et al. 2016 FastCDC) — chunk boundaries cut where the

@@ -90,6 +90,58 @@ object EvalMetrics {
   }
 
   /**
+   * Deterministic paired PERMUTATION test — the magnitude-aware
+   * complement of [[pairedSignTest]] (the sign test sees only win
+   * direction; the permutation test works on the mean paired difference,
+   * so many small wins and one huge loss resolve differently): under the
+   * exchangeability null each unit's difference d_i = a_i − b_i is
+   * sign-symmetric, so `reps` resamples flip each d_i by a KEYED HASH of
+   * (rep, unit index) — no RNG state, rerun/partitioning/engine stable —
+   * and the two-sided p-value is the add-one-smoothed fraction of
+   * resampled |mean| at or above the observed |mean|
+   * (p = (1 + #{r : |m_r| ≥ |obs|}) / (reps + 1), the standard
+   * Monte-Carlo-validity correction).
+   *
+   * The bounded panel collects and re-enters the plan as a broadcast
+   * literal (the [[bootstrapCi]] shape); the reps × n flip table and the
+   * per-rep means stay relational. Resample means round 1e-9 before the
+   * tail comparison so the boundary replays in oracle SQL. Output: one
+   * row (n_units, n_reps, mean_diff, p_value).
+   */
+  def pairedPermTest(units: DataFrame, idCol: String, aCol: String,
+                     bCol: String, reps: Int,
+                     maxN: Int = 100000): DataFrame = {
+    require(reps >= 10, "pairedPermTest: reps must be >= 10")
+    require(maxN >= 2, "pairedPermTest: maxN must be >= 2")
+    import graft.functions.TextFunctions.hash60
+    val spark = units.sparkSession
+    val panel = units.select(col(idCol), col(aCol).cast("double"),
+      col(bCol).cast("double")).orderBy(col(idCol)).collect()
+    val n = panel.length
+    require(n >= 2, "pairedPermTest: need at least 2 panel units")
+    require(n <= maxN, s"pairedPermTest: panel of $n units exceeds cap " +
+      s"$maxN — evaluation panels are bounded by design")
+    require(panel.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      s"pairedPermTest: NULL $aCol/$bCol in the panel — exclude or fix upstream")
+    val ds = panel.map(r => r.getDouble(1) - r.getDouble(2)).toSeq
+    val obs = math.rint(ds.sum / n * 1e9) / 1e9
+    val flips = spark.range(reps.toLong * n).select(
+      (col("id") / n).cast("long").as("rep"),
+      pmod(col("id"), lit(n.toLong)).as("i"))
+    val draws = flips.select(col("rep"),
+      (when(hash60(concat(col("rep").cast("string"), lit(":"),
+          col("i").cast("string"))) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
+        * element_at(typedlit(ds), (col("i") + 1).cast("int"))).as("sd"))
+    val means = draws.groupBy(col("rep")).agg(round(avg(col("sd")), 9).as("m"))
+    means.agg(
+      lit(n.toLong).as("n_units"),
+      lit(reps.toLong).as("n_reps"),
+      round(lit(obs), 6).as("mean_diff"),
+      round((sum(when(abs(col("m")) >= math.abs(obs), 1L).otherwise(0L)) + 1L)
+        .cast("double") / (reps + 1.0), 6).as("p_value"))
+  }
+
+  /**
    * Deterministic bootstrap confidence interval for a panel metric's
    * mean — the error bar every recall/NDCG point estimate should ship
    * with: `reps` resamples of the n panel units WITH replacement, each

@@ -282,4 +282,44 @@ object Selection {
     round(aggregate(featureBuckets(tokensWs(text), numBuckets),
       lit(0.0), (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0))), 6)
   }
+
+  /**
+   * Pareto-frontier (skyline) corpus selection over two maximized
+   * criteria — the multi-criteria face of the selection tier: with a
+   * quality score AND a length/informativeness signal, any single
+   * threshold trades them arbitrarily; the skyline keeps exactly the
+   * documents no other document beats on BOTH axes (Börzsönyi et al.
+   * 2001, "The Skyline Operator"). The x criterion is quantized into
+   * `tiers` equal-width tiers over [0, 1] (1e-6-rounded, clamped) and
+   * the skyline is taken over (tier, y) — quantization is part of the
+   * declared semantics and what makes the operator one bounded
+   * aggregate instead of an all-pairs dominance join.
+   *
+   * dominated(d) ⟺ some document has a strictly higher tier and y ≥ y_d,
+   * or the same tier and y > y_d. Relationally: per-tier max y (bounded
+   * `tiers`-row table), suffix-max over strictly higher tiers (window on
+   * that bounded table), one broadcast join back — corpus-side work is
+   * ONE map-side-combinable aggregate; no all-pairs join at any scale.
+   * Output: (idCol, x, y, tier, on_frontier).
+   */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String, tiers: Int = 100): DataFrame = {
+    require(tiers >= 2, "paretoFrontier: tiers must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.Caches.cacheOnce(df.select(col(idCol),
+      round(col(xCol).cast("double"), 6).as("x"),
+      col(yCol).cast("long").as("y"))
+      .withColumn("tier",
+        least(greatest(floor(col("x") * tiers), lit(0)), lit(tiers - 1))
+          .cast("long")))
+    val tierMax = base.groupBy(col("tier")).agg(max(col("y")).as("m"))
+    // bounded unpartitioned window: ≤ tiers rows by construction
+    val suffix = tierMax.withColumn("hi",
+      max(col("m")).over(Window.orderBy(col("tier").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)))
+    base.join(broadcast(suffix), Seq("tier"))
+      .select(col(idCol), col("x"), col("y"), col("tier"),
+        (!(col("y") < col("m") ||
+          (col("hi").isNotNull && col("y") <= col("hi")))).as("on_frontier"))
+  }
 }

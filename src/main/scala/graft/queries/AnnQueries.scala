@@ -653,6 +653,27 @@ object AnnQueries extends QueryPack {
         "recall_lsh", "recall_ivf")
     }),
 
+    // EXT-T71: deterministic paired permutation test — the magnitude-
+    // aware complement of q211's sign test on the same LSH-vs-IVF recall
+    // panel: keyed-hash sign flips of the per-query differences (no RNG
+    // state), add-one-smoothed two-sided tail. The panel is bounded;
+    // the reps × n flip table stays relational.
+    "q217_perm_test" -> ((s, dir) => {
+      def ids(df: DataFrame) = df.select(col("query_id"), col("vec_id"))
+      val bt = graft.core.Caches.cacheOnce(
+        ids(SimilaritySearch.bruteForceTopK(querySet(s, dir), embs(s, dir), K)))
+      val lt = ids(SimilaritySearch.lshTopK(querySet(s, dir), embs(s, dir), planes, K))
+      val it = ids(SimilaritySearch.ivfTopK(querySet(s, dir), embs(s, dir),
+        CentroidMod, NProbe, K))
+      def recallOf(t: DataFrame, name: String) = bt
+        .join(t.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 6).as(name))
+      graft.operators.EvalMetrics.pairedPermTest(
+        recallOf(lt, "recall_lsh").join(recallOf(it, "recall_ivf"), Seq("query_id")),
+        "query_id", "recall_lsh", "recall_ivf", BootReps, maxN = BootMaxN)
+    }),
+
     // EXT-T68: deterministic bootstrap CI — the error bar the q41 point
     // estimate should ship with: hash-indexed resamples (no RNG state),
     // percentile CI over 1e-9-rounded resample means. The panel is
@@ -874,12 +895,12 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
          |         FROM bscored) WHERE rnk <= $K),
-         |bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |       FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
          |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
@@ -892,7 +913,7 @@ object AnnQueries extends QueryPack {
          |         FROM lscored) WHERE rnk <= $K),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
          |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
-         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |ranks AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                       c.cent_id) AS crnk
@@ -1208,7 +1229,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1267,7 +1288,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1296,7 +1317,7 @@ object AnnQueries extends QueryPack {
     // Margin-mining replay: SRP buckets, blocked candidates, per-endpoint
     // top-k ranks, ORDERED-fold means, rounded-margin argmax + threshold.
     "q184_bitext_margin" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |sb AS (SELECT vec_id AS src_id, embedding AS s_emb, bucket FROM bk
          |       WHERE vec_id % 2 = 0),
@@ -1330,7 +1351,7 @@ object AnnQueries extends QueryPack {
     "q34_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
          |               FROM embeddings WHERE vec_id % $CentroidMod = 1),
-         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |ranks AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                       c.cent_id) AS crnk
@@ -1350,7 +1371,7 @@ object AnnQueries extends QueryPack {
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q26_ann_lsh" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
          |      WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
@@ -1410,7 +1431,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1462,7 +1483,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1521,7 +1542,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1572,7 +1593,7 @@ object AnnQueries extends QueryPack {
          |FROM rr1 JOIN rr2 ON rr1.query_id = rr2.query_id ORDER BY 1""".stripMargin,
 
     "q59_ann_multiprobe" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
          |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
@@ -1591,7 +1612,7 @@ object AnnQueries extends QueryPack {
          |ORDER BY 1, 3 DESC NULLS LAST, 2""".stripMargin,
 
     "q55_ann_store_roundtrip" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
          |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
@@ -1603,7 +1624,7 @@ object AnnQueries extends QueryPack {
          |        FROM lscored),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
          |          FROM embeddings WHERE vec_id % $CentroidMod = 1),
-         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |ranks AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                       c.cent_id) AS crnk
@@ -1626,7 +1647,7 @@ object AnnQueries extends QueryPack {
          |ORDER BY 1, 2, 4 DESC NULLS LAST, 3""".stripMargin,
 
     "q75_ann_store_refresh" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |            FROM embeddings),
          |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bk
          |       WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
@@ -1639,7 +1660,7 @@ object AnnQueries extends QueryPack {
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
          |          FROM embeddings
          |          WHERE vec_id % $CentroidMod = 1 AND vec_id % 5 <> 3),
-         |ranks AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |ranks AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
          |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |              ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC NULLS LAST,
          |                       c.cent_id) AS crnk
@@ -1719,7 +1740,7 @@ object AnnQueries extends QueryPack {
          |           WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
          |bscored AS (SELECT q.query_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
          |            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         |bt AS (SELECT query_id, vec_id FROM (
+         |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
          |         SELECT query_id, vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |                              ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
@@ -1801,6 +1822,30 @@ object AnnQueries extends QueryPack {
          |  arr.mean AS mean,
          |  ROUND(quantile_cont(mm, 0.025), 6) AS ci_lo,
          |  ROUND(quantile_cont(mm, 0.975), 6) AS ci_hi
+         |FROM means, arr GROUP BY 1, 2, 3""".stripMargin,
+
+    // Permutation replay: the same recall panel as q211, keyed-hash sign
+    // flips per (rep, unit index), 1e-9-rounded resample means, add-one
+    // tail. The static range bound is the q212 convention.
+    "q217_perm_test" ->
+      s"""WITH $annRecallCtes,
+         |pnl AS (SELECT rl.query_id, recall_lsh - recall_ivf AS d
+         |        FROM rl JOIN ri USING (query_id)),
+         |arr AS (SELECT list(d ORDER BY query_id) AS ds,
+         |          count(*)::BIGINT AS n, ROUND(AVG(d), 9) AS obs
+         |        FROM pnl),
+         |draws AS (SELECT g.range // arr.n AS rep,
+         |    (CASE WHEN ('0x' || substr(md5((g.range // arr.n)::VARCHAR
+         |            || ':' || (g.range % arr.n)::VARCHAR), 1, 15))::BIGINT
+         |          % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |      * ds[(g.range % arr.n + 1)::INT] AS sd
+         |  FROM arr, range(0, $BootReps * $BootMaxN) g
+         |  WHERE g.range < $BootReps * arr.n),
+         |means AS (SELECT rep, ROUND(AVG(sd), 9) AS m FROM draws GROUP BY 1)
+         |SELECT arr.n AS n_units, CAST($BootReps AS BIGINT) AS n_reps,
+         |  ROUND(arr.obs, 6) AS mean_diff,
+         |  ROUND((1 + SUM(CASE WHEN ABS(m) >= ABS(arr.obs) THEN 1 ELSE 0 END))
+         |        / ($BootReps + 1.0), 6) AS p_value
          |FROM means, arr GROUP BY 1, 2, 3""".stripMargin,
 
     "q198_embed_cov" ->

@@ -636,6 +636,33 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("pack_id"))
     }),
 
+    // EXT-J6: packed-sequence PROVENANCE — q187's packing plus the
+    // per-pack document-boundary map a training loader needs (attention
+    // masks must not cross document boundaries inside a pack; data
+    // attribution needs doc → positions). One row per pack with the
+    // spans serialized doc:start:len in position order; Σ len = the
+    // pack's token count by construction, which the oracle enforces by
+    // computing n_tokens FROM the spans.
+    "q218_pack_spans" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val ids = d.select(col("doc_id"), col("lang"),
+          transform(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => pmod(graft.functions.TextFunctions.hash60(t),
+              lit(ShardVocabMod)).cast("int")).as("ids"))
+        .withColumn("shard", pmod(
+          graft.functions.TextFunctions.hash60(col("doc_id").cast("string")),
+          lit(PackShards.toLong)))
+      graft.operators.Chunking.packIdSequencesWithSpans(
+          ids, PackSeqLen, Seq("lang", "shard"), "doc_id", "ids")
+        .select(col("lang"), col("shard"), col("pack_id"),
+          size(col("seq")).cast("long").as("n_tokens"),
+          concat_ws(" ", transform(col("spans"),
+            sp => concat_ws(":", sp.getField("doc").cast("string"),
+              sp.getField("start").cast("string"),
+              sp.getField("len").cast("string")))).as("spans"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
     // EXT-T42: tokenizer evaluation — per-language fertility (pieces per
     // word) and compression (chars per piece) of the q116-trained
     // merges: the go/no-go numbers before committing a vocabulary to a
@@ -1118,6 +1145,52 @@ object TextQueries extends QueryPack {
           col("contaminated"), col("n_tokens"), col("survivor"),
           col("in_budget"), col("selected"))
         .orderBy(col("doc_id"))),
+
+    // EXT-X15: Pareto-frontier (skyline) selection over quality × length
+    // (Börzsönyi et al. 2001) — keep exactly the documents no other
+    // document beats on both axes, with the quality axis quantized into
+    // 100 tiers so the skyline is one bounded aggregate + a suffix-max
+    // over the tier table instead of an all-pairs dominance join.
+    "q220_pareto_frontier" -> ((s, dir) =>
+      graft.operators.Selection.paretoFrontier(
+          docs(s, dir).select(col("doc_id"),
+            qualityScore(col("text")).as("q"),
+            tokenCountWs(col("text")).cast("long").as("n_toks")),
+          "doc_id", "q", "n_toks")
+        .orderBy(col("doc_id"))),
+
+    // EXT-T72: cross-source score calibration by quantile normalization
+    // (Bolstad et al. 2003, per source) — per-source percentile ranks
+    // mapped through the global score distribution's bucketed inverse
+    // CDF, so scores from differently-harsh scorers share one scale and
+    // a single corpus-wide threshold treats every source fairly. One
+    // source-partitioned rank window + bounded histogram/grid state.
+    "q219_score_calibration" -> ((s, dir) =>
+      graft.operators.Calibration.quantileNormalize(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            qualityScore(col("text")).as("q")),
+          "doc_id", "source", "q")
+        .orderBy(col("doc_id"))),
+
+    // EXT-T70: mojibake REPAIR — the fix-side twin of q203's detector
+    // (the ftfy stance: recoverable double-decode ghosts get repaired,
+    // not cost the document): plant the q203 artifacts, repair via the
+    // chained literal-replace map, and prove byte-exactness with the
+    // repaired text's md5 — count-only checks would miss a wrong
+    // replacement character. Map-only, codegen'd.
+    "q216_mojibake_repair" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{mojibakeCount, mojibakeRepair}
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(MojiSuffix))).otherwise(col("text")).as("t"))
+      planted.select(col("doc_id"),
+          mojibakeCount(col("t")).as("n_moji_before"),
+          mojibakeCount(mojibakeRepair(col("t"))).as("n_moji_after"),
+          (length(mojibakeRepair(col("t"))) - length(col("t")))
+            .cast("long").as("len_delta"),
+          md5(mojibakeRepair(col("t"))).as("repaired_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // EXT-T66: unbiased pass@k (Chen et al. 2021 eq. 1) — the eval-suite
     // estimator over per-sample outcome logs: problems = consecutive
@@ -2486,6 +2559,35 @@ object TextQueries extends QueryPack {
 
     // Shard-sink replay: hashed ids + the q146 packing recurrence — the
     // round-tripped binary bytes must reconstruct these exact rows.
+    // Provenance replay: the q187 cumulative-offset chain, but packs
+    // aggregate the SPAN list (doc, pack-local start, len) instead of
+    // the ids — n_tokens recomputed from span lengths.
+    "q218_pack_spans" ->
+      s"""WITH $ToksCte,
+         |dl AS (SELECT doc_id, lang,
+         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |           % $PackShards AS shard,
+         |         CAST(len(tk) AS BIGINT) AS n
+         |       FROM toks WHERE len(tk) > 0),
+         |cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |        FROM dl),
+         |sp AS (SELECT lang, shard, doc_id, cb, n,
+         |         unnest(range(cb // $PackSeqLen, (cb + n - 1) // $PackSeqLen + 1)) AS pack_id
+         |       FROM cum),
+         |sl AS (SELECT lang, shard, pack_id, cb, doc_id,
+         |         greatest(pack_id * $PackSeqLen, cb) AS lo,
+         |         least((pack_id + 1) * $PackSeqLen, cb + n) AS hi
+         |       FROM sp),
+         |packs AS (SELECT lang, shard, pack_id,
+         |            CAST(SUM(hi - lo) AS BIGINT) AS n_tokens,
+         |            array_to_string(list(doc_id || ':' || (lo - pack_id * $PackSeqLen)
+         |              || ':' || (hi - lo) ORDER BY cb), ' ') AS spans
+         |          FROM sl GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(shard AS BIGINT) AS shard,
+         |       CAST(pack_id AS BIGINT) AS pack_id, n_tokens, spans
+         |FROM packs ORDER BY lang, shard, pack_id""".stripMargin,
+
     "q187_token_shards" ->
       s"""WITH $ToksCte,
          |dl AS (SELECT doc_id, lang,
@@ -3178,6 +3280,82 @@ object TextQueries extends QueryPack {
               s"SELECT CAST($i AS BIGINT) AS round, player, w AS strength FROM w$i")
              .mkString(" UNION ALL ")})
          |ORDER BY round, player""".stripMargin,
+
+    // Skyline replay: quality tiers, per-tier max, strictly-higher-tier
+    // suffix max, the two dominance clauses.
+    "q220_pareto_frontier" ->
+      s"""WITH $ToksCte,
+         |bq AS (SELECT doc_id,
+         |  ROUND(GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+         |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END) * 4.0) * 0.5
+         |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |             / length(text)::DOUBLE END) * 10.0) * 0.25), 6) AS x,
+         |  CAST(len(tk) AS BIGINT) AS y
+         |  FROM toks),
+         |t AS (SELECT doc_id, x, y,
+         |        CAST(LEAST(GREATEST(FLOOR(x * 100), 0), 99) AS BIGINT) AS tier
+         |      FROM bq),
+         |tm AS (SELECT tier, MAX(y) AS m FROM t GROUP BY 1),
+         |sx AS (SELECT tier, m, MAX(m) OVER (ORDER BY tier DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+         |       FROM tm)
+         |SELECT doc_id, x, y, tier,
+         |  NOT (y < m OR (hi IS NOT NULL AND y <= hi)) AS on_frontier
+         |FROM t JOIN sx USING (tier) ORDER BY doc_id""".stripMargin,
+
+    // Calibration replay: the q16 quality formula, per-source RANK
+    // percentiles, the 200-bin global histogram, the 201-point inverse
+    // CDF grid, and the half-up nearest-grid map.
+    "q219_score_calibration" ->
+      s"""WITH $ToksCte,
+         |bq AS (SELECT doc_id, source,
+         |  ROUND(GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+         |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END) * 4.0) * 0.5
+         |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |             / length(text)::DOUBLE END) * 10.0) * 0.25), 6) AS score
+         |  FROM (SELECT t.doc_id, d.source, t.text, t.tk
+         |        FROM toks t JOIN documents d USING (doc_id))),
+         |rk AS (SELECT *, RANK() OVER (PARTITION BY source ORDER BY score) AS rk,
+         |         COUNT(*) OVER (PARTITION BY source) AS ns FROM bq),
+         |pp AS (SELECT doc_id, source, score,
+         |         CASE WHEN ns = 1 THEN 0.5
+         |              ELSE ROUND((rk - 1)::DOUBLE / (ns - 1), 9) END AS p
+         |       FROM rk),
+         |pj AS (SELECT *, CAST(FLOOR(p * 200 + 0.5) AS BIGINT) AS j FROM pp),
+         |h AS (SELECT CAST(LEAST(GREATEST(FLOOR(score * 200), 0), 199) AS BIGINT)
+         |         AS bin, COUNT(*)::BIGINT AS cnt FROM bq GROUP BY 1),
+         |ch AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+         |nn AS (SELECT SUM(cnt)::BIGINT AS n FROM h),
+         |g AS (SELECT t.j, 1.0 + (n - 1)::DOUBLE * t.j / 200 AS r
+         |      FROM range(0, 201) t(j), nn),
+         |gv AS (SELECT j, ROUND((MIN(bin) + 0.5) / 200, 6) AS calibrated
+         |       FROM g JOIN ch ON cum >= r GROUP BY j)
+         |SELECT doc_id, source, score, p, calibrated
+         |FROM pj JOIN gv USING (j) ORDER BY doc_id""".stripMargin,
+
+    // Repair replay: the identical plant, then the chained literal
+    // replace map in fixed order; md5 proves byte-exactness.
+    "q216_mojibake_repair" -> {
+      import graft.functions.TextFunctions.{MojibakePattern, MojibakeRepairs}
+      val rep = MojibakeRepairs.foldLeft("t") { case (acc, (g, f)) =>
+        s"replace($acc, '$g', '$f')"
+      }
+      val m = s"len(regexp_extract_all(t, '$MojibakePattern'))"
+      val mAfter = s"len(regexp_extract_all($rep, '$MojibakePattern'))"
+      s"""WITH pl AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || '$MojiSuffix'
+         |       ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, $m::BIGINT AS n_moji_before,
+         |  $mAfter::BIGINT AS n_moji_after,
+         |  (length($rep) - length(t))::BIGINT AS len_delta,
+         |  md5($rep) AS repaired_md5
+         |FROM pl ORDER BY doc_id""".stripMargin
+    },
 
     "q203_mojibake" -> {
       import graft.functions.TextFunctions.MojibakePattern

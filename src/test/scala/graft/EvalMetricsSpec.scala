@@ -90,6 +90,43 @@ class EvalMetricsSpec extends SparkSpec {
       ci((1L to 5L).map(i => (i, 0.5)), reps = 5)
   }
 
+  private def perm(rows: Seq[(Long, Double, Double)], reps: Int = 200) = {
+    val r = EvalMetrics.pairedPermTest(rows.toDF("id", "a", "b"),
+      "id", "a", "b", reps).collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  test("pairedPermTest: null panel -> p = 1; dominance -> small p; rerun-stable") {
+    // all-zero differences: every resample mean equals the observed 0
+    val equal = (1L to 20L).map(i => (i, 0.5, 0.5))
+    perm(equal) shouldBe ((20L, 200L, 0.0, 1.0))
+    // A beats B on every one of 20 units: the all-positive assignment is
+    // extreme among sign flips — p lands at (or near) the add-one floor
+    val dom = (1L to 20L).map(i => (i, 0.9, 0.1))
+    val (_, _, md, p) = perm(dom)
+    md shouldBe 0.8 +- 1e-9
+    p should be < 0.05
+    perm(dom) shouldBe perm(dom) // keyed-hash flips: no RNG state
+    // a mixed panel with no real signal keeps a large p
+    val mixed = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) 0.6 else 0.4, if (i % 2 == 0) 0.4 else 0.6))
+    perm(mixed)._4 should be > 0.3
+  }
+
+  test("pairedPermTest rejects degenerate inputs") {
+    an[IllegalArgumentException] should be thrownBy perm(Seq((1L, 1.0, 0.0)))
+    an[IllegalArgumentException] should be thrownBy
+      perm((1L to 5L).map(i => (i, 1.0, 0.0)), reps = 5)
+    val withNull = Seq((1L, java.lang.Double.valueOf(0.5), java.lang.Double.valueOf(0.1)),
+      (2L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(0.2)))
+      .toDF("id", "a", "b")
+    an[IllegalArgumentException] should be thrownBy
+      EvalMetrics.pairedPermTest(withNull, "id", "a", "b", 100).collect()
+    val big = (1L to 30L).map(i => (i, 0.5, 0.4)).toDF("id", "a", "b")
+    an[IllegalArgumentException] should be thrownBy
+      EvalMetrics.pairedPermTest(big, "id", "a", "b", 100, maxN = 20).collect()
+  }
+
   test("bootstrapCi rejects NULL metrics instead of counting them as 0.0") {
     val withNull = Seq((1L, java.lang.Double.valueOf(0.5)),
       (2L, null.asInstanceOf[java.lang.Double]), (3L, java.lang.Double.valueOf(0.7)))

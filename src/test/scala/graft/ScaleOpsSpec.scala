@@ -121,6 +121,34 @@ class ScaleOpsSpec extends SparkSpec {
     got.filter(_._1 == "en").flatMap(_._3).toSeq shouldBe (1L to 8L)
   }
 
+  test("packIdSequencesWithSpans: boundaries, straddle splits, Σlen = pack size, seq matches") {
+    val docIds = Seq(
+      ("en", 1L, Seq(1L, 2L, 3L)),
+      ("en", 2L, Seq(4L, 5L, 6L, 7L)), // straddles packs 0/1
+      ("en", 3L, Seq(8L)),
+      ("de", 9L, Seq(40L, 41L, 42L, 43L, 44L)))
+      .toDF("lang", "doc_id", "ids")
+    val got = Chunking.packIdSequencesWithSpans(
+        docIds.orderBy(rand(7)), 4, Seq("lang"), "doc_id", "ids")
+      .orderBy("lang", "pack_id")
+      .select("lang", "pack_id", "seq", "spans")
+      .as[(String, Long, Seq[Long], Seq[(Long, Int, Int)])].collect()
+    got.map(g => (g._1, g._2, g._4.toList)).toSeq shouldBe Seq(
+      ("de", 0L, List((9L, 0, 4))),
+      ("de", 1L, List((9L, 0, 1))), // tail of the straddler opens pack 1
+      ("en", 0L, List((1L, 0, 3), (2L, 3, 1))),
+      ("en", 1L, List((2L, 0, 3), (3L, 3, 1))))
+    // spans tile each pack exactly: Σ len = len(seq), offsets contiguous
+    got.foreach { case (_, _, seq, spans) =>
+      spans.map(_._3).sum shouldBe seq.size
+      spans.scanLeft(0)(_ + _._3).init shouldBe spans.map(_._2)
+    }
+    // seq agrees with the span-free packer on the same input
+    val plain = Chunking.packIdSequences(docIds, 4, "lang")
+      .orderBy("lang", "pack_id").select("seq").as[Seq[Long]].collect()
+    got.map(_._3.toList).toSeq shouldBe plain.map(_.toList).toSeq
+  }
+
   test("packIdSequences lang×shard strata: window partitions on both axes, shards split the stream") {
     import graft.functions.TextFunctions.hash60
     val docs = (1L to 40L).map(i => (if (i % 2 == 0) "en" else "de", i,

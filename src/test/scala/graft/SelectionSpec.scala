@@ -132,4 +132,34 @@ class SelectionSpec extends SparkSpec {
     byBin.head._4 shouldBe 0.0
     byBin.length should be >= 2
   }
+
+  test("paretoFrontier: dominance over (tier, y), ties survive, brute-force witness") {
+    // x in [0,1] quantized to 100 tiers; y maximized
+    val rows = Seq(
+      (1L, 0.90, 10L), // frontier: best x tier
+      (2L, 0.90, 10L), // same (tier, y): neither dominates — both survive
+      (3L, 0.85, 5L),  // dominated by 1 (strictly higher tier, y 10 >= 5)
+      (4L, 0.50, 50L), // frontier: best y
+      (5L, 0.50, 40L), // dominated by 4 (same tier, higher y)
+      (6L, 0.70, 30L), // frontier: between 1 and 4
+      (7L, 0.10, 29L)  // dominated by 6 (higher tier, y 30 >= 29)
+    ).toDF("id", "x", "y")
+    val got = Selection.paretoFrontier(rows, "id", "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    got shouldBe Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> false)
+    // brute-force dominance witness on a pseudo-random panel
+    val panel = (1L to 60L).map(i =>
+      (i, ((i * 37) % 101).toDouble / 100.0, (i * 53) % 47))
+    def tier(x: Double) = math.min(math.max(math.floor(x * 100), 0), 99).toLong
+    val brute = panel.map { case (i, x, y) =>
+      i -> !panel.exists { case (j, x2, y2) =>
+        j != i && ((tier(x2) > tier(x) && y2 >= y) ||
+          (tier(x2) == tier(x) && y2 > y))
+      }
+    }.toMap
+    val eng = Selection.paretoFrontier(panel.toDF("id", "x", "y"), "id", "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    eng shouldBe brute
+  }
 }

@@ -256,4 +256,26 @@ class TextFunctionsSpec extends SparkSpec {
     got(3L)._1 shouldBe 4L
     got(4L) shouldBe ((0L, 0.0))
   }
+
+  test("mojibakeRepair: every known ghost repairs to its intended char; detector reads 0 after") {
+    import org.apache.spark.sql.functions.col
+    val ghostE = "Ã©" // é double-decoded
+    val ghostQ = "â€™" // ’ double-decoded (cp1252)
+    val rows = Seq(
+      (1L, s"caf$ghostE latte"),
+      (2L, s"it${ghostQ}s � gone"),
+      (3L, "already clean"),
+      (4L, MojibakeRepairs.map(_._1).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        mojibakeRepair(col("text")).as("fixed"),
+        mojibakeCount(mojibakeRepair(col("text"))).as("after"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    got(1L)._1 shouldBe "café latte"
+    got(2L)._1 shouldBe "it’s  gone" // U+FFFD dropped, not replaced
+    got(3L)._1 shouldBe "already clean"
+    // the full ghost inventory repairs to the full intent inventory
+    got(4L)._1 shouldBe MojibakeRepairs.map(_._2).mkString(" ")
+    got.values.foreach(_._2 shouldBe 0L)
+  }
 }
