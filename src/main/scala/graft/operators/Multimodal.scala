@@ -227,4 +227,65 @@ object Multimodal {
       rows.map(decoder)
     }(Encoders.product[MediaFeatures])
   }
+
+  // --- perceptual near-dup (dHash) tier --------------------------------
+
+  /** dHash grid: DHashRows rows × (DHashCols + 1) sampled luma columns →
+    * DHashRows·DHashCols adjacent-pixel comparisons = 60 bits — sized to
+    * `Dedup.simHashPairs`' 5×12-bit banding, whose pigeonhole guarantee
+    * (sound for maxDist ≤ 4 at 5 bands) this tier reuses unchanged. */
+  val DHashRows = 6
+  val DHashCols = 10
+
+  /** 60-bit STUB dHash as a pure Column expression (the oracle face —
+    * no codec in DuckDB): grid luma (r, c) = first md5 byte of
+    * "payload-digest:r:c". Identical payloads collide exactly (dist 0);
+    * the PERCEPTUAL property lives in [[imageDHash]], the real-codec
+    * face this stub stands in for (same grid, same bit layout). */
+  def dHashStub(data: Column): Column = {
+    val d = md5(data)
+    def g(r: Int, c: Int) =
+      conv(substring(md5(concat_ws(":", d, lit(r.toString), lit(c.toString))),
+        1, 2), 16, 10).cast("long")
+    (for (r <- 0 until DHashRows; c <- 0 until DHashCols) yield
+      when(g(r, c + 1) > g(r, c), lit(1L << (r * DHashCols + c)))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** REAL image dHash — pure JVM via `javax.imageio` (the q29
+    * imageDecoder stance): decode, nearest-neighbor sample the
+    * DHashRows × (DHashCols+1) luma grid (integer BT.601 luma), compare
+    * horizontal neighbors. Returns None on undecodable payloads (dirty
+    * crawl data is the norm — never fatal). A brightness shift, mild
+    * noise, or re-encode moves few adjacent-pixel ORDERINGS, so true
+    * near-dups land within small Hamming distance — spec-gated
+    * (`MultimodalSpec`) since no oracle can replay a codec. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val w = DHashCols + 1
+      def luma(x: Int, y: Int): Int = {
+        val px = img.getRGB(
+          math.min((x.toLong * img.getWidth / w).toInt, img.getWidth - 1),
+          math.min((y.toLong * img.getHeight / DHashRows).toInt, img.getHeight - 1))
+        (((px >> 16) & 255) * 299 + ((px >> 8) & 255) * 587 + (px & 255) * 114) / 1000
+      }
+      var acc = 0L
+      for (r <- 0 until DHashRows; c <- 0 until DHashCols)
+        if (luma(c + 1, r) > luma(c, r)) acc |= 1L << (r * DHashCols + c)
+      Some(acc)
+    }
+  }
+
+  /** Perceptual near-dup pairs over one modality's payloads: stub
+    * dHashes (map-only, payload never shuffles — only the 8-byte hash)
+    * into the banded Hamming tier shared with the SimHash dedup.
+    * Output: (doc_a, doc_b, dist), a < b, dist ≤ maxDist. */
+  def dHashPairs(media: DataFrame, maxDist: Int): DataFrame =
+    Dedup.simHashPairs(
+      media.select(col("media_id").as("id"), dHashStub(col("data")).as("sh")),
+      maxDist)
 }

@@ -53,6 +53,23 @@ object MultimodalQueries extends QueryPack {
           col("meta.height").as("height"),
           col("resized.width").as("rw"), col("resized.height").as("rh"))
         .orderBy(col("media_id")))
+    ,
+
+    // EXT-M6: perceptual near-dup over image payloads — 60-bit dHash
+    // (stub luma grid; the real javax.imageio face is spec-gated) into
+    // the banded Hamming tier shared with the SimHash dedup. Payload
+    // bytes never shuffle — only the 8-byte hash; the oracle replays
+    // grid, bit layout, banding, and XOR/popcount. Re-uploads are
+    // PLANTED (every 5th image repeated under a shifted id — the q63
+    // pattern) so the pair tier provably fires: each plant must surface
+    // as a dist-0 pair.
+    "q221_media_dhash" -> ((s, dir) => {
+      val m = media(s, dir).where(col("kind") === "image")
+      val planted = m.where(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + lit(1000000L))
+      Multimodal.dHashPairs(m.unionByName(planted), maxDist = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
 
   // DuckDB mirrors -----------------------------------------------------------
@@ -103,6 +120,38 @@ object MultimodalQueries extends QueryPack {
          |        256.0 / height::DOUBLE, 1.0))::INTEGER AS rw,
          |  floor(height::DOUBLE * LEAST(256.0 / width::DOUBLE,
          |        256.0 / height::DOUBLE, 1.0))::INTEGER AS rh
-         |FROM media WHERE kind = 'image' ORDER BY media_id""".stripMargin
+         |FROM media WHERE kind = 'image' ORDER BY media_id""".stripMargin,
+
+    // dHash replay: the stub luma grid (first md5 byte of digest:r:c),
+    // 60-bit assembly, the q83 band/XOR/popcount chain, maxDist 4.
+    "q221_media_dhash" -> {
+      val rows = Multimodal.DHashRows
+      val cols = Multimodal.DHashCols
+      s"""WITH $MediaCte,
+         |imgs AS (SELECT media_id, text FROM media WHERE kind = 'image'
+         |         UNION ALL
+         |         SELECT media_id + 1000000, text FROM media
+         |         WHERE kind = 'image' AND media_id % 5 = 0),
+         |dh AS (SELECT media_id, list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(range(0, ${rows * cols}),
+         |      x -> x::BIGINT)),
+         |    (acc, j) -> acc + CASE WHEN
+         |      ('0x' || substr(md5(md5(text) || ':' || (j // $cols)
+         |        || ':' || (j % $cols + 1)), 1, 2))::BIGINT
+         |      > ('0x' || substr(md5(md5(text) || ':' || (j // $cols)
+         |        || ':' || (j % $cols)), 1, 2))::BIGINT
+         |      THEN (1::BIGINT << j) ELSE 0 END) AS sh
+         |  FROM imgs),
+         |bl AS (SELECT media_id, b, (sh >> (12 * b)) & 4095 AS bk
+         |       FROM dh, unnest(range(0, 5)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+         |         FROM bl a JOIN bl b
+         |           ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
+         |FROM cand JOIN dh sa ON sa.media_id = cand.doc_a
+         |          JOIN dh sb ON sb.media_id = cand.doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

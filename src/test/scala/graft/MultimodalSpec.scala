@@ -148,4 +148,43 @@ class MultimodalSpec extends SparkSpec {
     a.features.toSeq shouldBe b.features.toSeq
     a.nBytes shouldBe 7L
   }
+
+  test("imageDHash: re-encode/brightness land near, different images far, junk None") {
+    def png(f: (Int, Int) => Int, fmt: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bo)
+      bo.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // a horizontal gradient (structured content, not solid)
+    val base = (x: Int, y: Int) => gray((x * 4 + y) % 256)
+    val h0 = Multimodal.imageDHash(png(base)).get
+    def dist(h: Long) = java.lang.Long.bitCount(h0 ^ h)
+    // identical content, different container → identical hash
+    dist(Multimodal.imageDHash(png(base, "bmp")).get) shouldBe 0
+    // +10 brightness preserves almost every adjacent-pixel ordering
+    val bright = (x: Int, y: Int) => gray(math.min((x * 4 + y) % 256 + 10, 255))
+    dist(Multimodal.imageDHash(png(bright)).get) should be <= 6
+    // the REVERSED gradient flips almost every adjacent-pixel ordering
+    val rev = (x: Int, y: Int) => gray(((63 - x) * 4 + y) % 256)
+    dist(Multimodal.imageDHash(png(rev)).get) should be > 15
+    Multimodal.imageDHash(Array[Byte](9, 9, 9)) shouldBe None
+  }
+
+  test("dHashPairs: exact payload dups pair at dist 0 through the banded tier") {
+    import spark.implicits._
+    val payload = "the same bytes".getBytes("UTF-8")
+    val other = "completely different content here".getBytes("UTF-8")
+    val media = Seq((1L, payload), (2L, payload), (3L, other))
+      .toDF("media_id", "data")
+    val got = Multimodal.dHashPairs(media, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got should contain((1L, 2L, 0L))
+    // stub hashes of unrelated payloads are ~random 60-bit words: a
+    // dist ≤ 4 collision with doc 3 would be astronomically unlikely
+    got.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
 }
