@@ -90,6 +90,53 @@ object EvalMetrics {
   }
 
   /**
+   * Fleiss' kappa (Fleiss 1971, "Measuring nominal scale agreement
+   * among many raters") — the labeling-pipeline QC number: after a
+   * Neyman-style budget sends items to m annotators, kappa says whether
+   * they agree beyond chance (κ ≤ 0 ⇒ the rubric is broken; the labels
+   * should not train anything).
+   *
+   *   P̄  = Σ_items Σ_labels n_ik(n_ik−1) / (N·m·(m−1))   (observed)
+   *   P̄e = Σ_labels (Σ_items n_ik / (N·m))²              (chance)
+   *   κ  = (P̄ − P̄e) / (1 − P̄e), NULL when P̄e = 1 (a single label
+   *        everywhere — agreement is undefined, not perfect)
+   *
+   * One (item, label) hash aggregate over the annotation log; the label
+   * marginals are a ≤-|labels|-row table. Every rating counts — Fleiss
+   * requires the same m per item, enforced loudly via the bounded
+   * distinct-m set. P̄/P̄e round 1e-9, κ 1e-6 (the replay discipline).
+   * Output: one row (n_items, n_annotators, p_bar, p_e, kappa).
+   */
+  def fleissKappa(ann: DataFrame, itemCol: String, annotatorCol: String,
+                  labelCol: String): DataFrame = {
+    val cells = ann
+      .groupBy(col(itemCol).as("item"), col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val ms = cells.groupBy(col("item")).agg(sum(col("n")).as("m"))
+      .select(col("m")).distinct().collect().map(_.getLong(0))
+    require(ms.length == 1, "fleissKappa: items have differing rating " +
+      s"counts {${ms.sorted.mkString(", ")}} — Fleiss requires the same " +
+      "number of ratings per item")
+    val m = ms.head
+    require(m >= 2, "fleissKappa: need at least 2 ratings per item")
+    val base = cells.agg(
+      count_distinct(col("item")).as("nitems"),
+      sum(col("n") * (col("n") - 1)).as("agr"))
+    val marg = cells.groupBy(col("label")).agg(sum(col("n")).as("s"))
+    marg.crossJoin(broadcast(base))
+      .agg(
+        max(col("nitems")).as("n_items"),
+        lit(m).as("n_annotators"),
+        round(max(col("agr").cast("double") /
+          (col("nitems") * m * (m - 1))), 9).as("p_bar"),
+        round(sum(pow(col("s").cast("double") / (col("nitems") * m), 2)), 9)
+          .as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") >= 1.0, lit(null).cast("double"))
+          .otherwise(round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6)))
+  }
+
+  /**
    * Deterministic paired PERMUTATION test — the magnitude-aware
    * complement of [[pairedSignTest]] (the sign test sees only win
    * direction; the permutation test works on the mean paired difference,

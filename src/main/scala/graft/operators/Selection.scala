@@ -284,6 +284,52 @@ object Selection {
   }
 
   /**
+   * Precision-gated threshold curve — how a quality-classifier cutoff is
+   * actually chosen in a filtering pipeline: for every candidate cut
+   * (the lower edge of each score bin over [0, 1]), the precision and
+   * recall of keeping documents scoring AT OR ABOVE the cut, plus the
+   * flag marking cuts that meet a target precision (the smallest such
+   * cut is the operating point — maximal recall subject to the
+   * precision constraint).
+   *
+   * Scale shape: ONE map-side-combinable (bin × label) histogram
+   * aggregate over the corpus; the suffix-cumulative curve runs on the
+   * ≤ `bins`-row table (bounded window). Precision/recall round 1e-6
+   * BEFORE the target comparison so the flag boundary replays in SQL.
+   * Output: (bin, cut, n_above, pos_above, precision, recall,
+   * meets_target) — one row per OCCUPIED bin, ascending.
+   */
+  def precisionGate(df: DataFrame, scoreCol: String, labelCol: String,
+                    targetPrecision: Double, bins: Int = 100): DataFrame = {
+    require(bins >= 2, "precisionGate: bins must be >= 2")
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      "precisionGate: targetPrecision in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(
+        least(greatest(floor(round(col(scoreCol).cast("double"), 6) * bins),
+          lit(0)), lit(bins - 1)).cast("long").as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    // bounded suffix-cumulative window: ≤ bins rows by construction
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("pos")).as("all_pos"))
+    h.withColumn("n_above", sum(col("n")).over(w))
+      .withColumn("pos_above", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("cut"),
+        col("n_above"), col("pos_above"),
+        round(col("pos_above").cast("double") / col("n_above"), 6).as("precision"),
+        when(col("all_pos") === 0, lit(null).cast("double"))
+          .otherwise(round(col("pos_above").cast("double") / col("all_pos"), 6))
+          .as("recall"))
+      .withColumn("meets_target", col("precision") >= targetPrecision)
+      .orderBy(col("bin"))
+  }
+
+  /**
    * Pareto-frontier (skyline) corpus selection over two maximized
    * criteria — the multi-criteria face of the selection tier: with a
    * quality score AND a length/informativeness signal, any single

@@ -1146,6 +1146,41 @@ object TextQueries extends QueryPack {
           col("in_budget"), col("selected"))
         .orderBy(col("doc_id"))),
 
+    // EXT-T73: precision-gated threshold curve — how a classifier
+    // cutoff is actually chosen: per candidate cut, precision/recall of
+    // keeping docs scoring at-or-above it (label: English; score: the
+    // English-stopword ratio, the direct signal — so the curve actually
+    // crosses the target and the flag boundary is exercised), with the
+    // meets-target flag whose smallest true cut is the operating point.
+    // One (bin × label) histogram; bounded suffix-cumulative.
+    "q222_precision_gate" -> ((s, dir) =>
+      graft.operators.Selection.precisionGate(
+          docs(s, dir).select(stopwordRatio(col("text")).as("sr"),
+            (col("lang") === "en").as("is_en")),
+          "sr", "is_en", targetPrecision = 0.7)
+        .orderBy(col("bin"))),
+
+    // EXT-T74: Fleiss' kappa — the labeling-pipeline QC number beside
+    // the q213 budget: chance-corrected agreement of 3 planted
+    // annotators (quality-tier labels with per-(annotator, doc) keyed
+    // hash disagreements on every 5th rating). One (item, label) hash
+    // aggregate; marginals are a ≤-labels-row table.
+    "q223_fleiss_kappa" -> ((s, dir) => {
+      // tier on the 1e-6-ROUNDED score (the q204 discipline): the floor
+      // boundary must not depend on last-ulp evaluation differences
+      val tier = least(floor(round(qualityScore(col("text")), 6) * 3), lit(2.0))
+        .cast("long")
+      val anns = (0 until 3).map { a =>
+        docs(s, dir).select(col("doc_id"),
+          lit(a.toLong).as("annotator"),
+          when(hash60(concat(lit(a.toString), lit(":"),
+              col("doc_id").cast("string"))) % 5 === 0,
+            (tier + 1) % 3).otherwise(tier).as("label"))
+      }.reduce(_ unionByName _)
+      graft.operators.EvalMetrics.fleissKappa(
+        anns, "doc_id", "annotator", "label")
+    }),
+
     // EXT-X15: Pareto-frontier (skyline) selection over quality × length
     // (Börzsönyi et al. 2001) — keep exactly the documents no other
     // document beats on both axes, with the quality axis quantized into
@@ -3280,6 +3315,65 @@ object TextQueries extends QueryPack {
               s"SELECT CAST($i AS BIGINT) AS round, player, w AS strength FROM w$i")
              .mkString(" UNION ALL ")})
          |ORDER BY round, player""".stripMargin,
+
+    // Threshold-curve replay: stopword-ratio histogram × the en label,
+    // descending cumulative, rounded precision/recall, the target flag.
+    "q222_precision_gate" ->
+      s"""WITH $ToksCte,
+         |bq AS (SELECT doc_id, lang,
+         |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END, 6)
+         |    AS score
+         |  FROM toks),
+         |h AS (SELECT CAST(LEAST(GREATEST(FLOOR(score * 100), 0), 99) AS BIGINT)
+         |        AS bin, COUNT(*)::BIGINT AS n,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+         |      FROM bq GROUP BY 1),
+         |c AS (SELECT bin,
+         |        CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS n_above,
+         |        CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS pos_above
+         |      FROM h),
+         |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS all_pos FROM h)
+         |SELECT bin, ROUND(bin / 100.0, 6) AS cut, n_above, pos_above,
+         |  ROUND(pos_above::DOUBLE / n_above, 6) AS precision,
+         |  CASE WHEN all_pos = 0 THEN NULL
+         |       ELSE ROUND(pos_above::DOUBLE / all_pos, 6) END AS recall,
+         |  ROUND(pos_above::DOUBLE / n_above, 6) >= 0.7 AS meets_target
+         |FROM c, t ORDER BY bin""".stripMargin,
+
+    // Kappa replay: planted tier labels with keyed-hash disagreements,
+    // the (item, label) cell counts, P-bar, P-e, kappa.
+    "q223_fleiss_kappa" ->
+      s"""WITH $ToksCte,
+         |bq AS (SELECT doc_id,
+         |  ROUND(GREATEST(0.0, LEAST(1.0, len(tk)::DOUBLE / 50.0) * 0.5
+         |    + LEAST(1.0, (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE ${hits(Stopwords)}::DOUBLE / len(tk)::DOUBLE END) * 4.0) * 0.5
+         |    - LEAST(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |             / length(text)::DOUBLE END) * 10.0) * 0.25), 6) AS q
+         |  FROM toks),
+         |tr AS (SELECT doc_id, CAST(LEAST(FLOOR(q * 3), 2) AS BIGINT) AS t
+         |       FROM bq),
+         |ann AS (SELECT doc_id, a,
+         |    CASE WHEN ('0x' || substr(md5(a || ':' || doc_id), 1, 15))::BIGINT
+         |              % 5 = 0
+         |         THEN (t + 1) % 3 ELSE t END AS label
+         |  FROM tr, unnest(range(0, 3)) AS u(a)),
+         |cells AS (SELECT doc_id, label, COUNT(*)::BIGINT AS n
+         |          FROM ann GROUP BY 1, 2),
+         |base AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS ni,
+         |           CAST(SUM(n * (n - 1)) AS BIGINT) AS agr FROM cells),
+         |marg AS (SELECT label, CAST(SUM(n) AS BIGINT) AS s
+         |         FROM cells GROUP BY 1),
+         |ag AS (SELECT MAX(ni) AS n_items, CAST(3 AS BIGINT) AS n_annotators,
+         |         ROUND(MAX(agr::DOUBLE / (ni * 3 * 2)), 9) AS p_bar,
+         |         ROUND(SUM(POWER(s::DOUBLE / (ni * 3), 2)), 9) AS p_e
+         |       FROM marg, base)
+         |SELECT n_items, n_annotators, p_bar, p_e,
+         |  CASE WHEN p_e >= 1.0 THEN NULL
+         |       ELSE ROUND((p_bar - p_e) / (1 - p_e), 6) END AS kappa
+         |FROM ag""".stripMargin,
 
     // Skyline replay: quality tiers, per-tier max, strictly-higher-tier
     // suffix max, the two dominance clauses.

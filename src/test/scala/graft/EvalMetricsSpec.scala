@@ -127,6 +127,39 @@ class EvalMetricsSpec extends SparkSpec {
       EvalMetrics.pairedPermTest(big, "id", "a", "b", 100, maxN = 20).collect()
   }
 
+  test("fleissKappa: hand-computed case, perfect agreement, broken rubric, unequal m raises") {
+    // Textbook shape: 4 items × 3 raters, labels in {a, b}
+    //   item 1: a a a (n_a=3)        item 2: a a b
+    //   item 3: b b b                item 4: a b b
+    val ann = Seq(
+      (1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 0L, "a"), (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 0L, "b"), (3L, 1L, "b"), (3L, 2L, "b"),
+      (4L, 0L, "a"), (4L, 1L, "b"), (4L, 2L, "b")).toDF("item", "rater", "label")
+    val r = EvalMetrics.fleissKappa(ann, "item", "rater", "label").collect().head
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 3L
+    // P̄ = (6 + 2 + 6 + 2) / (4·3·2) = 16/24; p_a = 6/12, p_b = 6/12 → P̄e = 0.5
+    r.getDouble(2) shouldBe (16.0 / 24.0) +- 1e-9
+    r.getDouble(3) shouldBe 0.5 +- 1e-9
+    r.getDouble(4) shouldBe ((16.0 / 24.0 - 0.5) / 0.5) +- 1e-6
+    // perfect agreement on a two-label rubric → κ = 1
+    val perfect = Seq((1L, 0L, "a"), (1L, 1L, "a"), (2L, 0L, "b"), (2L, 1L, "b"))
+      .toDF("item", "rater", "label")
+    EvalMetrics.fleissKappa(perfect, "item", "rater", "label")
+      .collect().head.getDouble(4) shouldBe 1.0
+    // a single label everywhere → P̄e = 1 → κ NULL (undefined, not perfect)
+    val mono = Seq((1L, 0L, "a"), (1L, 1L, "a"), (2L, 0L, "a"), (2L, 1L, "a"))
+      .toDF("item", "rater", "label")
+    EvalMetrics.fleissKappa(mono, "item", "rater", "label")
+      .collect().head.isNullAt(4) shouldBe true
+    // unequal ratings per item must raise
+    val uneven = Seq((1L, 0L, "a"), (1L, 1L, "a"), (2L, 0L, "a"))
+      .toDF("item", "rater", "label")
+    an[IllegalArgumentException] should be thrownBy
+      EvalMetrics.fleissKappa(uneven, "item", "rater", "label").collect()
+  }
+
   test("bootstrapCi rejects NULL metrics instead of counting them as 0.0") {
     val withNull = Seq((1L, java.lang.Double.valueOf(0.5)),
       (2L, null.asInstanceOf[java.lang.Double]), (3L, java.lang.Double.valueOf(0.7)))

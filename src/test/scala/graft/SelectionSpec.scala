@@ -133,6 +133,28 @@ class SelectionSpec extends SparkSpec {
     byBin.length should be >= 2
   }
 
+  test("precisionGate: cumulative curve, flag boundary, zero-positive recall NULL") {
+    // scores land in bins 15/55/90; positives concentrate up top
+    val rows = Seq(
+      (0.905, true), (0.903, true), (0.901, false),
+      (0.555, true), (0.552, false), (0.551, false),
+      (0.155, false), (0.152, false)).toDF("s", "y")
+    val got = Selection.precisionGate(rows, "s", "y", targetPrecision = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    // cut at bin 90: 3 kept, 2 positive → precision 2/3, recall 2/3
+    got(90L) shouldBe ((3L, 2L, 0.666667, 0.666667, true))
+    // cut at bin 55: 6 kept, 3 positive → precision 0.5 < 0.6
+    got(55L) shouldBe ((6L, 3L, 0.5, 1.0, false))
+    got(15L)._1 shouldBe 8L
+    // no positives at all → recall NULL, precision 0
+    val none = Selection.precisionGate(
+        Seq((0.9, false), (0.1, false)).toDF("s", "y"), "s", "y", 0.5)
+      .collect()
+    none.foreach { r => r.isNullAt(5) shouldBe true; r.getDouble(4) shouldBe 0.0 }
+  }
+
   test("paretoFrontier: dominance over (tier, y), ties survive, brute-force witness") {
     // x in [0,1] quantized to 100 tiers; y maximized
     val rows = Seq(
