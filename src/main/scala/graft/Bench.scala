@@ -38,12 +38,16 @@ object Bench {
     // r10 lesson: q47/q56/q57/q75 swung ±10-20 s for the same reason —
     // so the tfidf-crosstab, LSH-signature/recall, and store-write
     // cache families each get their own warmup too)
-    for (w <- Seq("q03_crosstab", "q05_corr_sparse", "q16_text_stats",
-        "q25_ann_brute", "q56_tfidf_terms", "q47_dedup_recall",
-        "q57_incremental_store", "q75_ann_store_refresh"))
-      try SparkEntry.queries.get(w)
-        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-      catch { case _: Throwable => () }
+    // SPARK_GRAFT_NOWARMUP=1 skips them: single-query scale PROBES want
+    // the pure cold cost, and at sf10 the warmup set itself costs many
+    // minutes per chunked JVM
+    if (!sys.env.get("SPARK_GRAFT_NOWARMUP").exists(_ == "1"))
+      for (w <- Seq("q03_crosstab", "q05_corr_sparse", "q16_text_stats",
+          "q25_ann_brute", "q56_tfidf_terms", "q47_dedup_recall",
+          "q57_incremental_store", "q75_ann_store_refresh"))
+        try SparkEntry.queries.get(w)
+          .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+        catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q08_store_pipeline,q38_store_all_items isolates
     // queries for memory/scale triage without touching the full protocol
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

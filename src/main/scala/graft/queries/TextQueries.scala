@@ -1167,16 +1167,18 @@ object TextQueries extends QueryPack {
     // aggregate; marginals are a ≤-labels-row table.
     "q223_fleiss_kappa" -> ((s, dir) => {
       // tier on the 1e-6-ROUNDED score (the q204 discipline): the floor
-      // boundary must not depend on last-ulp evaluation differences
+      // boundary must not depend on last-ulp evaluation differences.
+      // ONE scoring pass, annotators exploded from it — a 3-way union
+      // would re-run the quality HOF pass per annotator (measured 3×).
       val tier = least(floor(round(qualityScore(col("text")), 6) * 3), lit(2.0))
         .cast("long")
-      val anns = (0 until 3).map { a =>
-        docs(s, dir).select(col("doc_id"),
-          lit(a.toLong).as("annotator"),
-          when(hash60(concat(lit(a.toString), lit(":"),
+      val anns = docs(s, dir).select(col("doc_id"), tier.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L), lit(2L))).as("annotator"))
+        .select(col("doc_id"), col("annotator"),
+          when(hash60(concat(col("annotator").cast("string"), lit(":"),
               col("doc_id").cast("string"))) % 5 === 0,
-            (tier + 1) % 3).otherwise(tier).as("label"))
-      }.reduce(_ unionByName _)
+            (col("t") + 1) % 3).otherwise(col("t")).as("label"))
       graft.operators.EvalMetrics.fleissKappa(
         anns, "doc_id", "annotator", "label")
     }),

@@ -53,7 +53,17 @@ class PlanSweepSpec extends SparkSpec {
     // q177 runs the SAME build twice (base store write + touched-only
     // refresh); its untouched branch is a parquet read-back + anti-join —
     // the exempted shapes all come from the two build passes
-    "q177_store_refresh_touched" -> "StoreBuild small-catalog rank (base build + touched refresh)"
+    "q177_store_refresh_touched" -> "StoreBuild small-catalog rank (base build + touched refresh)",
+    // The histogram-cumulative family: each flagged window (and the
+    // single-partition exchange feeding it) runs over an aggregate whose
+    // GROUPING KEY DOMAIN is a compile-time constant — ≤ bins/tiers rows
+    // at any corpus size (the key is least(greatest(floor(score·B),0),B−1)
+    // ∈ [0,B)) — so the shape is bounded BY CONSTRUCTION, not by a data
+    // assumption; the corpus-sized exchanges in the same plans partition
+    // on source/label as required
+    "q219_score_calibration" -> "cumulative CDF over the ≤200-row score histogram (bounded key domain)",
+    "q220_pareto_frontier" -> "suffix-max over the ≤100-row tier table (bounded key domain)",
+    "q222_precision_gate" -> "descending cumulative over the ≤100-row bin histogram (bounded key domain)"
   )
 
   private def unwrapped(p: SparkPlan): SparkPlan = p match {
