@@ -123,17 +123,86 @@ object Sampling {
    */
   def tokenBudgetPerStratum(df: DataFrame, idCol: String, strataCol: String,
                             tokenCol: String, budgets: Map[String, Long],
-                            defaultBudget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                            defaultBudget: Long,
+                            largeInput: Option[Boolean] = None): DataFrame = {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, n)) =>
       when(col(strataCol) === s, lit(n)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    df.withColumn("__cumb", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    val twoPhase = largeInput.getOrElse(df.count() > TwoPhaseThreshold)
+    strataRunningSum(df, idCol, strataCol, tokenCol, "__cumb", twoPhase)
       .where(col("__cumb") < budget)
       .drop("__cumb")
+  }
+
+  /** Input size past which per-stratum running sums switch to the
+    * two-phase distributed form (the `StoreBuild.LargeCatalogThreshold`
+    * discipline): below it a single sort task per stratum is cheaper
+    * than the extra aggregate + broadcast join; above it one stratum can
+    * be half the corpus — at 100 TB a per-stratum window is a ~10⁹-row
+    * single-task sort, the exact shape `Ids.denseIds`' two-phase rank
+    * exists to avoid. */
+  val TwoPhaseThreshold: Long = 10L * 1000 * 1000
+
+  /** Range-bucket count for the two-phase running sum: the top 8 bits of
+    * the 60-bit order hash — 256 ordered slices per stratum, so the
+    * bucket-sum table is ≤ 256·|strata| rows (always broadcastable) and
+    * the widest single sort is ~1/256 of the largest stratum. */
+  private val BudgetBuckets = 256
+
+  /**
+   * EXCLUSIVE per-stratum running sum of `tokenCol` in content-stable
+   * (hash60(id), id) order — the primitive under every token-budget
+   * window (q80, the crawl funnel's budget stage). Emits `cumCol` =
+   * sum of all strictly-preceding rows in the stratum (0 for the first).
+   *
+   * `twoPhase = false`: one partitioned window — a single sort task PER
+   * STRATUM, fine while strata fit a task. `twoPhase = true`: the
+   * distributed form, exact by construction —
+   *
+   *  1. bucket each row by the top 8 bits of its order hash (bucket
+   *     boundaries respect the (hash, id) order: every hash in bucket b
+   *     precedes every hash in bucket b+1, and hash ties share a bucket);
+   *  2. per-(stratum, bucket) token sums — a map-side partial aggregate
+   *     over ≤ 256·|strata| cells;
+   *  3. per-stratum EXCLUSIVE prefix over the bucket sums (a window over
+   *     the tiny cell table) → each bucket's starting offset;
+   *  4. within-bucket exclusive running sum (sort partitioned by
+   *     stratum × bucket — 256-way parallel per stratum) + broadcast-
+   *     joined bucket offset.
+   *
+   * offset(bucket) + within-bucket prefix ≡ the global per-stratum
+   * prefix, row for row (spec-gated equal to the one-window form in
+   * `PipelineExtrasSpec`, plan-gated no stratum-wide sort).
+   */
+  private[graft] def strataRunningSum(df: DataFrame, idCol: String,
+                                      strataCol: String, tokenCol: String,
+                                      cumCol: String,
+                                      twoPhase: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = hash60(col(idCol).cast("string"))
+    if (!twoPhase) {
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(hv, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      df.withColumn(cumCol, coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    } else {
+      val shift = 60 - (31 - Integer.numberOfLeadingZeros(BudgetBuckets))
+      val keyed = df.withColumn("__bkt", shiftright(hv, shift).cast("int"))
+      val offs = keyed.groupBy(col(strataCol), col("__bkt"))
+        .agg(sum(col(tokenCol)).as("__bsum"))
+        .withColumn("__off", coalesce(sum(col("__bsum")).over(
+          Window.partitionBy(col(strataCol)).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
+          lit(0L)))
+        .select(col(strataCol), col("__bkt"), col("__off"))
+      val w = Window.partitionBy(col(strataCol), col("__bkt"))
+        .orderBy(hv, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      keyed.join(broadcast(offs), Seq(strataCol, "__bkt"))
+        .withColumn(cumCol,
+          col("__off") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+        .drop("__bkt", "__off")
+    }
   }
 
   /**

@@ -167,6 +167,49 @@ class PipelineExtrasSpec extends SparkSpec {
       .count() shouldBe 1L
   }
 
+  test("strataRunningSum: two-phase form is row-identical and plans no stratum-wide sort") {
+    // uneven strata, varied token counts — every bucket boundary case the
+    // top-8-bit range bucketing can hit at this size
+    val df = ((1L to 400L).map(i => (i, "en", (i % 7) + 1)) ++
+      (401L to 500L).map(i => (i, "fr", (i % 11) + 1)) ++
+      Seq((501L, "de", 3L))).toDF("doc_id", "lang", "nt")
+    def rows(two: Boolean) =
+      Sampling.strataRunningSum(df, "doc_id", "lang", "nt", "cumb", two)
+        .select("doc_id", "cumb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows(two = true) shouldBe rows(two = false)
+
+    // budgets computed through the gate are identical too
+    val one = Sampling.tokenBudgetPerStratum(df, "doc_id", "lang", "nt",
+        Map("en" -> 120L), 40L, largeInput = Some(false))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val two = Sampling.tokenBudgetPerStratum(df, "doc_id", "lang", "nt",
+        Map("en" -> 120L), 40L, largeInput = Some(true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    two shouldBe one
+
+    // plan guard: above the gate, NO corpus-sized sort is partitioned by
+    // the stratum alone — the only single-column window runs over the
+    // ≤ 256·|strata|-row bucket-sum aggregate (reduced input), and the
+    // corpus window is partitioned stratum × bucket
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sampling.strataRunningSum(
+        df, "doc_id", "lang", "nt", "cumb", twoPhase = true)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.exists(_.partitionSpec.size == 2),
+        "two-phase must sort partitioned by stratum AND bucket")
+      wins.filter(_.partitionSpec.size < 2).foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+          s"stratum-only window over unreduced input: ${w.simpleStringWithNodeId()}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("tierQuotas allocates budget by tierWeight x cellTokens with implied epochs") {
     // en/head 100 tokens, en/tail 100, fr/middle 100:
     // wt = 60, 10, 30 → wtot = 100; budget 1000 → quotas 600/100/300,
