@@ -263,7 +263,7 @@ object Multimodal {
   def imageDHash(bytes: Array[Byte]): Option[Long] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
     else {
       val w = DHashCols + 1
@@ -287,5 +287,89 @@ object Multimodal {
   def dHashPairs(media: DataFrame, maxDist: Int): DataFrame =
     Dedup.simHashPairs(
       media.select(col("media_id").as("id"), dHashStub(col("data")).as("sh")),
+      maxDist)
+
+  // --- perceptual near-dup (audio energy envelope) tier -----------------
+
+  /** Envelope windows for the audio perceptual hash: EnvWindows equal
+    * time slices → EnvWindows−1 = 60 adjacent-window RMS-energy
+    * comparisons = 60 bits — the dHash bit budget, so the tier reuses
+    * `Dedup.simHashPairs`' 5×12-bit banding (pigeonhole-sound for
+    * maxDist ≤ 4) unchanged. */
+  val EnvWindows = 61
+
+  /** 60-bit STUB envelope hash as a pure Column expression (the oracle
+    * face — no audio codec in DuckDB): window energy e(j) = first md5
+    * byte of "payload-digest:env:j". Identical payloads collide exactly
+    * (dist 0); the PERCEPTUAL property lives in [[audioEnvHash]], the
+    * real-codec face this stub stands in for (same window count, same
+    * bit layout). */
+  def envHashStub(data: Column): Column = {
+    val d = md5(data)
+    def e(j: Int) =
+      conv(substring(md5(concat_ws(":", d, lit("env"), lit(j.toString))),
+        1, 2), 16, 10).cast("long")
+    (for (j <- 0 until EnvWindows - 1) yield
+      when(e(j + 1) > e(j), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** REAL audio envelope hash — pure JVM via `javax.sound.sampled` (the
+    * audioDecoder stance: a WAV/AIFF/AU PCM reader ships in every JDK):
+    * decode, slice the sample stream into EnvWindows equal windows,
+    * compare adjacent windows' RMS energy. A re-encode, resample, or
+    * constant gain change preserves the energy ENVELOPE — few adjacent
+    * orderings flip — so true near-dups land within small Hamming
+    * distance, while a reversed or different signal scatters; spec-gated
+    * (`MultimodalSpec`) since no oracle can replay a codec. Returns None
+    * on undecodable/non-PCM16LE payloads or signals shorter than one
+    * sample per window (dirty crawl data is the norm — never fatal). */
+  def audioEnvHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val b = in.readAllBytes()
+          val n = b.length / 2
+          if (n < EnvWindows) None
+          else {
+            val rms = new Array[Double](EnvWindows)
+            var w = 0
+            while (w < EnvWindows) {
+              val lo = (w.toLong * n / EnvWindows).toInt
+              val hi = ((w + 1).toLong * n / EnvWindows).toInt
+              var s = 0.0
+              var i = lo
+              while (i < hi) {
+                val v = ((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort / 32768.0
+                s += v * v
+                i += 1
+              }
+              rms(w) = math.sqrt(s / math.max(hi - lo, 1))
+              w += 1
+            }
+            var acc = 0L
+            var j = 0
+            while (j < EnvWindows - 1) {
+              if (rms(j + 1) > rms(j)) acc |= 1L << j
+              j += 1
+            }
+            Some(acc)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual near-dup pairs over audio payloads: stub envelope hashes
+    * (map-only — payload bytes never shuffle, only the 8-byte hash) into
+    * the banded Hamming tier shared with the SimHash dedup and the image
+    * dHash tier. Output: (doc_a, doc_b, dist), a < b, dist ≤ maxDist. */
+  def envHashPairs(media: DataFrame, maxDist: Int): DataFrame =
+    Dedup.simHashPairs(
+      media.select(col("media_id").as("id"), envHashStub(col("data")).as("sh")),
       maxDist)
 }

@@ -17,6 +17,15 @@ object MultimodalQueries extends QueryPack {
 
   private val Fps = 2 // frame sampling rate (500 ms step)
 
+  /** Planted re-upload id offset for the perceptual near-dup gates
+    * (q221): a HIGH-BIT offset (2^41 ≈ 2.2e12) no real media_id can
+    * reach — doc ids are dense from 0, and 2^41 documents is ~three
+    * orders of magnitude past a 100 TB corpus — so planted ids can
+    * never collide with real ones at any scale (a fixed small offset
+    * would collide once doc_id passed it, silently degrading the
+    * "every plant surfaces as a dist-0 pair" invariant). */
+  private val PlantOffset = 1L << 41
+
   private def media(s: SparkSession, dir: String) =
     Multimodal.synthesize(Tables.read(s, dir, "documents"))
 
@@ -66,8 +75,24 @@ object MultimodalQueries extends QueryPack {
     "q221_media_dhash" -> ((s, dir) => {
       val m = media(s, dir).where(col("kind") === "image")
       val planted = m.where(col("media_id") % 5 === 0)
-        .withColumn("media_id", col("media_id") + lit(1000000L))
+        .withColumn("media_id", col("media_id") + lit(PlantOffset))
       Multimodal.dHashPairs(m.unionByName(planted), maxDist = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // EXT-M7: perceptual near-dup over audio payloads — 60-bit energy-
+    // envelope hash (stub window energies; the real javax.sound.sampled
+    // face is spec-gated) into the same banded Hamming tier as q221.
+    // Byte-exact q95 misses every re-encode; the envelope tier is what
+    // catches a re-encoded or gain-shifted upload. Re-uploads are
+    // PLANTED (every 5th audio repeated under the high-bit offset) so
+    // the pair tier provably fires: each plant must surface as a
+    // dist-0 pair.
+    "q224_audio_env" -> ((s, dir) => {
+      val m = media(s, dir).where(col("kind") === "audio")
+      val planted = m.where(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + lit(PlantOffset))
+      Multimodal.envHashPairs(m.unionByName(planted), maxDist = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
@@ -130,7 +155,7 @@ object MultimodalQueries extends QueryPack {
       s"""WITH $MediaCte,
          |imgs AS (SELECT media_id, text FROM media WHERE kind = 'image'
          |         UNION ALL
-         |         SELECT media_id + 1000000, text FROM media
+         |         SELECT media_id + $PlantOffset, text FROM media
          |         WHERE kind = 'image' AND media_id % 5 = 0),
          |dh AS (SELECT media_id, list_reduce(
          |    list_prepend(0::BIGINT, list_transform(range(0, ${rows * cols}),
@@ -150,6 +175,35 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
          |FROM cand JOIN dh sa ON sa.media_id = cand.doc_a
          |          JOIN dh sb ON sb.media_id = cand.doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // envelope-hash replay: the stub window energies (first md5 byte of
+    // digest:env:j), 60-bit assembly, the same band/XOR/popcount chain.
+    "q224_audio_env" -> {
+      val w = Multimodal.EnvWindows
+      s"""WITH $MediaCte,
+         |auds AS (SELECT media_id, text FROM media WHERE kind = 'audio'
+         |         UNION ALL
+         |         SELECT media_id + $PlantOffset, text FROM media
+         |         WHERE kind = 'audio' AND media_id % 5 = 0),
+         |eh AS (SELECT media_id, list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(range(0, ${w - 1}),
+         |      x -> x::BIGINT)),
+         |    (acc, j) -> acc + CASE WHEN
+         |      ('0x' || substr(md5(md5(text) || ':env:' || (j + 1)), 1, 2))::BIGINT
+         |      > ('0x' || substr(md5(md5(text) || ':env:' || j), 1, 2))::BIGINT
+         |      THEN (1::BIGINT << j) ELSE 0 END) AS sh
+         |  FROM auds),
+         |bl AS (SELECT media_id, b, (sh >> (12 * b)) & 4095 AS bk
+         |       FROM eh, unnest(range(0, 5)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+         |         FROM bl a JOIN bl b
+         |           ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
+         |FROM cand JOIN eh sa ON sa.media_id = cand.doc_a
+         |          JOIN eh sb ON sb.media_id = cand.doc_b
          |WHERE bit_count(xor(sa.sh, sb.sh)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin
     }

@@ -187,4 +187,53 @@ class MultimodalSpec extends SparkSpec {
     // dist ≤ 4 collision with doc 3 would be astronomically unlikely
     got.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
+
+  test("envHashPairs: exact payload dups pair at dist 0 through the banded tier") {
+    import spark.implicits._
+    val payload = "the same audio bytes".getBytes("UTF-8")
+    val other = "completely different signal content".getBytes("UTF-8")
+    val media = Seq((1L, payload), (2L, payload), (3L, other))
+      .toDF("media_id", "data")
+    val got = Multimodal.envHashPairs(media, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got should contain((1L, 2L, 0L))
+    got.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
+  test("audioEnvHash: re-encode/gain/resample land near, reversed far, junk None") {
+    // per-window amplitude = the (w·37 mod 61) permutation scaled to
+    // (0,1] — every adjacent ordering strict and varied
+    def amp(w: Int) = (((w * 37) % 61) + 1) / 62.0
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bo)
+      bo.toByteArray
+    }
+    // 61 windows × 100 samples; square wave so window RMS == amplitude
+    def signal(gain: Double, step: Int): Array[Short] =
+      (for (w <- 0 until 61; i <- 0 until 100 / step) yield {
+        val v = (amp(w) * gain * 30000).toInt
+        (if (i % 2 == 0) v else -v).toShort
+      }).toArray
+    val h0 = Multimodal.audioEnvHash(wavOf(signal(1.0, 1))).get
+    def dist(h: Long) = java.lang.Long.bitCount(h0 ^ h)
+    // constant gain preserves EVERY energy ordering → identical hash
+    dist(Multimodal.audioEnvHash(wavOf(signal(0.5, 1))).get) shouldBe 0
+    // 2:1 decimation (the naive resample) preserves the envelope shape
+    dist(Multimodal.audioEnvHash(wavOf(signal(1.0, 2))).get) should be <= 4
+    // the REVERSED signal flips the envelope — orderings scatter
+    dist(Multimodal.audioEnvHash(wavOf(signal(1.0, 1).reverse)).get) should be > 10
+    // junk, too-short, and non-16-bit payloads are None, never fatal
+    Multimodal.audioEnvHash(Array[Byte](9, 9, 9)) shouldBe None
+    Multimodal.audioEnvHash(wavOf(Array.fill(30)(100.toShort))) shouldBe None
+  }
 }
