@@ -39,7 +39,15 @@ object Caches {
     * but `clearAll` would also evict caches owned by concurrent serving
     * queries on the same session — `scoped` releases the batch's own
     * handles and nothing else. Nests: an inner scope releases its caches
-    * and restores the outer scope's tracking. */
+    * and restores the outer scope's tracking.
+    *
+    * CONTRACT: tracking is THREAD-CONFINED (a plain ThreadLocal, and the
+    * buffer itself is not thread-safe) — every `cacheOnce` that should be
+    * released by this scope must run on the calling thread. A `cacheOnce`
+    * issued from a thread spawned inside `body` escapes the scope and
+    * lives until `clearAll`. All streaming call sites (`foreachBatch`
+    * bodies) are single-threaded today; a future parallel batch must
+    * either scope per worker thread or release its caches explicitly. */
   def scoped[T](body: => T): T = {
     val prev = scope.get()
     val buf = scala.collection.mutable.Buffer.empty[DataFrame]

@@ -109,9 +109,13 @@ object EvalMetrics {
    */
   def fleissKappa(ann: DataFrame, itemCol: String, annotatorCol: String,
                   labelCol: String): DataFrame = {
-    val cells = ann
+    // three consumers (the distinct-m validation collect, `base`, `marg`)
+    // over one (item, label) aggregate — cache so the annotation log is
+    // scanned once, not three times (released with the session's
+    // clearAll; the table is ≤ items × labels, far below the log)
+    val cells = graft.core.Caches.cacheOnce(ann
       .groupBy(col(itemCol).as("item"), col(labelCol).cast("string").as("label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val ms = cells.groupBy(col("item")).agg(sum(col("n")).as("m"))
       .select(col("m")).distinct().collect().map(_.getLong(0))
     require(ms.length == 1, "fleissKappa: items have differing rating " +
