@@ -847,6 +847,37 @@ object TextQueries extends QueryPack {
         .orderBy(id)
     }),
 
+    // EXT-D24: persisted frontier URL ledger — the seen-URL keep-first
+    // store the fetch loop consults BEFORE spending a request (content
+    // dedup can only drop what was already fetched). Frontier entries
+    // are planted with canonicalization noise (the q151 recipe, COARSE
+    // moduli so urls collide within and across arrival batches); three
+    // arrival epochs (doc_id % 3) fold through write + two offers, and
+    // the served ledger must equal the ONE-SHOT keep-first over the
+    // union in (epoch, doc_id) order — the delta-fold law every
+    // incremental store in this engine is gated on.
+    "q225_frontier_ledger" -> ((s, dir) => {
+      val out = graft.core.Scratch.dir("graft_frontier")
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise(lit("https")), lit("://"),
+        when(id % 5 === 0, "WWW.").otherwise(lit("")),
+        lit("Site"), (id % 4).cast("string"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").otherwise(lit(":443")),
+        lit("/Dir"), (id % 5).cast("string"),
+        when(id % 4 === 2, "?pref=keep&ref=drop&fbclid").otherwise(lit("")),
+        when(id % 5 === 0, "#frag").otherwise(lit("")))
+      val entries = Tables.read(s, dir, "documents").select(id, url.as("url"))
+      graft.store.FrontierStore.write(entries.where(id % 3 === 0), out)
+      graft.store.FrontierStore.offer(entries.where(id % 3 === 1), out,
+        batchId = Some("d1"))
+      graft.store.FrontierStore.offer(entries.where(id % 3 === 2), out,
+        batchId = Some("d2"))
+      graft.store.FrontierStore.seen(s, out)
+        .select(col("canonical"), col("doc_id").as("first_doc"))
+        .orderBy(col("canonical"))
+    }),
+
     // EXT-T30: DSIR targeted selection — importance weights from hashed
     // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
     // the pool); the classifier-free "more like my seed corpus" ranking
@@ -1303,9 +1334,19 @@ object TextQueries extends QueryPack {
    * window partitions by language. One multi-consumer subtree (the
    * extracted corpus) is cached once.
    */
-  /** Per-JVM WARC staging memo for [[crawlFunnel]] (sfDir → staged path). */
+  /** Per-JVM WARC staging memo for [[crawlFunnel]], keyed on sfDir PLUS a
+    * cheap input fingerprint (file count / total bytes / max mtime of the
+    * documents parquet) — a fixture regenerated under the same path
+    * within one JVM re-stages instead of silently replaying stale data. */
   private val crawlStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def crawlStagedKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.listStatus(p)
+    s"$dir@${st.length}:${st.map(_.getLen).sum}:${st.map(_.getModificationTime).max}"
+  }
 
   private def crawlFunnel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1344,7 +1385,7 @@ object TextQueries extends QueryPack {
     // instead of accumulating per-invocation caches (measured: the
     // per-call scratch paths held 6 corpus-sized caches after a 3-rep
     // bench of the pair).
-    val out = crawlStaged.computeIfAbsent(dir, _ => {
+    val out = crawlStaged.computeIfAbsent(crawlStagedKey(s, dir), _ => {
       val p = graft.core.Scratch.dir("graft_crawl")
       graft.sources.Warc.save(staged, p)
       p
@@ -1389,20 +1430,9 @@ object TextQueries extends QueryPack {
     val exact = ex.withColumn("keep_id", min(col("doc_id")).over(keepW))
       .withColumn("is_canonical", col("doc_id") === col("keep_id"))
       .drop("keep_id")
-    // fuzzy near-dup: banded MinHash candidates over the EXTRACTED
-    // content, signature-agreement refine, later doc of a pair dropped
-    val sig = graft.core.Caches.cacheOnce(Dedup.minHashSignatures(
-      ex.select(col("doc_id"), col("content")),
-      CrawlShingleN, CrawlPerms, "doc_id", "content"))
-    val bands = Dedup.lshBands(sig, CrawlBands, CrawlPerms / CrawlBands)
-    val fuzzyDropped = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
-      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), Seq("ida"))
-      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), Seq("idb"))
-      .where(Dedup.estSim(col("siga"), col("sigb"), CrawlPerms) >= CrawlEstSim)
-      .select(col("idb").as("doc_id")).distinct()
+    // fuzzy near-dup: exact-first collapse, then banded MinHash
+    // candidates over the representatives (see crawlFuzzy)
+    val (_, fuzzyDropped) = crawlFuzzy(ex.select(col("doc_id"), col("content")))
     // benchmark decontamination over the same extracted content
     val isBench = col("doc_id") % CrawlBenchMod === 0
     val contam = graft.operators.Decontamination.contaminated(
@@ -1420,18 +1450,85 @@ object TextQueries extends QueryPack {
         col("allowed") && col("n_content") > 0 && col("moji_clean") &&
           col("gopher_pass") && col("is_canonical") && !col("fuzzy_dup") &&
           !col("is_bench") && !col("contaminated"))
-    // per-language token budget over the survivors, hash order (q80)
-    val wB = Window.partitionBy(col("lang"))
-      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val budget = flags.where(col("survivor"))
-      .withColumn("cumb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+    // per-language token budget over the survivors, hash order (q80) —
+    // the running sum goes two-phase above the gate (one language can be
+    // half a 100 TB corpus; a single-task per-stratum sort cannot), gated
+    // on the corpus row count (a parquet metadata read, never a join
+    // recompute; survivors ≤ corpus)
+    val budget = graft.operators.Sampling.strataRunningSum(
+        flags.where(col("survivor")), "doc_id", "lang", "n_tokens", "cumb",
+        twoPhase = d.count() > graft.operators.Sampling.TwoPhaseThreshold)
       .withColumn("in_b", col("cumb") <
         when(col("lang") === "en", CrawlBudgetEn).otherwise(CrawlBudgetDefault))
       .select(col("doc_id"), col("in_b"))
     flags.join(budget, Seq("doc_id"), "left")
       .withColumn("in_budget", coalesce(col("in_b"), lit(false))).drop("in_b")
       .withColumn("selected", col("survivor") && col("in_budget"))
+  }
+
+  /**
+   * The fuzzy near-dup tier of [[crawlFunnel]] over the extracted corpus
+   * (doc_id, content): ids dropped as the LATER doc of a banded MinHash
+   * candidate pair with signature agreement ≥ CrawlEstSim.
+   *
+   * EXACT-FIRST COLLAPSE (the EXT-D17 law, `Dedup.exactDroppedIds`):
+   * raw-identical documents collapse to their minimum-id representative
+   * BEFORE any signature is computed or band self-joined — K boilerplate
+   * copies of one template (the NORM in real crawl data) cost ONE row per
+   * band, not K rows sharing every band bucket and K²/2 candidate pairs
+   * on a single skewed join key. Provably result-preserving:
+   *
+   *  - a COPY (raw content equal to a lower id's) was dropped by the
+   *    uncollapsed join iff it carried ≥1 shingle — its representative
+   *    (lower id, identical signature, shared buckets, est 1.0 ≥ τ) was
+   *    always a witness; a copy too short to shingle never entered the
+   *    band table. The collapse replays that rule directly: a copy is
+   *    dropped iff its representative appears in the signature table
+   *    (identical content ⇔ identical shingle stream).
+   *  - a REPRESENTATIVE r was dropped iff some lower-id doc x shared a
+   *    bucket at est ≥ τ; x's own representative r_x ≤ x < r carries the
+   *    IDENTICAL signature (identical buckets, identical est), so every
+   *    witness survives the collapse.
+   *
+   * The collapse keys on md5 of the RAW content: the funnel's canonical
+   * digest (lowercased, space-folded) is coarser and does NOT imply equal
+   * shingle streams — collapsing on it would merge docs with different
+   * signatures. Scale shape: the collapse window runs over the NARROW
+   * (doc_id, raw_digest) projection (content never shuffles through it);
+   * the representative filter is `Dedup.keepCorpus`'s gated anti-join
+   * (copies broadcast below the 10M threshold).
+   *
+   * Returns (bands, dropped) — the band table is exposed so the planted
+   * mega-cluster spec (`TextFunnelSpec`) can assert candidate collapse;
+   * production consumes only `dropped`.
+   */
+  private[graft] def crawlFuzzy(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val dig = docs.select(col("doc_id"), md5(col("content")).as("raw_digest"))
+    val copies = graft.core.Caches.cacheOnce(
+      dig.withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("raw_digest"))))
+        .where(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id"), col("rep_id")))
+    val reps = Dedup.keepCorpus(docs, copies.select(col("doc_id")),
+      "doc_id", copies.count())
+    val sig = graft.core.Caches.cacheOnce(Dedup.minHashSignatures(
+      reps, CrawlShingleN, CrawlPerms, "doc_id", "content"))
+    val bands = Dedup.lshBands(sig, CrawlBands, CrawlPerms / CrawlBands)
+    val repDropped = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
+      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), Seq("ida"))
+      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), Seq("idb"))
+      .where(Dedup.estSim(col("siga"), col("sigb"), CrawlPerms) >= CrawlEstSim)
+      .select(col("idb").as("doc_id"))
+    // a copy is a near-dup of its representative iff the rep shingles
+    val copyDropped = copies
+      .join(sig.select(col("id").as("rep_id")), Seq("rep_id"), "left_semi")
+      .select(col("doc_id"))
+    (bands, repDropped.unionByName(copyDropped).distinct())
   }
 
   private val Bm25Terms = Seq("spark", "vector", "stream")
@@ -1500,13 +1597,13 @@ object TextQueries extends QueryPack {
   private val HostBottomFrac = 0.25 // q161 flagged host-tail fraction
   private val HtmlMaxLink = 0.2 // q144 max link density
   private val HtmlMinStop = 0.02 // q144 min stopword density
-  private val CrawlShingleN = 3 // q214/q215 near-dup MinHash shingles
+  private[graft] val CrawlShingleN = 3 // q214/q215 near-dup MinHash shingles
   private val CrawlDecontamN = 8 // q214/q215 scrub collision grams (the
   // 13-gram-protocol scale — 3-grams flag 83% of this corpus, a
   // decontamination gate must catch leaked ITEMS, not shared phrases)
-  private val CrawlPerms = 16 // q214/q215 MinHash permutations
-  private val CrawlBands = 4 // × 4 rows/band
-  private val CrawlEstSim = 0.5 // q214/q215 near-dup signature cutoff
+  private[graft] val CrawlPerms = 16 // q214/q215 MinHash permutations
+  private[graft] val CrawlBands = 4 // × 4 rows/band
+  private[graft] val CrawlEstSim = 0.5 // q214/q215 near-dup signature cutoff
   private val CrawlBenchMod = 17 // every 17th doc plays the benchmark set
   private val CrawlBudgetEn = 4000L // q214/q215 en token budget
   private val CrawlBudgetDefault = 1500L // q214/q215 other-language budget
@@ -2816,6 +2913,25 @@ object TextQueries extends QueryPack {
         |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
         |        ELSE '' END) AS canonical
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // The planted urls canonicalize CLOSED-FORM (scheme lowered, www +
+    // default port stripped, ref/fbclid dropped + pref kept, fragment
+    // dropped — each rule individually gated by q151's full replay), so
+    // the oracle states the ledger LAW directly: keep-first over the
+    // batch union in (epoch = doc_id % 3, doc_id) arrival order.
+    "q225_frontier_ledger" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |  'site' || (doc_id % 4) || '.example.com' ||
+        |  '/Dir' || (doc_id % 5) ||
+        |  (CASE WHEN doc_id % 4 = 2 THEN '?pref=keep' ELSE '' END) AS canonical
+        |  FROM documents)
+        |SELECT canonical, first_doc FROM (
+        |  SELECT canonical, doc_id AS first_doc,
+        |    ROW_NUMBER() OVER (PARTITION BY canonical
+        |      ORDER BY (doc_id % 3), doc_id) AS rk
+        |  FROM u) WHERE rk = 1
+        |ORDER BY canonical""".stripMargin,
 
     "q119_source_mix" ->
       """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
