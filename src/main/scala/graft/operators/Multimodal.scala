@@ -372,4 +372,85 @@ object Multimodal {
     Dedup.simHashPairs(
       media.select(col("media_id").as("id"), envHashStub(col("data")).as("sh")),
       maxDist)
+
+  // --- perceptual near-dup (video temporal-pooled dHash) tier -----------
+
+  /** Frames the video hash samples: the q28 2-fps grid (one frame per
+    * 500 ms, ⌊durationMs/500⌋+1 frames) — bounded by the DURATION
+    * metadata, never by payload size. */
+  def videoFrameCount(durationMs: Column): Column =
+    floor(durationMs.cast("long") / 500).cast("long") + 1
+
+  /** 60-bit STUB frame hash for one (payload, frame) as a pure Column
+    * expression (the oracle face — no video codec exists in any JVM or
+    * in DuckDB): the q221 md5 luma grid salted with the frame index. */
+  private def frameHashStub(data: Column, f: Column): Column = {
+    val d = md5(data)
+    def g(r: Int, c: Int) =
+      conv(substring(md5(concat_ws(":", d, f.cast("string"),
+        lit(r.toString), lit(c.toString))), 1, 2), 16, 10).cast("long")
+    (for (r <- 0 until DHashRows; c <- 0 until DHashCols) yield
+      when(g(r, c + 1) > g(r, c), lit(1L << (r * DHashCols + c)))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** STUB video hash table (id, sh): per sampled frame the stub frame
+    * hash, then per-bit STRICT-MAJORITY pooling across frames (ties →
+    * 0). Majority pooling is what makes this a VIDEO hash rather than a
+    * frame hash: a few re-encoded/edited/inserted frames flip a minority
+    * of votes and the pooled bits stand — the PERCEPTUAL property lives
+    * in [[videoHashFromFrames]], the real face this stub stands in for
+    * (same grid, same bit layout, same pooling rule).
+    *
+    * Built RELATIONALLY (explode the frame index, one codegen'd
+    * 120-md5 frame-hash projection, 60 ±1 bit-sum aggregates, one
+    * assembly expression) for the same reason as `Dedup.simHashes`: the
+    * nested-HOF formulation (transform over frames + 60 aggregate()
+    * folds) re-evaluates interpreted lambda trees per bit and measured
+    * ~20× slower. The explode is bounded by the DURATION metadata
+    * (≈ duration/500 rows per video), and only (id, 8-byte hash) rows
+    * reach the aggregate — payloads stay in the scan stage. */
+  def videoHashes(media: DataFrame): DataFrame = {
+    val frames = media.select(col("media_id").as("id"),
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1)).as("f"),
+        col("data"))
+      .select(col("id"), frameHashStub(col("data"), col("f")).as("fh"))
+    val bitCols = (0 until DHashRows * DHashCols).map(j =>
+      sum(shiftright(col("fh"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
+    frames.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"),
+        (0 until DHashRows * DHashCols).map(j =>
+          when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** REAL video hash over PRE-DECODED frame images (a video codec ships
+    * in no JVM — a real pipeline decodes frames upstream, e.g. an
+    * ffmpeg-extracted keyframe directory, and THIS is the hash over
+    * them): dHash each frame via [[imageDHash]], strict-majority pool
+    * per bit. Undecodable frames are skipped; None when nothing decodes.
+    * Spec-gated (`MultimodalSpec`): re-encoded frames dist 0, a minority
+    * of replaced frames outvoted to dist 0, reversed frames far. */
+  def videoHashFromFrames(frames: Seq[Array[Byte]]): Option[Long] = {
+    val hs = frames.flatMap(imageDHash)
+    if (hs.isEmpty) None
+    else {
+      var acc = 0L
+      var j = 0
+      while (j < DHashRows * DHashCols) {
+        val c = hs.count(h => ((h >> j) & 1L) == 1L)
+        if (2 * c > hs.size) acc |= 1L << j
+        j += 1
+      }
+      Some(acc)
+    }
+  }
+
+  /** Perceptual near-dup pairs over video payloads: stub temporal-pooled
+    * hashes (map-only — only the 8-byte hash ever shuffles) into the
+    * shared banded Hamming tier. `media` carries (media_id, data,
+    * n_frames); compute n_frames from duration metadata via
+    * [[videoFrameCount]]. Output: (doc_a, doc_b, dist), a < b. */
+  def videoHashPairs(media: DataFrame, maxDist: Int): DataFrame =
+    Dedup.simHashPairs(videoHashes(media), maxDist)
 }

@@ -94,6 +94,25 @@ object MultimodalQueries extends QueryPack {
         .withColumn("media_id", col("media_id") + lit(PlantOffset))
       Multimodal.envHashPairs(m.unionByName(planted), maxDist = 4)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // EXT-M8: perceptual near-dup over video payloads — per-frame md5
+    // luma grids (the q221 recipe salted by frame index, one frame per
+    // 500 ms from the duration metadata) strict-majority-pooled into
+    // one 60-bit temporal hash, then the shared banded Hamming tier.
+    // Majority pooling is the video-specific move: a few edited or
+    // re-encoded frames are outvoted (real face `videoHashFromFrames`
+    // pools real imageDHash over pre-decoded frames, spec-gated).
+    // Plants as in q221/q224: every 5th video repeated under the
+    // high-bit offset must surface as a dist-0 pair.
+    "q226_video_phash" -> ((s, dir) => {
+      val m = media(s, dir).where(col("kind") === "video")
+        .withColumn("n_frames",
+          Multimodal.videoFrameCount(col("meta.durationMs")))
+      val planted = m.where(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + lit(PlantOffset))
+      Multimodal.videoHashPairs(m.unionByName(planted), maxDist = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -204,6 +223,48 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
          |FROM cand JOIN eh sa ON sa.media_id = cand.doc_a
          |          JOIN eh sb ON sb.media_id = cand.doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // temporal-pooled video hash replay: per-frame stub grids (the q221
+    // assembly salted with the frame index), per-bit strict-majority
+    // vote across ⌊duration/500⌋+1 frames, then the band/XOR/popcount
+    // chain.
+    "q226_video_phash" -> {
+      val rows = Multimodal.DHashRows
+      val cols = Multimodal.DHashCols
+      s"""WITH $MediaCte,
+         |vids AS (SELECT media_id, text, duration_ms // 500 + 1 AS nf
+         |         FROM media WHERE kind = 'video'
+         |         UNION ALL
+         |         SELECT media_id + $PlantOffset, text, duration_ms // 500 + 1
+         |         FROM media WHERE kind = 'video' AND media_id % 5 = 0),
+         |fh AS (SELECT media_id, list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(range(0, ${rows * cols}),
+         |      x -> x::BIGINT)),
+         |    (acc, j) -> acc + CASE WHEN
+         |      ('0x' || substr(md5(md5(text) || ':' || f || ':' || (j // $cols)
+         |        || ':' || (j % $cols + 1)), 1, 2))::BIGINT
+         |      > ('0x' || substr(md5(md5(text) || ':' || f || ':' || (j // $cols)
+         |        || ':' || (j % $cols)), 1, 2))::BIGINT
+         |      THEN (1::BIGINT << j) ELSE 0 END) AS fh
+         |  FROM vids, unnest(range(0, nf)) AS t(f)),
+         |cnt AS (SELECT media_id, j, SUM((fh >> j) & 1) AS c, COUNT(*) AS nf
+         |        FROM fh, unnest(range(0, ${rows * cols})) AS tj(j)
+         |        GROUP BY 1, 2),
+         |vh AS (SELECT media_id,
+         |         SUM(CASE WHEN 2 * c > nf THEN (1::BIGINT << j)
+         |             ELSE 0 END)::BIGINT AS sh
+         |       FROM cnt GROUP BY 1),
+         |bl AS (SELECT media_id, b, (sh >> (12 * b)) & 4095 AS bk
+         |       FROM vh, unnest(range(0, 5)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+         |         FROM bl a JOIN bl b
+         |           ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS dist
+         |FROM cand JOIN vh sa ON sa.media_id = cand.doc_a
+         |          JOIN vh sb ON sb.media_id = cand.doc_b
          |WHERE bit_count(xor(sa.sh, sb.sh)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin
     }

@@ -200,6 +200,46 @@ class MultimodalSpec extends SparkSpec {
     got.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  test("videoHashPairs: exact payload dups pair at dist 0 through the banded tier") {
+    import spark.implicits._
+    val payload = "the same video bytes".getBytes("UTF-8")
+    val other = "completely different clip content".getBytes("UTF-8")
+    val media = Seq((1L, payload, 5L), (2L, payload, 5L), (3L, other, 7L))
+      .toDF("media_id", "data", "n_frames")
+    val got = Multimodal.videoHashPairs(media, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got should contain((1L, 2L, 0L))
+    got.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
+  test("videoHashFromFrames: majority pooling outvotes edited frames; reversed far; junk None") {
+    def png(f: (Int, Int) => Int, fmt: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bo)
+      bo.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = (x: Int, y: Int) => gray((x * 4 + y) % 256)
+    val rev = (x: Int, y: Int) => gray(((63 - x) * 4 + y) % 256)
+    val frames = Seq.fill(5)(png(base))
+    val h0 = Multimodal.videoHashFromFrames(frames).get
+    def dist(h: Long) = java.lang.Long.bitCount(h0 ^ h)
+    // container re-encode of every frame → identical hash
+    dist(Multimodal.videoHashFromFrames(Seq.fill(5)(png(base, "bmp"))).get) shouldBe 0
+    // a MINORITY of frames replaced by a very different image is OUTVOTED
+    // (3 of 5 base frames still carry every bit) — dist exactly 0
+    dist(Multimodal.videoHashFromFrames(
+      frames.take(3) ++ Seq(png(rev), png(rev))).get) shouldBe 0
+    // every frame reversed → far
+    dist(Multimodal.videoHashFromFrames(Seq.fill(5)(png(rev))).get) should be > 15
+    // undecodable frames are skipped, not fatal; all-junk → None
+    Multimodal.videoHashFromFrames(Seq(Array[Byte](1, 2), frames.head)).get shouldBe h0
+    Multimodal.videoHashFromFrames(Seq(Array[Byte](1, 2))) shouldBe None
+  }
+
   test("audioEnvHash: re-encode/gain/resample land near, reversed far, junk None") {
     // per-window amplitude = the (w·37 mod 61) permutation scaled to
     // (0,1] — every adjacent ordering strict and varied
