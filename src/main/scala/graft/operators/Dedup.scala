@@ -1038,4 +1038,58 @@ object Dedup {
           filter(split(col(textCol), "\n"),
             (_, i) => !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)),
           "\n").as(textCol))
+
+  // --- CDC partial-overlap (containment) tier ----------------------------
+
+  /**
+   * Partial-overlap (containment) pairs over a CDC chunk table
+   * (`Chunking.cdcChunks` output — (idCol, chunk_no, start, n_tokens,
+   * chunk_md5)) — the near-dup class every whole-document tier MISSES:
+   * two documents sharing a large block (a quoted article, a syndicated
+   * section) but differing elsewhere sit below any whole-doc
+   * Jaccard/SimHash threshold, yet their shared block survives as
+   * identical chunk fingerprints because CDC boundaries re-align after
+   * edits. This is the REPORTING face of the CDC family beside
+   * `cdcDedup`'s rewriting face: which documents partially overlap
+   * which, and by how much.
+   *
+   * containment = |A∩B| / min(|A|,|B|) over DISTINCT chunk fingerprints
+   * (Broder's containment — the asymmetric measure that catches a small
+   * document embedded in a large one, where Jaccard dilutes); pairs must
+   * share ≥ `minShared` chunks (ONE shared chunk is boilerplate
+   * evidence, not a partial copy) and reach `minContainment`.
+   *
+   * Scale: the inverted-index join on chunk_md5 is the jaccardPairs
+   * shape — 16-byte keys, never text; `maxChunkDegree` drops
+   * fingerprints present in more documents (a chunk in thousands of
+   * docs is a template paragraph — the maxShingleDegree argument
+   * verbatim), bounding the join at Σ df². Output: (doc_a, doc_b,
+   * shared, containment), a < b, containment 1e-6-rounded.
+   */
+  def cdcOverlapPairs(chunks: DataFrame, minShared: Int, minContainment: Double,
+                      maxChunkDegree: Option[Int] = None,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val sets0 = chunks.select(col(idCol).as("id"), col("chunk_md5")).distinct()
+    val sets = graft.core.Caches.cacheOnce(maxChunkDegree match {
+      case Some(d) =>
+        val deg = sets0.groupBy("chunk_md5").agg(count(lit(1)).as("df"))
+        sets0.join(deg.where(col("df") <= d).select("chunk_md5"),
+          Seq("chunk_md5"), "left_semi")
+      case None => sets0
+    })
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sets.select(col("id").as("doc_a"), col("chunk_md5"))
+      .join(sets.select(col("id").as("doc_b"), col("chunk_md5")), Seq("chunk_md5"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .where(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
 }

@@ -28,6 +28,14 @@ object DedupQueries extends QueryPack {
   // family AnnQueries uses); lower threshold so the blocked pair set stays
   // non-trivial at test SF.
   private val SrpPlanes = 8
+  // CDC partial-overlap tier (q227, over the q168/q169 chunker): pairs
+  // need ≥ 2 shared chunks at containment ≥ 0.3. Plants re-use the
+  // high-bit id offset (no collision at any corpus scale) and copy the
+  // leading 60% of every 10th document's tokens plus a distinct tail.
+  private val CdcMinShared = 2
+  private val CdcMinContainment = 0.3
+  private val CdcPlantFrac = 0.6
+  private val CdcPlantOffset = 1L << 41
   private val Dim = 64
   private val BlockedCosineThreshold = 0.3
   private val CentroidMod = 37 // SemDeDup clustering seeds (AnnQueries' family)
@@ -50,6 +58,31 @@ object DedupQueries extends QueryPack {
     "q19_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir))
         .orderBy(col("digest"))),
+
+    // EXT-D34: partial-overlap REPORT over content-defined chunks — the
+    // near-dup class every whole-document tier MISSES: a document
+    // embedding a large block of another (quoted article, syndicated
+    // section) sits below any whole-doc Jaccard/SimHash threshold, but
+    // its CDC chunk fingerprints (the q168/q169 chunker — boundaries
+    // re-align after edits) survive verbatim, and the containment join
+    // surfaces the pair. Partial copies are PLANTED (every 10th doc's
+    // leading 60% of tokens + a distinct tail, under the high-bit id
+    // offset) so the pair tier provably fires; the oracle replays
+    // boundaries, chunk fingerprints, and the containment join.
+    "q227_cdc_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val tk = graft.functions.TextFunctions.tokensWs(col("text"))
+      val planted = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + CdcPlantOffset).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(tk, lit(1),
+              greatest(floor(size(tk) * CdcPlantFrac), lit(1)).cast("int"))),
+            lit(" unique tail "), col("doc_id").cast("string")).as("text"))
+      val chunks = graft.operators.Chunking.cdcChunks(
+        d.unionByName(planted), CdcWindow, CdcModK)
+      Dedup.cdcOverlapPairs(chunks, CdcMinShared, CdcMinContainment)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // EXT-D8: canonical-form exact dedup — digest over the NORMALIZED text
     // (trim/lowercase/whitespace-collapse), catching case- and
@@ -644,6 +677,53 @@ object DedupQueries extends QueryPack {
        |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // CDC replay: planted partial copies through the q168/q169 chunk
+    // chain (rolling-window cut rule, lag/cut spans, chunk md5), then
+    // the distinct-fingerprint containment join.
+    "q227_cdc_overlap" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CdcPlantOffset AS doc_id,
+         |    array_to_string(tk[1:GREATEST(FLOOR(len(tk) * $CdcPlantFrac), 1)::INT], ' ')
+         |      || ' unique tail ' || doc_id AS text
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |          ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |        FROM documents WHERE doc_id % 10 = 0)),
+         |toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |        FROM base),
+         |wins AS (SELECT doc_id, tk,
+         |           unnest(range(0, len(tk) - ${CdcWindow - 1})) AS pos
+         |         FROM toks WHERE len(tk) >= $CdcWindow),
+         |hashed AS (SELECT doc_id,
+         |    pos, ('0x' || substr(md5(array_to_string(
+         |        list_slice(tk, pos + 1, pos + $CdcWindow), ' ')), 1, 15))::BIGINT AS h
+         |  FROM wins),
+         |cuts AS (SELECT DISTINCT doc_id, cut FROM (
+         |    SELECT doc_id, pos + $CdcWindow AS cut FROM hashed WHERE h % $CdcModK = 0
+         |    UNION ALL SELECT doc_id, len(tk) FROM toks WHERE len(tk) > 0)),
+         |ch AS (SELECT doc_id, cut,
+         |         COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS start
+         |       FROM cuts),
+         |fp AS (SELECT c.doc_id,
+         |         md5(array_to_string(
+         |           list_slice(t.tk, (c.start + 1)::INT, c.cut::INT), ' ')) AS chunk_md5
+         |       FROM ch c JOIN toks t USING (doc_id) WHERE c.cut > c.start),
+         |sets AS (SELECT DISTINCT doc_id, chunk_md5 FROM fp),
+         |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sets GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 COUNT(*)::BIGINT AS shared
+         |          FROM sets a JOIN sets b
+         |            ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  ROUND(shared::DOUBLE / LEAST(sa.sz, sb.sz)::DOUBLE, 6) AS containment
+         |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+         |           JOIN sz sb ON sb.doc_id = inter.doc_b
+         |WHERE shared >= $CdcMinShared
+         |  AND ROUND(shared::DOUBLE / LEAST(sa.sz, sb.sz)::DOUBLE, 6)
+         |        >= $CdcMinContainment
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // tf (NOT distinct) 3-gram shingles → df-capped idf → L2 norms →
     // pair dot products: the exact metric q122's inverted index computes.
     "q122_tfidf_cosine" ->

@@ -408,4 +408,45 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.containmentPairs(Dedup.shingleSets(sh, 3), 0.0)
   }
+
+  test("cdcOverlapPairs: containment over distinct fps, minShared, degree guard") {
+    import graft.operators.Dedup
+    // hand-built chunk table (the q168 chunker is gated separately):
+    // doc 1 = {A, B, C, D} with A repeated, doc 2 = {C, D, E}, doc 3 = {F}
+    val ch = Seq(
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"), (1L, 3L, "D"), (1L, 4L, "A"),
+      (2L, 0L, "C"), (2L, 1L, "D"), (2L, 2L, "E"),
+      (3L, 0L, "F")).toDF("doc_id", "chunk_no", "chunk_md5")
+    // shared {C, D} of min(4, 3) → containment 2/3; the repeated A must
+    // not inflate doc 1's size (distinct fps)
+    Dedup.cdcOverlapPairs(ch, minShared = 2, minContainment = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq shouldBe Seq((1L, 2L, 2L, 0.666667))
+    // minShared = 3 suppresses the pair; a 0.7 containment floor does too
+    Dedup.cdcOverlapPairs(ch, 3, 0.0).collect() shouldBe empty
+    Dedup.cdcOverlapPairs(ch, 2, 0.7).collect() shouldBe empty
+    // degree guard: C and D sit in 2 docs — a cap of 1 drops both
+    Dedup.cdcOverlapPairs(ch, 1, 0.0, maxChunkDegree = Some(1))
+      .collect() shouldBe empty
+  }
+
+  test("cdcOverlapPairs end-to-end: a planted partial copy surfaces; unrelated docs do not") {
+    import graft.operators.{Chunking, Dedup}
+    // doc 2 embeds doc 1's full body (200 shared tokens) inside its own
+    // distinct prefix/suffix; doc 3 is unrelated
+    val sharedBlock = (0 until 200).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, sharedBlock),
+      (2L, (0 until 40).map(i => s"p$i").mkString(" ") + " " + sharedBlock +
+        " " + (0 until 40).map(i => s"q$i").mkString(" ")),
+      (3L, (0 until 200).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.cdcOverlapPairs(
+        Chunking.cdcChunks(docs, windowTokens = 4, modK = 16),
+        minShared = 2, minContainment = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    pairs.map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 2L))
+    // CDC boundaries re-align inside the shared block, so the embedded
+    // copy carries most of doc 1's chunks despite the offset
+    pairs.head._3 should be >= 0.5
+  }
 }
