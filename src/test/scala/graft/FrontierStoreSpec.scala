@@ -85,4 +85,40 @@ class FrontierStoreSpec extends SparkSpec {
     FrontierStore.offer(df, store, Some("d_post"))
       .collect() shouldBe empty
   }
+
+  test("streaming FrontierIngest: stream fold == sequential offers; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val streamed = s"$dir/streamed"; val twin = s"$dir/twin"
+    val base = (1L to 12L).map(entry).toDF("doc_id", "url")
+    FrontierStore.write(base, streamed)
+    FrontierStore.write(base, twin)
+    // batch 0 rediscovers known URLs + brings fresh hosts; batch 1 mixes
+    // batch-0 first-claims (now seen) with more fresh ones
+    val b0 = (7L to 20L).map(entry)
+    val b1 = (15L to 28L).map(entry)
+    val mem = MemoryStream[(Long, String)]
+    val entries = mem.toDF().toDF("doc_id", "url")
+    val sq = graft.streaming.FrontierIngest.start(entries, streamed,
+      s"$dir/fetch", s"$dir/ckpt")
+    try {
+      Seq(b0, b1).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("canonical"), r.getAs[Long]("doc_id"))).toSet
+    def twinOffer(b: Seq[(Long, String)], id: String) =
+      pairs(FrontierStore.offer(b.toDF("doc_id", "url"), twin, Some(id)))
+    val (f0, f1) = (twinOffer(b0, "s0"), twinOffer(b1, "s1"))
+    def fetchBatch(id: Long) = pairs(spark.read.parquet(s"$dir/fetch/batch=$id"))
+    fetchBatch(0) shouldBe f0
+    fetchBatch(1) shouldBe f1
+    seenMap(streamed) shouldBe seenMap(twin)
+    // crash-redelivery of batch 0: identical fetch list, ledger unchanged
+    val before = seenMap(streamed)
+    graft.streaming.FrontierIngest.applyBatch(
+      b0.toDF("doc_id", "url"), 0L, streamed, s"$dir/fetch")
+    seenMap(streamed) shouldBe before
+    fetchBatch(0) shouldBe f0
+  }
 }
