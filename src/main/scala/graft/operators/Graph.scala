@@ -141,6 +141,80 @@ object Graph {
   }
 
   /**
+   * HITS hubs-and-authorities (Kleinberg 1999, JACM — "Authoritative
+   * sources in a hyperlinked environment") over a DIRECTED edge set —
+   * the mutual-reinforcement rank the crawl tier wants beside PageRank:
+   * a good HUB links to good authorities, a good AUTHORITY is linked
+   * from good hubs. On a host link graph, authority scores prioritize
+   * the frontier (which hosts are worth fetching) while hub scores find
+   * the directories/aggregators worth re-crawling for discovery — the
+   * two sides PageRank's single score conflates.
+   *
+   *   a_{i}(v) = Σ_{u→v} h_{i-1}(u)
+   *   h_{i}(u) = Σ_{u→v} a_{i}(v)
+   *
+   * with ONE sum (L1) normalization per side at the END: scaling
+   * commutes through the linear rounds, so end-normalization yields the
+   * IDENTICAL final vectors as Kleinberg's per-round normalization
+   * while consuming every per-round aggregate exactly once (a per-round
+   * normalizer reads its aggregate twice — total and values — and the
+   * recomputation compounds per round: measured 8× on 3 rounds). L1
+   * instead of L2 keeps every operation (+, /) correctly-rounded IEEE
+   * with no sqrt, the engine-reproducibility discipline the q137
+   * trajectory uses; raw magnitudes grow like (avg degree)^{2·iters} —
+   * far inside double range for any real iteration count. Parallel
+   * edges reinforce (each contributes — pre-`distinct` the edges for
+   * simple-graph semantics). Scale: the pageRank shuffle bill ×2 — two
+   * keyed edge⋈score joins + two map-side-combinable aggregates per
+   * round, loop invariants cached once, `checkpointEvery` lineage seal
+   * for deep runs. Output: (node, hub, authority) over all nodes — 0 on
+   * the side a node does not occupy.
+   */
+  def hits(edges: DataFrame, iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    require(checkpointEvery >= 0, "hits: checkpointEvery must be >= 0")
+    val e = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
+    val hubNodes = graft.core.Caches.cacheOnce(
+      e.select(col("src").as("node")).distinct())
+    val authNodes = graft.core.Caches.cacheOnce(
+      e.select(col("dst").as("node")).distinct())
+    val nHubs = broadcast(hubNodes.agg(count(lit(1)).cast("double").as("nh")))
+    var h = hubNodes.crossJoin(nHubs)
+      .select(col("node"), (lit(1.0) / col("nh")).as("hub"))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      a = e.join(h.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("authority"))
+      h = e.join(a.select(col("node").as("dst"), col("authority")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("authority")).as("hub"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val ch = graft.core.Caches.cacheOnce(h)
+        val ca = graft.core.Caches.cacheOnce(a)
+        h = ch.localCheckpoint(eager = false); h.count()
+        a = ca.localCheckpoint(eager = false); a.count()
+        graft.core.Caches.release(ch); graft.core.Caches.release(ca)
+      }
+    }
+    // the end normalizers consume each side twice (total + values) —
+    // persist the raw tables so the round lineage runs once
+    val hRaw = graft.core.Caches.cacheOnce(h)
+    val aRaw = graft.core.Caches.cacheOnce(a)
+    val ht = broadcast(hRaw.agg(sum(col("hub")).as("t")))
+    val at = broadcast(aRaw.agg(sum(col("authority")).as("t")))
+    val hN = hRaw.crossJoin(ht).select(col("node"), (col("hub") / col("t")).as("hub"))
+    val aN = aRaw.crossJoin(at)
+      .select(col("node"), (col("authority") / col("t")).as("authority"))
+    // every src has outgoing edges and every dst receives from some hub,
+    // so the raw tables cover their sides completely — the outer join
+    // only fills the OTHER side's score with 0
+    hubNodes.select(col("node")).unionAll(authNodes.select(col("node"))).distinct()
+      .join(hN, Seq("node"), "left")
+      .join(aN, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
+  }
+
+  /**
    * Fixed-iteration synchronous LABEL PROPAGATION (Zhu & Ghahramani
    * 2002; Raghavan et al. 2007) — the semi-supervised "labels spread
    * along links" primitive behind host-spam and quality propagation: a

@@ -467,6 +467,26 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // EXT-X16: HITS hubs-and-authorities over the DIRECTED customer→part
+    // co-purchase graph (the q133 edge recipe before symmetrization —
+    // HITS is the rank that NEEDS direction: hubs and authorities are
+    // different roles). Sum-normalized rounds, unrolled in the oracle
+    // like q133/q208; output mixes both sides by total score so the top
+    // hubs and top authorities are gated together.
+    "q228_hits" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val ord = Tables.read(s, dir, "orders")
+      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_partkey") * 2L + 1L).as("dst"))
+        .distinct()
+      graft.operators.Graph.hits(cp, PrIters)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy((col("hub") + col("authority")).desc, col("node"))
+        .limit(PrTopK)
+    }),
+
     "q133_pagerank" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
       val ord = Tables.read(s, dir, "orders")
@@ -624,6 +644,14 @@ object ScaleQueries extends QueryPack {
 
   /** One PageRank round as a CTE pair: contributions into `cN`, the new
     * rank vector into `rN` (leaky formulation, damping 0.85). */
+  private def hitsRound(i: Int): String = {
+    val prev = s"h${i - 1}"
+    s"""a$i AS MATERIALIZED (SELECT cp.dst AS node, SUM($prev.hub) AS authority
+       |        FROM cp JOIN $prev ON cp.src = $prev.node GROUP BY 1),
+       |h$i AS MATERIALIZED (SELECT cp.src AS node, SUM(a$i.authority) AS hub
+       |        FROM cp JOIN a$i ON cp.dst = a$i.node GROUP BY 1)""".stripMargin
+  }
+
   private def prRound(i: Int): String = {
     val prev = s"r${i - 1}"
     s"""c$i AS MATERIALIZED (SELECT ee.dst AS node, SUM($prev.rank / od.outdeg) AS m
@@ -717,6 +745,29 @@ object ScaleQueries extends QueryPack {
         |  SELECT 'row_count:lineitem', COUNT(*)::DOUBLE, COUNT(*) >= 1
         |  FROM lineitem)
         |ORDER BY "check"""".stripMargin,
+
+    // HITS replay: h0 uniform over hubs, each round a_i = normalized
+    // in-sum of h_{i-1}, h_i = normalized out-sum of a_i (AS MATERIALIZED
+    // — the chained rounds re-evaluate exponentially otherwise).
+    "q228_hits" ->
+      s"""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+         |                   l.l_partkey * 2 + 1 AS dst
+         |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |hn AS (SELECT DISTINCT src AS node FROM cp),
+         |an AS (SELECT DISTINCT dst AS node FROM cp),
+         |nh AS (SELECT COUNT(*)::DOUBLE AS n FROM hn),
+         |h0 AS MATERIALIZED (SELECT node, 1.0 / nh.n AS hub FROM hn CROSS JOIN nh),
+         |${(1 to PrIters).map(hitsRound).mkString(",\n")},
+         |sel AS (SELECT n.node,
+         |               COALESCE(h$PrIters.hub, 0)
+         |                 / (SELECT SUM(hub) FROM h$PrIters) AS hub,
+         |               COALESCE(a$PrIters.authority, 0)
+         |                 / (SELECT SUM(authority) FROM a$PrIters) AS authority
+         |        FROM (SELECT node FROM hn UNION SELECT node FROM an) n
+         |        LEFT JOIN h$PrIters USING (node) LEFT JOIN a$PrIters USING (node))
+         |SELECT node, ROUND(hub, 6) AS hub, ROUND(authority, 6) AS authority
+         |FROM sel ORDER BY ROUND(hub, 6) + ROUND(authority, 6) DESC, node
+         |LIMIT $PrTopK""".stripMargin,
 
     "q133_pagerank" ->
       s"""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src,

@@ -186,4 +186,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe brute
   }
+
+  test("hits matches the hand-walked bipartite graph; scores L1-normalize per side") {
+    // 1→3, 1→4, 2→4; hubs {1,2}, authorities {3,4}; h0 = (1/2, 1/2)
+    // a1 ∝ (1/2, 1) → (1/3, 2/3); h1 ∝ (1, 2/3) → (3/5, 2/5)
+    // a2 ∝ (3/5, 1) → (3/8, 5/8); h2 ∝ (1, 5/8) → (8/13, 5/13)
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx(got(1L)._1, 8.0 / 13.0))
+    assert(approx(got(2L)._1, 5.0 / 13.0))
+    assert(approx(got(3L)._2, 3.0 / 8.0))
+    assert(approx(got(4L)._2, 5.0 / 8.0))
+    // each node occupies exactly one side of the bipartite graph
+    got(1L)._2 shouldBe 0.0
+    got(3L)._1 shouldBe 0.0
+    // per-side L1 normalization
+    assert(approx(got.values.map(_._1).sum, 1.0))
+    assert(approx(got.values.map(_._2).sum, 1.0))
+    // the authority drawing more hub mass ranks higher; the hub covering
+    // both authorities out-scores the single-edge hub
+    got(4L)._2 should be > got(3L)._2
+    got(1L)._1 should be > got(2L)._1
+  }
 }
