@@ -112,4 +112,113 @@ object Profiling {
           (col("n_keys") + 1L).cast("double") / col("n_keys").cast("double"), 6)
           .as("gini"))
   }
+
+  /**
+   * Zipf rank-frequency fit (Zipf 1949; Piantadosi 2014, Psychon Bull
+   * Rev — the modern review) — the corpus-health law every natural-
+   * language corpus obeys and templated/synthetic/spam-heavy corpora
+   * bend: least-squares fit of ln f = intercept + slope·ln r over the
+   * top-`topK` vocabulary terms (rank by count desc, term asc — a total
+   * order). Natural text sits near slope ≈ −1 with r² close to 1; a
+   * flattened head (|slope| ≪ 1) means template spam repeating a small
+   * vocabulary, a collapsed r² means the corpus mixes regimes — the
+   * one-row report a data-quality dashboard leads with.
+   *
+   * Scale: ONE (term) hash aggregate over the exploded token stream
+   * (map-side combine), a TakeOrdered head of `topK` rows, ranks via
+   * the two-phase distributed rank (no unpartitioned window — the
+   * keySkew discipline), then one 5-sum aggregate over the bounded
+   * head. Arithmetic order mirrors the oracle exactly; outputs rounded
+   * 1e-6. Output: one row (n_terms, slope, intercept, r2) — r2 NULL on
+   * a degenerate (zero-variance) head.
+   */
+  def zipfFit(docs: DataFrame, topK: Int,
+              textCol: String = "text"): DataFrame = {
+    require(topK >= 2, "zipfFit: need at least 2 ranks to fit a line")
+    val vocab = docs.select(explode(
+        graft.functions.TextFunctions.tokensWs(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val head = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+    val pts = Ids.denseIds(head, Seq(col("cnt").desc, col("tok").asc), "__r")
+      .select(log((col("__r") + 1L).cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    leastSquaresFit(pts, "n_terms")
+  }
+
+  /** One-aggregate least-squares line fit over a (x, y) point frame —
+    * shared by the log-log law fits (Zipf, Heaps). Output: one row
+    * (countName, slope, intercept, r2), 1e-6-rounded, r2 NULL on a
+    * zero-variance y (arithmetic order is the oracle's, verbatim). */
+  private def leastSquaresFit(pts: DataFrame, countName: String): DataFrame =
+    pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as(countName),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") -
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(when(col("n") * col("syy") - col("sy") * col("sy") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(
+            pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))), 6)
+          .as("r2"))
+
+  /**
+   * Heaps' law vocabulary-growth fit (Heaps 1978; Herdan 1960) — the
+   * companion corpus-health number to [[zipfFit]]: V(n) ≈ K·n^β, the
+   * distinct-vocabulary count as a function of tokens consumed. Natural
+   * corpora grow with β ≈ 0.4–0.6; β near 0 means the corpus exhausts a
+   * closed template vocabulary (duplication/boilerplate), β near 1
+   * means near-random token soup — either way the fit is the one-row
+   * early-warning a curation dashboard wants beside the Zipf slope.
+   *
+   * Documents are consumed in content-stable (hash60(id), id) order —
+   * rerun/partitioning/engine stable, the q80 convention — and every
+   * document contributes one (ln n_i, ln V_i) point with n_i / V_i the
+   * INCLUSIVE running token / distinct-vocabulary counts.
+   *
+   * Scale: tokenization is map-only; each token's FIRST document is one
+   * (token) hash aggregate of a lexicographic min-struct (map-side
+   * combine — never a per-token window, which a stopword would turn
+   * into a corpus-sized single-task sort); both running sums ride the
+   * two-phase distributed form (`Sampling.strataRunningSum`, no
+   * stratum-wide sort); the fit is one 5-sum aggregate. Output: one row
+   * (n_points, slope, intercept, r2) — slope IS β, e^intercept is K.
+   */
+  def heapsFit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{hash60, tokensWs}
+    val base = graft.core.Caches.cacheOnce(
+      docs.select(col(idCol).as("doc_id"),
+        hash60(col(idCol).cast("string")).as("hv"),
+        tokensWs(col(textCol)).as("tk")))
+    val firstDoc = base
+      .select(col("hv"), col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(struct(col("hv"), col("doc_id"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("new_toks"))
+    val perDoc = base.select(col("doc_id"), size(col("tk")).cast("long").as("nt"))
+      .join(firstDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit("all").as("__s"), col("nt"),
+        coalesce(col("new_toks"), lit(0L)).as("nw"))
+    val cumT = graft.operators.Sampling.strataRunningSum(
+      perDoc, "doc_id", "__s", "nt", "ct", twoPhase = true)
+    val cumV = graft.operators.Sampling.strataRunningSum(
+      cumT, "doc_id", "__s", "nw", "cv", twoPhase = true)
+    val pts = cumV
+      .select((col("ct") + col("nt")).as("n_i"), (col("cv") + col("nw")).as("v_i"))
+      .where(col("n_i") > 0L)
+      .select(log(col("n_i").cast("double")).as("x"),
+        log(col("v_i").cast("double")).as("y"))
+    leastSquaresFit(pts, "n_points")
+  }
 }

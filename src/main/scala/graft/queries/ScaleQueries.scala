@@ -445,6 +445,24 @@ object ScaleQueries extends QueryPack {
       graft.operators.Profiling.keySkew(
         Tables.read(s, dir, "lineitem"), "l_partkey", topK = 10)),
 
+    // EXT-T75: Zipf rank-frequency fit over the documents vocabulary —
+    // the corpus-health law natural language obeys and template spam
+    // bends: least-squares ln f vs ln r over the top-K terms, ranks via
+    // the two-phase distributed rank (no unpartitioned window). One
+    // report row; the oracle replays vocabulary, ranks, and the exact
+    // regression arithmetic.
+    "q229_zipf_fit" -> ((s, dir) =>
+      graft.operators.Profiling.zipfFit(
+        Tables.read(s, dir, "documents"), ZipfTopK)),
+
+    // EXT-T76: Heaps' law vocabulary-growth fit — q229's companion:
+    // V(n) ≈ K·n^β over content-stable consumption order; β near 0
+    // flags a closed template vocabulary, near 1 token soup. First-doc
+    // per token is a min-struct hash aggregate (never a per-token
+    // window); both running sums ride the two-phase distributed form.
+    "q230_heaps_fit" -> ((s, dir) =>
+      graft.operators.Profiling.heapsFit(Tables.read(s, dir, "documents"))),
+
     // EXT-X9: fixed-iteration synchronous label propagation — trusted
     // seed labels (clamped) spread along the customer–part co-purchase
     // graph; each round non-seed nodes adopt the majority neighbor
@@ -618,6 +636,7 @@ object ScaleQueries extends QueryPack {
     })
   )
 
+  private val ZipfTopK = 1000 // q229 fitted vocabulary head
   private val PrIters = 3 // q133 PageRank rounds
   private val PrTopK = 20 // q133 output size
   private val LpIters = 3 // q173 label-propagation rounds
@@ -745,6 +764,66 @@ object ScaleQueries extends QueryPack {
         |  SELECT 'row_count:lineitem', COUNT(*)::DOUBLE, COUNT(*) >= 1
         |  FROM lineitem)
         |ORDER BY "check"""".stripMargin,
+
+    // Zipf replay: vocabulary counts, (count desc, term) ranks over the
+    // top-K head, the exact least-squares arithmetic on (ln r, ln f).
+    "q229_zipf_fit" ->
+      s"""WITH toks AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents),
+         |vocab AS (SELECT tok, COUNT(*)::BIGINT AS cnt
+         |          FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+         |head AS (SELECT tok, cnt,
+         |           ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r
+         |         FROM vocab ORDER BY cnt DESC, tok LIMIT $ZipfTopK),
+         |pts AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM head),
+         |s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |      FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept,
+         |  ROUND(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+         |        ELSE POW(n * sxy - sx * sy, 2)
+         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         |FROM s""".stripMargin,
+
+    // Heaps replay: content-stable doc order, per-token first doc via a
+    // tok-partitioned rank, inclusive running token/vocab sums, the
+    // exact least-squares arithmetic on (ln n, ln V).
+    "q230_heaps_fit" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents),
+         |d AS (SELECT doc_id,
+         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv,
+         |        len(tk)::BIGINT AS nt, tk FROM toks),
+         |dt AS (SELECT DISTINCT doc_id, tok
+         |       FROM (SELECT doc_id, unnest(tk) AS tok FROM d)),
+         |fst AS (SELECT tok, doc_id FROM (
+         |    SELECT t.tok, t.doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.tok
+         |        ORDER BY d2.hv, t.doc_id) AS rn
+         |    FROM dt t JOIN d d2 USING (doc_id)) WHERE rn = 1),
+         |nw AS (SELECT doc_id, COUNT(*)::BIGINT AS nw FROM fst GROUP BY 1),
+         |cum AS (SELECT d.doc_id,
+         |    SUM(d.nt) OVER (ORDER BY d.hv, d.doc_id) AS n_i,
+         |    SUM(COALESCE(nw.nw, 0)) OVER (ORDER BY d.hv, d.doc_id) AS v_i
+         |  FROM d LEFT JOIN nw USING (doc_id)),
+         |pts AS (SELECT ln(n_i::DOUBLE) AS x, ln(v_i::DOUBLE) AS y
+         |        FROM cum WHERE n_i > 0),
+         |s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |      FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept,
+         |  ROUND(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+         |        ELSE POW(n * sxy - sx * sy, 2)
+         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         |FROM s""".stripMargin,
 
     // HITS replay: h0 uniform over hubs, each round a_i = normalized
     // in-sum of h_{i-1}, h_i = normalized out-sum of a_i (AS MATERIALIZED

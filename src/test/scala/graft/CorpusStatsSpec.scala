@@ -259,4 +259,74 @@ class CorpusStatsSpec extends SparkSpec {
       graft.operators.Drift.madOutliers(
         Seq(("A", 1L)).toDF("k", "n"), "k", "n", 0.0)
   }
+
+  test("zipfFit matches an independent least-squares witness; head honors rank ties") {
+    import spark.implicits._
+    // vocabulary a×8 b×4 c×2 d×1 → ranks 1..4 on (count desc, term asc)
+    val docs = Seq(
+      (1L, "a a a a b b c d"),
+      (2L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = graft.operators.Profiling.zipfFit(docs, topK = 4).collect()(0)
+    // independent witness: plain-Scala regression over (ln r, ln f)
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (r, f) => (math.log(r), math.log(f)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got.getAs[Long]("n_terms") shouldBe 4L
+    assert(approx(got.getAs[Double]("slope"), slope, 1e-6))
+    assert(approx(got.getAs[Double]("intercept"), (sy - slope * sx) / n, 1e-6))
+    assert(approx(got.getAs[Double]("r2"),
+      math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 1e-6))
+    // exponentially decaying frequencies are steeper than Zipf and bend
+    // the line — r² reflects the bend but the fit is still strong
+    got.getAs[Double]("slope") should be < -1.0
+    got.getAs[Double]("r2") should be > 0.9
+    // topK truncates the head deterministically (count desc, term asc)
+    graft.operators.Profiling.zipfFit(docs, topK = 2).collect()(0)
+      .getAs[Long]("n_terms") shouldBe 2L
+  }
+
+  test("heapsFit matches a plain-Scala replay of the growth curve") {
+    import spark.implicits._
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b d d"),
+      (3L, ""),          // empty doc: contributes a duplicate x point
+      (4L, "e a"),
+      (5L, "f g h i j k")).toDF("doc_id", "text")
+    // independent witness: simulate consumption in (hash60(id), id) order
+    val order = Seq(1L, 2L, 3L, 4L, 5L).sortBy(i => (h60(i.toString), i))
+    val texts = Map(1L -> "a b c", 2L -> "a b d d", 3L -> "",
+      4L -> "e a", 5L -> "f g h i j k")
+    var seen = Set.empty[String]; var nTok = 0L
+    val pts = scala.collection.mutable.Buffer.empty[(Double, Double)]
+    for (id <- order) {
+      val tk = texts(id).split("\\s+").filter(_.nonEmpty)
+      nTok += tk.length; seen ++= tk
+      if (nTok > 0) pts += ((math.log(nTok.toDouble), math.log(seen.size.toDouble)))
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = graft.operators.Profiling.heapsFit(docs).collect()(0)
+    got.getAs[Long]("n_points") shouldBe pts.size.toLong
+    assert(approx(got.getAs[Double]("slope"), slope, 1e-6))
+    assert(approx(got.getAs[Double]("intercept"), (sy - slope * sx) / n, 1e-6))
+    // growth exponent lands inside (0, 1): vocabulary grows, sub-linearly
+    got.getAs[Double]("slope") should (be > 0.0 and be < 1.0)
+    // layout independence: repartitioned input, identical report
+    graft.operators.Profiling.heapsFit(docs.repartition(7)).collect()(0)
+      .toSeq shouldBe got.toSeq
+  }
 }
