@@ -193,6 +193,66 @@ object Profiling {
    * stratum-wide sort); the fit is one 5-sum aggregate. Output: one row
    * (n_points, slope, intercept, r2) — slope IS β, e^intercept is K.
    */
+  /**
+   * Corpus entropy-rate report (Shannon 1951, "Prediction and entropy
+   * of printed English") — the third corpus-health number beside
+   * [[zipfFit]] / [[heapsFit]]: how PREDICTABLE the token stream is.
+   *
+   *  - h_unigram: H(W) = −Σ_w p(w)·ln p(w), maximum-likelihood over the
+   *    corpus unigram distribution;
+   *  - h_cond: H(W_{i+1} | W_i) = −Σ_{a,b} p(a,b)·ln(C(a,b)/C_L(a))
+   *    over within-document bigrams (C_L(a) = a's count as a LEFT
+   *    context, so the conditionals normalize exactly);
+   *  - redundancy: 1 − h_unigram/ln V — how far below the uniform
+   *    maximum the unigram distribution sits.
+   *
+   * Natural text shows h_cond well below h_unigram (context predicts);
+   * h_cond ≈ h_unigram means shuffled/token-soup data, abnormally LOW
+   * h_cond means templated boilerplate — the duplication signals at the
+   * statistics level, before any dedup pass runs.
+   *
+   * Scale: two hash aggregates (unigram, within-doc bigram — both
+   * map-side-combinable) + one token-keyed join of bigram counts to
+   * left-context counts; every Σ is one aggregate, nats throughout.
+   * Output: one row (n_tokens, n_bigrams, vocab, h_unigram, h_cond,
+   * redundancy), 1e-6-rounded; single-token/empty corpora yield NULL
+   * entropies rather than 0/0.
+   */
+  def entropyReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokensWs
+    val tks = docs.select(tokensWs(col(textCol)).as("tk"))
+    val uni = graft.core.Caches.cacheOnce(
+      tks.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val nTok = broadcast(uni.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("v")))
+    val h1 = uni.crossJoin(nTok)
+      .select((col("c").cast("double") / col("n")).as("p"))
+      .agg(sum(-col("p") * log(col("p"))).as("h1"))
+    val bi = graft.core.Caches.cacheOnce(
+      tks.where(size(col("tk")) >= 2)
+        .select(slice(col("tk"), lit(1), size(col("tk")) - 1).as("la"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("lb"))
+        .select(explode(arrays_zip(col("la"), col("lb"))).as("g"))
+        .select(col("g.la").as("a"), col("g.lb").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab")))
+    val left = bi.groupBy(col("a")).agg(sum(col("cab")).as("cl"))
+    val mTot = broadcast(bi.agg(sum(col("cab")).as("m")))
+    val h2 = bi.join(left, Seq("a")).crossJoin(mTot)
+      .agg(sum(-(col("cab").cast("double") / col("m")) *
+        log(col("cab").cast("double") / col("cl").cast("double"))).as("h2"))
+    nTok.crossJoin(broadcast(h1)).crossJoin(broadcast(mTot))
+      .crossJoin(broadcast(h2))
+      .select(coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        col("v").as("vocab"),
+        round(col("h1"), 6).as("h_unigram"),
+        round(col("h2"), 6).as("h_cond"),
+        round(when(col("v") <= 1L, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("h1") / log(col("v").cast("double"))), 6)
+          .as("redundancy"))
+  }
+
   def heapsFit(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.{hash60, tokensWs}

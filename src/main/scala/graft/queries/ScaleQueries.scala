@@ -463,6 +463,14 @@ object ScaleQueries extends QueryPack {
     "q230_heaps_fit" -> ((s, dir) =>
       graft.operators.Profiling.heapsFit(Tables.read(s, dir, "documents"))),
 
+    // EXT-T77: corpus entropy-rate report — the predictability health
+    // number beside q229/q230: unigram entropy, bigram conditional
+    // entropy over within-doc pairs (context should predict — h_cond ≈
+    // h_unigram flags token soup, abnormally low h_cond flags
+    // boilerplate), and Shannon redundancy vs the uniform maximum.
+    "q231_entropy_rate" -> ((s, dir) =>
+      graft.operators.Profiling.entropyReport(Tables.read(s, dir, "documents"))),
+
     // EXT-X9: fixed-iteration synchronous label propagation — trusted
     // seed labels (clamped) spread along the customer–part co-purchase
     // graph; each round non-seed nodes adopt the majority neighbor
@@ -788,6 +796,32 @@ object ScaleQueries extends QueryPack {
          |        ELSE POW(n * sxy - sx * sy, 2)
          |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
          |FROM s""".stripMargin,
+
+    // Entropy replay: unigram distribution, within-doc bigram pairs,
+    // left-context normalization, the exact nats arithmetic.
+    "q231_entropy_rate" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents),
+         |uni AS (SELECT w, COUNT(*)::BIGINT AS c
+         |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+         |nt AS (SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM uni),
+         |h1 AS (SELECT SUM(-(c::DOUBLE / nt.n) * ln(c::DOUBLE / nt.n)) AS h1
+         |       FROM uni CROSS JOIN nt),
+         |bi AS (SELECT a, b, COUNT(*)::BIGINT AS cab FROM (
+         |    SELECT tk[i] AS a, tk[i + 1] AS b
+         |    FROM toks, unnest(range(1, len(tk))) AS t(i)
+         |    WHERE len(tk) >= 2) GROUP BY 1, 2),
+         |lft AS (SELECT a, SUM(cab)::BIGINT AS cl FROM bi GROUP BY 1),
+         |mt AS (SELECT SUM(cab)::BIGINT AS m FROM bi),
+         |h2 AS (SELECT SUM(-(bi.cab::DOUBLE / mt.m)
+         |         * ln(bi.cab::DOUBLE / lft.cl::DOUBLE)) AS h2
+         |       FROM bi JOIN lft USING (a) CROSS JOIN mt)
+         |SELECT COALESCE(nt.n, 0) AS n_tokens, COALESCE(mt.m, 0) AS n_bigrams,
+         |  nt.v AS vocab, ROUND(h1.h1, 6) AS h_unigram, ROUND(h2.h2, 6) AS h_cond,
+         |  ROUND(CASE WHEN nt.v <= 1 THEN NULL
+         |        ELSE 1.0 - h1.h1 / ln(nt.v::DOUBLE) END, 6) AS redundancy
+         |FROM nt CROSS JOIN h1 CROSS JOIN mt CROSS JOIN h2""".stripMargin,
 
     // Heaps replay: content-stable doc order, per-token first doc via a
     // tok-partitioned rank, inclusive running token/vocab sums, the

@@ -291,6 +291,29 @@ class CorpusStatsSpec extends SparkSpec {
       .getAs[Long]("n_terms") shouldBe 2L
   }
 
+  test("entropyReport matches the hand-computed unigram/conditional entropies") {
+    import spark.implicits._
+    // tokens a×4 b×2; bigrams (a,b)×2 (b,a)×1 (a,a)×1, left counts a=3 b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val r = graft.operators.Profiling.entropyReport(docs).collect()(0)
+    r.getAs[Long]("n_tokens") shouldBe 6L
+    r.getAs[Long]("n_bigrams") shouldBe 4L
+    r.getAs[Long]("vocab") shouldBe 2L
+    val h1 = -(4.0 / 6 * math.log(4.0 / 6) + 2.0 / 6 * math.log(2.0 / 6))
+    val h2 = -(2.0 / 4 * math.log(2.0 / 3) + 1.0 / 4 * math.log(1.0) +
+      1.0 / 4 * math.log(1.0 / 3))
+    assert(approx(r.getAs[Double]("h_unigram"), h1, 1e-6))
+    assert(approx(r.getAs[Double]("h_cond"), h2, 1e-6))
+    assert(approx(r.getAs[Double]("redundancy"), 1.0 - h1 / math.log(2.0), 1e-6))
+    // context predicts: the conditional entropy sits below the unigram
+    r.getAs[Double]("h_cond") should be < r.getAs[Double]("h_unigram")
+    // degenerate corpora: single-token vocab → NULL redundancy, 0 bigrams
+    val one = graft.operators.Profiling.entropyReport(
+      Seq((1L, "x")).toDF("doc_id", "text")).collect()(0)
+    one.getAs[Long]("n_bigrams") shouldBe 0L
+    one.isNullAt(one.fieldIndex("redundancy")) shouldBe true
+  }
+
   test("heapsFit matches a plain-Scala replay of the growth curve") {
     import spark.implicits._
     def h60(s: String): Long = java.lang.Long.parseLong(
