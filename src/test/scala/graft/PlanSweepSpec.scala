@@ -63,7 +63,15 @@ class PlanSweepSpec extends SparkSpec {
     // on source/label as required
     "q219_score_calibration" -> "cumulative CDF over the ≤200-row score histogram (bounded key domain)",
     "q220_pareto_frontier" -> "suffix-max over the ≤100-row tier table (bounded key domain)",
-    "q222_precision_gate" -> "descending cumulative over the ≤100-row bin histogram (bounded key domain)"
+    "q222_precision_gate" -> "descending cumulative over the ≤100-row bin histogram (bounded key domain)",
+    // q230 runs strataRunningSum with ONE (constant) stratum: Catalyst
+    // constant-folds the stratum out of the bucket-OFFSET window's
+    // partition spec, leaving an unpartitioned window + single-partition
+    // exchange over the bucket-sum table — ≤ 256·|strata| rows BY
+    // CONSTRUCTION (the top-8-bit range bucketing), at any corpus size;
+    // the corpus-sized window in the same plan stays partitioned by
+    // bucket (256-way parallel), spec-gated in PipelineExtrasSpec
+    "q230_heaps_fit" -> "two-phase running-sum bucket-offset window (≤ 256·|strata|-row table by construction)"
   )
 
   private def unwrapped(p: SparkPlan): SparkPlan = p match {
