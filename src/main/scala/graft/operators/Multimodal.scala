@@ -320,9 +320,12 @@ object Multimodal {
     * constant gain change preserves the energy ENVELOPE — few adjacent
     * orderings flip — so true near-dups land within small Hamming
     * distance, while a reversed or different signal scatters; spec-gated
-    * (`MultimodalSpec`) since no oracle can replay a codec. Returns None
-    * on undecodable/non-PCM16LE payloads or signals shorter than one
-    * sample per window (dirty crawl data is the norm — never fatal). */
+    * (`MultimodalSpec`) since no oracle can replay a codec. Multi-channel
+    * payloads are downmixed to mono (per-frame channel average) before
+    * windowing, so a stereo re-encode of a mono signal hashes the same.
+    * Returns None on undecodable/non-PCM16LE payloads or signals shorter
+    * than one frame per window (dirty crawl data is the norm — never
+    * fatal). */
   def audioEnvHash(bytes: Array[Byte]): Option[Long] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -334,7 +337,12 @@ object Multimodal {
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val b = in.readAllBytes()
-          val n = b.length / 2
+          // Downmix interleaved channels to mono per FRAME (average of the
+          // channel samples) before windowing, so the envelope — and the
+          // near-dup property it carries — is invariant across stereo/mono
+          // re-encodes of the same signal.
+          val ch = math.max(fmt.getChannels, 1)
+          val n = b.length / 2 / ch
           if (n < EnvWindows) None
           else {
             val rms = new Array[Double](EnvWindows)
@@ -345,7 +353,14 @@ object Multimodal {
               var s = 0.0
               var i = lo
               while (i < hi) {
-                val v = ((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort / 32768.0
+                var c = 0
+                var acc = 0.0
+                while (c < ch) {
+                  val k = 2 * (i * ch + c)
+                  acc += ((b(k + 1) << 8) | (b(k) & 0xff)).toShort / 32768.0
+                  c += 1
+                }
+                val v = acc / ch
                 s += v * v
                 i += 1
               }

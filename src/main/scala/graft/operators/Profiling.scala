@@ -215,8 +215,10 @@ object Profiling {
    * map-side-combinable) + one token-keyed join of bigram counts to
    * left-context counts; every Σ is one aggregate, nats throughout.
    * Output: one row (n_tokens, n_bigrams, vocab, h_unigram, h_cond,
-   * redundancy), 1e-6-rounded; single-token/empty corpora yield NULL
-   * entropies rather than 0/0.
+   * redundancy), 1e-6-rounded. Degenerate corpora: an EMPTY corpus
+   * yields NULL entropies (no distribution to measure); a single-token
+   * corpus yields h_unigram = 0.0 (p=1 ⇒ −p·ln p = 0) with h_cond NULL
+   * (no bigrams).
    */
   def entropyReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokensWs

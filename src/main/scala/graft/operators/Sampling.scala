@@ -120,6 +120,13 @@ object Sampling {
    * running sum is inherently sequential within one. With few, huge
    * strata, sub-shard first (stratum × hash-bucket with per-bucket
    * budgets) — the nesting property keeps sub-shard unions exact.
+   *
+   * CAUTION — `largeInput = None` (the default) runs `df.count()`, an
+   * EAGER action that re-executes the caller's upstream plan once per
+   * call: cheap for a pruned parquet scan, a silent recompute for a
+   * derived/joined input. Call sites with non-trivial upstreams should
+   * pass `largeInput` explicitly (as `crawlFunnel` does) or cache the
+   * input first.
    */
   def tokenBudgetPerStratum(df: DataFrame, idCol: String, strataCol: String,
                             tokenCol: String, budgets: Map[String, Long],

@@ -52,9 +52,13 @@ object FrontierStore {
 
   private def root(storePath: String) = s"$storePath/$Root"
 
-  private def requireName(name: String): Unit =
+  private def requireName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"batch name '$name' must be [A-Za-z0-9_]+ — it becomes a directory name")
+    require(name != "base",
+      "batch name 'base' is reserved for the compacted ledger batch: " +
+        "offer/retract under it would exclude-and-overwrite the base frontier")
+  }
 
   private def freshName(): String =
     java.util.UUID.randomUUID().toString.replace("-", "")

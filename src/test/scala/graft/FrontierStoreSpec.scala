@@ -121,4 +121,22 @@ class FrontierStoreSpec extends SparkSpec {
     seenMap(streamed) shouldBe before
     fetchBatch(0) shouldBe f0
   }
+
+  test("the reserved batch name 'base' is rejected for offer and retract") {
+    val store = graft.core.Scratch.dir("frontier_base_guard")
+    val df = (1L to 9L).map(entry).toDF("doc_id", "url")
+    FrontierStore.write(df, store)
+    val before = seenMap(store)
+    // offer(base) would exclude the compacted base batch from the view
+    // and then overwrite batch_base — the ledger must refuse, not comply
+    intercept[IllegalArgumentException] {
+      FrontierStore.offer(df, store, Some("base"))
+    }
+    intercept[IllegalArgumentException] {
+      FrontierStore.retract(df.limit(1)
+        .select(graft.functions.UrlFunctions.canonicalUrl(col("url"))
+          .as("canonical"), col("doc_id")), store, Some("base"))
+    }
+    seenMap(store) shouldBe before
+  }
 }

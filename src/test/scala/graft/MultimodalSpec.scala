@@ -275,5 +275,23 @@ class MultimodalSpec extends SparkSpec {
     // junk, too-short, and non-16-bit payloads are None, never fatal
     Multimodal.audioEnvHash(Array[Byte](9, 9, 9)) shouldBe None
     Multimodal.audioEnvHash(wavOf(Array.fill(30)(100.toShort))) shouldBe None
+    // a stereo re-encode (same signal duplicated L/R) downmixes to the
+    // SAME mono envelope → identical hash, not an interleaving artifact
+    def stereoWav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val pcm = new Array[Byte](samples.length * 4)
+      for (i <- samples.indices; c <- 0 to 1) {
+        val k = 4 * i + 2 * c
+        pcm(k) = (samples(i) & 0xff).toByte
+        pcm(k + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bo)
+      bo.toByteArray
+    }
+    dist(Multimodal.audioEnvHash(stereoWav(signal(1.0, 1))).get) shouldBe 0
   }
 }
