@@ -1177,6 +1177,20 @@ object TextQueries extends QueryPack {
           col("in_budget"), col("selected"))
         .orderBy(col("doc_id"))),
 
+    // EXT-E2E (c): the CCNet composition of the same chain (see
+    // crawlCcnet) — line-level boilerplate strike BEFORE digest keying,
+    // then every dedup/filter stage re-derived over the struck text and
+    // the survivors perplexity-tiered; the audit face surfaces every
+    // stage flag plus the CCNet columns (n_lines, n_removed, nll, tier).
+    "q232_crawl_ccnet" -> ((s, dir) =>
+      crawlCcnet(s, dir).select(col("doc_id"), col("lang"), col("canonical"),
+          col("allowed"), col("n_content"), col("n_lines"), col("n_removed"),
+          col("n_moji"), col("gopher_pass"), col("is_canonical"),
+          col("fuzzy_dup"), col("is_bench"), col("contaminated"),
+          col("n_tokens"), col("nll"), col("tier"), col("survivor"),
+          col("in_budget"), col("selected"))
+        .orderBy(col("doc_id"))),
+
     // EXT-T73: precision-gated threshold curve — how a classifier
     // cutoff is actually chosen: per candidate cut, precision/recall of
     // keeping docs scoring at-or-above it (label: English; score: the
@@ -1335,9 +1349,12 @@ object TextQueries extends QueryPack {
    * extracted corpus) is cached once.
    */
   /** Per-JVM WARC staging memo for [[crawlFunnel]], keyed on sfDir PLUS a
-    * cheap input fingerprint (file count / total bytes / max mtime of the
-    * documents parquet) — a fixture regenerated under the same path
-    * within one JVM re-stages instead of silently replaying stale data. */
+    * content fingerprint of the documents parquet: file count / total
+    * bytes / max mtime AND a digest of each file's parquet FOOTER tail
+    * (the last ≤1 KiB — row-group stats live there, so any regenerated
+    * content changes it even when sizes land identical within one mtime
+    * granularity unit). A fixture regenerated under the same path within
+    * one JVM re-stages instead of silently replaying stale data. */
   private val crawlStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1345,13 +1362,30 @@ object TextQueries extends QueryPack {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.listStatus(p)
-    s"$dir@${st.length}:${st.map(_.getLen).sum}:${st.map(_.getModificationTime).max}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    st.sortBy(_.getPath.getName).foreach { f =>
+      if (f.isFile && f.getLen > 0) {
+        val take = math.min(f.getLen, 1024L).toInt
+        val buf = new Array[Byte](take)
+        val in = fs.open(f.getPath)
+        try { in.readFully(f.getLen - take, buf) } finally in.close()
+        md.update(f.getPath.getName.getBytes("UTF-8"))
+        md.update(buf)
+      }
+    }
+    val tail = md.digest().map("%02x".format(_)).mkString
+    s"$dir@${st.length}:${st.map(_.getLen).sum}:" +
+      s"${st.map(_.getModificationTime).max}:$tail"
   }
 
-  private def crawlFunnel(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared crawl-extraction prefix of [[crawlFunnel]] and
+    * [[crawlCcnet]]: stage the planted corpus as WARC (memoized —
+    * identical plans per (sfDir, JVM)), read it back, canonicalize the
+    * frontier, evaluate robots, extract content, and flag per-doc moji /
+    * Gopher / digest / token stats. Returned frame is `cacheOnce`'d, so
+    * the two funnels (and bench reps) share ONE cached subtree. */
+  private def crawlExtracted(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{UrlFunctions => UF}
-    import graft.operators.Dedup
     val d = Tables.read(s, dir, "documents")
     val id = col("doc_id")
     val h = (id % 4).cast("string")
@@ -1411,7 +1445,7 @@ object TextQueries extends QueryPack {
         graft.operators.Robots.parseRules(robots), "host", "path", "doc_id")
       .select(col("doc_id"), col("allowed"))
     // extraction + the per-document stage flags
-    val ex = graft.core.Caches.cacheOnce(
+    graft.core.Caches.cacheOnce(
       canon.join(verdict, Seq("doc_id"))
         .withColumn("x", graft.functions.HtmlFunctions.extractContent(
           col("page"), HtmlMinWords, HtmlMaxLink, HtmlMinStop))
@@ -1426,6 +1460,12 @@ object TextQueries extends QueryPack {
             concat(lit("empty:"), col("doc_id").cast("string")))
             .otherwise(md5(canonicalText(col("content")))))
         .withColumn("n_tokens", tokenCountWs(col("content")).cast("long")))
+  }
+
+  private def crawlFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.read(s, dir, "documents")
+    val ex = crawlExtracted(s, dir)
     val keepW = Window.partitionBy(col("digest"))
     val exact = ex.withColumn("keep_id", min(col("doc_id")).over(keepW))
       .withColumn("is_canonical", col("doc_id") === col("keep_id"))
@@ -1464,6 +1504,103 @@ object TextQueries extends QueryPack {
     flags.join(budget, Seq("doc_id"), "left")
       .withColumn("in_budget", coalesce(col("in_b"), lit(false))).drop("in_b")
       .withColumn("selected", col("survivor") && col("in_budget"))
+  }
+
+  /**
+   * The CCNet composition of the crawl funnel (Wenzek et al. 2020's
+   * stage order: line-level boilerplate dedup FIRST, then dedup /
+   * filtering / LM perplexity tiering) — the q232 second flagship. It
+   * shares [[crawlExtracted]]'s staged-WARC + extraction subtree with
+   * q214/q215 (one cacheOnce'd plan), then diverges:
+   *
+   *  1. page chrome is planted IN-QUERY onto the extracted content
+   *     (cookie banner every page, newsletter bar every third, a
+   *     per-4-id-group notice that sits UNDER the df gate);
+   *  2. CCNet line strike (`Dedup.lineDedup`, df > CrawlLineMaxDf)
+   *     removes the hot chrome and keeps the notice — so the struck
+   *     corpus differs from q214's on EVERY document and each later
+   *     stage re-derives over it (the composition-drift this flagship
+   *     gates: strike-before-digest changes every downstream hash);
+   *  3. moji / Gopher / exact digest / fuzzy MinHash / decontamination
+   *     replay the q214 stages over the STRUCK text;
+   *  4. survivors tier head/middle/tail under their own language's
+   *     unigram LM (`LanguageModel.perplexityTiers`, the q147 face,
+   *     sampled cutoffs);
+   *  5. the per-language token budget consumes only head+middle
+   *     survivors (CCNet keeps head, samples middle, drops tail) in
+   *     content-stable hash order — two-phase above the scale gate.
+   *
+   * Scale shape: the plant is map-only Column concat; the line strike
+   * shuffles (id, line_no, hash) — never text (Dedup.lineDedup's
+   * contract); every recomputed stage keeps the q214 plan discipline
+   * (hash-keyed joins, banded candidates, partitioned windows); the LM
+   * count tables saturate; the budget window is per-language and goes
+   * two-phase above `Sampling.TwoPhaseThreshold`.
+   */
+  private def crawlCcnet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.read(s, dir, "documents")
+    val ex = crawlExtracted(s, dir)
+    val id = col("doc_id")
+    val planted = concat(col("content"),
+      lit("\n" + CrawlBannerCookie),
+      when(id % 3 === 0, lit("\n" + CrawlBannerNews)).otherwise(lit("")),
+      lit("\n" + CrawlNoticePrefix),
+      floor(id / lit(4)).cast("long").cast("string"))
+    val pl = ex.select(id, col("lang"), col("canonical"), col("allowed"),
+      col("n_content"), planted.as("pl"))
+    val struck = graft.operators.Dedup.lineDedup(
+      pl.select(id, col("pl")), CrawlLineMaxDf, "doc_id", "pl")
+    val cc = graft.core.Caches.cacheOnce(
+      pl.drop("pl").join(struck.withColumnRenamed("pl", "content"), Seq("doc_id"))
+        .withColumn("n_moji", mojibakeCount(col("content")))
+        .withColumn("moji_clean", col("n_moji") === 0L)
+        .withColumn("gopher_pass",
+          gopherStats(col("content"), GopherMinWords).getField("pass"))
+        .withColumn("digest",
+          when(length(col("content")) === 0,
+            concat(lit("empty:"), id.cast("string")))
+            .otherwise(md5(canonicalText(col("content")))))
+        .withColumn("n_tokens", tokenCountWs(col("content")).cast("long")))
+    val keepW = Window.partitionBy(col("digest"))
+    val exact = cc.withColumn("keep_id", min(id).over(keepW))
+      .withColumn("is_canonical", id === col("keep_id"))
+      .drop("keep_id")
+    val (_, fuzzyDropped) = crawlFuzzy(cc.select(id, col("content")))
+    val isBench = id % CrawlBenchMod === 0
+    val contam = graft.operators.Decontamination.contaminated(
+        cc.where(!isBench).select(id, col("content")),
+        cc.where(isBench).select(id, col("content")),
+        CrawlDecontamN, "doc_id", "content")
+      .select(id)
+    val flags = exact
+      .join(fuzzyDropped.withColumn("fz", lit(true)), Seq("doc_id"), "left")
+      .withColumn("fuzzy_dup", coalesce(col("fz"), lit(false))).drop("fz")
+      .join(contam.withColumn("ct", lit(true)), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("ct"), lit(false))).drop("ct")
+      .withColumn("is_bench", isBench)
+      .withColumn("survivor",
+        col("allowed") && length(col("content")) > 0 && col("moji_clean") &&
+          col("gopher_pass") && col("is_canonical") && !col("fuzzy_dup") &&
+          !col("is_bench") && !col("contaminated"))
+    val tiers = graft.operators.LanguageModel.perplexityTiers(
+        flags.where(col("survivor"))
+          .select(id, col("lang"), col("content").as("text")),
+        sampleMod = CcnetSampleMod)
+      .select(id, col("nll"), col("tier"))
+    val tf = flags.join(tiers, Seq("doc_id"), "left")
+    val keepTier = col("tier").isin("head", "middle")
+    val budget = graft.operators.Sampling.strataRunningSum(
+        tf.where(col("survivor") && keepTier),
+        "doc_id", "lang", "n_tokens", "cumb",
+        twoPhase = d.count() > graft.operators.Sampling.TwoPhaseThreshold)
+      .withColumn("in_b", col("cumb") <
+        when(col("lang") === "en", CrawlBudgetEn).otherwise(CrawlBudgetDefault))
+      .select(id, col("in_b"))
+    tf.join(budget, Seq("doc_id"), "left")
+      .withColumn("in_budget", coalesce(col("in_b"), lit(false))).drop("in_b")
+      .withColumn("selected",
+        col("survivor") && keepTier && col("in_budget"))
   }
 
   /**
@@ -1607,6 +1744,18 @@ object TextQueries extends QueryPack {
   private val CrawlBenchMod = 17 // every 17th doc plays the benchmark set
   private val CrawlBudgetEn = 4000L // q214/q215 en token budget
   private val CrawlBudgetDefault = 1500L // q214/q215 other-language budget
+  private[graft] val CrawlLineMaxDf = 5L // q232 boilerplate line document-frequency gate
+  // q232 planted page chrome (the in-query plant, the q63/q144 pattern):
+  // a sitewide cookie banner on every page (df = corpus), a newsletter
+  // bar on every third page (df ≈ corpus/3) — both boilerplate the line
+  // strike must remove — and a per-4-id-group notice (df ≤ 4 ≤ gate)
+  // that SURVIVES, so the struck corpus genuinely differs from q214's
+  // and every downstream hash (digest, shingles, tokens) re-derives.
+  private[graft] val CrawlBannerCookie =
+    "please accept our cookie policy to continue reading this page"
+  private[graft] val CrawlBannerNews =
+    "subscribe to our newsletter for weekly updates and offers"
+  private[graft] val CrawlNoticePrefix = "community notice for neighborhood "
 
   /** One unrolled gradient-descent round for the q137 oracle: loss under
     * w(i-1), mean gradient, the 1e-9-rounded weight update. */
@@ -1995,8 +2144,12 @@ object TextQueries extends QueryPack {
     * battery (gopherCtes) → exact keep-first (q149) → MinHash bands +
     * agreement refine (q61's tier) → benchmark gram hits (q67) →
     * per-language budget window (q80). */
-  private lazy val crawlCtes: String = {
-    import graft.functions.TextFunctions.MojibakePattern
+  /** The shared crawl prefix of the q214/q215 and q232 oracles: moji
+    * plant → page wrap + extraction → URL canonical closed form →
+    * robots star-group winner, surfaced as
+    * `csrc(doc_id, lang, n_content, text)` + `rwin(doc_id, a)` +
+    * `canon(doc_id, canonical, …)`. */
+  private lazy val crawlBaseCtes: String =
     s"""pdocs AS (SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 0 THEN text || '$MojiSuffix' ELSE text END
        |      AS text
@@ -2029,57 +2182,77 @@ object TextQueries extends QueryPack {
        |        AS rk
        |    FROM rmatch) WHERE rk = 1),
        |csrc AS (SELECT e.doc_id, d.lang, e.n_content, e.content AS text
-       |         FROM extracted e JOIN documents d USING (doc_id)),
-       |${gopherCtes("csrc")},
-       |ctoks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |         FROM extracted e JOIN documents d USING (doc_id))""".stripMargin
+
+  /** The recomputed crawl stages over a (doc_id[, n_content], text)
+    * relation `src`: whitespace tokens, MinHash shingles → signatures →
+    * bands → agreement-refined near-dup drops, decontamination-gram
+    * hits, exact digest + keep-first, and moji counts. ONE generator
+    * feeds both the q214/q215 chain (src = csrc, empty guard on
+    * n_content) and the q232 CCNet chain (src = ccsrc, empty guard on
+    * the struck text), so the stage rules cannot drift between the two
+    * flagships. CTE names carry prefix `p`. The toks CTE is MATERIALIZED
+    * (as are ccsrc/fun2c in the CCNet chain): DuckDB inlines CTEs, and a
+    * 4-way-referenced token table re-derives the whole upstream chain per
+    * reference — the q195 OOM pattern. */
+  private def crawlStageCtes(src: String, p: String,
+                             emptyGuard: String): String = {
+    import graft.functions.TextFunctions.MojibakePattern
+    s"""${p}toks AS MATERIALIZED (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
        |            ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
-       |          FROM csrc),
-       |cshs AS (SELECT doc_id, list_distinct(list_transform(
+       |          FROM $src),
+       |${p}shs AS (SELECT doc_id, list_distinct(list_transform(
        |    CASE WHEN len(tk) < $CrawlShingleN THEN []
        |         ELSE list_transform(range(1, len(tk) - ${CrawlShingleN - 2}),
        |           i -> array_to_string(list_slice(tk, i, i + ${CrawlShingleN - 1}), ' ')) END,
        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs
-       |  FROM ctoks),
-       |csig AS (SELECT doc_id, list_transform(range(0, $CrawlPerms), i ->
+       |  FROM ${p}toks),
+       |${p}sig AS (SELECT doc_id, list_transform(range(0, $CrawlPerms), i ->
        |    list_min(list_transform(gs,
        |      g -> (g * (i * 2 + 1) + (i + 1) * 1000003) % 2147483647))) AS sg
-       |  FROM cshs WHERE len(gs) > 0),
-       |cbands AS (SELECT doc_id, b,
+       |  FROM ${p}shs WHERE len(gs) > 0),
+       |${p}bands AS (SELECT doc_id, b,
        |    md5(array_to_string(list_slice(sg,
        |      b * ${CrawlPerms / CrawlBands} + 1,
        |      b * ${CrawlPerms / CrawlBands} + ${CrawlPerms / CrawlBands}), ':')) AS bk
-       |  FROM csig, unnest(range(0, $CrawlBands)) AS t(b)),
-       |fz AS (SELECT DISTINCT cd.db AS doc_id FROM
+       |  FROM ${p}sig, unnest(range(0, $CrawlBands)) AS t(b)),
+       |${p}fz AS (SELECT DISTINCT cd.db AS doc_id FROM
        |    (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |     FROM cbands a JOIN cbands b
+       |     FROM ${p}bands a JOIN ${p}bands b
        |       ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id) cd
-       |    JOIN csig sa ON sa.doc_id = cd.da
-       |    JOIN csig sb ON sb.doc_id = cd.db
+       |    JOIN ${p}sig sa ON sa.doc_id = cd.da
+       |    JOIN ${p}sig sb ON sb.doc_id = cd.db
        |  WHERE len(list_filter(list_transform(range(1, ${CrawlPerms + 1}),
        |          i -> sa.sg[i] = sb.sg[i]), x -> x))::DOUBLE
        |        / $CrawlPerms.0 >= $CrawlEstSim),
-       |dshs AS (SELECT doc_id, list_distinct(list_transform(
+       |${p}dshs AS (SELECT doc_id, list_distinct(list_transform(
        |    CASE WHEN len(tk) < $CrawlDecontamN THEN []
        |         ELSE list_transform(range(1, len(tk) - ${CrawlDecontamN - 2}),
        |           i -> array_to_string(list_slice(tk, i, i + ${CrawlDecontamN - 1}), ' ')) END,
        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gs
-       |  FROM ctoks),
-       |bgr AS (SELECT DISTINCT g FROM
-       |    (SELECT doc_id, unnest(gs) AS g FROM dshs
+       |  FROM ${p}toks),
+       |${p}bgr AS (SELECT DISTINCT g FROM
+       |    (SELECT doc_id, unnest(gs) AS g FROM ${p}dshs
        |     WHERE doc_id % $CrawlBenchMod = 0)),
-       |ctm AS (SELECT DISTINCT t.doc_id FROM
-       |    (SELECT doc_id, unnest(gs) AS g FROM dshs
+       |${p}ctm AS (SELECT DISTINCT t.doc_id FROM
+       |    (SELECT doc_id, unnest(gs) AS g FROM ${p}dshs
        |     WHERE doc_id % $CrawlBenchMod <> 0) t
-       |  JOIN bgr USING (g)),
-       |cdg AS (SELECT doc_id,
-       |    CASE WHEN n_content = 0 THEN 'empty:' || doc_id
+       |  JOIN ${p}bgr USING (g)),
+       |${p}dg AS (SELECT doc_id,
+       |    CASE WHEN $emptyGuard THEN 'empty:' || doc_id
        |         ELSE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) END
        |      AS digest
-       |  FROM csrc),
-       |ckeep AS (SELECT digest, MIN(doc_id) AS keep_id FROM cdg GROUP BY 1),
-       |moji AS (SELECT doc_id,
+       |  FROM $src),
+       |${p}keep AS (SELECT digest, MIN(doc_id) AS keep_id FROM ${p}dg GROUP BY 1),
+       |${p}moji AS (SELECT doc_id,
        |    len(regexp_extract_all(text, '$MojibakePattern'))::BIGINT AS n_moji
-       |  FROM csrc),
+       |  FROM $src)""".stripMargin
+  }
+
+  private lazy val crawlCtes: String = {
+    s"""$crawlBaseCtes,
+       |${gopherCtes("csrc")},
+       |${crawlStageCtes("csrc", "c", "n_content = 0")},
        |fun2 AS (SELECT c.doc_id, c.lang, cn.canonical,
        |    COALESCE(w.a, TRUE) AS allowed, c.n_content, m.n_moji,
        |    (m.n_moji = 0) AS moji_clean,
@@ -2102,10 +2275,10 @@ object TextQueries extends QueryPack {
        |  JOIN gflags g USING (doc_id)
        |  JOIN cdg USING (doc_id)
        |  JOIN ckeep k USING (digest)
-       |  JOIN moji m USING (doc_id)
+       |  JOIN cmoji m USING (doc_id)
        |  JOIN ctoks t USING (doc_id)
-       |  LEFT JOIN fz f USING (doc_id)
-       |  LEFT JOIN ctm x USING (doc_id)),
+       |  LEFT JOIN cfz f USING (doc_id)
+       |  LEFT JOIN cctm x USING (doc_id)),
        |bdg AS (SELECT doc_id,
        |    (COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
        |        ORDER BY hv, doc_id
@@ -2118,6 +2291,117 @@ object TextQueries extends QueryPack {
        |fun3 AS (SELECT f.*, COALESCE(b.in_b, FALSE) AS in_budget,
        |    (f.survivor AND COALESCE(b.in_b, FALSE)) AS selected
        |  FROM fun2 f LEFT JOIN bdg b USING (doc_id))""".stripMargin
+  }
+
+  /** The q232 oracle chain: the shared crawl prefix, the planted page
+    * chrome + CCNet line strike, every funnel stage re-derived over the
+    * STRUCK text via the shared stage generator, the q147 tier chain
+    * over the survivors, and the head+middle-only budget — ending in
+    * `fun3c(doc_id, lang, canonical, allowed, n_content, n_lines,
+    * n_removed, n_moji, gopher_pass, is_canonical, fuzzy_dup, is_bench,
+    * contaminated, n_tokens, nll, tier, survivor, in_budget,
+    * selected)`. */
+  private lazy val crawlCcnetCtes: String = {
+    s"""$crawlBaseCtes,
+       |plc AS (SELECT doc_id, lang, n_content,
+       |    text || chr(10) || '$CrawlBannerCookie' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$CrawlBannerNews'
+       |          ELSE '' END) ||
+       |    chr(10) || '$CrawlNoticePrefix' || (doc_id // 4) AS pt
+       |  FROM csrc),
+       |clin AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line,
+       |           ('0x' || substr(md5(ls[i + 1]), 1, 15))::BIGINT AS h
+       |         FROM (SELECT doc_id, string_split(pt, chr(10)) AS ls FROM plc),
+       |              unnest(range(0, len(ls))) AS t(i)),
+       |cldf AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM clin GROUP BY 1),
+       |clmk AS (SELECT l.doc_id, l.line_no, l.line,
+       |           (d.df > $CrawlLineMaxDf) AS hot
+       |         FROM clin l JOIN cldf d USING (h)),
+       |cstruck AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,
+       |    COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+       |      FILTER (WHERE NOT hot), '') AS text
+       |  FROM clmk GROUP BY doc_id),
+       |ccsrc AS MATERIALIZED (SELECT s.doc_id, p.lang, p.n_content, s.n_lines,
+       |          s.n_removed, s.text FROM cstruck s JOIN plc p USING (doc_id)),
+       |${gopherCtes("ccsrc")},
+       |${crawlStageCtes("ccsrc", "cc", "length(text) = 0")},
+       |fun2c AS MATERIALIZED (SELECT c.doc_id, c.lang, cn.canonical,
+       |    COALESCE(w.a, TRUE) AS allowed, c.n_content, c.n_lines,
+       |    c.n_removed, m.n_moji, (m.n_moji = 0) AS moji_clean,
+       |    (g.r_words AND g.r_meanlen AND g.r_symbol AND g.r_bullet
+       |     AND g.r_ellipsis AND g.r_alpha AND g.r_stop) AS gopher_pass,
+       |    (c.doc_id = k.keep_id) AS is_canonical,
+       |    (f.doc_id IS NOT NULL) AS fuzzy_dup,
+       |    (c.doc_id % $CrawlBenchMod = 0) AS is_bench,
+       |    (x.doc_id IS NOT NULL) AS contaminated,
+       |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |    (COALESCE(w.a, TRUE) AND length(c.text) > 0 AND m.n_moji = 0
+       |     AND (g.r_words AND g.r_meanlen AND g.r_symbol AND g.r_bullet
+       |          AND g.r_ellipsis AND g.r_alpha AND g.r_stop)
+       |     AND c.doc_id = k.keep_id AND f.doc_id IS NULL
+       |     AND c.doc_id % $CrawlBenchMod <> 0 AND x.doc_id IS NULL)
+       |      AS survivor
+       |  FROM ccsrc c
+       |  JOIN canon cn USING (doc_id)
+       |  LEFT JOIN rwin w USING (doc_id)
+       |  JOIN gflags g USING (doc_id)
+       |  JOIN ccdg USING (doc_id)
+       |  JOIN cckeep k USING (digest)
+       |  JOIN ccmoji m USING (doc_id)
+       |  JOIN cctoks t USING (doc_id)
+       |  LEFT JOIN ccfz f USING (doc_id)
+       |  LEFT JOIN ccctm x USING (doc_id)),
+       |ccsurv AS (SELECT s.doc_id, s.lang FROM ccsrc s
+       |           JOIN fun2c f USING (doc_id) WHERE f.survivor),
+       |cctok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM
+       |    (SELECT v.doc_id, v.lang, t.tk FROM ccsurv v
+       |     JOIN cctoks t USING (doc_id))),
+       |ccv AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM cctok GROUP BY 1, 2),
+       |cctt AS (SELECT lang, SUM(cnt)::DOUBLE AS n_total FROM ccv GROUP BY 1),
+       |ccsc AS (SELECT doc_id, lang,
+       |       ROUND(SUM(-ln(cnt::DOUBLE / n_total)) / COUNT(*)::DOUBLE, 6)
+       |         AS nll
+       |       FROM cctok JOIN ccv USING (lang, tok) JOIN cctt USING (lang)
+       |       GROUP BY 1, 2),
+       |ccsamp AS (SELECT * FROM ccsc
+       |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |               % $CcnetSampleMod = 0),
+       |ccvals AS (SELECT lang, nll, CAST(COUNT(*) AS BIGINT) AS nv
+       |           FROM ccsamp GROUP BY 1, 2),
+       |cccum AS (SELECT lang, nll,
+       |        SUM(nv) OVER (PARTITION BY lang ORDER BY nll) AS cum
+       |        FROM ccvals),
+       |ccmm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS m_docs
+       |         FROM ccsamp GROUP BY 1),
+       |cccuts AS (SELECT lang,
+       |         MIN(CASE WHEN cum * 3 >= m_docs THEN nll END) AS cut1,
+       |         MIN(CASE WHEN cum * 3 >= m_docs * 2 THEN nll END) AS cut2
+       |         FROM cccum JOIN ccmm USING (lang) GROUP BY 1),
+       |cctiers AS (SELECT doc_id, nll,
+       |  CASE WHEN cut1 IS NULL THEN 'unsampled'
+       |       WHEN nll <= cut1 THEN 'head'
+       |       WHEN nll <= cut2 THEN 'middle'
+       |       ELSE 'tail' END AS tier
+       |FROM ccsc LEFT JOIN cccuts USING (lang)),
+       |ccbdg AS (SELECT doc_id,
+       |    (COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |        ORDER BY hv, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     < CASE WHEN lang = 'en' THEN $CrawlBudgetEn
+       |            ELSE $CrawlBudgetDefault END) AS in_b
+       |  FROM (SELECT f.doc_id, f.lang, f.n_tokens,
+       |          ('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |        FROM fun2c f JOIN cctiers USING (doc_id)
+       |        WHERE f.survivor AND tier IN ('head', 'middle'))),
+       |fun3c AS (SELECT f.*, t.nll, t.tier,
+       |    COALESCE(b.in_b, FALSE) AS in_budget,
+       |    (f.survivor AND COALESCE(t.tier IN ('head', 'middle'), FALSE)
+       |       AND COALESCE(b.in_b, FALSE)) AS selected
+       |  FROM fun2c f
+       |  LEFT JOIN cctiers t USING (doc_id)
+       |  LEFT JOIN ccbdg b USING (doc_id))""".stripMargin
   }
 
   /** The q148 oracle: the same merge-chain CTEs, aggregated per language
@@ -3671,6 +3955,17 @@ object TextQueries extends QueryPack {
          |  gopher_pass, is_canonical, fuzzy_dup, is_bench, contaminated,
          |  n_tokens, survivor, in_budget, selected
          |FROM fun3 ORDER BY doc_id""".stripMargin,
+
+    // CCNet-composition replay: shared crawl prefix, planted chrome +
+    // line strike, the stage generator re-run over the struck text, the
+    // q147 tier chain over survivors, head+middle-only budget.
+    "q232_crawl_ccnet" ->
+      s"""WITH $crawlCcnetCtes
+         |SELECT doc_id, lang, canonical, allowed, n_content, n_lines,
+         |  n_removed, n_moji, gopher_pass, is_canonical, fuzzy_dup,
+         |  is_bench, contaminated, n_tokens, nll, tier, survivor,
+         |  in_budget, selected
+         |FROM fun3c ORDER BY doc_id""".stripMargin,
 
     // pass@k replay: the q194 quality chain regrouped into 10-sample
     // problems, then the identical ascending-j factor product.

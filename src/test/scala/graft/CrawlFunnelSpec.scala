@@ -70,6 +70,33 @@ class CrawlFunnelSpec extends SparkSpec {
     intra shouldBe 0L
   }
 
+  test("q232 plant law: hot chrome struck, under-gate notice kept, body restored") {
+    import graft.operators.Dedup
+    // 40 docs shaped like crawlCcnet's plant: unique body line + cookie
+    // banner (df = 40 > gate) + newsletter bar on every third (df ≈ 13
+    // > gate) + per-4-id-group notice (df ≤ 4 ≤ gate → must SURVIVE)
+    val docs = (0L until 40L).map { i =>
+      val body = s"unique page body number $i with words ${i * 7}"
+      val news = if (i % 3 == 0) "\n" + TextQueries.CrawlBannerNews else ""
+      (i, body + "\n" + TextQueries.CrawlBannerCookie + news +
+        "\n" + TextQueries.CrawlNoticePrefix + (i / 4))
+    }.toDF("doc_id", "content")
+    val out = Dedup.lineDedup(docs, TextQueries.CrawlLineMaxDf,
+        "doc_id", "content")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("content"))).toMap
+    (0L until 40L).foreach { i =>
+      val (nLines, nRemoved, text) = out(i)
+      nLines shouldBe (if (i % 3 == 0) 4L else 3L)
+      nRemoved shouldBe (if (i % 3 == 0) 2L else 1L)
+      // struck text = body + the surviving notice, in original order —
+      // the digest downstream re-keys on exactly this
+      text shouldBe s"unique page body number $i with words ${i * 7}\n" +
+        TextQueries.CrawlNoticePrefix + (i / 4)
+    }
+  }
+
   test("collapse is result-neutral: dropped set equals the uncollapsed witness") {
     val docs = fixture
     val (_, dropped) = TextQueries.crawlFuzzy(docs)
