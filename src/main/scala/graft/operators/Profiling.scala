@@ -133,11 +133,19 @@ object Profiling {
    * a degenerate (zero-variance) head.
    */
   def zipfFit(docs: DataFrame, topK: Int,
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    zipfFitFromVocab(
+      docs.select(explode(
+          graft.functions.TextFunctions.tokensWs(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      topK)
+
+  /** The Zipf law fit over an already-aggregated vocabulary table
+    * (tok, cnt) — the arithmetic half of [[zipfFit]], shared with the
+    * ledger-served face (`TokenCountLedger.zipf`) so one-shot and
+    * incremental fits cannot drift. */
+  def zipfFitFromVocab(vocab: DataFrame, topK: Int): DataFrame = {
     require(topK >= 2, "zipfFit: need at least 2 ranks to fit a line")
-    val vocab = docs.select(explode(
-        graft.functions.TextFunctions.tokensWs(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val head = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(topK)
     val pts = Ids.denseIds(head, Seq(col("cnt").desc, col("tok").asc), "__r")
       .select(log((col("__r") + 1L).cast("double")).as("x"),
@@ -226,11 +234,6 @@ object Profiling {
     val uni = graft.core.Caches.cacheOnce(
       tks.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c")))
-    val nTok = broadcast(uni.agg(sum(col("c")).as("n"),
-      count(lit(1)).as("v")))
-    val h1 = uni.crossJoin(nTok)
-      .select((col("c").cast("double") / col("n")).as("p"))
-      .agg(sum(-col("p") * log(col("p"))).as("h1"))
     val bi = graft.core.Caches.cacheOnce(
       tks.where(size(col("tk")) >= 2)
         .select(slice(col("tk"), lit(1), size(col("tk")) - 1).as("la"),
@@ -238,6 +241,21 @@ object Profiling {
         .select(explode(arrays_zip(col("la"), col("lb"))).as("g"))
         .select(col("g.la").as("a"), col("g.lb").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab")))
+    entropyFromCounts(uni, bi)
+  }
+
+  /** The entropy-rate arithmetic over already-aggregated count tables —
+    * unigram (w, c) and within-document bigram (a, b, cab) — the second
+    * half of [[entropyReport]], shared with the ledger-served face
+    * (`TokenCountLedger.entropy`) so one-shot and incremental reports
+    * cannot drift. Both Σ are one aggregate each; the only join keys
+    * bigram rows to their left-context totals. */
+  def entropyFromCounts(uni: DataFrame, bi: DataFrame): DataFrame = {
+    val nTok = broadcast(uni.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("v")))
+    val h1 = uni.crossJoin(nTok)
+      .select((col("c").cast("double") / col("n")).as("p"))
+      .agg(sum(-col("p") * log(col("p"))).as("h1"))
     val left = bi.groupBy(col("a")).agg(sum(col("cab")).as("cl"))
     val mTot = broadcast(bi.agg(sum(col("cab")).as("m")))
     val h2 = bi.join(left, Seq("a")).crossJoin(mTot)

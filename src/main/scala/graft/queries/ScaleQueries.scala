@@ -471,6 +471,25 @@ object ScaleQueries extends QueryPack {
     "q231_entropy_rate" -> ((s, dir) =>
       graft.operators.Profiling.entropyReport(Tables.read(s, dir, "documents"))),
 
+    // EXT-T78: persisted token-count ledger — the corpus-health
+    // dashboard at delta cost: unigram + within-doc bigram counts are
+    // losslessly additive, so the base corpus persists once, each crawl
+    // delta folds in one pass over the delta only, and the ledger-served
+    // Zipf fit and entropy report EQUAL the one-shot q229/q231 laws over
+    // the union (the q209 equality-law gate — exact-integer counts, so
+    // the rank order is identical, not merely close). Heaps (q230) is
+    // excluded by design: consumption-order-dependent, not additive.
+    "q233_token_ledger" -> ((s, dir) => {
+      import graft.store.TokenCountLedger
+      val store = graft.core.Scratch.dir("graft_tokledger")
+      val d = Tables.read(s, dir, "documents")
+      TokenCountLedger.write(d.where(col("doc_id") % 4 =!= 1), store)
+      TokenCountLedger.append(d.where(col("doc_id") % 4 === 1), store,
+        batchName = Some("delta1"))
+      TokenCountLedger.zipf(s, store, ZipfTopK)
+        .crossJoin(TokenCountLedger.entropy(s, store))
+    }),
+
     // EXT-X9: fixed-iteration synchronous label propagation — trusted
     // seed labels (clamped) spread along the customer–part co-purchase
     // graph; each round non-seed nodes adopt the majority neighbor
@@ -822,6 +841,51 @@ object ScaleQueries extends QueryPack {
          |  ROUND(CASE WHEN nt.v <= 1 THEN NULL
          |        ELSE 1.0 - h1.h1 / ln(nt.v::DOUBLE) END, 6) AS redundancy
          |FROM nt CROSS JOIN h1 CROSS JOIN mt CROSS JOIN h2""".stripMargin,
+
+    // Token-ledger replay: additive counts mean ledger-served == one-shot
+    // over the union, so the oracle is exactly the q229 + q231 chains
+    // over the FULL corpus, one row (the equality law IS the gate).
+    "q233_token_ledger" ->
+      s"""WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+         |         FROM documents),
+         |vocab AS (SELECT tok, COUNT(*)::BIGINT AS cnt
+         |          FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+         |head AS (SELECT tok, cnt,
+         |           ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r
+         |         FROM vocab ORDER BY cnt DESC, tok LIMIT $ZipfTopK),
+         |pts AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM head),
+         |zs AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |      FROM pts),
+         |zfit AS (SELECT CAST(n AS BIGINT) AS n_terms,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept,
+         |  ROUND(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+         |        ELSE POW(n * sxy - sx * sy, 2)
+         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         |FROM zs),
+         |uni AS (SELECT tok AS w, cnt AS c FROM vocab),
+         |nt AS (SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM uni),
+         |h1 AS (SELECT SUM(-(c::DOUBLE / nt.n) * ln(c::DOUBLE / nt.n)) AS h1
+         |       FROM uni CROSS JOIN nt),
+         |bi AS (SELECT a, b, COUNT(*)::BIGINT AS cab FROM (
+         |    SELECT tk[i] AS a, tk[i + 1] AS b
+         |    FROM toks, unnest(range(1, len(tk))) AS t(i)
+         |    WHERE len(tk) >= 2) GROUP BY 1, 2),
+         |lft AS (SELECT a, SUM(cab)::BIGINT AS cl FROM bi GROUP BY 1),
+         |mt AS (SELECT SUM(cab)::BIGINT AS m FROM bi),
+         |h2 AS (SELECT SUM(-(bi.cab::DOUBLE / mt.m)
+         |         * ln(bi.cab::DOUBLE / lft.cl::DOUBLE)) AS h2
+         |       FROM bi JOIN lft USING (a) CROSS JOIN mt),
+         |erep AS (SELECT COALESCE(nt.n, 0) AS n_tokens,
+         |  COALESCE(mt.m, 0) AS n_bigrams,
+         |  nt.v AS vocab, ROUND(h1.h1, 6) AS h_unigram, ROUND(h2.h2, 6) AS h_cond,
+         |  ROUND(CASE WHEN nt.v <= 1 THEN NULL
+         |        ELSE 1.0 - h1.h1 / ln(nt.v::DOUBLE) END, 6) AS redundancy
+         |FROM nt CROSS JOIN h1 CROSS JOIN mt CROSS JOIN h2)
+         |SELECT * FROM zfit CROSS JOIN erep""".stripMargin,
 
     // Heaps replay: content-stable doc order, per-token first doc via a
     // tok-partitioned rank, inclusive running token/vocab sums, the
