@@ -55,6 +55,56 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(tokensWs(c))
 
+  // --- sentence segmentation (rule-based, lookaround-free) ---------------
+
+  /** Abbreviations whose trailing period never ends a sentence. Shared
+    * verbatim with the oracle SQL (RE2-safe: \b + capture groups, no
+    * lookaround — the q153 pattern-sharing stance). */
+  val SentAbbrevPattern = "(?i)\\b(mr|mrs|ms|dr|prof|sr|jr|etc|vs|st|no|fig|al)\\."
+  val SentEgPattern = "(?i)\\b(e)\\.(g)\\."
+  val SentIePattern = "(?i)\\b(i)\\.(e)\\."
+  val SentDecimalPattern = "([0-9])\\.([0-9])"
+  val SentInitialPattern = "(^|[\\s])([A-Za-z])\\."
+  val SentBreakPattern = "([.!?]+)[\\s]+"
+
+  /** Sentinels for the protect-then-split rewrite: control chars that
+    * cannot occur in tokenized text (chr(1)/chr(2) in the oracle SQL). */
+  val SentDot = "\u0001"
+  val SentBreak = "\u0002"
+
+  /**
+   * Rule-based sentence segmentation as ONE pure-Column rewrite chain —
+   * the granularity upgrade under bitext mining, ROUGE, and dedup
+   * (production MT curation mines SENTENCES, not documents). A
+   * deterministic closed form (the EXT-T38 stance: no model, no UDF, no
+   * lookaround so the identical patterns replay in RE2/DuckDB):
+   *
+   *  1. protect non-terminal periods by rewriting them to a sentinel —
+   *     e.g./i.e., the abbreviation list, decimals (3.14), and
+   *     single-letter initials (J. Smith);
+   *  2. rewrite every remaining terminator run followed by whitespace
+   *     ([.!?]+\s+) to a break sentinel;
+   *  3. split on the break, trim, restore protected periods, and drop
+   *     empty fragments.
+   *
+   * Rewrites scan left-to-right non-overlapping in both engines, so the
+   * edge behavior (e.g. "1.2.3" protecting only the first dot) is
+   * identical by construction. Map-only; order within the array is
+   * document order. Returns array<string>.
+   */
+  def sentences(c: Column): Column = {
+    val p1 = regexp_replace(c, SentEgPattern, s"$$1$SentDot$$2$SentDot")
+    val p2 = regexp_replace(p1, SentIePattern, s"$$1$SentDot$$2$SentDot")
+    val p3 = regexp_replace(p2, SentAbbrevPattern, s"$$1$SentDot")
+    val p4 = regexp_replace(p3, SentDecimalPattern, s"$$1$SentDot$$2")
+    val p5 = regexp_replace(p4, SentInitialPattern, s"$$1$$2$SentDot")
+    val p6 = regexp_replace(p5, SentBreakPattern, s"$$1$SentBreak")
+    filter(
+      transform(split(p6, SentBreak),
+        s => trim(regexp_replace(s, SentDot, "."))),
+      s => s =!= "")
+  }
+
   /** BPE-ish subword count: lowercase runs, capitalized runs, single
     * digits, and isolated symbols each count as one token — a cheap,
     * deterministic proxy for byte-pair-encoded sequence length. */

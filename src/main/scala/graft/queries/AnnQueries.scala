@@ -322,6 +322,31 @@ object AnnQueries extends QueryPack {
         .orderBy(col("src_id"))
     }),
 
+    // EXT-A36: sentence-granular bitext mining — q184's margin scoring
+    // at the granularity production MT curation actually mines: the
+    // planted corpus splits into sentences (TextFunctions.sentences,
+    // the q234 rules), each sentence embeds via the deterministic
+    // hashed-BoW encoder (the q178 inference hook), sides are even vs
+    // odd documents, and the SRP-bucketed margin chain mines best
+    // cross-side sentence pairs. Sentence id = doc_id·1000 + sent_no
+    // (the plant yields ~a dozen sentences per document — far under
+    // 1000 at any SF). End-to-end text → sentences → vectors → pairs
+    // in one declarative plan.
+    "q235_sentence_bitext" -> ((s, dir) => {
+      val sents = TextQueries.sentencedDocs(s, dir)
+      val enc = graft.operators.TextEncode.encodeDocuments(
+          sents.select((col("doc_id") * 1000L + col("sent_no")).as("doc_id"),
+            col("sentence").as("text")),
+          graft.operators.TextEncode.hashingEncoder(TextEncDim))
+        .toDF()
+      val vecs = enc.select(col("doc_id").as("vec_id"), col("embedding"))
+      def side(par: Int) = vecs.where(
+        pmod(floor(col("vec_id") / 1000L).cast("long"), lit(2L)) === par)
+      SimilaritySearch.marginMinePairs(side(0), side(1), sentPlanes,
+          MarginK, MarginThreshold)
+        .orderBy(col("src_id"))
+    }),
+
     // EXT-A30: matryoshka truncation evaluation — recall@k of brute
     // serving under each PREFIX of the embedding (8/16/32 of 64 dims)
     // against the full-dim truth: the measured dims-vs-recall table
@@ -760,17 +785,29 @@ object AnnQueries extends QueryPack {
   private lazy val planesSql: String =
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
+  /** Sentence-tier SRP planes: the q235 hashed-BoW vectors are
+    * TextEncDim-wide, so they get their own plane family. */
+  private lazy val sentPlanes =
+    SimilaritySearch.hyperplanes(Planes, TextEncDim)
+
+  private lazy val sentPlanesSql: String =
+    sentPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** The JL projection planes as a DuckDB nested-list literal. */
   private lazy val rpPlanesSql: String =
     rpPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   /** SRP bucket of embedding column `e` (mirrors SimilaritySearch.srpBucket:
     * bit j set iff fold-dot(e, plane_j) > 0). */
-  private def bucketSql(e: String) =
+  private def bucketSql(e: String) = bucketSqlOver(e, planesSql)
+
+  /** The same SRP bucket against an explicit hyperplane literal (the
+    * sentence tier hashes 16-dim BoW vectors, not the 64-dim corpus). */
+  private def bucketSqlOver(e: String, planesLit: String) =
     s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $Planes), x -> x::BIGINT)),
        |  (acc, j) -> acc + CASE WHEN
        |    list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
-       |      i -> $e[i]::DOUBLE * (($planesSql)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
+       |      i -> $e[i]::DOUBLE * (($planesLit)[j + 1][i])::DOUBLE)), (x, y) -> x + y) > 0.0
        |  THEN (1::BIGINT << j) ELSE 0 END)""".stripMargin
 
   /** `rounds` deterministic Lloyd refinements of the sampled seeds
@@ -1325,6 +1362,59 @@ object AnnQueries extends QueryPack {
          |       WHERE vec_id % 2 = 1),
          |cand AS (SELECT src_id, tgt_id, ${cosSql("s_emb", "t_emb")} AS cos
          |         FROM sb JOIN tb USING (bucket)),
+         |fr AS (SELECT src_id, tgt_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |           ORDER BY cos DESC NULLS LAST, tgt_id) AS r FROM cand),
+         |fwd AS (SELECT src_id,
+         |          list_reduce(list_prepend(0.0, list_sort(list(cos))),
+         |            (x, y) -> x + y) / COUNT(*) AS avg_s
+         |        FROM fr WHERE r <= $MarginK GROUP BY src_id),
+         |br AS (SELECT src_id, tgt_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY tgt_id
+         |           ORDER BY cos DESC NULLS LAST, src_id) AS r FROM cand),
+         |bwd AS (SELECT tgt_id,
+         |          list_reduce(list_prepend(0.0, list_sort(list(cos))),
+         |            (x, y) -> x + y) / COUNT(*) AS avg_t
+         |        FROM br WHERE r <= $MarginK GROUP BY tgt_id),
+         |m AS (SELECT src_id, tgt_id,
+         |        ROUND(cos / ((avg_s + avg_t) / 2), 6) AS margin
+         |      FROM cand JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+         |best AS (SELECT src_id, tgt_id, margin,
+         |           ROW_NUMBER() OVER (PARTITION BY src_id
+         |             ORDER BY margin DESC NULLS LAST, tgt_id) AS rb FROM m)
+         |SELECT src_id, tgt_id, margin FROM best
+         |WHERE rb = 1 AND margin >= $MarginThreshold ORDER BY src_id""".stripMargin,
+
+    // Sentence-bitext replay: the shared q234 sentence chain, the q178
+    // hashed-BoW vector chain per sentence, then the q184 margin chain
+    // over even-vs-odd document sides.
+    "q235_sentence_bitext" ->
+      s"""WITH ${graft.queries.TextQueries.sentenceCtes},
+         |sidd AS (SELECT doc_id * 1000 + sent_no AS sid, sentence FROM sents),
+         |stk AS (SELECT sid, CASE WHEN length(trim(sentence)) = 0 THEN []
+         |          ELSE regexp_split_to_array(trim(sentence), '\\s+') END AS tk
+         |        FROM sidd),
+         |stok AS (SELECT sid, unnest(tk) AS t FROM stk),
+         |sbc AS (SELECT sid, ('0x' || substr(md5(t), 1, 15))::BIGINT % $TextEncDim AS b,
+         |          CAST(COUNT(*) AS DOUBLE) AS c FROM stok GROUP BY 1, 2),
+         |sl2 AS (SELECT sid, SQRT(SUM(c*c)) AS nrm FROM sbc GROUP BY 1),
+         |sdims AS (SELECT d.sid, i.i FROM (SELECT sid FROM stk) d
+         |          CROSS JOIN (SELECT unnest(range(0, $TextEncDim)) AS i) i),
+         |scell AS (SELECT sdims.sid, sdims.i, COALESCE(sbc.c, 0.0) AS c
+         |          FROM sdims LEFT JOIN sbc ON sbc.sid = sdims.sid AND sbc.b = sdims.i),
+         |svec AS MATERIALIZED (SELECT scell.sid,
+         |          list(COALESCE(scell.c / NULLIF(sl2.nrm, 0.0), 0.0)::REAL
+         |               ORDER BY scell.i) AS embedding
+         |        FROM scell LEFT JOIN sl2 ON sl2.sid = scell.sid
+         |        GROUP BY scell.sid),
+         |sbk AS MATERIALIZED (SELECT sid, embedding,
+         |          ${bucketSqlOver("embedding", sentPlanesSql)} AS bucket FROM svec),
+         |ssb AS (SELECT sid AS src_id, embedding AS s_emb, bucket FROM sbk
+         |        WHERE (sid // 1000) % 2 = 0),
+         |stb AS (SELECT sid AS tgt_id, embedding AS t_emb, bucket FROM sbk
+         |        WHERE (sid // 1000) % 2 = 1),
+         |cand AS MATERIALIZED (SELECT src_id, tgt_id, ${cosSql("s_emb", "t_emb")} AS cos
+         |         FROM ssb JOIN stb USING (bucket)),
          |fr AS (SELECT src_id, tgt_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY src_id
          |           ORDER BY cos DESC NULLS LAST, tgt_id) AS r FROM cand),

@@ -878,6 +878,42 @@ object TextQueries extends QueryPack {
         .orderBy(col("canonical"))
     }),
 
+    // EXT-T80: incremental politeness scheduling — the schedule state a
+    // continuing crawler carries between frontier deltas: per-host
+    // committed slot counts persist under the marker-last protocol, so
+    // each delta's schedule CONTINUES the host's slot clock instead of
+    // restarting at 0 (the remaining crawl-loop gap beside the q225 URL
+    // ledger). Gate = the fold law: base + two delta schedules equal
+    // the one-shot schedule over the union ranked by (arrival epoch,
+    // priority DESC, url) within host, with the per-host cap applied to
+    // the TOTAL across deltas.
+    "q236_frontier_sched_delta" -> ((s, dir) => {
+      import graft.store.FrontierSchedule
+      val store = graft.core.Scratch.dir("graft_sched")
+      val id = col("doc_id")
+      val host = concat(lit("site"), (id % 4).cast("string"),
+        lit(".example.com"))
+      val url = concat(lit("https://"), host, lit("/p"), id.cast("string"))
+      val entries = Tables.read(s, dir, "documents").select(
+        url.as("url"), host.as("host"),
+        pmod(graft.functions.TextFunctions.hash60(url), lit(100L))
+          .as("priority"),
+        (id % 3).as("epoch"))
+      def sched(epoch: Int)(run: DataFrame => DataFrame) =
+        run(entries.where(col("epoch") === epoch).drop("epoch"))
+          .withColumn("epoch", lit(epoch.toLong))
+      val base = sched(0)(f =>
+        FrontierSchedule.write(f, store, SchedDelayMs, Some(SchedMaxPerHost)))
+      val d1 = sched(1)(f => FrontierSchedule.scheduleDelta(f, store,
+        SchedDelayMs, Some(SchedMaxPerHost), Some("d1")))
+      val d2 = sched(2)(f => FrontierSchedule.scheduleDelta(f, store,
+        SchedDelayMs, Some(SchedMaxPerHost), Some("d2")))
+      base.unionByName(d1).unionByName(d2)
+        .select(col("url"), col("host"), col("priority"), col("epoch"),
+          col("slot"), col("fetch_at_ms"))
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // EXT-T30: DSIR targeted selection — importance weights from hashed
     // unigram+bigram bag-of-buckets LMs (target sources vs the rest of
     // the pool); the classifier-free "more like my seed corpus" ranking
@@ -1285,8 +1321,49 @@ object TextQueries extends QueryPack {
             expr(s"doc_id div $PassSamples").as("problem_id"),
             (round(qualityScore(col("text")), 6) > PassThreshold).as("ok")),
           "problem_id", "ok", PassK)
-        .orderBy(col("problem_id")))
+        .orderBy(col("problem_id"))),
+
+    // EXT-T79: rule-based sentence segmentation — the granularity
+    // upgrade under bitext mining / ROUGE / dedup (production MT
+    // curation works on SENTENCES). The fixture has no punctuation, so
+    // sentences are planted in-query (the q63 pattern): tokens
+    // re-sentenced 8 per group plus a trailer exercising every guard —
+    // abbreviations (Dr., vs., Fig.), initials (J.), e.g., decimals
+    // (3.14), ?/! terminators. One map-only pure-Column rewrite chain;
+    // the oracle replays the identical RE2-safe patterns.
+    "q234_sentence_split" -> ((s, dir) =>
+      sentencedDocs(s, dir).orderBy(col("doc_id"), col("sent_no")))
   )
+
+  /** Token-group size of the q234/q235 sentence plant. */
+  private[queries] val SentGroupTokens = 8
+
+  /** The planted punctuated corpus split into sentences — shared by
+    * q234 (the splitter gate) and q235 (sentence-granular bitext
+    * mining): (doc_id, sent_no, sentence), sent_no 0-based in document
+    * order. */
+  private[queries] def sentencedDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{sentences, tokensWs}
+    val d = Tables.read(s, dir, "documents")
+    val tk = tokensWs(col("text"))
+    val body = array_join(
+      transform(
+        sequence(lit(0),
+          floor((size(tk) - 1).cast("double") / SentGroupTokens).cast("int")),
+        g => array_join(
+          slice(tk, g * SentGroupTokens + 1, lit(SentGroupTokens)), " ")),
+      ". ")
+    val trailer = concat(
+      lit("Dr. Who met J. Doe, e.g. near 3.14 miles vs. the peak. " +
+        "Is it done? Yes! Fig. "),
+      (col("doc_id") % 5).cast("string"), lit(" shows it."))
+    val punct = when(size(tk) === 0, trailer)
+      .otherwise(concat(body, lit(". "), trailer))
+    d.select(col("doc_id"),
+      posexplode(sentences(punct)).as(Seq("sent_no", "sentence")))
+      .select(col("doc_id"), col("sent_no").cast("long").as("sent_no"),
+        col("sentence"))
+  }
 
   /** The deterministic page wrap shared by q144/q149/q214 (the q63
     * planting pattern): nav links, heading, the text's halves as
@@ -1744,6 +1821,8 @@ object TextQueries extends QueryPack {
   private val CrawlBenchMod = 17 // every 17th doc plays the benchmark set
   private val CrawlBudgetEn = 4000L // q214/q215 en token budget
   private val CrawlBudgetDefault = 1500L // q214/q215 other-language budget
+  private val SchedDelayMs = 500L // q236 per-host politeness delay
+  private val SchedMaxPerHost = 60L // q236 per-host total slot cap
   private[graft] val CrawlLineMaxDf = 5L // q232 boilerplate line document-frequency gate
   // q232 planted page chrome (the in-query plant, the q63/q144 pattern):
   // a sitewide cookie banner on every page (df = corpus), a newsletter
@@ -2983,6 +3062,25 @@ object TextQueries extends QueryPack {
         |SELECT url, host, priority, slot, slot * 500 AS fetch_at_ms
         |FROM sched WHERE slot < 3 ORDER BY host, slot""".stripMargin,
 
+    // Incremental-schedule replay: the fold law IS the gate — one-shot
+    // rank within host over (arrival epoch, priority DESC, url), capped.
+    "q236_frontier_sched_delta" ->
+      s"""WITH u AS (SELECT doc_id,
+        |    'site' || (doc_id % 4) || '.example.com' AS host,
+        |    'https://site' || (doc_id % 4) || '.example.com/p' || doc_id AS url,
+        |    doc_id % 3 AS epoch
+        |  FROM documents),
+        |p AS (SELECT url, host, epoch,
+        |    ('0x' || substr(md5(url), 1, 15))::BIGINT % 100 AS priority
+        |  FROM u),
+        |r AS (SELECT url, host, priority, CAST(epoch AS BIGINT) AS epoch,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY epoch, priority DESC, url) - 1 AS BIGINT) AS slot
+        |  FROM p)
+        |SELECT url, host, priority, epoch, slot,
+        |  slot * $SchedDelayMs AS fetch_at_ms
+        |FROM r WHERE slot < $SchedMaxPerHost ORDER BY host, slot""".stripMargin,
+
     "q153_bpe_pretok" -> preTokOracleSql,
 
     "q155_pretok_eval" -> preTokEvalOracleSql,
@@ -3995,6 +4093,58 @@ object TextQueries extends QueryPack {
          |    AS n_distinct_hits,
          |  len(list_filter(lt, t -> t IN ($inList))) > 0 AS flagged
          |FROM lt ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Sentence-splitter replay: the identical plant + the identical
+    // RE2-safe protect-then-split rewrites (patterns shared verbatim).
+    "q234_sentence_split" ->
+      s"""WITH $sentenceCtes
+         |SELECT doc_id, sent_no, sentence FROM sents
+         |ORDER BY doc_id, sent_no""".stripMargin
   )
+
+  /** The q234/q235 oracle chain: the planted punctuated corpus and the
+    * splitter's protect-then-split rewrites, ending in
+    * `sents(doc_id, sent_no, sentence)`. Patterns interpolate from the
+    * SAME `TextFunctions.Sent*` constants the engine compiles. */
+  private[queries] lazy val sentenceCtes: String = {
+    import graft.functions.TextFunctions._
+    s"""stoks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |       FROM documents),
+       |spt AS (SELECT doc_id,
+       |    (CASE WHEN len(tk) = 0 THEN ''
+       |          ELSE array_to_string(
+       |                 list_transform(range(0, (len(tk) - 1) // $SentGroupTokens + 1),
+       |                   g -> array_to_string(list_slice(tk,
+       |                     g * $SentGroupTokens + 1,
+       |                     g * $SentGroupTokens + $SentGroupTokens), ' ')),
+       |                 '. ') || '. ' END) ||
+       |    'Dr. Who met J. Doe, e.g. near 3.14 miles vs. the peak. ' ||
+       |    'Is it done? Yes! Fig. ' || (doc_id % 5) || ' shows it.' AS pt
+       |  FROM stoks),
+       |sseg AS (SELECT doc_id, string_split(
+       |    regexp_replace(
+       |    regexp_replace(
+       |    regexp_replace(
+       |    regexp_replace(
+       |    regexp_replace(
+       |    regexp_replace(pt,
+       |      '$SentEgPattern', '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+       |      '$SentIePattern', '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+       |      '$SentAbbrevPattern', '\\1' || chr(1), 'g'),
+       |      '$SentDecimalPattern', '\\1' || chr(1) || '\\2', 'g'),
+       |      '$SentInitialPattern', '\\1\\2' || chr(1), 'g'),
+       |      '$SentBreakPattern', '\\1' || chr(2), 'g'),
+       |    chr(2)) AS ls
+       |  FROM spt),
+       |sraw AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |           trim(replace(ls[i + 1], chr(1), '.')) AS sentence
+       |         FROM sseg, unnest(range(0, len(ls))) AS t(i)),
+       |sents AS (SELECT doc_id,
+       |            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+       |              AS sent_no,
+       |            sentence
+       |          FROM sraw WHERE sentence <> '')""".stripMargin
+  }
 }

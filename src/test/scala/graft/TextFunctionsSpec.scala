@@ -278,4 +278,24 @@ class TextFunctionsSpec extends SparkSpec {
     got(4L)._1 shouldBe MojibakeRepairs.map(_._2).mkString(" ")
     got.values.foreach(_._2 shouldBe 0L)
   }
+
+  test("sentences: terminators split, guards protect, empties drop") {
+    import graft.functions.TextFunctions.sentences
+    def split(t: String): Seq[String] =
+      Seq(t).toDF("t").select(sentences(col("t")).as("s"))
+        .collect().head.getSeq[String](0)
+    split("One here. Two there! Three up? Four") shouldBe
+      Seq("One here.", "Two there!", "Three up?", "Four")
+    // abbreviation, initial, e.g./i.e., decimal — none break
+    split("Dr. Who met J. Doe, e.g. at 3.14 st. vs. it. Next one.") shouldBe
+      Seq("Dr. Who met J. Doe, e.g. at 3.14 st. vs. it.", "Next one.")
+    // i.e. and multi-terminator runs
+    split("It holds, i.e. always. Sure?! Done.") shouldBe
+      Seq("It holds, i.e. always.", "Sure?!", "Done.")
+    // trailing terminator without whitespace ends the last sentence
+    split("Tail stays.") shouldBe Seq("Tail stays.")
+    // blank and empty inputs yield no sentences
+    split("   ") shouldBe Seq.empty
+    split("") shouldBe Seq.empty
+  }
 }
