@@ -282,6 +282,133 @@ object Graph {
   }
 
   /**
+   * Synchronous label-propagation COMMUNITY detection (Raghavan, Albert
+   * & Kumara 2007, "Near linear time algorithm to detect community
+   * structures in large-scale networks") — the modularity/community
+   * face the graph tier's component finder cannot give: spam-farm rings
+   * are dense COMMUNITIES inside one giant connected component. Fully
+   * deterministic (the q133 convention): every node seeds with its own
+   * id, each updating node adopts its neighborhood's majority label
+   * with the total (count DESC, label ASC) tie-break, and the round
+   * count is fixed — no convergence test, so the oracle unrolls the
+   * identical rounds.
+   *
+   * Update schedule — SEMI-SYNCHRONOUS by node-id color (Cordasco &
+   * Gargano 2011, "Community detection via semi-synchronous label
+   * propagation algorithms"): round i updates only nodes with
+   * node mod `phases` = i mod `phases`; the rest hold. Fully
+   * synchronous updates (`phases` = 1) OSCILLATE on bipartite-ish
+   * graphs — the whole graph 2-colors into an anti-community checker
+   * pattern (measured: Q = −0.5 on the co-purchase graph) — while the
+   * phase schedule keeps each update against a FROZEN neighborhood,
+   * which provably prevents the oscillation when the phase classes
+   * respect the graph's coloring (our even/odd ids color the bipartite
+   * co-purchase graph exactly). `iters` counts rounds, so `phases`·k
+   * rounds = k full sweeps.
+   *
+   * Input: (src, dst) edge list — symmetrized, deduplicated, self-loops
+   * dropped internally. Output: (node, community) for every endpoint of
+   * the input (isolated-after-normalization nodes keep their own id).
+   *
+   * Scale shape: per round, ONE src-keyed join of the edge list against
+   * the label vector and one (node, label) hash aggregate (map-side
+   * combined) + a node-keyed majority window whose partition is a
+   * node's distinct-neighbor-label set — bounded by degree. The q133
+   * lineage seal (`checkpointEvery`) bounds plan depth on long runs.
+   */
+  def communities(edges: DataFrame, iters: Int, phases: Int = 2,
+                  checkpointEvery: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "communities: iters must be >= 1")
+    require(phases >= 1, "communities: phases must be >= 1")
+    require(checkpointEvery >= 0, "communities: checkpointEvery must be >= 0")
+    val raw = edges.select(col("src"), col("dst"))
+    val und = raw.where(col("src") =!= col("dst"))
+    val e = graft.core.Caches.cacheOnce(
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val nodes = graft.core.Caches.cacheOnce(
+      raw.select(col("src").as("node"))
+        .unionAll(raw.select(col("dst").as("node"))).distinct())
+    var labels = nodes.select(col("node"), col("node").as("community"))
+    for (i <- 1 to iters) {
+      val nb = e
+        .join(labels.select(col("node").as("src"), col("community")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"), col("community"))
+        .agg(count(lit(1)).as("c"))
+      val wMaj = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("community").asc)
+      val maj = nb.withColumn("rnk", row_number().over(wMaj))
+        .where(col("rnk") === 1)
+        .select(col("node"), col("community").as("__m"))
+      val inPhase = pmod(col("node"), lit(phases.toLong)) === (i % phases)
+      labels = labels.join(maj, Seq("node"), "left")
+        .select(col("node"),
+          when(inPhase, coalesce(col("__m"), col("community")))
+            .otherwise(col("community")).as("community"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val cached = graft.core.Caches.cacheOnce(labels)
+        labels = cached.localCheckpoint(eager = false)
+        labels.count()
+        graft.core.Caches.release(cached)
+      }
+    }
+    labels
+  }
+
+  /**
+   * Newman–Girvan modularity of a partition (Newman & Girvan 2004,
+   * "Finding and evaluating community structure in networks", eq. 5):
+   * Q = Σ_c (L_c/m − (vol_c/2m)²) over communities — intra-community
+   * edge fraction minus its degree-volume expectation under the
+   * configuration model. The report card for [[communities]]' output
+   * (Q near 0 = no structure beyond chance; real community structure
+   * typically lands 0.3–0.7).
+   *
+   * Edges canonicalize to undirected distinct pairs without self-loops;
+   * edges with an unlabeled endpoint drop out of the label joins (the
+   * caller labels every node when the partition comes from
+   * [[communities]]). All counts are exact longs; one division pass at
+   * the end, 1e-6-rounded. Scale:
+   * one distinct, one degree aggregate, two label joins riding the
+   * saturating label table, three bounded-row aggregates.
+   *
+   * Output: one row (n_nodes, n_communities, n_edges, q).
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = graft.core.Caches.cacheOnce(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    val lab = labels.select(col("node"), col("community"))
+    val m = canon.agg(count(lit(1)).as("m"))
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val vol = deg.join(lab, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("deg")).as("vol"))
+    val intra = canon
+      .join(lab.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("lc"))
+    val stats = lab.agg(countDistinct(col("node")).as("n_nodes"),
+      countDistinct(col("community")).as("n_communities"))
+    vol.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .agg(
+        sum(coalesce(col("lc"), lit(0L)).cast("double") /
+          col("m").cast("double")).as("qin"),
+        sum(pow(col("vol").cast("double") /
+          (lit(2.0) * col("m").cast("double")), 2.0)).as("qexp"),
+        max(col("m")).as("n_edges"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_nodes"), col("n_communities"), col("n_edges"),
+        round(col("qin") - col("qexp"), 6).as("q"))
+  }
+
+  /**
    * Per-node triangle counts by DEGREE-ORIENTED wedge join (the
    * compact-forward algorithm; Chiba & Nishizeki 1985, Schank 2007 —
    * what every distributed triangle system implements): orient each

@@ -67,4 +67,82 @@ object TextMetrics {
             (col("ct") + col("rt")).cast("double")), 6)
           .as("f1"))
   }
+
+  /**
+   * Per-pair BLEU with brevity penalty (Papineni et al. 2002, "BLEU: a
+   * Method for Automatic Evaluation of Machine Translation") — the MT
+   * gate the curation loop's bitext tier feeds, beside [[rougeN]]'s
+   * recall-oriented face:
+   *
+   *   p_k  = Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_cand(g)
+   *          (clipped modified precision per n-gram order k = 1..n)
+   *   BP   = 1 if c > r else exp(1 − r/c)   (c, r = token lengths)
+   *   BLEU = BP · exp(Σ_k ln p_k / n)
+   *
+   * Unsmoothed: any p_k = 0 (or a candidate shorter than n tokens, or
+   * empty) scores 0 — the convention the uniform-weight geometric mean
+   * forces. Every ratio is exact-integer longs; only the final
+   * ln/exp/÷ run in binary64, 1e-6-rounded.
+   *
+   * Relational shape (one pass for ALL orders): each side explodes once
+   * to (pair, k, gram) rows — k = 1..n from a single nested transform,
+   * so cost is n·grams with no per-order rescan — the multisets align
+   * on a (pair, k, gram)-keyed full-outer join, one aggregate per
+   * (pair, k) clips, one per pair folds the geometric mean. No UDFs, no
+   * driver loops.
+   *
+   * Output: (idCol, c_len, r_len, bp, p_1..p_n, bleu), doubles rounded
+   * 1e-6; p_k = 0.0 when the candidate has no order-k grams.
+   */
+  def bleuN(pairs: DataFrame, n: Int, idCol: String = "pair_id",
+            candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(n >= 1, "bleuN: n must be >= 1")
+    val emptyGrams = array().cast("array<struct<k:int,gram:string>>")
+    def gramCounts(c: String, cnt: String): DataFrame = {
+      val tk = tokensWs(col(c))
+      val all = concat((1 to n).map { k =>
+        when(size(tk) < k, emptyGrams)
+          .otherwise(transform(sequence(lit(1), size(tk) - (k - 1)),
+            i => struct(lit(k).as("k"),
+              concat_ws(" ", slice(tk, i, lit(k))).as("gram"))))
+      }: _*)
+      pairs.select(col(idCol), explode(all).as("kg"))
+        .select(col(idCol), col("kg.k").as("k"), col("kg.gram").as("gram"))
+        .groupBy(col(idCol), col("k"), col("gram"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val perK = gramCounts(candCol, "cc")
+      .join(gramCounts(refCol, "rc"), Seq(idCol, "k", "gram"), "full_outer")
+      .groupBy(col(idCol), col("k"))
+      .agg(
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L))))
+          .as("ov"),
+        sum(coalesce(col("cc"), lit(0L))).as("ct"))
+      .where(col("ct") > 0L) // reference-only grams don't define a p_k
+    val pkCols = (1 to n).map { k =>
+      max(when(col("k") === k,
+        round(col("ov").cast("double") / col("ct").cast("double"), 6)))
+        .as(s"p_$k")
+    }
+    val foldExprs = Seq(
+      sum(when(col("ov") > 0L,
+        log(col("ov").cast("double") / col("ct").cast("double")))).as("sl"),
+      count(when(col("ov") > 0L, lit(1))).as("kpos")) ++ pkCols
+    val folded = perK.groupBy(col(idCol))
+      .agg(foldExprs.head, foldExprs.tail: _*)
+    val lens = pairs.select(col(idCol),
+      size(tokensWs(col(candCol))).cast("long").as("c_len"),
+      size(tokensWs(col(refCol))).cast("long").as("r_len"))
+    val bp = when(col("c_len") === 0L, 0.0)
+      .when(col("c_len") > col("r_len"), 1.0)
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    lens.join(folded, Seq(idCol), "left")
+      .select(Seq(col(idCol), col("c_len"), col("r_len"),
+        round(bp, 6).as("bp")) ++
+        (1 to n).map(k => coalesce(col(s"p_$k"), lit(0.0)).as(s"p_$k")) ++
+        Seq(round(when(col("c_len") === 0L ||
+            coalesce(col("kpos"), lit(0L)) < n, 0.0)
+          .otherwise(bp * exp(col("sl") / n)), 6).as("bleu")): _*)
+  }
 }

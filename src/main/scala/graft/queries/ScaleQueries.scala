@@ -512,6 +512,30 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // EXT-X17: synchronous label-propagation community detection — the
+    // community face the graph tier lacked: spam rings are dense
+    // COMMUNITIES inside one giant component, invisible to q169's
+    // connected components. Deterministic by construction (the q133
+    // convention): own-id seeds, synchronous rounds, (count DESC,
+    // label ASC) majority tie-break, fixed round count — the oracle
+    // unrolls the identical rounds.
+    "q238_communities" -> ((s, dir) => {
+      graft.operators.Graph.communities(blockCoPurchaseEdges(s, dir), CommRounds,
+          CommPhases)
+        .orderBy(col("node"))
+    }),
+
+    // EXT-X18: Newman–Girvan modularity of the detected partition —
+    // the report card for q238 (Q near 0 = chance, 0.3+ = real
+    // structure): intra-community edge fraction minus its
+    // configuration-model expectation, exact-integer counts with one
+    // final division pass.
+    "q239_modularity" -> ((s, dir) => {
+      val cp = blockCoPurchaseEdges(s, dir)
+      graft.operators.Graph.modularity(cp,
+        graft.operators.Graph.communities(cp, CommRounds, CommPhases))
+    }),
+
     // EXT-X16: HITS hubs-and-authorities over the DIRECTED customer→part
     // co-purchase graph (the q133 edge recipe before symmetrization —
     // HITS is the rank that NEEDS direction: hubs and authorities are
@@ -665,6 +689,27 @@ object ScaleQueries extends QueryPack {
 
   private val ZipfTopK = 1000 // q229 fitted vocabulary head
   private val PrIters = 3 // q133 PageRank rounds
+  private val CommRounds = 4 // q238/q239 community rounds (2 full sweeps)
+  private val CommPhases = 2 // q238/q239 semi-sync color classes (even/odd
+  // ids = the bipartite co-purchase sides, so oscillation cannot start)
+
+  /** The q238/q239 community fixture: the co-purchase graph restricted
+    * to PLANTED blocks — edge (c, p) survives iff c ≡ p (mod 4), plus a
+    * 5% keyed-hash sprinkle of cross-block noise. The raw co-purchase
+    * graph is dense and structureless (any detector correctly floods it
+    * to one community, Q ≈ 0); the block plant gives the detector real
+    * structure to recover and the modularity gate a non-trivial Q. */
+  private def blockCoPurchaseEdges(s: SparkSession, dir: String) = {
+    val li = Tables.read(s, dir, "lineitem")
+    val ord = Tables.read(s, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct()
+      .where(col("ck") % 4 === col("pk") % 4 ||
+        pmod(graft.functions.TextFunctions.hash60(
+          concat_ws(":", col("ck"), col("pk"))), lit(20L)) === 0)
+      .select((col("ck") * 2L).as("src"), (col("pk") * 2L + 1L).as("dst"))
+  }
   private val PrTopK = 20 // q133 output size
   private val LpIters = 3 // q173 label-propagation rounds
   private val ShuffleEpochs = 3 // q197 training epochs
@@ -676,6 +721,38 @@ object ScaleQueries extends QueryPack {
 
   /** One label-propagation round as a CTE pair: labeled-neighbor counts
     * into nbN, the clamped-seed/majority label vector into lN. */
+  /** One semi-synchronous community-LPA round (the q238/q239 chain):
+    * the lpRound shape without seed clamping — only the round's phase
+    * class (node mod phases = i mod phases) updates, the rest hold. */
+  private def commRound(i: Int): String =
+    s"""cnb$i AS MATERIALIZED (SELECT e.dst AS node, l.community, COUNT(*) AS c
+       |         FROM ee e JOIN c${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+       |cmj$i AS MATERIALIZED (SELECT node, community FROM (
+       |    SELECT node, community,
+       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, community)
+       |        AS rnk
+       |    FROM cnb$i) WHERE rnk = 1),
+       |c$i AS MATERIALIZED (SELECT l.node,
+       |        CASE WHEN l.node % $CommPhases = ${i % CommPhases}
+       |             THEN COALESCE(m.community, l.community)
+       |             ELSE l.community END AS community
+       |        FROM c${i - 1} l LEFT JOIN cmj$i m USING (node))""".stripMargin
+
+  /** The q238/q239 shared oracle prefix: the co-purchase graph,
+    * symmetrized edges, own-id seeds, CommRounds unrolled rounds —
+    * ending in `c$CommRounds(node, community)`. */
+  private lazy val commCtes: String =
+    s"""cp AS (SELECT ck * 2 AS src, pk * 2 + 1 AS dst FROM (
+       |        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |      WHERE ck % 4 = pk % 4
+       |         OR ('0x' || substr(md5(ck || ':' || pk), 1, 15))::BIGINT % 20 = 0),
+       |ee AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM cp UNION ALL SELECT dst FROM cp)),
+       |c0 AS (SELECT node, node AS community FROM nodes),
+       |${(1 to CommRounds).map(commRound).mkString(",\n")}""".stripMargin
+
   private def lpRound(i: Int): String =
     s"""nb$i AS MATERIALIZED (SELECT e.dst AS node, l.label, COUNT(*) AS c
        |         FROM ee e JOIN l${i - 1} l ON e.src = l.node
@@ -743,6 +820,39 @@ object ScaleQueries extends QueryPack {
 
     // Label-propagation replay: the bipartite co-purchase graph, sparse
     // clamped seeds, three majority rounds as chained CTEs.
+    // Community replay: own-id seeds, CommRounds unrolled synchronous
+    // majority rounds (no clamping — the lpRound chain's unseeded twin).
+    "q238_communities" ->
+      s"""WITH $commCtes
+         |SELECT node, community FROM c$CommRounds ORDER BY node""".stripMargin,
+
+    // Modularity replay: the same unrolled chain, then Newman–Girvan
+    // Q = Σ_c (L_c/m − (vol_c/2m)²) in exact-integer counts.
+    "q239_modularity" ->
+      s"""WITH $commCtes,
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |            GREATEST(src, dst) AS b FROM cp),
+         |mm AS (SELECT COUNT(*)::BIGINT AS m FROM canon),
+         |dg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM (
+         |    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+         |  GROUP BY 1),
+         |vol AS (SELECT l.community, SUM(dg.deg)::BIGINT AS vol
+         |        FROM dg JOIN c$CommRounds l ON dg.node = l.node GROUP BY 1),
+         |intra AS (SELECT la.community, COUNT(*)::BIGINT AS lc
+         |          FROM canon
+         |          JOIN c$CommRounds la ON canon.a = la.node
+         |          JOIN c$CommRounds lb ON canon.b = lb.node
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |st AS (SELECT COUNT(DISTINCT node)::BIGINT AS n_nodes,
+         |         COUNT(DISTINCT community)::BIGINT AS n_communities
+         |       FROM c$CommRounds)
+         |SELECT n_nodes, n_communities, m AS n_edges,
+         |  ROUND(SUM(COALESCE(lc, 0)::DOUBLE / m::DOUBLE)
+         |        - SUM(POW(vol::DOUBLE / (2 * m)::DOUBLE, 2)), 6) AS q
+         |FROM vol LEFT JOIN intra USING (community)
+         |CROSS JOIN mm CROSS JOIN st
+         |GROUP BY n_nodes, n_communities, m""".stripMargin,
+
     "q173_label_prop" ->
       s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

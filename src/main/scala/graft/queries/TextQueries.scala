@@ -149,6 +149,33 @@ object TextQueries extends QueryPack {
         .orderBy(col("pair_id"))
     }),
 
+    // EXT-T81: BLEU with brevity penalty — the MT-curation gate beside
+    // q170's recall-oriented ROUGE: clipped modified precision per
+    // n-gram order 1..4 (exact-integer ratios), the closed-form brevity
+    // penalty, and the uniform-weight geometric mean (unsmoothed: any
+    // zero order scores 0). The plant makes scores SPAN the range and
+    // exercises each branch: reference = the doc itself; candidate by
+    // id % 3 — a 3/4-length prefix (high precisions, BP < 1), the text
+    // plus a 4-token planted tail (BP = 1, precisions just under 1), or
+    // the reversed token stream (p_1 = 1 but higher orders 0 → the
+    // zero-order convention fires).
+    "q237_bleu_eval" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val tk = tokensWs(col("text"))
+      val cut = ceil(size(tk) * lit(3) / lit(4.0)).cast("int")
+      val cand = when(col("doc_id") % 3 === 0,
+          array_join(slice(tk, lit(1), cut), " "))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" alpha beta gamma delta")))
+        .otherwise(array_join(reverse(tk), " "))
+      graft.operators.TextMetrics.bleuN(
+          d.where(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("pair_id"), cand.as("cand"),
+              col("text").as("ref")),
+          BleuOrder)
+        .orderBy(col("pair_id"))
+    }),
+
     // EXT-T55: CONTENT-DEFINED chunking (LBFS/FastCDC cut rule) — the
     // rolling trailing-window hash cuts where h ≡ 0 mod 16, so chunk
     // boundaries re-align after edits and identical text regions hash
@@ -1780,6 +1807,7 @@ object TextQueries extends QueryPack {
   private val CdcWindow = 4 // q168 rolling-hash window (tokens)
   private val CdcModK = 16 // q168 cut modulus ⇒ expected ~16-token chunks
   private val RougeOrder = 2 // q170 n-gram order
+  private val BleuOrder = 4 // q237 max n-gram order (the standard BLEU-4)
   private val UniRounds = 2 // q139 hard-EM rounds
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
@@ -3569,6 +3597,60 @@ object TextQueries extends QueryPack {
 
     // ROUGE replay: bigram multisets from both sides of each pair, a
     // full join aligning them, clipped-overlap sums, exact-long ratios.
+    // BLEU replay: one (pair, k, gram) explode for all orders, clipped
+    // per-(pair, k) aggregate, the closed-form brevity penalty, and the
+    // geometric mean with the zero-order convention.
+    "q237_bleu_eval" ->
+      s"""WITH tkd AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),
+         |pr AS (SELECT doc_id AS pair_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |                THEN list_slice(tk, 1, CAST(ceil(len(tk) * 3 / 4.0) AS INT))
+         |              WHEN doc_id % 3 = 1
+         |                THEN tk || ['alpha', 'beta', 'gamma', 'delta']
+         |              ELSE list_reverse(tk) END AS ctk,
+         |         tk AS rtk
+         |       FROM tkd WHERE doc_id % 5 = 0),
+         |cg AS (SELECT pair_id, k, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+         |    SELECT pair_id, k, array_to_string(list_slice(ctk, i, i + k - 1), ' ') AS g
+         |    FROM pr, unnest(range(1, $BleuOrder + 1)) AS kk(k),
+         |         unnest(range(1, len(ctk) - k + 2)) AS ii(i)
+         |    WHERE len(ctk) >= k) GROUP BY 1, 2, 3),
+         |rg AS (SELECT pair_id, k, g, CAST(COUNT(*) AS BIGINT) AS rc FROM (
+         |    SELECT pair_id, k, array_to_string(list_slice(rtk, i, i + k - 1), ' ') AS g
+         |    FROM pr, unnest(range(1, $BleuOrder + 1)) AS kk(k),
+         |         unnest(range(1, len(rtk) - k + 2)) AS ii(i)
+         |    WHERE len(rtk) >= k) GROUP BY 1, 2, 3),
+         |j AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+         |        COALESCE(cg.k, rg.k) AS k,
+         |        COALESCE(cc, 0) AS cc, COALESCE(rc, 0) AS rc
+         |      FROM cg FULL JOIN rg
+         |        ON cg.pair_id = rg.pair_id AND cg.k = rg.k AND cg.g = rg.g),
+         |ag AS (SELECT pair_id, k, SUM(LEAST(cc, rc)) AS ov, SUM(cc) AS ct
+         |       FROM j GROUP BY 1, 2 HAVING SUM(cc) > 0),
+         |fold AS (SELECT pair_id,
+         |    SUM(CASE WHEN ov > 0 THEN ln(ov::DOUBLE / ct::DOUBLE) END) AS sl,
+         |    COUNT(*) FILTER (WHERE ov > 0) AS kpos,
+         |    MAX(CASE WHEN k = 1 THEN ROUND(ov::DOUBLE / ct::DOUBLE, 6) END) AS p_1,
+         |    MAX(CASE WHEN k = 2 THEN ROUND(ov::DOUBLE / ct::DOUBLE, 6) END) AS p_2,
+         |    MAX(CASE WHEN k = 3 THEN ROUND(ov::DOUBLE / ct::DOUBLE, 6) END) AS p_3,
+         |    MAX(CASE WHEN k = 4 THEN ROUND(ov::DOUBLE / ct::DOUBLE, 6) END) AS p_4,
+         |  FROM ag GROUP BY 1),
+         |lens AS (SELECT pair_id, len(ctk)::BIGINT AS c_len,
+         |                len(rtk)::BIGINT AS r_len FROM pr)
+         |SELECT l.pair_id, c_len, r_len,
+         |  ROUND(CASE WHEN c_len = 0 THEN 0.0 WHEN c_len > r_len THEN 1.0
+         |        ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END, 6) AS bp,
+         |  COALESCE(p_1, 0.0) AS p_1,
+         |  COALESCE(p_2, 0.0) AS p_2,
+         |  COALESCE(p_3, 0.0) AS p_3,
+         |  COALESCE(p_4, 0.0) AS p_4,
+         |  ROUND(CASE WHEN c_len = 0 OR COALESCE(kpos, 0) < $BleuOrder THEN 0.0
+         |        ELSE (CASE WHEN c_len > r_len THEN 1.0
+         |              ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END)
+         |             * exp(sl / $BleuOrder) END, 6) AS bleu
+         |FROM lens l LEFT JOIN fold USING (pair_id) ORDER BY pair_id""".stripMargin,
+
     "q170_rouge_eval" ->
       s"""WITH tkd AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
          |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents),

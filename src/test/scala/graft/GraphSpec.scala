@@ -209,4 +209,36 @@ class GraphSpec extends SparkSpec {
     got(4L)._2 should be > got(3L)._2
     got(1L)._1 should be > got(2L)._1
   }
+
+  test("communities: hand-walked semi-sync rounds recover planted bipartite blocks") {
+    // two complete-bipartite blocks {0,4}×{1,5} and {2,6}×{3,7} plus one
+    // cross edge (4,7). Hand-walk (phases = 2: odd ids update in rounds
+    // 1/3, even in 2/4; majority tie-breaks to the smallest label):
+    //   r1: 1→0, 5→0, 3→2, 7→2 (each odd node ties across its even
+    //       neighbors' fresh own-id labels → min)
+    //   r2: 0→0, 4→0 (both odd neighbors say 0; the cross 2 is outvoted),
+    //       2→2, 6→2
+    //   r3/r4: fixed point — blocks converged, the cross edge outvoted.
+    val edges = Seq((0L, 1L), (0L, 5L), (4L, 1L), (4L, 5L),
+      (2L, 3L), (2L, 7L), (6L, 3L), (6L, 7L), (4L, 7L)).toDF("src", "dst")
+    val got = Graph.communities(edges, iters = 4, phases = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 5L -> 0L,
+      2L -> 2L, 3L -> 2L, 6L -> 2L, 7L -> 2L)
+    // hand-computed modularity of that partition: m = 9 edges, intra
+    // L = 4 + 4, vol = 9 + 9 → Q = 8/9 − 2·(9/18)² = 0.388889
+    val q = Graph.modularity(edges, Graph.communities(edges, 4, 2)).collect().head
+    q.getAs[Long]("n_nodes") shouldBe 8L
+    q.getAs[Long]("n_communities") shouldBe 2L
+    q.getAs[Long]("n_edges") shouldBe 9L
+    q.getAs[Double]("q") shouldBe 0.388889
+    // the trivial own-id partition scores NEGATIVE (all edges cross):
+    // Q = 0 − Σ (deg/2m)² = −42/324
+    import org.apache.spark.sql.functions.col
+    val own = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("community"))
+    Graph.modularity(edges, own).collect().head
+      .getAs[Double]("q") shouldBe -0.12963
+  }
 }

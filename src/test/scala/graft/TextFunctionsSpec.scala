@@ -279,6 +279,35 @@ class TextFunctionsSpec extends SparkSpec {
     got.values.foreach(_._2 shouldBe 0L)
   }
 
+  test("bleuN: hand-computed witnesses — clipping, brevity penalty, zero-order") {
+    import graft.operators.TextMetrics
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat on the mat"), // exact prefix
+      (2L, "a a a b", "a b"), // clipping + long candidate
+      (3L, "", "a b") // empty candidate
+    ).toDF("pair_id", "cand", "ref")
+    val m3 = TextMetrics.bleuN(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // pair 1: p1 = p2 = p3 = 1, c = 3, r = 6 → BLEU = BP = e^(1−2)
+    m3(1L).getAs[Double]("bp") shouldBe 0.367879
+    m3(1L).getAs[Double]("bleu") shouldBe 0.367879
+    m3(1L).getAs[Double]("p_3") shouldBe 1.0
+    // pair 2: p1 = min(3,1)+min(1,1) over 4 = 0.5 (clipped); p3 has
+    // candidate grams but zero overlap → the geometric mean zeroes out
+    m3(2L).getAs[Double]("p_1") shouldBe 0.5
+    m3(2L).getAs[Double]("bleu") shouldBe 0.0
+    m3(2L).getAs[Double]("p_3") shouldBe 0.0
+    // pair 3: empty candidate → everything 0
+    m3(3L).getAs[Double]("bp") shouldBe 0.0
+    m3(3L).getAs[Double]("bleu") shouldBe 0.0
+    // BLEU-2 of pair 2: exp((ln 1/2 + ln 1/3) / 2) = √(1/6), BP = 1
+    val m2 = TextMetrics.bleuN(pairs.where(col("pair_id") === 2L), 2)
+      .collect().head
+    m2.getAs[Double]("bp") shouldBe 1.0
+    m2.getAs[Double]("p_2") shouldBe 0.333333
+    m2.getAs[Double]("bleu") shouldBe 0.408248
+  }
+
   test("sentences: terminators split, guards protect, empties drop") {
     import graft.functions.TextFunctions.sentences
     def split(t: String): Seq[String] =
