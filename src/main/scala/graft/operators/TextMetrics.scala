@@ -145,4 +145,71 @@ object TextMetrics {
             coalesce(col("kpos"), lit(0L)) < n, 0.0)
           .otherwise(bp * exp(col("sl") / n)), 6).as("bleu")): _*)
   }
+
+  /**
+   * Per-pair chrF (Popović 2015, "chrF: character n-gram F-score for
+   * automatic MT evaluation") — the tokenization-free member of the
+   * metric trio (ROUGE recall-oriented, BLEU precision-oriented, chrF
+   * character-level): whitespace strips entirely, both sides explode to
+   * CHARACTER n-grams for every order 1..n, per-order clipped precision
+   * P_k and recall R_k average into P̄/R̄, and
+   *
+   *   chrF_β = (1 + β²)·P̄·R̄ / (β²·P̄ + R̄)   (β = 2 favors recall)
+   *
+   * Closed-form conventions (deterministic, engine-portable): an order
+   * with no candidate grams contributes P_k = 0; no reference grams,
+   * R_k = 0; both averages always divide by n; chrF = 0 when the
+   * denominator is 0. All gram counts exact longs.
+   *
+   * Shape mirrors [[bleuN]]: one (pair, k, gram) explode per side (all
+   * orders in one pass), a keyed full-outer join, one aggregate per
+   * (pair, k), one per pair. Output: (idCol, precision, recall, chrf),
+   * 1e-6-rounded.
+   */
+  def chrF(pairs: DataFrame, n: Int, beta: Double = 2.0,
+           idCol: String = "pair_id", candCol: String = "cand",
+           refCol: String = "ref"): DataFrame = {
+    require(n >= 1, "chrF: n must be >= 1")
+    require(beta > 0, "chrF: beta must be positive")
+    val emptyGrams = array().cast("array<struct<k:int,gram:string>>")
+    def gramCounts(c: String, cnt: String): DataFrame = {
+      val s = regexp_replace(col(c), "\\s+", "")
+      val all = concat((1 to n).map { k =>
+        when(length(s) < k, emptyGrams)
+          .otherwise(transform(sequence(lit(1), length(s) - (k - 1)),
+            i => struct(lit(k).as("k"), s.substr(i, lit(k)).as("gram"))))
+      }: _*)
+      pairs.select(col(idCol), explode(all).as("kg"))
+        .select(col(idCol), col("kg.k").as("k"), col("kg.gram").as("gram"))
+        .groupBy(col(idCol), col("k"), col("gram"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val perK = gramCounts(candCol, "cc")
+      .join(gramCounts(refCol, "rc"), Seq(idCol, "k", "gram"), "full_outer")
+      .groupBy(col(idCol), col("k"))
+      .agg(
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L))))
+          .as("ov"),
+        sum(coalesce(col("cc"), lit(0L))).as("ct"),
+        sum(coalesce(col("rc"), lit(0L))).as("rt"))
+    val folded = perK.groupBy(col(idCol))
+      .agg(
+        (sum(when(col("ct") > 0L,
+          col("ov").cast("double") / col("ct").cast("double"))
+          .otherwise(lit(0.0))) / n).as("pbar"),
+        (sum(when(col("rt") > 0L,
+          col("ov").cast("double") / col("rt").cast("double"))
+          .otherwise(lit(0.0))) / n).as("rbar"))
+    val b2 = beta * beta
+    val den = lit(b2) * col("pbar") + col("rbar")
+    pairs.select(col(idCol)).distinct()
+      .join(folded, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("pbar"), lit(0.0)), 6).as("precision"),
+        round(coalesce(col("rbar"), lit(0.0)), 6).as("recall"),
+        round(coalesce(
+          when(den === 0.0, 0.0)
+            .otherwise(lit(1.0 + b2) * col("pbar") * col("rbar") / den),
+          lit(0.0)), 6).as("chrf"))
+  }
 }

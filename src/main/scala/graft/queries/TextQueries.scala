@@ -1350,6 +1350,51 @@ object TextQueries extends QueryPack {
           "problem_id", "ok", PassK)
         .orderBy(col("problem_id"))),
 
+    // EXT-D35: sentence-granular boilerplate dedup — the q160 line
+    // strike at the granularity the q234 splitter unlocks, completing
+    // the dedup granularity matrix (document / span / chunk / line /
+    // sentence): sentences repeating across more than maxDf documents
+    // (cookie banners, calls-to-action, the planted trailer) strike
+    // from every document; unique body sentences survive. Rides the
+    // EXT-D25 machinery verbatim — the "lines" are sentences joined
+    // with newlines, so hashes/df/strike/reassembly are the proven
+    // dataflow.
+    "q240_sentence_dedup" -> ((s, dir) => {
+      val joined = sentencedDocs(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("sent_no"), col("sentence")))),
+            x => x.getField("sentence")),
+          "\n").as("text"))
+      graft.operators.Dedup.lineDedup(joined, CrawlLineMaxDf)
+        .select(col("doc_id"), col("n_lines").as("n_sentences"),
+          col("n_removed"), md5(col("text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXT-T82: chrF — the character-level member of the metric trio
+    // (ROUGE recall / BLEU precision / chrF tokenization-free): char
+    // n-grams 1..4 over whitespace-stripped text, per-order clipped
+    // P/R averaged, F_β with β = 2. Same pair plant as q237 so the
+    // three metrics read side by side on identical pairs.
+    "q241_chrf_eval" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val tk = tokensWs(col("text"))
+      val cut = ceil(size(tk) * lit(3) / lit(4.0)).cast("int")
+      val cand = when(col("doc_id") % 3 === 0,
+          array_join(slice(tk, lit(1), cut), " "))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" alpha beta gamma delta")))
+        .otherwise(array_join(reverse(tk), " "))
+      graft.operators.TextMetrics.chrF(
+          d.where(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("pair_id"), cand.as("cand"),
+              col("text").as("ref")),
+          ChrfOrder)
+        .orderBy(col("pair_id"))
+    }),
+
     // EXT-T79: rule-based sentence segmentation — the granularity
     // upgrade under bitext mining / ROUGE / dedup (production MT
     // curation works on SENTENCES). The fixture has no punctuation, so
@@ -1808,6 +1853,7 @@ object TextQueries extends QueryPack {
   private val CdcModK = 16 // q168 cut modulus ⇒ expected ~16-token chunks
   private val RougeOrder = 2 // q170 n-gram order
   private val BleuOrder = 4 // q237 max n-gram order (the standard BLEU-4)
+  private val ChrfOrder = 4 // q241 max char n-gram order
   private val UniRounds = 2 // q139 hard-EM rounds
   private val UniSeed = 40 // q139 seed multi-char pieces
   private val UniTarget = 36 // q139 pruned vocabulary size
@@ -4176,6 +4222,72 @@ object TextQueries extends QueryPack {
          |  len(list_filter(lt, t -> t IN ($inList))) > 0 AS flagged
          |FROM lt ORDER BY doc_id""".stripMargin
     },
+
+    // Sentence-dedup replay: the shared sentence chain re-keyed as the
+    // q160 line strike (df over sentence hashes, strike, reassemble).
+    "q240_sentence_dedup" ->
+      s"""WITH $sentenceCtes,
+         |sl AS (SELECT doc_id, sent_no AS line_no, sentence AS line,
+         |         ('0x' || substr(md5(sentence), 1, 15))::BIGINT AS h
+         |       FROM sents),
+         |sdf AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sl GROUP BY 1),
+         |smk AS (SELECT l.doc_id, l.line_no, l.line,
+         |          (d.df > $CrawlLineMaxDf) AS hot
+         |        FROM sl l JOIN sdf d USING (h))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+         |  CAST(COUNT(*) FILTER (WHERE hot) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+         |        FILTER (WHERE NOT hot), '')) AS clean_md5
+         |FROM smk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // chrF replay: the q237 pair plant, char n-grams over
+    // whitespace-stripped text, per-order clipped P/R, the F_beta fold.
+    "q241_chrf_eval" ->
+      s"""WITH tkd AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         |         text FROM documents),
+         |pr0 AS (SELECT doc_id AS pair_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |                THEN array_to_string(list_slice(tk, 1,
+         |                       CAST(ceil(len(tk) * 3 / 4.0) AS INT)), ' ')
+         |              WHEN doc_id % 3 = 1
+         |                THEN text || ' alpha beta gamma delta'
+         |              ELSE array_to_string(list_reverse(tk), ' ') END AS cand,
+         |         text AS ref
+         |       FROM tkd WHERE doc_id % 5 = 0),
+         |pr AS (SELECT pair_id,
+         |         regexp_replace(cand, '\\s+', '', 'g') AS cs,
+         |         regexp_replace(ref, '\\s+', '', 'g') AS rs
+         |       FROM pr0),
+         |cg AS (SELECT pair_id, k, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+         |    SELECT pair_id, k, substr(cs, i::INT, k::INT) AS g
+         |    FROM pr, unnest(range(1, $ChrfOrder + 1)) AS kk(k),
+         |         unnest(range(1, length(cs) - k + 2)) AS ii(i)
+         |    WHERE length(cs) >= k) GROUP BY 1, 2, 3),
+         |rg AS (SELECT pair_id, k, g, CAST(COUNT(*) AS BIGINT) AS rc FROM (
+         |    SELECT pair_id, k, substr(rs, i::INT, k::INT) AS g
+         |    FROM pr, unnest(range(1, $ChrfOrder + 1)) AS kk(k),
+         |         unnest(range(1, length(rs) - k + 2)) AS ii(i)
+         |    WHERE length(rs) >= k) GROUP BY 1, 2, 3),
+         |j AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+         |        COALESCE(cg.k, rg.k) AS k,
+         |        COALESCE(cc, 0) AS cc, COALESCE(rc, 0) AS rc
+         |      FROM cg FULL JOIN rg
+         |        ON cg.pair_id = rg.pair_id AND cg.k = rg.k AND cg.g = rg.g),
+         |ag AS (SELECT pair_id, k, SUM(LEAST(cc, rc)) AS ov,
+         |         SUM(cc) AS ct, SUM(rc) AS rt FROM j GROUP BY 1, 2),
+         |fold AS (SELECT pair_id,
+         |    SUM(CASE WHEN ct > 0 THEN ov::DOUBLE / ct::DOUBLE
+         |             ELSE 0.0 END) / $ChrfOrder AS pbar,
+         |    SUM(CASE WHEN rt > 0 THEN ov::DOUBLE / rt::DOUBLE
+         |             ELSE 0.0 END) / $ChrfOrder AS rbar
+         |  FROM ag GROUP BY 1)
+         |SELECT p.pair_id,
+         |  ROUND(COALESCE(pbar, 0.0), 6) AS precision,
+         |  ROUND(COALESCE(rbar, 0.0), 6) AS recall,
+         |  ROUND(COALESCE(CASE WHEN 4 * pbar + rbar = 0 THEN 0.0
+         |        ELSE 5 * pbar * rbar / (4 * pbar + rbar) END, 0.0), 6) AS chrf
+         |FROM pr p LEFT JOIN fold USING (pair_id) ORDER BY pair_id""".stripMargin,
 
     // Sentence-splitter replay: the identical plant + the identical
     // RE2-safe protect-then-split rewrites (patterns shared verbatim).

@@ -308,6 +308,24 @@ class TextFunctionsSpec extends SparkSpec {
     m2.getAs[Double]("bleu") shouldBe 0.408248
   }
 
+  test("chrF: hand-computed witnesses — strip, per-order average, F_beta") {
+    import graft.operators.TextMetrics
+    val pairs = Seq(
+      (1L, "a b", "ab"), // whitespace strips → identical
+      (2L, "ab", "ba"), // order-1 perfect, order-2 zero → P̄ = R̄ = 1/2
+      (3L, "", "ab") // empty candidate
+    ).toDF("pair_id", "cand", "ref")
+    val m = TextMetrics.chrF(pairs, 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    m(1L).getAs[Double]("chrf") shouldBe 1.0
+    m(2L).getAs[Double]("precision") shouldBe 0.5
+    m(2L).getAs[Double]("recall") shouldBe 0.5
+    // F_2 = 5·(1/2)(1/2) / (4·1/2 + 1/2) = 0.5
+    m(2L).getAs[Double]("chrf") shouldBe 0.5
+    m(3L).getAs[Double]("chrf") shouldBe 0.0
+    m(3L).getAs[Double]("precision") shouldBe 0.0
+  }
+
   test("sentences: terminators split, guards protect, empties drop") {
     import graft.functions.TextFunctions.sentences
     def split(t: String): Seq[String] =
