@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // bound the SQL-listener plan strings: deep cached funnels print
+      // nested InMemoryRelation subtrees multiplicatively, and an
+      // unbounded explainString can dominate driver time (or overflow
+      // the heap) on every action of a complex query
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.local.dir", graft.core.Scratch.localDir)
       .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")

@@ -59,6 +59,21 @@ object Caches {
     }
   }
 
+  /** Cache a shared frame AND seal its lineage behind a leaf scan (the
+    * StoreBuild "pinPlan" move, public since r13): `cacheOnce` pins the
+    * DATA, but every consumer's logical plan still embeds the full
+    * producing subtree — and nested InMemoryRelations PRINT their cached
+    * plans recursively, so a pipeline of stacked caches (the CCNet
+    * funnel: extraction → struck corpus → flags → tiers) makes each
+    * action's analysis AND its SQL-listener plan string grow
+    * multiplicatively (measured: q232's explainString alone overflowed
+    * an 8 GB heap). The lazy local checkpoint truncates the plan to the
+    * materialized partitions; values are identical, and a lost executor
+    * recomputes from the surviving cached parent. Non-reliable tier is
+    * deliberate — durability is a store writer's job, not a query's. */
+  def pinPlan(df: DataFrame): DataFrame =
+    cacheOnce(df).localCheckpoint(eager = false)
+
   /** Release one cached plan (no-op if it is not cached). Library users
     * embedding a single pipeline in a long-lived session can release its
     * shared subplans eagerly instead of waiting for `clearAll` at the

@@ -121,8 +121,7 @@ object StoreBuild {
     * checkpointing is the right tier: the summaries are cached
     * MEMORY_AND_DISK anyway, and a lost executor re-runs the fold —
     * durability across failures is `Incremental.save`'s job. */
-  private def pinPlan(df: DataFrame): DataFrame =
-    Caches.cacheOnce(df).localCheckpoint(eager = false)
+  private def pinPlan(df: DataFrame): DataFrame = Caches.pinPlan(df)
 
   /** OP-20 at scale: per-item mean/σ of the COMPLETE correlation vector
     * (NULL-skipping, sample σ — exactly `avg`/`stddev_samp` over

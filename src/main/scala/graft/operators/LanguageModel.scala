@@ -165,16 +165,27 @@ object LanguageModel {
     require(sampleMod >= 1, "sampleMod must be >= 1")
     val toks = docs.select(col(idCol), col(langCol),
       explode(tokensWs(col(textCol))).as("tok"))
-    val vocab = toks.groupBy(col(langCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    // vocab feeds BOTH its own totals and the scoring join, and scored
+    // feeds the sample (vals + m) AND the final assignment — without the
+    // caches each downstream consumer replays the caller's whole input
+    // plan through the token explode (measured: the q232 composition,
+    // whose input is the full CCNet flag pipeline, evaluated it ~9× —
+    // 390 s for the query; a raw parquet input like q147's hides the
+    // same fan-out behind a cheap scan). Both tables are bounded: vocab
+    // saturates with the per-language vocabulary, scored is one narrow
+    // row per document. Input is now evaluated exactly twice (vocab
+    // build + scoring join).
+    val vocab = graft.core.Caches.cacheOnce(
+      toks.groupBy(col(langCol), col("tok")).agg(count(lit(1)).as("cnt")))
     val totals = vocab.groupBy(col(langCol)).agg(sum(col("cnt")).as("n_total"))
-    val scored = toks.join(vocab, Seq(langCol, "tok"))
+    val scored = graft.core.Caches.cacheOnce(toks.join(vocab, Seq(langCol, "tok"))
       .join(broadcast(totals), Seq(langCol))
       .groupBy(col(idCol), col(langCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(-log(col("cnt").cast("double") / col("n_total").cast("double")))
           .as("nll_sum"))
       .select(col(idCol), col(langCol), col("n_tokens"),
-        round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll"))
+        round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll")))
     val samp = scored.where(
       pmod(graft.functions.TextFunctions.hash60(col(idCol).cast("string")),
         lit(sampleMod)) === 0)

@@ -867,8 +867,20 @@ object SimilaritySearch {
       .select(col("src_id"), col("tgt_id"),
         cosineWithNorms(col("s_emb"), col("t_emb"),
           col("s_nrm"), col("t_nrm")).as("cos")))
+    // k-cosine mean with the ORACLE's NULL algebra (a zero-norm vector —
+    // possible under the hashing encoder on token-free sentences — makes
+    // its cosines NULL): DuckDB's list() KEEPS NULLs, so one NULL cosine
+    // poisons the fold to NULL, and the divisor is the ROW count — while
+    // Spark's collect_list silently DROPS NULLs and size() of an empty
+    // list is 0, an ANSI divide-by-zero (measured: q235 at sf0.1).
+    // Mirror DuckDB: NULL when any top-k cosine is NULL, else the
+    // ordered fold over the (all non-NULL) list divided by the row count
+    // (identical to the old expression whenever no NULL appears).
     def foldMean(c: Column): Column =
-      aggregate(sort_array(c), lit(0.0), (a, x) => a + x) / size(c).cast("double")
+      when(count(col("cos")) < count(lit(1)), lit(null).cast("double"))
+        .otherwise(
+          aggregate(sort_array(c), lit(0.0), (a, x) => a + x) /
+            count(lit(1)).cast("double"))
     val wS = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc_nulls_last, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id"))
@@ -879,11 +891,17 @@ object SimilaritySearch {
     val bwd = cand.withColumn("r", row_number().over(wT)).where(col("r") <= k)
       .groupBy(col("tgt_id"))
       .agg(foldMean(collect_list(col("cos"))).as("avg_t"))
+    // margin denominator can be exactly 0.0 (all-zero cosine
+    // neighborhoods); DuckDB yields NULL for double/0 — mirror it
+    // instead of tripping ANSI division (NULL denominators already
+    // propagate NULL through the division on both engines).
+    val den = (col("avg_s") + col("avg_t")) / 2.0
     val margins = cand
       .join(fwd, Seq("src_id"))
       .join(bwd, Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"),
-        round(col("cos") / ((col("avg_s") + col("avg_t")) / 2.0), 6).as("margin"))
+        round(when(den === 0.0, lit(null).cast("double"))
+          .otherwise(col("cos") / den), 6).as("margin"))
     val wBest = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc_nulls_last, col("tgt_id"))
     margins.withColumn("rb", row_number().over(wBest))

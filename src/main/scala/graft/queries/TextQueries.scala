@@ -1207,7 +1207,13 @@ object TextQueries extends QueryPack {
     // sink, so the artifact a training loader mmaps is exactly what the
     // funnel selected. The oracle replays every stage AND the packing.
     "q214_crawl_to_shards" -> ((s, dir) => {
+      // the funnel frame is narrow (r13); content re-attaches from the
+      // cached extraction by id — selected is a small fraction of the
+      // corpus, so the join moves surviving text exactly once
       val sel = crawlFunnel(s, dir).where(col("selected"))
+        .select(col("doc_id"), col("lang"))
+        .join(crawlExtracted(s, dir).select(col("doc_id"), col("content")),
+          Seq("doc_id"))
       val ids = sel.select(col("doc_id"), col("lang"),
           transform(tokensWs(col("content")),
             t => pmod(hash60(t), lit(ShardVocabMod)).cast("int")).as("ids"))
@@ -1611,14 +1617,23 @@ object TextQueries extends QueryPack {
         .withColumn("n_tokens", tokenCountWs(col("content")).cast("long")))
   }
 
+  /** The funnel's flag frame is NARROW (no content column — r13): the
+    * exact-dup collapse windows over the (doc_id, digest) projection and
+    * joins the verdict back by id, so document text never shuffles
+    * through the digest exchange (guide §8: decide on proxies, move
+    * payloads once); q214 re-attaches content from the cached
+    * [[crawlExtracted]] frame itself. The frame is cacheOnce'd: the
+    * budget window and the final audit join both consume it, and before
+    * the cache each consumer replayed the fuzzy-band and decontamination
+    * joins from scratch. */
   private def crawlFunnel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.read(s, dir, "documents")
     val ex = crawlExtracted(s, dir)
-    val keepW = Window.partitionBy(col("digest"))
-    val exact = ex.withColumn("keep_id", min(col("doc_id")).over(keepW))
-      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+    val keep = ex.select(col("doc_id"), col("digest"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
     // fuzzy near-dup: exact-first collapse, then banded MinHash
     // candidates over the representatives (see crawlFuzzy)
     val (_, fuzzyDropped) = crawlFuzzy(ex.select(col("doc_id"), col("content")))
@@ -1629,7 +1644,8 @@ object TextQueries extends QueryPack {
         ex.where(isBench).select(col("doc_id"), col("content")),
         CrawlDecontamN, "doc_id", "content")
       .select(col("doc_id"))
-    val flags = exact
+    val flags = graft.core.Caches.pinPlan(ex.drop("content")
+      .join(keep, Seq("doc_id"))
       .join(fuzzyDropped.withColumn("fz", lit(true)), Seq("doc_id"), "left")
       .withColumn("fuzzy_dup", coalesce(col("fz"), lit(false))).drop("fz")
       .join(contam.withColumn("ct", lit(true)), Seq("doc_id"), "left")
@@ -1638,7 +1654,7 @@ object TextQueries extends QueryPack {
       .withColumn("survivor",
         col("allowed") && col("n_content") > 0 && col("moji_clean") &&
           col("gopher_pass") && col("is_canonical") && !col("fuzzy_dup") &&
-          !col("is_bench") && !col("contaminated"))
+          !col("is_bench") && !col("contaminated")))
     // per-language token budget over the survivors, hash order (q80) —
     // the running sum goes two-phase above the gate (one language can be
     // half a 100 TB corpus; a single-task per-stratum sort cannot), gated
@@ -1711,10 +1727,14 @@ object TextQueries extends QueryPack {
             concat(lit("empty:"), id.cast("string")))
             .otherwise(md5(canonicalText(col("content")))))
         .withColumn("n_tokens", tokenCountWs(col("content")).cast("long")))
-    val keepW = Window.partitionBy(col("digest"))
-    val exact = cc.withColumn("keep_id", min(id).over(keepW))
-      .withColumn("is_canonical", id === col("keep_id"))
-      .drop("keep_id")
+    // narrow exact-dup collapse (r13): window over (doc_id, digest) and
+    // join the verdict back — struck text never shuffles through the
+    // digest exchange. length(content)=0 is precomputed as a narrow
+    // has_content flag so the cached flag frame carries no text column.
+    val keep = cc.select(id, col("digest"))
+      .withColumn("keep_id",
+        min(id).over(Window.partitionBy(col("digest"))))
+      .select(id, (id === col("keep_id")).as("is_canonical"))
     val (_, fuzzyDropped) = crawlFuzzy(cc.select(id, col("content")))
     val isBench = id % CrawlBenchMod === 0
     val contam = graft.operators.Decontamination.contaminated(
@@ -1722,21 +1742,35 @@ object TextQueries extends QueryPack {
         cc.where(isBench).select(id, col("content")),
         CrawlDecontamN, "doc_id", "content")
       .select(id)
-    val flags = exact
+    // the flag frame is cacheOnce'd and NARROW: before r13, tiers /
+    // budget / final join each replayed the exact window + fuzzy-band +
+    // decontamination joins (and perplexityTiers multiplied that input
+    // fan-out again) — the measured cost was 390 s and an 8 GB-heap OOM
+    // in the full bench; one cached evaluation removes the whole blow-up.
+    val flags = graft.core.Caches.pinPlan(cc
+      .select(id, col("lang"), col("canonical"), col("allowed"),
+        col("n_content"), col("n_lines"), col("n_removed"), col("n_moji"),
+        col("moji_clean"), col("gopher_pass"), col("n_tokens"),
+        (length(col("content")) > 0).as("has_content"))
+      .join(keep, Seq("doc_id"))
       .join(fuzzyDropped.withColumn("fz", lit(true)), Seq("doc_id"), "left")
       .withColumn("fuzzy_dup", coalesce(col("fz"), lit(false))).drop("fz")
       .join(contam.withColumn("ct", lit(true)), Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("ct"), lit(false))).drop("ct")
       .withColumn("is_bench", isBench)
       .withColumn("survivor",
-        col("allowed") && length(col("content")) > 0 && col("moji_clean") &&
+        col("allowed") && col("has_content") && col("moji_clean") &&
           col("gopher_pass") && col("is_canonical") && !col("fuzzy_dup") &&
-          !col("is_bench") && !col("contaminated"))
-    val tiers = graft.operators.LanguageModel.perplexityTiers(
-        flags.where(col("survivor"))
-          .select(id, col("lang"), col("content").as("text")),
-        sampleMod = CcnetSampleMod)
-      .select(id, col("nll"), col("tier"))
+          !col("is_bench") && !col("contaminated")))
+    // tiers re-attach struck text from the cached cc by id (survivors
+    // only), and the narrow (id, nll, tier) verdict is itself cached:
+    // the tf join below consumes it twice (budget filter + final join)
+    val tiers = graft.core.Caches.pinPlan(
+      graft.operators.LanguageModel.perplexityTiers(
+          flags.where(col("survivor")).select(id, col("lang"))
+            .join(cc.select(id, col("content").as("text")), Seq("doc_id")),
+          sampleMod = CcnetSampleMod)
+        .select(id, col("nll"), col("tier")))
     val tf = flags.join(tiers, Seq("doc_id"), "left")
     val keepTier = col("tier").isin("head", "middle")
     val budget = graft.operators.Sampling.strataRunningSum(

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: run one SparkEntry query with a stage listener and print
+  * the top stages by executor run time — the "which operator is the
+  * wall" decomposition when the UI is disabled.
+  *
+  * usage: run-graft.sh graft.tools.QueryProbe <queryName>
+  *   env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS as usual. */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    graft.core.Scratch.pinTmpdir()
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // bound the SQL-listener plan strings: deep cached funnels print
+      // nested InMemoryRelation subtrees multiplicatively, and an
+      // unbounded explainString can dominate driver time (or overflow
+      // the heap) on every action of a complex query
+      .config("spark.sql.maxPlanStringLength", "1000000")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.warehouseDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    case class St(name: String, details: String, ms: Long, tasks: Int,
+                  shuffleReadMb: Double, shuffleWriteMb: Double, spillMb: Double)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val tm = si.taskMetrics
+        stages.add(St(si.name.takeWhile(_ != '\n').take(80),
+          si.details.linesIterator.take(4).mkString(" | ").take(200),
+          tm.executorRunTime, si.numTasks,
+          tm.shuffleReadMetrics.totalBytesRead / 1e6,
+          tm.shuffleWriteMetrics.bytesWritten / 1e6,
+          tm.diskBytesSpilled / 1e6))
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val st = stages.asScala.toSeq
+    println(f"[probe] $name wall=$wall%.1f s, stages=${st.size}, totalTaskSec=${st.map(_.ms).sum / 1e3}%.1f")
+    st.sortBy(-_.ms).take(25).foreach { s =>
+      println(f"[stage] ${s.ms / 1e3}%8.1f s tasks=${s.tasks}%4d shufR=${s.shuffleReadMb}%8.1f MB shufW=${s.shuffleWriteMb}%8.1f MB spill=${s.spillMb}%8.1f MB  ${s.name}")
+    }
+    graft.core.Caches.clearAll(spark)
+    spark.stop()
+    graft.core.Scratch.cleanup()
+  }
+}

@@ -403,6 +403,30 @@ class SimilaritySearchSpec extends SparkSpec {
     mine(1.2).keySet shouldBe Set(20L)
   }
 
+  test("marginMinePairs: zero-norm vectors follow the oracle's NULL algebra (no ANSI divide)") {
+    // z (all-zero, the hashing encoder's token-free-sentence output) has
+    // NULL cosine to everything: DuckDB's list() keeps the NULL, so any
+    // source/target whose top-k window admits z gets a NULL k-mean and a
+    // NULL margin — it must silently emit nothing, not throw. A zero
+    // vector always lands in SRP bucket 0 (no dot is > 0), so the panel
+    // uses vectors whose plane dot is ≤ 0 — everyone shares bucket 0 and
+    // z really is a candidate. k = 3 admits z into every neighborhood;
+    // s1→t1 would win on cosine but its poisoned margin is NULL, so no
+    // row survives the threshold.
+    val onePlane = Seq(Seq(1, 1))
+    val src = Seq((10L, Array(1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.6f, -0.8f)), (2L, Array(0.0f, -1.0f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    graft.operators.SimilaritySearch.marginMinePairs(src, tgt, onePlane, 3, 0.0)
+      .count() shouldBe 0L
+    // with k = 2 the zero vector ranks LAST (NULLS LAST) and stays out of
+    // both neighborhoods: the mined pair is unchanged by z's presence
+    val got = graft.operators.SimilaritySearch
+      .marginMinePairs(src, tgt, onePlane, 2, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe Seq((10L, 1L))
+  }
+
   test("tuneNProbe: cheapest candidate clearing the rational target; argmax fallback when unreachable") {
     // hand-walked 2-D fixture — centroids c100=[1,0], c200=[0,1];
     // a=[1,0]→list 100, b=[.6,.8] and c=[0,1]→list 200;
