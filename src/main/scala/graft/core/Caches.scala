@@ -59,6 +59,17 @@ object Caches {
     }
   }
 
+  // pinPlan memo: (canonicalized logical plan → sealed frame) per
+  // session, weakly keyed so a stopped session's entries are collectable.
+  // A localCheckpoint mints a NEW leaf RDD per call, so without the memo
+  // each re-invocation of the same pipeline (bench reps, the q238/q239
+  // pair) re-materializes the checkpoint AND gives downstream cacheOnce
+  // consumers a fresh plan identity — every cache keyed past the seal
+  // missed across reps (measured: q232's tier caches rebuilt per rep).
+  private val pins = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Buffer[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
+
   /** Cache a shared frame AND seal its lineage behind a leaf scan (the
     * StoreBuild "pinPlan" move, public since r13): `cacheOnce` pins the
     * DATA, but every consumer's logical plan still embeds the full
@@ -70,9 +81,30 @@ object Caches {
     * an 8 GB heap). The lazy local checkpoint truncates the plan to the
     * materialized partitions; values are identical, and a lost executor
     * recomputes from the surviving cached parent. Non-reliable tier is
-    * deliberate — durability is a store writer's job, not a query's. */
-  def pinPlan(df: DataFrame): DataFrame =
-    cacheOnce(df).localCheckpoint(eager = false)
+    * deliberate — durability is a store writer's job, not a query's.
+    *
+    * Memoized by canonicalized plan (the cacheOnce equality rule, same
+    * staleness semantics): a structurally-equal re-invocation gets the
+    * SAME sealed frame back, so its consumers' plans stay cache-stable.
+    * `clearAll` drops the memo with the session's caches. */
+  def pinPlan(df: DataFrame): DataFrame = synchronized {
+    val sess = df.sparkSession
+    val buf = pins.computeIfAbsent(sess,
+      _ => scala.collection.mutable.Buffer.empty)
+    val canon = df.queryExecution.analyzed.canonicalized
+    buf.find(_._1 == canon) match {
+      case Some((_, pinned)) =>
+        if (sys.env.contains("GRAFT_PIN_DEBUG"))
+          System.err.println(s"[pinPlan] HIT ${canon.schemaString.take(80)}")
+        pinned
+      case None =>
+        if (sys.env.contains("GRAFT_PIN_DEBUG"))
+          System.err.println(s"[pinPlan] MISS (have ${buf.size}) ${canon.schemaString.take(80)}")
+        val pinned = cacheOnce(df).localCheckpoint(eager = false)
+        buf += ((canon, pinned))
+        pinned
+    }
+  }
 
   /** Release one cached plan (no-op if it is not cached). Library users
     * embedding a single pipeline in a long-lived session can release its
@@ -81,6 +113,10 @@ object Caches {
   def release(df: DataFrame): Unit =
     if (df.storageLevel != StorageLevel.NONE) { df.unpersist(); () }
 
-  /** Drop every cached plan in the session (`spark.catalog.clearCache`). */
-  def clearAll(spark: SparkSession): Unit = spark.catalog.clearCache()
+  /** Drop every cached plan in the session (`spark.catalog.clearCache`)
+    * and the session's pinPlan memo. */
+  def clearAll(spark: SparkSession): Unit = synchronized {
+    pins.remove(spark)
+    spark.catalog.clearCache()
+  }
 }

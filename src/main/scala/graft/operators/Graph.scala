@@ -322,7 +322,11 @@ object Graph {
     require(iters >= 1, "communities: iters must be >= 1")
     require(phases >= 1, "communities: phases must be >= 1")
     require(checkpointEvery >= 0, "communities: checkpointEvery must be >= 0")
-    val raw = edges.select(col("src"), col("dst"))
+    // the caller's raw edge plan is consulted by e, nodes, AND (via
+    // CacheManager subplan substitution) any same-plan consumer in the
+    // caller (q239's modularity canonicalization) — cache it once; the
+    // co-purchase fixtures pay a join + keyed-hash filter per evaluation
+    val raw = graft.core.Caches.cacheOnce(edges.select(col("src"), col("dst")))
     val und = raw.where(col("src") =!= col("dst"))
     val e = graft.core.Caches.cacheOnce(
       und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
@@ -343,18 +347,31 @@ object Graph {
         .where(col("rnk") === 1)
         .select(col("node"), col("community").as("__m"))
       val inPhase = pmod(col("node"), lit(phases.toLong)) === (i % phases)
-      labels = labels.join(maj, Seq("node"), "left")
+      // each round's vector is cacheOnce'd (r13): UNLIKE pageRank's
+      // linear chain, the hold-or-adopt update consumes labels_i TWICE
+      // (the majority count AND the carry-forward join), so uncached
+      // rounds re-evaluate the whole prefix 2^i times (measured: q238
+      // 9.4 s / q239 27.8 s at sf0.1 for 4 rounds). One narrow row per
+      // node per round.
+      labels = graft.core.Caches.cacheOnce(labels.join(maj, Seq("node"), "left")
         .select(col("node"),
           when(inPhase, coalesce(col("__m"), col("community")))
-            .otherwise(col("community")).as("community"))
+            .otherwise(col("community")).as("community")))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
-        val cached = graft.core.Caches.cacheOnce(labels)
-        labels = cached.localCheckpoint(eager = false)
+        labels = labels.localCheckpoint(eager = false)
         labels.count()
-        graft.core.Caches.release(cached)
       }
     }
-    labels
+    // the final label vector is cached AND lineage-sealed (r13):
+    // consumers routinely read it several times (modularity's
+    // vol/intra/stats joins — three replays of the whole round chain
+    // without the cache, measured 3× on q239), and even fully cached the
+    // nested per-round InMemoryRelation tree costs the DRIVER ~5 s of
+    // plan analysis per consuming action (measured on q239 warm: 7.0 s
+    // → 2.1 s after sealing). One narrow row per node; the q238/q239
+    // pair shares one materialization because the plans are
+    // structurally equal.
+    graft.core.Caches.pinPlan(labels)
   }
 
   /**
@@ -381,7 +398,11 @@ object Graph {
       edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .where(col("a") =!= col("b")).distinct())
-    val lab = labels.select(col("node"), col("community"))
+    // three consumers (vol, intra, stats) — without the cache each one
+    // replays the caller's full label-producing plan (for a communities()
+    // partition that is the whole round chain)
+    val lab = graft.core.Caches.cacheOnce(
+      labels.select(col("node"), col("community")))
     val m = canon.agg(count(lit(1)).as("m"))
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))

@@ -27,9 +27,15 @@ object TextMetrics {
   def rougeN(pairs: DataFrame, n: Int, idCol: String = "pair_id",
              candCol: String = "cand", refCol: String = "ref"): DataFrame = {
     require(n >= 1, "rougeN: n must be >= 1")
+    // ONE evaluation of the caller's pair plan, width-gated spread (r13):
+    // the gram explodes are the hot map stages — a single-split input
+    // (one collected fixture file) would run them on one task — and the
+    // cand/ref/ids consumers would otherwise re-evaluate the input 3×.
+    val p = graft.core.Caches.cacheOnce(graft.core.Spread.byKey(
+      pairs.select(col(idCol), col(candCol), col(refCol)), col(idCol)))
     def gramCounts(c: String, cnt: String): DataFrame = {
       val tk = tokensWs(col(c))
-      pairs.select(col(idCol),
+      p.select(col(idCol),
           explode(when(size(tk) < n, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
               i => concat_ws(" ", slice(tk, i, lit(n)))))).as("gram"))
@@ -49,7 +55,7 @@ object TextMetrics {
     // produces no (pair, gram) rows at all — join the scores back onto
     // the full pair-id set so such pairs surface as all-zero rows (the
     // documented contract) instead of silently vanishing.
-    pairs.select(col(idCol)).distinct()
+    p.select(col(idCol)).distinct()
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("ov"), lit(0L)).as("ov"),
@@ -97,6 +103,9 @@ object TextMetrics {
   def bleuN(pairs: DataFrame, n: Int, idCol: String = "pair_id",
             candCol: String = "cand", refCol: String = "ref"): DataFrame = {
     require(n >= 1, "bleuN: n must be >= 1")
+    // same one-evaluation + width-gated-spread stance as rougeN (r13)
+    val p = graft.core.Caches.cacheOnce(graft.core.Spread.byKey(
+      pairs.select(col(idCol), col(candCol), col(refCol)), col(idCol)))
     val emptyGrams = array().cast("array<struct<k:int,gram:string>>")
     def gramCounts(c: String, cnt: String): DataFrame = {
       val tk = tokensWs(col(c))
@@ -106,7 +115,7 @@ object TextMetrics {
             i => struct(lit(k).as("k"),
               concat_ws(" ", slice(tk, i, lit(k))).as("gram"))))
       }: _*)
-      pairs.select(col(idCol), explode(all).as("kg"))
+      p.select(col(idCol), explode(all).as("kg"))
         .select(col(idCol), col("kg.k").as("k"), col("kg.gram").as("gram"))
         .groupBy(col(idCol), col("k"), col("gram"))
         .agg(count(lit(1)).as(cnt))
@@ -130,7 +139,7 @@ object TextMetrics {
       count(when(col("ov") > 0L, lit(1))).as("kpos")) ++ pkCols
     val folded = perK.groupBy(col(idCol))
       .agg(foldExprs.head, foldExprs.tail: _*)
-    val lens = pairs.select(col(idCol),
+    val lens = p.select(col(idCol),
       size(tokensWs(col(candCol))).cast("long").as("c_len"),
       size(tokensWs(col(refCol))).cast("long").as("r_len"))
     val bp = when(col("c_len") === 0L, 0.0)
@@ -171,6 +180,12 @@ object TextMetrics {
            refCol: String = "ref"): DataFrame = {
     require(n >= 1, "chrF: n must be >= 1")
     require(beta > 0, "chrF: beta must be positive")
+    // same one-evaluation + width-gated-spread stance as rougeN (r13);
+    // chrF explodes CHAR grams (≈ 4× the token-gram row count), so the
+    // single-task explode was the whole wall (measured: q241 two ~10 s
+    // one-task stages at sf0.1)
+    val p = graft.core.Caches.cacheOnce(graft.core.Spread.byKey(
+      pairs.select(col(idCol), col(candCol), col(refCol)), col(idCol)))
     val emptyGrams = array().cast("array<struct<k:int,gram:string>>")
     def gramCounts(c: String, cnt: String): DataFrame = {
       val s = regexp_replace(col(c), "\\s+", "")
@@ -179,7 +194,7 @@ object TextMetrics {
           .otherwise(transform(sequence(lit(1), length(s) - (k - 1)),
             i => struct(lit(k).as("k"), s.substr(i, lit(k)).as("gram"))))
       }: _*)
-      pairs.select(col(idCol), explode(all).as("kg"))
+      p.select(col(idCol), explode(all).as("kg"))
         .select(col(idCol), col("kg.k").as("k"), col("kg.gram").as("gram"))
         .groupBy(col(idCol), col("k"), col("gram"))
         .agg(count(lit(1)).as(cnt))
@@ -202,7 +217,7 @@ object TextMetrics {
           .otherwise(lit(0.0))) / n).as("rbar"))
     val b2 = beta * beta
     val den = lit(b2) * col("pbar") + col("rbar")
-    pairs.select(col(idCol)).distinct()
+    p.select(col(idCol)).distinct()
       .join(folded, Seq(idCol), "left")
       .select(col(idCol),
         round(coalesce(col("pbar"), lit(0.0)), 6).as("precision"),

@@ -702,13 +702,20 @@ object ScaleQueries extends QueryPack {
   private def blockCoPurchaseEdges(s: SparkSession, dir: String) = {
     val li = Tables.read(s, dir, "lineitem")
     val ord = Tables.read(s, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
-      .distinct()
-      .where(col("ck") % 4 === col("pk") % 4 ||
-        pmod(graft.functions.TextFunctions.hash60(
-          concat_ws(":", col("ck"), col("pk"))), lit(20L)) === 0)
-      .select((col("ck") * 2L).as("src"), (col("pk") * 2L + 1L).as("dst"))
+    // cacheOnce'd (r13): the build pays a fact join + a per-pair keyed
+    // md5 — and q238's communities internals (e, nodes) and q239's
+    // modularity canonicalization each consult the edge list through
+    // projections too different for CacheManager subplan substitution
+    // to unify, so without the source-level cache the build re-ran per
+    // consumer (measured: 3-4× per query at sf0.1)
+    graft.core.Caches.cacheOnce(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+        .where(col("ck") % 4 === col("pk") % 4 ||
+          pmod(graft.functions.TextFunctions.hash60(
+            concat_ws(":", col("ck"), col("pk"))), lit(20L)) === 0)
+        .select((col("ck") * 2L).as("src"), (col("pk") * 2L + 1L).as("dst")))
   }
   private val PrTopK = 20 // q133 output size
   private val LpIters = 3 // q173 label-propagation rounds

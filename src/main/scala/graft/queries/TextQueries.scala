@@ -1513,6 +1513,21 @@ object TextQueries extends QueryPack {
   private val crawlStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-(session, stagedKey) memo of the [[crawlExtracted]] FRAME (r13).
+    * The WARC read is an object-typed `mapPartitions`, and each call
+    * mints a fresh lambda instance — two structurally-identical
+    * invocations therefore canonicalize UNEQUAL, so every downstream
+    * cacheOnce/pinPlan (cc, signatures, flags, tiers) missed across
+    * bench reps and re-materialized corpus-sized caches per rep
+    * (measured: the q214/q215/q232 family re-cached its whole chain
+    * every rep). Returning the SAME DataFrame object restores plan
+    * equality for every consumer. Weakly keyed by session so test
+    * sessions collect; only the lazy plan is memoized — data still
+    * computes per action under the normal cache lifecycle. */
+  private val crawlExtractedMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
   private def crawlStagedKey(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1539,7 +1554,14 @@ object TextQueries extends QueryPack {
     * frontier, evaluate robots, extract content, and flag per-doc moji /
     * Gopher / digest / token stats. Returned frame is `cacheOnce`'d, so
     * the two funnels (and bench reps) share ONE cached subtree. */
-  private def crawlExtracted(s: SparkSession, dir: String): DataFrame = {
+  private def crawlExtracted(s: SparkSession, dir: String): DataFrame =
+    crawlExtractedMemo.synchronized {
+      crawlExtractedMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(crawlStagedKey(s, dir), crawlExtractedBuild(s, dir))
+    }
+
+  private def crawlExtractedBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{UrlFunctions => UF}
     val d = Tables.read(s, dir, "documents")
     val id = col("doc_id")
@@ -1599,8 +1621,12 @@ object TextQueries extends QueryPack {
         canon.select(col("doc_id"), col("host"), col("path")),
         graft.operators.Robots.parseRules(robots), "host", "path", "doc_id")
       .select(col("doc_id"), col("allowed"))
-    // extraction + the per-document stage flags
-    graft.core.Caches.cacheOnce(
+    // extraction + the per-document stage flags; SEALED (pinPlan, r13):
+    // the extraction tree embeds the HTML/Gopher mega-expressions, and
+    // every downstream construction (cc, flags, fuzzy, contam, tiers)
+    // re-analyzed + re-canonicalized it per invocation — the q232 warm
+    // wall was ~14 s of pure driver plan work before sealing
+    graft.core.Caches.pinPlan(
       canon.join(verdict, Seq("doc_id"))
         .withColumn("x", graft.functions.HtmlFunctions.extractContent(
           col("page"), HtmlMinWords, HtmlMaxLink, HtmlMinStop))
@@ -1716,7 +1742,7 @@ object TextQueries extends QueryPack {
       col("n_content"), planted.as("pl"))
     val struck = graft.operators.Dedup.lineDedup(
       pl.select(id, col("pl")), CrawlLineMaxDf, "doc_id", "pl")
-    val cc = graft.core.Caches.cacheOnce(
+    val cc = graft.core.Caches.pinPlan(
       pl.drop("pl").join(struck.withColumnRenamed("pl", "content"), Seq("doc_id"))
         .withColumn("n_moji", mojibakeCount(col("content")))
         .withColumn("moji_clean", col("n_moji") === 0L)
