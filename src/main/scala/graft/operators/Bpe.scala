@@ -301,13 +301,24 @@ object Bpe {
           if (checkpointEvery > 0 && round % checkpointEvery == 0)
             cached.localCheckpoint(eager = false)
           else cached
-        words.count() // materialize before releasing the parent
-        Caches.release(prev)
-        if (words ne cached) Caches.release(cached)
+        words.count() // materialize (the per-round probe reads it next)
+        // Release discipline is gated on checkpointEvery (r13): DEEP
+        // production runs (thousands of merges, checkpointEvery > 0)
+        // must not pin one vocabulary table per round, so they release
+        // as before. SHALLOW runs keep the round caches — every word
+        // table is vocabulary-sized (saturating), and releasing them
+        // forced each re-invocation (bench reps; the q116/q126/q146/q148
+        // family trains the identical chain) to rebuild the corpus word
+        // table and every merge round from scratch. cacheOnce keys on
+        // the canonical plan, so the family shares ONE chain per session.
+        if (checkpointEvery > 0) {
+          Caches.release(prev)
+          if (words ne cached) Caches.release(cached)
+        }
         round += 1
       }
     }
-    Caches.release(words)
+    if (checkpointEvery > 0) Caches.release(words)
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("lhs", StringType, nullable = false),

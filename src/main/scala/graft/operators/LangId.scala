@@ -52,9 +52,15 @@ object LangId {
   def train(docs: DataFrame, n: Int = 3, numBuckets: Int = 512,
             minG2: Double = 20.0,
             langCol: String = "lang", textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(langCol).as("lang"),
-        explode(charGramBuckets(col(textCol), n, numBuckets)).as("bucket"))
-      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // cacheOnce'd (r13): tot/bt/gt/G²-selection/model each consume this
+    // table, and every one of them is evaluated inside its own broadcast
+    // subtree — uncached, each re-ran the corpus char-gram explode (one
+    // md5 per character position). The table is ≤ |langs|·numBuckets
+    // rows at any corpus size.
+    val grams = graft.core.Caches.cacheOnce(
+      docs.select(col(langCol).as("lang"),
+          explode(charGramBuckets(col(textCol), n, numBuckets)).as("bucket"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cnt")))
     val tot = grams.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
     val bt = grams.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
     val gt = grams.agg(sum(col("cnt")).cast("double").as("gt"))

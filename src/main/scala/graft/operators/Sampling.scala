@@ -389,7 +389,10 @@ object Sampling {
       w = raw.map { case (d, x) => d -> rnd(x / norm, 1e9) }.toMap
       domains.foreach(d => traj += ((r.toLong, d, excess(d), w(d))))
     }
-    graft.core.Caches.release(dtok)
+    // dtok stays cached (r13): the (source, token) table saturates with
+    // the vocabulary, and per-call release forced every re-invocation to
+    // replay the corpus token explode. Session lifecycle (clearAll) owns
+    // the release — the cacheOnce contract everywhere else.
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("source", StringType, nullable = false),

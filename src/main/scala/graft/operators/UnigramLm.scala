@@ -127,7 +127,12 @@ object UnigramLm {
     val multi = seedc.where(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    Caches.release(seedc)
+    // seedc/words stay cached (r13): both are bounded (piece-vocabulary /
+    // word-vocabulary sized, saturating with corpus growth), and the
+    // q139/q140/q164 family re-invokes this trajectory with identical
+    // plans — releasing per call forced each to rebuild the corpus
+    // substring explode from scratch. Session lifecycle (clearAll) owns
+    // the release, the cacheOnce contract everywhere else.
     var kept: Seq[(String, Long)] = (chars ++ multi).sortBy(_._1)
     var vocab = logProbs(kept)
     val traj = Seq.newBuilder[(Long, String, Long, Double)]
@@ -150,7 +155,6 @@ object UnigramLm {
     val vFinal = logProbs(fk)
     fk.foreach { case (p, _) =>
       traj += (((emRounds + 1).toLong, p, keptMap(p), vFinal(p))) }
-    Caches.release(words)
     (traj.result(), vFinal)
   }
 
